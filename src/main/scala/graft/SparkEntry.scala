@@ -1,13 +1,122 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops.RefQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
+  * run on the same parquet tables; column names are aligned on both sides
+  * (the driver sorts columns by name before hashing values).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RefQueries.q05GroupByAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project"  -> RefQueries.q01FilterProject _,
+    "q02_cross_join"      -> RefQueries.q02CrossJoinWhere _,
+    "q03_inner_join"      -> RefQueries.q03InnerJoin _,
+    "q04_left_join"       -> RefQueries.q04LeftJoin _,
+    "q05_groupby_agg"     -> RefQueries.q05GroupByAgg _,
+    "q06_having"          -> RefQueries.q06Having _,
+    "q07_global_agg"      -> RefQueries.q07GlobalAgg _,
+    "q08_corr_subquery"   -> RefQueries.q08CorrelatedSubquery _,
+    "q09_scalar_subquery" -> RefQueries.q09ScalarSubquery _,
+    "q10_expr_semantics"  -> RefQueries.q10ExprSemantics _,
+    "q11_topk"            -> RefQueries.q11TopK _,
+    "q12_distinct"        -> RefQueries.q12Distinct _,
+    "q13_setops"          -> RefQueries.q13SetOps _,
+    "q14_window"          -> RefQueries.q14Window _,
+    "q15_star_join"       -> RefQueries.q15StarJoin _,
+  )
+
+  /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-06-01' AND l_quantity < 10"""
+        .stripMargin,
+    "q02_cross_join" ->
+      """SELECT o_orderkey, c_name, round(o_totalprice, 2) AS total
+        |FROM orders, customer
+        |WHERE o_custkey = c_custkey AND o_totalprice > 400000"""
+        .stripMargin,
+    "q03_inner_join" ->
+      """SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderstatus = 'F'""".stripMargin,
+    "q04_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q05_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS n_rows, count(l_quantity) AS n_qty,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(avg(l_extendedprice), 2) AS avg_price,
+        | min(l_discount) AS min_disc, max(l_tax) AS max_tax
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q06_having" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(avg(o_totalprice), 2) AS avg_total
+        |FROM orders GROUP BY o_orderpriority HAVING count(*) > 100"""
+        .stripMargin,
+    "q07_global_agg" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sum_total,
+        | round(avg(o_totalprice), 2) AS avg_total,
+        | round(min(o_totalprice), 2) AS min_total,
+        | round(max(o_totalprice), 2) AS max_total
+        |FROM orders""".stripMargin,
+    "q08_corr_subquery" ->
+      """SELECT (SELECT n_name FROM nation WHERE n_nationkey = g.c_nationkey)
+        |         AS nation_name,
+        |       num_customers, avg_bal
+        |FROM (SELECT c_nationkey, count(*) AS num_customers,
+        |             round(avg(c_acctbal), 2) AS avg_bal
+        |      FROM customer GROUP BY c_nationkey) g""".stripMargin,
+    "q09_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)"""
+        .stripMargin,
+    "q10_expr_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_tax = 0 THEN NULL
+        |      ELSE round(l_quantity / l_tax, 2) END AS qty_per_tax,
+        | l_returnflag || l_linestatus AS flag_status,
+        | CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |      AS DECIMAL(18,6)) AS charge
+        |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
+    "q11_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q12_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "q13_setops" ->
+      """(SELECT c_nationkey AS nk FROM customer
+        | UNION
+        | SELECT s_nationkey AS nk FROM supplier)
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |EXCEPT
+        |SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 0"""
+        .stripMargin,
+    "q14_window" ->
+      """SELECT o_custkey, o_orderkey, total, rnk FROM (
+        | SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t WHERE rnk <= 3""".stripMargin,
+    "q15_star_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+  )
 }

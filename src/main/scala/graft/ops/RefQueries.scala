@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sem.LlamaSem
+
+/** Reference-parity relational operators (SURVEY.md §2), each expressed
+  * Spark-first: declarative DataFrame plans so Catalyst supplies pushdown,
+  * pruning, join selection, and whole-stage codegen.
+  *
+  * Every query here is registered in `SparkEntry.queries` with a DuckDB
+  * oracle in `SparkEntry.oracleSql` — column names/aliases MUST match the
+  * oracle exactly (the driver sorts columns by name before hashing).
+  *
+  * Scale notes appear per query: what the plan does at 100 TB.
+  */
+object RefQueries {
+
+  /** Scan → Filter → Project (reference `Scan`+`If`+`Yield`,
+    * `execute/mod.rs:91-104,188-210`). The shipdate/quantity predicates and
+    * the 4-column projection reach the parquet scan (PushedFilters +
+    * ReadSchema) — at 100 TB this is the difference between reading 4
+    * columns of a fraction of row groups vs the whole table. */
+  def q01FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1996-06-01").cast("timestamp") &&
+              col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              // price/discount carry 2 decimals, so the true product has
+              // exactly 4 — DECIMAL(18,4) is an exact, tie-free cast (a
+              // round(x, 2) here ties at the half-cent and diverges from
+              // the oracle by 1 ulp of rounding).
+              (col("l_extendedprice") * (lit(1) - col("l_discount")))
+                .cast("decimal(18,4)").as("revenue"))
+
+  /** Cross join + WHERE equi-predicate — the reference's `Usage.md:95-112`
+    * query shape (`FROM a, b WHERE a.k = b.k`). Compiled by the reference
+    * as nested scans; here Catalyst rewrites crossJoin+filter into an
+    * equi-join (hash/SMJ), so the O(n²) never materializes. */
+  def q02CrossJoinWhere(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    orders.crossJoin(customer)
+      .filter(col("o_custkey") === col("c_custkey") &&
+              col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("c_name"),
+              round(col("o_totalprice"), 2).as("total"))
+  }
+
+  /** INNER JOIN ... ON (reference nested `Scan`+`If(on)`,
+    * `queryplan/mod.rs:244-252`). Equi-join on o_custkey=c_custkey: at
+    * scale this shuffles both sides on the key (SMJ) or broadcasts the
+    * smaller — Catalyst/AQE picks; no hint needed since customer is a
+    * fact-scale table at 100 TB. */
+  def q03InnerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "inner")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("c_name"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("total"))
+  }
+
+  /** LEFT OUTER JOIN with null-padding (reference `LeftJoin`,
+    * `execute/mod.rs:105-137`) + aggregation: orders-per-customer including
+    * customers with none. count(o_orderkey) skips the padded NULLs —
+    * exactly the reference's count-non-NULL semantics. */
+  def q04LeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Hash GROUP BY with all five reference aggregates (`aggregate.rs`):
+    * count(x), count(*), sum, avg, min, max. Spark's HashAggregateExec
+    * does partial (map-side) + final aggregation — the reference's
+    * all-rows-in-memory buckets (`groupbuckets.rs:20-31`) become a
+    * constant-size-per-group shuffle. sum is cast to double for the
+    * reference's sum-as-f64 semantics (`aggregate.rs:48-68`). */
+  def q05GroupByAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("n_qty"),
+        round(LlamaSem.llamaSum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        min(col("l_discount")).as("min_disc"),
+        max(col("l_tax")).as("max_tax"))
+
+  /** GROUP BY + HAVING (reference compiles HAVING as an `If` around the
+    * group's Yield, `queryplan/mod.rs:424-432`) → filter on agg alias. */
+  def q06Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("o_totalprice")), 2).as("avg_total"))
+      .filter(col("n") > 100)
+
+  /** Whole-query aggregate, no GROUP BY (reference
+    * `new_aggregated_source_id`, `queryplan/mod.rs:333-345`). We follow
+    * standard SQL (1 row on empty input), a documented deviation from the
+    * reference's 0-rows-on-empty (SURVEY.md §2.3). */
+  def q07GlobalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .agg(count(lit(1)).as("n"),
+           // round at 2 (the true sum's exact scale): no tie possible, and
+           // fp summation-order error (~1e-5) is far below the half-step.
+           round(sum(col("o_totalprice")), 2).as("sum_total"),
+           round(avg(col("o_totalprice")), 2).as("avg_total"),
+           round(min(col("o_totalprice")), 2).as("min_total"),
+           round(max(col("o_totalprice")), 2).as("max_total"))
+
+  /** Correlated scalar subquery in SELECT over a grouped query — the
+    * reference's flagship `Usage.md:114-134` shape (genre name per track
+    * group). Expressed via spark.sql to exercise Catalyst's
+    * ScalarSubquery + decorrelation; nation is bounded-small so the
+    * decorrelated join broadcasts. */
+  def q08CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("nation")
+    // Spark disallows a correlated scalar subquery directly in the SELECT
+    // of an Aggregate, so the group runs in a derived table and the
+    // subquery correlates on its key — semantically identical to the
+    // reference's per-group evaluation (`execute/mod.rs:308-337`).
+    spark.sql(
+      """SELECT (SELECT n_name FROM nation WHERE n_nationkey = g.c_nationkey)
+        |         AS nation_name,
+        |       num_customers, avg_bal
+        |FROM (SELECT c_nationkey, count(*) AS num_customers,
+        |             round(avg(c_acctbal), 2) AS avg_bal
+        |      FROM customer GROUP BY c_nationkey) g""".stripMargin)
+  }
+
+  /** Uncorrelated scalar subquery in WHERE (reference `Map` in scalar
+    * context, `execute/mod.rs:308-337`; errors if >1 row — Spark enforces
+    * the same). Subquery executes once and broadcasts. */
+  def q09ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)"""
+        .stripMargin)
+  }
+
+  /** Scalar expression semantics (SURVEY.md §1.5): arithmetic, `||`
+    * concatenation, and divide-by-zero → NULL. All codegen'd Columns. */
+  def q10ExprSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(LlamaSem.safeDiv(col("l_quantity"), col("l_tax")), 2)
+          .as("qty_per_tax"),
+        LlamaSem.concatSem(col("l_returnflag"), col("l_linestatus"))
+          .as("flag_status"),
+        // three 2-decimal factors → the true product has exactly 6
+        // decimals; DECIMAL(18,6) is the tie-free exact cast.
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).cast("decimal(18,6)").as("charge"))
+
+  /** ORDER BY + LIMIT — beyond-reference capability (parsed but
+    * unimplemented there, `queryplan/mod.rs:354-356`). Spark plans
+    * TakeOrderedAndProject: per-partition top-k then a k-row merge on the
+    * driver — no global sort at any scale. Tie-broken on o_orderkey for
+    * deterministic oracle comparison. */
+  def q11TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** DISTINCT — beyond-reference (token only there). Partial-aggregate
+    * dedup before shuffle. */
+  def q12Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_mktsegment")).distinct()
+
+  /** Set operations UNION / INTERSECT / EXCEPT — absent from the reference
+    * (§2.5), standard Spark built-ins. */
+  def q13SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").as("nk"))
+    val suppNations = Tables.load(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nk"))
+    val region0 = Tables.load(spark, dir, "nation")
+      .filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("nk"))
+    custNations.union(suppNations).distinct()
+      .intersect(suppNations)
+      .except(region0)
+  }
+
+  /** Window functions — absent from the reference (§2.5). Top-3 orders per
+    * customer via row_number over a partitioned window; at scale this is
+    * one shuffle on o_custkey and a per-partition sort. */
+  def q14Window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("total"),
+              // DuckDB row_number() yields BIGINT; align the schema.
+              col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Three-table join through the star schema with a bounded-dim broadcast:
+    * revenue by nation. nation/region carry explicit broadcast hints
+    * (Tables.dim) — at 100 TB the two fact joins shuffle on their keys,
+    * the dim joins never shuffle the fact side. */
+  def q15StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders   = Tables.load(spark, dir, "orders")
+    val nation   = Tables.dim(spark, dir, "nation")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+}
