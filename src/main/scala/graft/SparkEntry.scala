@@ -30,6 +30,22 @@ object SparkEntry {
     "q13_setops"          -> RefQueries.q13SetOps _,
     "q14_window"          -> RefQueries.q14Window _,
     "q15_star_join"       -> RefQueries.q15StarJoin _,
+    // LLM-data-pipeline extensions (ext/)
+    "q20_text_stats"      -> ext.TextAnalysis.textStats _,
+    "q21_lang_id"         -> ext.TextAnalysis.langId _,
+    "q22_fingerprint"     -> ext.TextAnalysis.fingerprint _,
+    "q23_token_count"     -> ext.TextAnalysis.tokenCount _,
+    "q24_dedup_exact"     -> ext.Dedup.exact _,
+    "q25_dedup_fingerprint" -> ext.Dedup.fingerprint _,
+    "q26_dedup_minhash"   -> ((s: SparkSession, d: String) => ext.Dedup.minhashLsh(s, d)),
+    "q27_dedup_simhash"   -> ((s: SparkSession, d: String) => ext.Dedup.simhashPairs(s, d)),
+    "q28_jaccard_pairs"   -> ((s: SparkSession, d: String) => ext.Dedup.jaccardPairs(s, d, 0.8)),
+    "q29_emb_neardup"     -> ((s: SparkSession, d: String) => ext.Dedup.embeddingNearDup(s, d)),
+    "q30_knn_brute"       -> ((s: SparkSession, d: String) => ext.Similarity.bruteForceTopK(s, d)),
+    "q31_knn_lsh"         -> ((s: SparkSession, d: String) => ext.Similarity.lshTopK(s, d)),
+    "q32_events_hourly"   -> ext.Events.hourlyAgg _,
+    "q33_sessionize"      -> ext.Events.sessionize _,
+    "q34_multimodal"      -> ext.Multimodal.featureSummary _,
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -118,5 +134,87 @@ object SparkEntry {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // ---- extensions (q26/q27/q31/q34 are not SQL-expressible:
+    //      engine-internal hashes / custom expressions → rows-only) ----
+    "q20_text_stats" ->
+      """SELECT doc_id, n_tokens, n_alnum, n_stop, n_chars_raw,
+        | CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0) AS stop_ratio,
+        | CAST(n_alnum AS DOUBLE) / NULLIF(n_tokens, 0) AS avg_token_len
+        |FROM (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+        |    AS BIGINT) AS n_alnum,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS BIGINT) AS n_stop,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw
+        | FROM documents) t""".stripMargin,
+    "q21_lang_id" -> ext.TextAnalysis.langIdOracleSql,
+    "q22_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "q23_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |   AS n_word_tokens
+        |FROM documents""".stripMargin,
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q25_dedup_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q28_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |    AS ws
+        | FROM documents)
+        |SELECT a_id, b_id, jac FROM (
+        | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+        |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+        |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+        | FROM d l, d r
+        | WHERE l.source = r.source AND l.doc_id < r.doc_id) p
+        |WHERE jac >= 0.8""".stripMargin,
+    "q29_emb_neardup" ->
+      """SELECT a_id, b_id, round(CAST(cos AS DOUBLE), 4) AS cos_r FROM (
+        | SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+        |  list_cosine_similarity(l.embedding, r.embedding) AS cos
+        | FROM embeddings l, embeddings r
+        | WHERE l.label = r.label AND l.vec_id < r.vec_id) p
+        |WHERE cos >= 0.35""".stripMargin,
+    "q30_knn_brute" ->
+      """SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+        | SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+        |            e.vec_id) AS rnk
+        | FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) t
+        |WHERE rnk <= 10""".stripMargin,
+    "q32_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q33_sessionize" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(new_session) AS BIGINT) AS n_sessions
+        |FROM (SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL THEN 1
+        |       WHEN epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM (SELECT user_id, ts, event_id,
+        |   lag(ts) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS prev_ts
+        |  FROM events) t) s
+        |GROUP BY user_id""".stripMargin,
   )
 }

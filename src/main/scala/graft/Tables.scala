@@ -24,8 +24,26 @@ object Tables {
     * always safe to broadcast regardless of scale factor. */
   private val boundedDims = Set("region", "nation")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read nanos as long (legacy conf) and
+    * truncate to microseconds — the same ns→µs truncation DuckDB applies,
+    * so oracle comparisons agree. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    // timestamp_micros yields TIMESTAMP_LTZ; cast to NTZ under the UTC
+    // session so written outputs compare naive-to-naive with DuckDB.
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000"))
+        .cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   /** A dimension table with a broadcast hint when it is bounded-small. */
   def dim(spark: SparkSession, dir: String, name: String): DataFrame = {

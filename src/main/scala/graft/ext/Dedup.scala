@@ -1,0 +1,219 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.SimHash64
+
+/** Deduplication operators for LLM-training-data pipelines, over the
+  * `documents` table. Five families, from exact to fuzzy:
+  *
+  *   1. exact        — hash-groupBy on content hash
+  *   2. fingerprint  — exact on normalized text (case/punct-insensitive)
+  *   3. MinHash+LSH  — shingle → minhash signature → banded bucket join
+  *   4. SimHash      — 64-bit fingerprint → chunk-bucket join → Hamming
+  *   5. n-gram Jaccard — exact set similarity on candidate pairs
+  *
+  * Scale design (the 100 TB rule): no operator ever compares all pairs.
+  * Exact/fingerprint are single hash shuffles. MinHash/SimHash generate
+  * candidates through LSH bucket joins — shuffle keyed on (band, hash),
+  * cost proportional to true-duplicate density, with AQE handling bucket
+  * skew. The only quadratic work is *within* candidate buckets, which is
+  * the LSH contract. Jaccard verification joins the (small) candidate
+  * pair set back to per-doc token sets — never a full cross join.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5(text); keep the smallest doc_id as the
+    * canonical survivor. One shuffle, partial-aggregated. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Fingerprint dedup: same, on the normalized-text md5 — catches
+    * whitespace/case/punctuation-only variants. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(TextAnalysis.normalized(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  /** Deterministic permutation coefficients for minhash (fixed seed —
+    * signatures must be stable across runs and executors). */
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private val NumPerms = 32
+  private val BandRows = 4    // 8 bands x 4 rows
+  private[ext] val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerms)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong,
+                       rnd.nextInt(Int.MaxValue).toLong)
+  }
+
+  /** doc_id + distinct word-3-gram shingle hashes (array<long>). The
+    * shingle hash is xxhash64 of the joined shingle text. */
+  private[ext] def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              split(TextAnalysis.normalized(col("text")), " ").as("words"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  sequence(0, greatest(size(words) - 3, 0) - 1),
+          |  i -> xxhash64(concat_ws(' ', slice(words, i + 1, 3)))))"""
+          .stripMargin).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** MinHash signature per doc: sig_i = min over shingles of
+    * (a_i * h + b_i) mod P. Computed by exploding shingles once and
+    * taking 32 mins in a single hash aggregate (map-side partial). */
+  private[ext] def signatures(sh: DataFrame): DataFrame = {
+    val ex = sh
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      // keep hashes non-negative so the mod-P permutation is well-defined
+      .withColumn("h", pmod(col("sh"), lit(P)))
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
+    }
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs via banding: 8 bands of 4 signature rows; docs
+    * sharing any band hash become candidates. Shuffle key = (band,
+    * band_hash); join within buckets only. */
+  private[ext] def candidatePairs(sh: DataFrame): DataFrame = {
+    val sig = signatures(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until NumPerms / BandRows).map { bIdx =>
+      val cols = (0 until BandRows).map(r => col(s"sig_${bIdx * BandRows + r}"))
+      struct(lit(bIdx).as("band"), hash(cols: _*).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified with exact shingle-set Jaccard
+    * >= threshold. Output: (a_id, b_id, jaccard).
+    *
+    * The shingle table feeds four plan branches (both sides of the band
+    * self-join via signatures, and both sides of the verify join) —
+    * persist it once instead of recomputing the normalize+shingle+hash
+    * scan per branch. At cluster scale this is the standard
+    * materialize-the-shared-stage pattern (checkpoint/cache). */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidatePairs(sh)
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** 64-bit simhash per doc via the custom codegen'd Catalyst expression
+    * (graft.functions.SimHash64) over token xxhash64s. */
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              split(TextAnalysis.normalized(col("text")), " ").as("words"))
+      .select(col("doc_id"),
+              SimHash64.simhash64(expr("transform(words, w -> xxhash64(w))"))
+                .as("simhash"))
+
+  /** SimHash near-dup pairs within Hamming distance <= maxHam. Candidates
+    * via 4 x 16-bit chunk buckets (pigeonhole: ham <= 3 guarantees one
+    * identical chunk); verified with bit_count(xor). */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHam: Int = 3): DataFrame = {
+    val sh = simhashes(spark, dir)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("k"),
+                 shiftright(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
+                   .as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.k"), col("c.chunk"))
+    chunks.as("l").join(chunks.as("r"),
+        col("l.k") === col("r.k") && col("l.chunk") === col("r.chunk") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+              bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+                .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+  }
+
+  // ---- exact n-gram / word-set Jaccard ------------------------------
+
+  /** Word-set Jaccard similarity for pairs within the same `source`
+    * (the demonstration candidate generator; at scale candidates come
+    * from the LSH operators above). Distinct word unigram sets; output
+    * pairs with jaccard >= threshold. Division is int/int → double:
+    * bit-deterministic, oracle-comparable. */
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+              array_distinct(split(TextAnalysis.normalized(col("text")), " "))
+                .as("ws"))
+    docs.as("l").join(docs.as("r"),
+        col("l.source") === col("r.source") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .withColumn("inter", size(array_intersect(col("l.ws"), col("r.ws"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("l.ws")) + size(col("r.ws")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+              col("jac"))
+  }
+
+  /** Embedding-cosine near-dup pairs, IVF-style: candidates only within
+    * the same coarse cell (here the `label` column stands in for a
+    * trained quantizer's cell id), verified by exact cosine — never an
+    * all-pairs join. Shuffle keyed on the cell id; cell skew is AQE's
+    * job at scale. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.35): DataFrame = {
+    // normalize per ROW before the join: one dot per pair, not 3 folds
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+              Similarity.l2normalize(col("embedding")).as("nemb"))
+    e.as("l").join(e.as("r"),
+        col("l.label") === col("r.label") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", Similarity.dot(col("l.nemb"), col("r.nemb")))
+      .filter(col("cos") >= threshold)
+      // round(., 4): engines' cosine kernels differ at ~1e-8 (DuckDB
+      // computes in float32), so raw doubles are not oracle-comparable.
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
+              round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Sign-LSH-bucketed variant of the same operator (the path when no
+    * coarse cells exist): candidates share a random-hyperplane bucket. */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String,
+                          threshold: Double = 0.3): DataFrame = {
+    val b = Similarity.withBuckets(
+        Tables.load(spark, dir, "embeddings"), col("embedding"))
+      .select(col("vec_id"), col("bucket"),
+              Similarity.l2normalize(col("embedding")).as("nemb"))
+    b.as("l").join(b.as("r"),
+        col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", Similarity.dot(col("l.nemb"), col("r.nemb")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
+              col("cos"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Batch analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props) — the batch twins of the Structured
+  * Streaming operators in graft.streaming. */
+object Events {
+
+  /** Tumbling-hour aggregation: the batch form of a windowed streaming
+    * agg. Single hash shuffle on (hour, event_type). */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value")), 2).as("sum_value"))
+
+  /** Sessionization: a new session starts after a >30-minute gap. Gaps
+    * via lag() over (user_id, ts) — one shuffle on user_id; at scale
+    * this is the standard sort-within-partition sessionize. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1L)
+          // ts is TIMESTAMP_NTZ (no direct cast to double); hop through
+        // LTZ under the UTC session — identical epoch seconds.
+        .when(col("ts").cast("timestamp").cast("double") -
+                col("prev_ts").cast("timestamp").cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("new_session")).as("n_sessions"))
+  }
+}

