@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup family: exact, fingerprint, MinHash+LSH, SimHash, Jaccard.
+  * sf0.001 documents carry planted near-duplicates (suffix-perturbed
+  * copies); the fuzzy operators must find them without any all-pairs
+  * join in the plan. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "unique")))
+      .toDF("doc_id", "text").createOrReplaceTempView("ignored")
+    val out = Seq((1L, "same text"), (2L, "same text"), (3L, "unique"))
+      .toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    val dups = out.filter(col("n_copies") > 1).collect()
+    assert(dups.length == 1 && dups.head.getLong(1) == 1L &&
+           dups.head.getLong(2) == 2L)
+  }
+
+  test("fingerprint dedup is case/punct/whitespace-insensitive") {
+    val out = Seq((1L, "Hello, World!"), (2L, "hello   world"),
+                  (3L, "different"))
+      .toDF("doc_id", "text")
+      .groupBy(md5(TextAnalysis.normalized(col("text"))).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    assert(out.filter(col("n_copies") === 2).count() == 1)
+  }
+
+  test("minhash-LSH finds high-Jaccard pairs and verifies exactly") {
+    val pairs = Dedup.minhashLsh(spark, sfDir, threshold = 0.5).cache()
+    assert(pairs.count() > 0, "sf0.001 contains planted near-dups")
+    // verification is exact Jaccard — no pair below threshold survives
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
+    assert(pairs.filter(col("jaccard") > 1.0).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("minhash-LSH plan contains no cartesian product") {
+    val plan = Dedup.minhashLsh(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "LSH banding must candidate via equi-join on (band, hash)")
+  }
+
+  test("simhash pairs are within the Hamming bound, found via chunks") {
+    val pairs = Dedup.simhashPairs(spark, sfDir, maxHam = 3).cache()
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    pairs.unpersist()
+  }
+
+  test("jaccard pairs: symmetric-free (a<b), all above threshold") {
+    val pairs = Dedup.jaccardPairs(spark, sfDir, 0.8).cache()
+    assert(pairs.filter(col("a_id") >= col("b_id")).count() == 0)
+    assert(pairs.filter(col("jac") < 0.8 || col("jac") > 1.0).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("embedding near-dup: candidates only within cells, cos in [-1,1]") {
+    val pairs = Dedup.embeddingNearDup(spark, sfDir, 0.35).cache()
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("cos_r") < 0.35 - 1e-4).count() == 0)
+    assert(pairs.filter(abs(col("cos_r")) > 1.0 + 1e-9).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("minhash signature is stable across runs (fixed permutations)") {
+    val sig1 = Dedup.signatures(Dedup.shingled(spark, sfDir))
+      .orderBy("doc_id").limit(3).collect().map(_.toString).toSeq
+    val sig2 = Dedup.signatures(Dedup.shingled(spark, sfDir))
+      .orderBy("doc_id").limit(3).collect().map(_.toString).toSeq
+    assert(sig1 == sig2)
+  }
+}

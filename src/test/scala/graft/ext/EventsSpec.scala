@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Batch event analytics: hourly rollup + sessionization. */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: 30-minute gap starts a new session (hand-built)") {
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "u1"),
+      (2L, ts("2026-01-01 10:10:00"), "u1"), // same session (10 min)
+      (3L, ts("2026-01-01 11:00:00"), "u1"), // new session (50 min gap)
+      (4L, ts("2026-01-01 09:00:00"), "u2")  // single-event session
+    ).toDF("event_id", "ts", "user_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val out = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1L)
+          .when(col("ts").cast("double") -
+                col("prev_ts").cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
+    assertSameRows(out, Seq(Row("u1", 3L, 2L), Row("u2", 1L, 1L)))
+  }
+
+  test("sessionize over sf0.001: sessions <= events, >= 1 per active user") {
+    val df = Events.sessionize(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_sessions") > col("n_events")).count() == 0)
+    assert(df.filter(col("n_sessions") < 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("hourlyAgg: group count equals raw count") {
+    val df = Events.hourlyAgg(spark, sfDir)
+    val total = df.agg(sum("n")).as[Long].head()
+    val raw = graft.Tables.load(spark, sfDir, "events").count()
+    assert(total == raw)
+  }
+
+  test("events ts column reads as NTZ microseconds (nanos truncated)") {
+    val df = graft.Tables.load(spark, sfDir, "events")
+    assert(df.schema("ts").dataType.typeName == "timestamp_ntz")
+    assert(df.filter(col("ts").isNull).count() == 0)
+  }
+}

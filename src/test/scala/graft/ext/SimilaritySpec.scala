@@ -1,0 +1,87 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ANN similarity search: brute-force exactness + LSH recall. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine fold matches a hand-computed value") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val d = df.select(Similarity.dot(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(math.abs(d - 32.0) < 1e-12)
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].head()
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(c - expected) < 1e-12)
+  }
+
+  test("l2normalize yields unit vectors") {
+    val df = Seq(Tuple1(Array(3.0f, 4.0f))).toDF("e")
+    val norm = df.select(Similarity.dot(
+      Similarity.l2normalize(col("e")), Similarity.l2normalize(col("e"))))
+      .as[Double].head()
+    assert(math.abs(norm - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, ranks 1..k, self excluded") {
+    val k = 10
+    val out = Similarity.bruteForceTopK(spark, sfDir, nQueries = 5, k = k)
+      .cache()
+    val perQuery = out.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(perQuery.values.forall(_ == k))
+    assert(perQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(out.filter(col("qid") === col("nid")).count() == 0)
+    out.unpersist()
+  }
+
+  test("brute-force rank-1 neighbor agrees with a driver-side recompute") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val q = emb(0L)
+    val expectTop = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.head._1
+    val got = Similarity.bruteForceTopK(spark, sfDir, nQueries = 1, k = 1)
+      .select("nid").as[Long].head()
+    assert(got == expectTop)
+  }
+
+  test("LSH top-k: every hit shares the query's bucket; valid ranks") {
+    val buckets = Similarity.withBuckets(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), col("embedding"))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(spark, sfDir, nQueries = 5, k = 10).cache()
+    assert(lsh.filter(col("qid") === col("nid")).count() == 0)
+    assert(lsh.filter(col("rnk") < 1 || col("rnk") > 10).count() == 0)
+    val hits = lsh.select("qid", "nid").as[(Long, Long)].collect()
+    assert(hits.nonEmpty, "buckets must be populated at sf0.001")
+    // the operator contract: candidates come ONLY from the query's bucket
+    assert(hits.forall { case (q, n) => buckets(q) == buckets(n) })
+    lsh.unpersist()
+  }
+
+  test("bucket assignment is deterministic") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val b1 = Similarity.withBuckets(e, col("embedding"))
+      .select("vec_id", "bucket").orderBy("vec_id").limit(5)
+      .collect().map(_.toString).toSeq
+    val b2 = Similarity.withBuckets(e, col("embedding"))
+      .select("vec_id", "bucket").orderBy("vec_id").limit(5)
+      .collect().map(_.toString).toSeq
+    assert(b1 == b2)
+  }
+}

