@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.Catalog
+import graft.exec.Compiler
+import graft.sqlfront.{Ast, Parser}
+
+/** The llamadb-dialect engine facade — a user of the reference can point
+  * this at their SQL and run it on Spark (SURVEY.md §3.1's lifecycle:
+  * lex → parse → compile → execute, with Spark's analyzer/optimizer/
+  * executor replacing the reference's interpreter).
+  *
+  * {{{
+  * val eng = new Engine(spark)
+  * eng.execute("CREATE TABLE t (x int, name string null)")
+  * eng.execute("INSERT INTO t VALUES (1, 'a'), (2, NULL)")
+  * val Engine.Rows(df) = eng.execute("SELECT x, name FROM t WHERE x > 1")
+  * }}}
+  *
+  * External (parquet-backed, cluster-scale) tables join the catalog via
+  * `register` — SELECTs over them are pure Catalyst plans with pushdown
+  * and pruning intact.
+  */
+class Engine(val spark: SparkSession) {
+  val catalog = new Catalog(spark)
+  private val compiler = new Compiler(spark, catalog)
+
+  /** Register external data (e.g. parquet) as a queryable table. */
+  def register(name: String, df: DataFrame): Unit =
+    catalog.register(name, df)
+
+  /** Convenience: register every driver test table from a sf dir. */
+  def registerTestTables(dir: String): Unit =
+    Tables.names.foreach(n => register(n, Tables.load(spark, dir, n)))
+
+  sealed trait Result
+  case class Rows(df: DataFrame)      extends Result
+  case class Inserted(count: Long)    extends Result
+  case object Created                 extends Result
+  case class Explained(text: String)  extends Result
+
+  /** Parse + execute one llamadb-dialect statement. */
+  def execute(sql: String): Result = Parser.parse(sql) match {
+    case Ast.SelectStmt(s) => Rows(compiler.compileSelect(s))
+    case Ast.CreateTable(name, cols) =>
+      catalog.createTable(name,
+        cols.map(c => (c.name, c.typeName, c.nullable)))
+      Created
+    case Ast.InsertValues(table, columns, rows) =>
+      Inserted(catalog.insertRows(table, columns,
+        compiler.evalValues(rows)))
+    case Ast.InsertSelect(table, _, sel) =>
+      // reference parses this then panics (`tempdb/mod.rs:279`);
+      // implemented here (SURVEY §2.4)
+      Inserted(catalog.insertSelect(table, compiler.compileSelect(sel)))
+    case Ast.Explain(s) =>
+      val logical = graft.explain.Explain.render(s)
+      val physical = compiler.compileSelect(s)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Explained(logical + "\n-- spark physical plan --\n" + physical)
+  }
+
+  /** SELECT straight to a DataFrame (errors on non-SELECT). */
+  def sql(text: String): DataFrame = execute(text) match {
+    case Rows(df) => df
+    case other => throw new IllegalArgumentException(
+      s"not a SELECT: $other")
+  }
+}

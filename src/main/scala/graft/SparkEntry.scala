@@ -30,6 +30,25 @@ object SparkEntry {
     "q13_setops"          -> RefQueries.q13SetOps _,
     "q14_window"          -> RefQueries.q14Window _,
     "q15_star_join"       -> RefQueries.q15StarJoin _,
+    // llamadb-dialect SQL front end (graft.Engine): the same engine
+    // surface the reference exposes — lex/parse/compile to Catalyst
+    "q16_sqlfront_join_group" -> ((s: SparkSession, d: String) => {
+      val eng = new Engine(s); eng.registerTestTables(d)
+      eng.sql(
+        """SELECT n_name, count(*) AS n, min(c_acctbal) AS min_bal,
+          |       max(c_acctbal) AS max_bal
+          |FROM customer, nation
+          |WHERE c_nationkey = n_nationkey
+          |GROUP BY n_name HAVING count(*) > 10""".stripMargin)
+    }),
+    "q17_sqlfront_corr_subq" -> ((s: SparkSession, d: String) => {
+      val eng = new Engine(s); eng.registerTestTables(d)
+      eng.sql(
+        """SELECT n_name,
+          |  (SELECT count(*) FROM customer
+          |   WHERE customer.c_nationkey = nation.n_nationkey) AS n_cust
+          |FROM nation""".stripMargin)
+    }),
     // LLM-data-pipeline extensions (ext/)
     "q20_text_stats"      -> ext.TextAnalysis.textStats _,
     "q21_lang_id"         -> ext.TextAnalysis.langId _,
@@ -134,6 +153,17 @@ object SparkEntry {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q16_sqlfront_join_group" ->
+      """SELECT n_name, count(*) AS n, min(c_acctbal) AS min_bal,
+        |       max(c_acctbal) AS max_bal
+        |FROM customer, nation
+        |WHERE c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING count(*) > 10""".stripMargin,
+    "q17_sqlfront_corr_subq" ->
+      """SELECT n_name,
+        |  (SELECT count(*) FROM customer
+        |   WHERE customer.c_nationkey = nation.n_nationkey) AS n_cust
+        |FROM nation""".stripMargin,
     // ---- extensions (q26/q27/q31/q34 are not SQL-expressible:
     //      engine-internal hashes / custom expressions → rows-only) ----
     "q20_text_stats" ->
