@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** HashShingles / SortedIntersectCount vs the built-in expressions they
+  * replace — must be value-identical (they only change evaluation cost). */
+class HashShinglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one two three four",
+    "a b c",      // exactly 3 words -> one 3-shingle
+    "x y",        // fewer than 3 words -> zero 3-shingles
+    "dup dup dup dup"
+  ).toDF("text").select(split(col("text"), " ").as("words"))
+
+  test("3-gram hashes equal xxhash64(concat_ws(' ', slice(...))) of each window") {
+    val got = docs.select(
+      HashShingles.shingles(col("words"), 3).as("mine"),
+      // sequence(1, 0) is DESCENDING in Spark, so guard the short-doc case
+      expr("""CASE WHEN size(words) < 3 THEN array()
+             |ELSE array_sort(array_distinct(transform(
+             |  sequence(1, size(words) - 2),
+             |  i -> xxhash64(concat_ws(' ', slice(words, i, 3)))))) END"""
+        .stripMargin).as("builtin")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("word hashes (n=1, no dedupe) equal transform(words, xxhash64), in order") {
+    val got = docs.select(
+      HashShingles.wordHashes(col("words")).as("mine"),
+      expr("transform(words, w -> xxhash64(w))").as("builtin")).collect()
+    got.foreach { r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)) }
+  }
+
+  test("dedupe output is sorted distinct; multiset output keeps duplicates") {
+    val r = Seq("dup dup other dup").toDF("text")
+      .select(split(col("text"), " ").as("words"))
+      .select(HashShingles.shingles(col("words"), 1).as("set"),
+              HashShingles.wordHashes(col("words")).as("all"))
+      .head()
+    assert(r.getSeq[Long](0).size == 2)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](0).sorted)
+    assert(r.getSeq[Long](1).size == 4)
+  }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
+    val pairs = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),
+      (Array(1L, 2L), Array(3L, 4L)),
+      (Array.empty[Long], Array(1L)),
+      (Array(7L), Array(7L))
+    ).toDF("a", "b")
+    val got = pairs.select(
+      SortedIntersectCount.sortedIntersectCount(col("a"), col("b")).as("mine"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    got.foreach { r => assert(r.getInt(0) == r.getInt(1)) }
+  }
+
+  test("interpreted eval matches codegen for both expressions") {
+    // force interpreted path by evaluating the expression directly
+    val words = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array("aa", "bb", "cc", "dd").map(
+        org.apache.spark.unsafe.types.UTF8String.fromString))
+    val viaEval = HashShingles.compute(words, 3, dedupe = true)
+    val viaDf = Seq("aa bb cc dd").toDF("t")
+      .select(HashShingles.shingles(split(col("t"), " "), 3)).head().getSeq[Long](0)
+    assert(viaEval.toLongArray().toSeq == viaDf)
+  }
+}
