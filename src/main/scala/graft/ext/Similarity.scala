@@ -17,8 +17,8 @@ import graft.Tables
   *     bucketed once by sign pattern; queries probe only their bucket.
   *     Shuffle keyed on bucket id; recall tuned by plane count.
   *
-  * Cosine is a sequential left-to-right double fold (functions.aggregate
-  * over zip_with) — deterministic across runs. Oracle comparisons use
+  * Cosine is a sequential left-to-right double accumulation (codegen'd
+  * VectorOps kernel) — deterministic across runs. Oracle comparisons use
   * ranks or 4-decimal-rounded values only: engines' cosine kernels agree
   * to ~1e-8 while top-k sim gaps are ~1e-4 (validated empirically), so
   * rankings cannot flip.
@@ -29,22 +29,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
 
-  /** Sequential double dot product of two array columns. */
-  def dot(x: Column, y: Column): Column = aggregate(
-    zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-    lit(0.0), (acc, v) => acc + v)
+  /** Sequential double dot product of two array columns — the codegen'd
+    * [[graft.functions.VectorOps.DotProduct]] kernel (the HOF
+    * aggregate-over-zip_with it replaces is evaluated interpreted,
+    * per-element, and dominated every per-pair similarity stage). */
+  def dot(x: Column, y: Column): Column = graft.functions.VectorOps.dot(x, y)
 
   /** L2-normalized double copy of an embedding column. Pre-normalizing
     * each side once before a pair join turns per-pair cosine (three array
     * folds) into a single dot product — the folds run per ROW, not per
-    * PAIR. Higher-order functions are not whole-stage-codegen'd, so this
-    * is the dominant cost at scale. */
-  def l2normalize(emb: Column): Column = {
-    val n = sqrt(aggregate(
-      transform(emb, v => v.cast("double") * v.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    transform(emb, v => v.cast("double") / n)
-  }
+    * PAIR. */
+  def l2normalize(emb: Column): Column =
+    graft.functions.VectorOps.l2normalize(emb)
 
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * rank the whole corpus (self excluded). The query side is broadcast;
@@ -77,14 +73,12 @@ object Similarity {
   }
 
   /** Bucket id = sign pattern of the vector against the hyperplanes.
-    * Pure expression work (no UDF): dot products via aggregate over
-    * zip_with against array literals. */
+    * Pure expression work (no UDF): codegen'd dot products against
+    * array literals. */
   def withBuckets(df: DataFrame, emb: Column): DataFrame = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeArr = array(p.map(lit): _*)
-      val d = aggregate(
-        zip_with(emb, planeArr, (u, v) => u.cast("double") * v),
-        lit(0.0), (acc, v) => acc + v)
+      val d = dot(emb, planeArr)
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     df.withColumn("bucket", bits.reduce(_ + _))
