@@ -65,6 +65,10 @@ object SparkEntry {
     "q32_events_hourly"   -> ext.Events.hourlyAgg _,
     "q33_sessionize"      -> ext.Events.sessionize _,
     "q34_multimodal"      -> ext.Multimodal.featureSummary _,
+    // Structured Streaming (graft.streaming): the static events table
+    // processed as a bounded stream must equal the batch twins exactly
+    "q35_stream_hourly"   -> streaming.Streams.hourlyAggAvailableNow _,
+    "q36_stream_sessionize" -> streaming.Streams.sessionCountsAvailableNow _,
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -235,6 +239,22 @@ object SparkEntry {
         | count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q33_sessionize" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(new_session) AS BIGINT) AS n_sessions
+        |FROM (SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL THEN 1
+        |       WHEN epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM (SELECT user_id, ts, event_id,
+        |   lag(ts) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS prev_ts
+        |  FROM events) t) s
+        |GROUP BY user_id""".stripMargin,
+    "q35_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q36_stream_sessionize" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(new_session) AS BIGINT) AS n_sessions
         |FROM (SELECT user_id,

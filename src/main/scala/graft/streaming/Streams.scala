@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` stream — the
+  * streaming twins of the batch operators in [[graft.ext.Events]].
+  *
+  * The reference engine has no streaming at all (SURVEY.md §2.5); this
+  * module is part of the beyond-reference capability surface, built the
+  * idiomatic Spark way: `readStream` file source → event-time watermark →
+  * windowed aggregation / keyed state (`flatMapGroupsWithState`) →
+  * `writeStream`. Every operator here is shuffle-partitioned by its key
+  * (window+type, user_id), so state scales horizontally with executors;
+  * watermarks bound state size — the two properties that matter at
+  * 100 TB/day event volumes.
+  *
+  * Each streaming pipeline also has a bounded `Trigger.AvailableNow` run
+  * used by the driver gate: the static events table processed as a stream
+  * must produce exactly the batch answer (checked against the same DuckDB
+  * oracle SQL as the batch twin).
+  */
+object Streams {
+
+  /** Raw events schema as stored (ts = TIMESTAMP(NANOS) read as long —
+    * see [[graft.Tables]] loadEvents for the same nanos handling). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events parquet directory. New files
+    * appearing under `dir` become micro-batches; `maxFilesPerTrigger`
+    * bounds batch size in production (None = all available per batch). */
+  def readEventsStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val r = spark.readStream.schema(rawSchema)
+      // the file source needs a directory path; events is a single file
+      // in the driver testdata layout, so scan the dir with a glob filter
+      .option("pathGlobFilter", "events.parquet")
+    val r2 = maxFilesPerTrigger.fold(r)(n =>
+      r.option("maxFilesPerTrigger", n.toString))
+    // watermarks require TIMESTAMP (LTZ) — keep event time LTZ on the
+    // stream (UTC session), convert to NTZ only at output edges
+    r2.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Tumbling-hour aggregation (streaming twin of Events.hourlyAgg).
+    * With a watermark the sink can run in append mode: a window is final
+    * once the watermark passes its end, and its state is dropped —
+    * bounded state, exactly-once per window. */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("h"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * the streaming form of exact dedup: per-key state holds only ids
+    * younger than the watermark, so state is bounded while re-delivered
+    * events (at-least-once sources) are dropped exactly-once. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- keyed-state sessionization ----------------------------------
+
+  private val GapMicros = 1800L * 1000000L // 30 minutes
+
+  case class SessEvent(user_id: Long, ts_us: Long, event_id: Long)
+  case class SessState(lastTs: Long, nEvents: Long, nSessions: Long)
+  case class SessionCounts(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Per-user cumulative (n_events, n_sessions) via flatMapGroupsWithState
+    * (update mode): a new session starts after a >30-minute gap. Events
+    * are sorted by (ts, event_id) within each batch; counts are
+    * monotonically nondecreasing across updates, so a downstream
+    * max-per-user over the update stream equals the batch answer.
+    *
+    * State per user is three longs — bounded regardless of event volume.
+    * (The session-closing variant with EventTimeTimeout emits finished
+    * sessions instead; cumulative counts keep the driver-gate comparison
+    * against the batch oracle exact.) */
+  def sessionCounts(events: DataFrame): Dataset[SessionCounts] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+              unix_micros(col("ts").cast("timestamp")), // exact long math
+              col("event_id"))
+      .toDF("user_id", "ts_us", "event_id")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateSession)
+  }
+
+  private def updateSession(
+      userId: Long, events: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[SessionCounts] = {
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+    sorted.foreach { e =>
+      val newSession = st.nEvents == 0L || e.ts_us - st.lastTs > GapMicros
+      st = SessState(math.max(e.ts_us, st.lastTs), st.nEvents + 1L,
+                     st.nSessions + (if (newSession) 1L else 0L))
+    }
+    state.update(st)
+    Iterator.single(SessionCounts(userId, st.nEvents, st.nSessions))
+  }
+
+  // ---- bounded (AvailableNow) runs for the driver gate --------------
+
+  private def runBounded(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val name = "graft_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Static events dir processed as a stream; must equal the batch
+    * hourly aggregation (q32's oracle). Complete mode: the final trigger
+    * emits every window, closed or not, so the bounded run is exact. */
+  def hourlyAggAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      // NTZ at the output edge: compares naive-to-naive with the batch
+      // twin and the DuckDB oracle under the UTC session
+      .select(col("window.start").cast("timestamp_ntz").as("h"),
+              col("event_type"), col("n"), col("sum_value"))
+    runBounded(agg, OutputMode.Complete())
+  }
+
+  /** Static events dir sessionized as a stream; cumulative counts are
+    * monotone, so max-per-user over all updates equals the batch
+    * sessionization (q33's oracle). */
+  def sessionCountsAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val updates = runBounded(
+      sessionCounts(readEventsStream(spark, dir)).toDF(),
+      OutputMode.Update())
+    updates.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+           max(col("n_sessions")).as("n_sessions"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Structured Streaming semantics: watermark finalization + late-data
+  * drop, keyed session state across out-of-order micro-batches, dedup
+  * within watermark, and the bounded AvailableNow runs equalling the
+  * batch twins on real testdata. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class RawEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double, props: String)
+
+  private def toEventsDF(stream: MemoryStream[RawEvent]) =
+    stream.toDF().withColumn("ts", col("ts").cast("timestamp"))
+
+  test("hourlyAgg append mode: windows finalize at watermark; late data dropped") {
+    val input = MemoryStream[RawEvent]
+    val agg = Streams.hourlyAgg(toEventsDF(input), watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("hourly_test")
+      .outputMode("append").start()
+    try {
+      // two events in hour 10, one in hour 11
+      input.addData(
+        RawEvent(1, ts("2026-01-01 10:05:00"), 1, "click", 1.0, ""),
+        RawEvent(2, ts("2026-01-01 10:50:00"), 1, "click", 2.0, ""))
+      q.processAllAvailable()
+      // advance watermark past hour 10's end (11:00 + 30m)
+      input.addData(RawEvent(3, ts("2026-01-01 11:45:00"), 1, "click", 4.0, ""))
+      q.processAllAvailable()
+      input.addData(RawEvent(4, ts("2026-01-01 12:00:00"), 1, "click", 8.0, ""))
+      q.processAllAvailable()
+      // hour-10 window must be emitted, finalized with both events
+      val out = spark.table("hourly_test")
+        .select(col("h").cast("timestamp_ntz"), col("n"), col("sum_value"))
+        .as[(java.time.LocalDateTime, Long, Double)]
+        .collect().map { case (h, n, s) => h.toString -> ((n, s)) }.toMap
+      assert(out.contains("2026-01-01T10:00"))
+      assert(out("2026-01-01T10:00") == ((2L, 3.0)))
+      // a late event for hour 10, behind the watermark → dropped
+      input.addData(RawEvent(5, ts("2026-01-01 10:10:00"), 1, "click", 100.0, ""))
+      q.processAllAvailable()
+      val out2 = spark.table("hourly_test").filter(col("n") === 3).count()
+      assert(out2 == 0, "late event behind watermark must not re-open the window")
+    } finally q.stop()
+  }
+
+  test("sessionCounts: state persists across batches; 30-min gap splits") {
+    val input = MemoryStream[RawEvent]
+    val counts = Streams.sessionCounts(toEventsDF(input))
+    val q = counts.toDF().writeStream.format("memory").queryName("sess_test")
+      .outputMode("update").start()
+    try {
+      // batch 1, out of order within the batch: one session (gap 10 min)
+      input.addData(
+        RawEvent(2, ts("2026-01-01 10:10:00"), 7, "a", 0, ""),
+        RawEvent(1, ts("2026-01-01 10:00:00"), 7, "a", 0, ""))
+      q.processAllAvailable()
+      // batch 2: 10:20 continues session 1; 11:30 starts session 2
+      input.addData(
+        RawEvent(3, ts("2026-01-01 10:20:00"), 7, "a", 0, ""),
+        RawEvent(4, ts("2026-01-01 11:30:00"), 7, "a", 0, ""))
+      q.processAllAvailable()
+      val last = spark.table("sess_test").groupBy("user_id")
+        .agg(max("n_events").as("e"), max("n_sessions").as("s"))
+        .as[(Long, Long, Long)].collect().head
+      assert(last == ((7L, 4L, 2L)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops re-delivered event_ids within the watermark") {
+    val input = MemoryStream[RawEvent]
+    val dd = Streams.dedupStream(toEventsDF(input), watermark = "1 hour")
+    val q = dd.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(RawEvent(1, ts("2026-01-01 10:00:00"), 1, "a", 0, ""))
+      q.processAllAvailable()
+      // re-delivery of id 1 plus a new id
+      input.addData(
+        RawEvent(1, ts("2026-01-01 10:00:00"), 1, "a", 0, ""),
+        RawEvent(2, ts("2026-01-01 10:01:00"), 1, "a", 0, ""))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("bounded AvailableNow runs equal the batch twins on sf0.001") {
+    val streamHourly = Streams.hourlyAggAvailableNow(spark, sfDir)
+      .select("h", "event_type", "n", "sum_value")
+    val batchHourly = graft.ext.Events.hourlyAgg(spark, sfDir)
+    assert(streamHourly.exceptAll(batchHourly).isEmpty &&
+           batchHourly.exceptAll(streamHourly).isEmpty)
+
+    val streamSess = Streams.sessionCountsAvailableNow(spark, sfDir)
+    val batchSess = graft.ext.Events.sessionize(spark, sfDir)
+    assert(streamSess.exceptAll(batchSess).isEmpty &&
+           batchSess.exceptAll(streamSess).isEmpty)
+  }
+}
