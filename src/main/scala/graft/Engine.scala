@@ -40,7 +40,14 @@ class Engine(val spark: SparkSession) {
   case class Explained(text: String)  extends Result
 
   /** Parse + execute one llamadb-dialect statement. */
-  def execute(sql: String): Result = Parser.parse(sql) match {
+  def execute(sql: String): Result = run(Parser.parse(sql))
+
+  /** Parse + execute a whole `;`-separated script (the reference REPL's
+    * `testdata`-style bulk load path, `cli/src/main.rs:122-132`). */
+  def executeScript(script: String): Seq[Result] =
+    Parser.parseScript(script).map(run)
+
+  private def run(stmt: Ast.Statement): Result = stmt match {
     case Ast.SelectStmt(s) => Rows(compiler.compileSelect(s))
     case Ast.CreateTable(name, cols) =>
       catalog.createTable(name,

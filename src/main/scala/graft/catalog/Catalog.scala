@@ -23,7 +23,26 @@ class Catalog(spark: SparkSession) {
 
   case class CatalogError(msg: String) extends RuntimeException(msg)
 
-  private case class Managed(schema: StructType, var df: DataFrame)
+  /** Managed-table storage: a driver-side row buffer (the reference's
+    * whole DB is literal INSERT VALUES rows — inherently driver-sized),
+    * turned into a DataFrame lazily. Buffering instead of per-INSERT
+    * `union` keeps a 3,500-statement script O(rows), not a 3,500-deep
+    * union plan; `extra` holds INSERT..SELECT appends (arbitrary plans)
+    * as one union branch each. */
+  private class Managed(val schema: StructType) {
+    val rows = scala.collection.mutable.ArrayBuffer[Row]()
+    var extra: Option[DataFrame] = None
+    private var cached: Option[DataFrame] = None
+    def invalidate(): Unit = cached = None
+    def df(spark: SparkSession): DataFrame = cached.getOrElse {
+      val base = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      val d = extra.fold(base)(base.union)
+      cached = Some(d)
+      d
+    }
+  }
 
   private val managed = scala.collection.mutable.Map[String, Managed]()
   private val registered = scala.collection.mutable.Map[String, DataFrame]()
@@ -34,7 +53,7 @@ class Catalog(spark: SparkSession) {
 
   def table(name: String): DataFrame = {
     val n = name.toLowerCase
-    managed.get(n).map(_.df)
+    managed.get(n).map(_.df(spark))
       .orElse(registered.get(n))
       .getOrElse(throw CatalogError(s"table '$n' does not exist"))
   }
@@ -55,8 +74,7 @@ class Catalog(spark: SparkSession) {
       StructField(cname.toLowerCase, TypeMapper.toSpark(tname), nullable)
     }
     val schema = StructType(fields)
-    managed(n) = Managed(schema,
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+    managed(n) = new Managed(schema)
   }
 
   /** INSERT evaluated-values into a managed table. `rows` are already
@@ -98,9 +116,8 @@ class Catalog(spark: SparkSession) {
       }
       Row.fromSeq(arr.toIndexedSeq)
     }
-    val newDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(fullRows.toIndexedSeq), schema)
-    m.df = m.df.union(newDf)
+    m.rows ++= fullRows
+    m.invalidate()
     rows.length.toLong
   }
 
@@ -121,7 +138,8 @@ class Catalog(spark: SparkSession) {
         org.apache.spark.sql.functions.col(f.name)
           .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val count = aligned.count()
-    m.df = m.df.union(aligned)
+    m.extra = Some(m.extra.fold(aligned)(_.union(aligned)))
+    m.invalidate()
     count
   }
 

@@ -200,6 +200,27 @@ class Parser(tokens: Vector[Token]) {
   // ---- statements -------------------------------------------------------
 
   def statement(): Statement = {
+    val stmt = statementCore()
+    acceptOp(";")
+    peek match {
+      case EOF => stmt
+      case t => throw ParseError(s"trailing input after statement: $t")
+    }
+  }
+
+  /** All `;`-separated statements of a script (the reference REPL's
+    * execute-at-each-semicolon loop, `cli/src/main.rs:55-63`, done in
+    * one parse pass). */
+  def script(): Vector[Statement] = {
+    val out = Vector.newBuilder[Statement]
+    while (peek != EOF) {
+      out += statementCore()
+      while (acceptOp(";")) {} // tolerate empty statements
+    }
+    out.result()
+  }
+
+  private def statementCore(): Statement = {
     val stmt = peek match {
       case Kw("SELECT") => SelectStmt(select())
       case Kw("EXPLAIN") => next(); Explain(select())
@@ -264,17 +285,15 @@ class Parser(tokens: Vector[Token]) {
         }
       case t => throw ParseError(s"unexpected token $t at statement start")
     }
-    acceptOp(";")
-    peek match {
-      case EOF => stmt
-      case t => throw ParseError(s"trailing input after statement: $t")
-    }
+    stmt
   }
 }
 
 object Parser {
   def parse(sql: String): Ast.Statement =
     new Parser(Lexer.tokenize(sql)).statement()
+  def parseScript(sql: String): Vector[Ast.Statement] =
+    new Parser(Lexer.tokenize(sql)).script()
   def parseSelect(sql: String): Ast.Select = {
     val p = new Parser(Lexer.tokenize(sql))
     p.select()
