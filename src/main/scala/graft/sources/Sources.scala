@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File sources and sinks. The reference engine has exactly one source —
+  * its in-memory BTreeSet storage (`src/tempdb/`) — and no sinks; this
+  * module is the beyond-reference surface that makes the engine usable
+  * against real data lakes.
+  *
+  * Scale rules baked in:
+  *   - Readers take an EXPLICIT schema. Schema inference reads data
+  *     twice and samples nondeterministically — at 100 TB it is both
+  *     slow and a correctness hazard. (Parquet is self-describing, so
+  *     its schema parameter is optional and used as a projection/check.)
+  *   - All readers return plain declarative scans: Catalyst keeps
+  *     filter pushdown, column pruning, and partition pruning intact.
+  *   - Writers expose the two layouts that matter for downstream cost:
+  *     hive-style partitioning (partition pruning on predicate columns)
+  *     and bucketing (shuffle-free equi-joins/aggs on the bucket key).
+  */
+object Sources {
+
+  /** CSV with explicit schema. `header=true` skips the header row but
+    * names still come from the schema (deterministic under concat). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true,
+              options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(options).option("header", header.toString)
+      .schema(schema).csv(path)
+
+  /** JSON-lines with explicit schema: one JSON object per line (the only
+    * splittable JSON layout — `multiLine` JSON cannot be read in
+    * parallel and has no place at scale). */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType,
+                    options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(options).schema(schema).json(path)
+
+  /** Parquet scan; optional expected schema is applied as a projection
+    * so readers are stable under column additions to the files. */
+  def readParquet(spark: SparkSession, path: String,
+                  expected: Option[StructType] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    expected.fold(df) { s =>
+      df.select(s.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    }
+  }
+
+  /** Whole-text documents: one row per file (doc_id = file path). For
+    * corpus ingestion where documents arrive as individual files. */
+  def readTextCorpus(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("wholetext", "true").text(path)
+      .withColumn("doc_id", input_file_name())
+      .select(col("doc_id"), col("value").as("text"))
+  }
+
+  /** Hive-partitioned write: `partitionBy` columns become directory keys,
+    * so predicates on them prune entire directories at read time. Keep
+    * partition cardinality bounded (date/hour/source — never a high-
+    * cardinality id, which creates a small-files storm). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                      format: String = "parquet",
+                      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format(format)
+      .partitionBy(partitionCols: _*).save(path)
+
+  /** Bucketed managed table: rows are hash-distributed into `numBuckets`
+    * files per partition by `bucketCols`; equi-joins and aggregations on
+    * the bucket key then skip the shuffle entirely (both sides already
+    * co-partitioned). The join key of the biggest recurring join is the
+    * right bucket key. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w: DataFrameWriter[Row] = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Sources/sinks: round-trips, schema enforcement, and the two plan
+  * properties that matter at scale — partition pruning on partitioned
+  * layouts and shuffle-free joins on bucketed tables. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft_sources").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("k", StringType),
+    StructField("v", DoubleType)))
+
+  private def sample = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+    .toDF("id", "k", "v")
+
+  test("csv round-trip with explicit schema") {
+    val p = s"$tmp/csv"
+    sample.write.option("header", "true").csv(p)
+    val got = Sources.readCsv(spark, p, schema)
+    assert(got.schema == schema)
+    assert(got.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)))
+  }
+
+  test("json-lines round-trip with explicit schema") {
+    val p = s"$tmp/json"
+    sample.write.json(p)
+    val got = Sources.readJsonLines(spark, p, schema)
+    assert(got.count() == 3 && got.schema == schema)
+  }
+
+  test("parquet reader applies expected schema as projection") {
+    val p = s"$tmp/parquet"
+    sample.withColumn("extra", lit(9)).write.parquet(p)
+    val got = Sources.readParquet(spark, p,
+      Some(StructType(schema.take(2))))
+    assert(got.columns.toSeq == Seq("id", "k"))
+  }
+
+  test("partitioned write enables partition pruning at read") {
+    val p = s"$tmp/part"
+    Sources.writePartitioned(sample, p, Seq("k"))
+    val scan = spark.read.parquet(p).filter(col("k") === "a")
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+           physical.contains("isnotnull(k"), physical)
+    assert(scan.count() == 2)
+  }
+
+  test("bucketed table joins bucket-to-bucket without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS bkt_l")
+    spark.sql("DROP TABLE IF EXISTS bkt_r")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sources.writeBucketed(sample, "bkt_l", Seq("id"), 4, sortCols = Seq("id"))
+      Sources.writeBucketed(sample, "bkt_r", Seq("id"), 4, sortCols = Seq("id"))
+      val j = spark.table("bkt_l").join(spark.table("bkt_r"), "id")
+      val physical = j.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"), physical)
+      assert(j.count() == 3)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_l")
+      spark.sql("DROP TABLE IF EXISTS bkt_r")
+    }
+  }
+}
