@@ -41,8 +41,8 @@ object Dedup {
   // ---- MinHash + LSH ------------------------------------------------
 
   /** Deterministic permutation coefficients for minhash (fixed seed —
-    * signatures must be stable across runs and executors). */
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+    * signatures must be stable across runs and executors); the modulus
+    * lives in [[graft.functions.MinHashSig.P]]. */
   private val NumPerms = 32
   private val BandRows = 4    // 8 bands x 4 rows
   private[ext] val perms: Seq[(Long, Long)] = {
@@ -62,28 +62,23 @@ object Dedup {
               graft.functions.HashShingles.shingles(col("words"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-  /** MinHash signature per doc: sig_i = min over shingles of
-    * (a_i * h + b_i) mod P. Computed by exploding shingles once and
-    * taking 32 mins in a single hash aggregate (map-side partial). */
-  private[ext] def signatures(sh: DataFrame): DataFrame = {
-    val ex = sh
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      // keep hashes non-negative so the mod-P permutation is well-defined
-      .withColumn("h", pmod(col("sh"), lit(P)))
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
-    }
-    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  /** MinHash signature per doc as one array<long> column, computed
+    * map-side by the codegen'd [[graft.functions.MinHashSig]] — no row
+    * explosion, no shuffle (the explode → 32-way min-aggregate it
+    * replaces shuffled |docs| x |shingles| rows). */
+  private[ext] def signatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.MinHashSig.minhashSig(
+        col("shingles"), perms.map(_._1), perms.map(_._2)).as("sig"))
 
   /** Candidate pairs via banding: 8 bands of 4 signature rows; docs
     * sharing any band hash become candidates. Shuffle key = (band,
     * band_hash); join within buckets only. */
   private[ext] def candidatePairs(sh: DataFrame): DataFrame = {
     val sig = signatures(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until NumPerms / BandRows).map { bIdx =>
-      val cols = (0 until BandRows).map(r => col(s"sig_${bIdx * BandRows + r}"))
+      val cols = (0 until BandRows).map(r =>
+        element_at(col("sig"), bIdx * BandRows + r + 1))
       struct(lit(bIdx).as("band"), hash(cols: _*).as("bh"))
     }
     val bands = sig.select(col("doc_id"),
