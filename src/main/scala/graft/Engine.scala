@@ -38,6 +38,8 @@ class Engine(val spark: SparkSession) {
   case class Inserted(count: Long)    extends Result
   case object Created                 extends Result
   case class Explained(text: String)  extends Result
+  case class Updated(count: Long)     extends Result
+  case class Deleted(count: Long)     extends Result
 
   /** Parse + execute one llamadb-dialect statement. */
   def execute(sql: String): Result = run(Parser.parse(sql))
@@ -60,6 +62,43 @@ class Engine(val spark: SparkSession) {
       // reference parses this then panics (`tempdb/mod.rs:279`);
       // implemented here (SURVEY §2.4)
       Inserted(catalog.insertSelect(table, compiler.compileSelect(sel)))
+    case Ast.Update(table, sets, where) =>
+      // UPDATE via rewrite: matching rows get the SET expressions, the
+      // rest pass through. Beyond-reference DML (SURVEY §2.4).
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val t = table.toLowerCase
+      val df = catalog.table(t).alias(t)
+      val cond = where.map(compiler.compilePredicateOnTable(t, df, _))
+        .getOrElse(lit(true))
+      val matched = df.filter(cond).count()
+      val setMap = sets.map { case (c, e) =>
+        c.toLowerCase -> compiler.compileOnTable(t, df, e)
+      }.toMap
+      val schema = catalog.schemaOf(t)
+      setMap.keys.foreach { c =>
+        if (!schema.fieldNames.contains(c))
+          throw new IllegalArgumentException(
+            s"column '$c' does not exist in table '$t'")
+      }
+      val rewritten = df.select(schema.fields.map { f =>
+        setMap.get(f.name) match {
+          case Some(v) =>
+            when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      catalog.replaceRows(t, rewritten)
+      Updated(matched)
+    case Ast.Delete(table, where) =>
+      import org.apache.spark.sql.functions.{lit, not, coalesce}
+      val t = table.toLowerCase
+      val df = catalog.table(t).alias(t)
+      val cond = where.map(compiler.compilePredicateOnTable(t, df, _))
+        .getOrElse(lit(true))
+      val matched = df.filter(cond).count()
+      // keep rows where the predicate is NOT true (false or NULL)
+      catalog.replaceRows(t, df.filter(not(coalesce(cond, lit(false)))))
+      Deleted(matched)
     case Ast.Explain(s) =>
       val logical = graft.explain.Explain.render(s)
       val physical = compiler.compileSelect(s)

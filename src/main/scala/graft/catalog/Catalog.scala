@@ -121,6 +121,29 @@ class Catalog(spark: SparkSession) {
     rows.length.toLong
   }
 
+  /** Replace a managed table's contents with the given frame (UPDATE /
+    * DELETE rewrite path — beyond-reference DML, SURVEY §2.4). Managed
+    * tables are driver-sized by definition, so collecting the rewritten
+    * rows back into the buffer is bounded. */
+  def replaceRows(name: String, df: DataFrame): Unit = {
+    val n = name.toLowerCase
+    val m = managed.getOrElse(n,
+      throw CatalogError(s"table '$n' is not a managed table (DML target)"))
+    val newRows = df.select(m.schema.fieldNames.map(
+      org.apache.spark.sql.functions.col).toIndexedSeq: _*).collect()
+    newRows.foreach { r =>
+      m.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!f.nullable && r.isNullAt(i))
+          throw CatalogError(
+            s"cannot store NULL into non-nullable column '${f.name}'")
+      }
+    }
+    m.rows.clear()
+    m.rows ++= newRows
+    m.extra = None
+    m.invalidate()
+  }
+
   /** INSERT INTO ... SELECT: append a DataFrame (schema aligned by
     * position, cast to the target types). Parsed-but-unimplemented in
     * the reference (`tempdb/mod.rs:279`) — implemented here. */

@@ -199,8 +199,8 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
     } else
       aggregatePath(df, sel, scope)
 
-    // ---- ORDER BY / LIMIT (beyond-reference; SURVEY §2.4) --------------
-    var result = out
+    // ---- DISTINCT / ORDER BY / LIMIT (beyond-reference; SURVEY §2.4) ---
+    var result = if (sel.distinct) out.distinct() else out
     if (sel.orderBy.nonEmpty) {
       val outScope = Scope(Seq(Source("__out", result.schema)), None)
       val sorts = sel.orderBy.map { o =>
@@ -619,6 +619,19 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
   }
 
   // ---- truthiness -------------------------------------------------------
+
+  /** Compile a scalar expression against one aliased table frame (the
+    * UPDATE SET / UPDATE-DELETE WHERE position; subqueries disallowed —
+    * the reference has no UPDATE/DELETE execution at all, SURVEY §2.4). */
+  def compileOnTable(table: String, df: DataFrame, e: Expr): Column = {
+    if (exprHasSubquery(e))
+      throw CompileError("subqueries are not supported in UPDATE/DELETE")
+    compileExpr(e, Scope(Seq(Source(table, df.schema)), None), df)
+  }
+
+  /** Same, but wrapped in predicate truthiness (WHERE position). */
+  def compilePredicateOnTable(table: String, df: DataFrame, e: Expr): Column =
+    truthy(e, compileOnTable(table, df, e), df)
 
   private def truthy(e: Expr, c: Column, df: DataFrame): Column = e match {
     case Binary(op, _, _)

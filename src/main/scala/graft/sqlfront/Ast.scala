@@ -48,7 +48,8 @@ object Ast {
     groupBy: Seq[Expr],
     having: Option[Expr],
     orderBy: Seq[OrderItem],      // beyond-reference (parsed there, unimpl)
-    limit: Option[Long])          // beyond-reference
+    limit: Option[Long],          // beyond-reference
+    distinct: Boolean = false)    // beyond-reference (token-only there)
 
   // ---- other statements ------------------------------------------------
 
@@ -63,4 +64,9 @@ object Ast {
   case class InsertSelect(table: String, columns: Seq[String],
                           select: Select)                extends Statement
   case class Explain(s: Select)                          extends Statement
+  // beyond-reference DML (UPDATE/DELETE are lexer tokens only there,
+  // `lexer.rs:6-16`; SURVEY §2.4)
+  case class Update(table: String, sets: Seq[(String, Expr)],
+                    where: Option[Expr])                 extends Statement
+  case class Delete(table: String, where: Option[Expr]) extends Statement
 }

@@ -114,6 +114,7 @@ class Parser(tokens: Vector[Token]) {
 
   def select(): Select = {
     expectKw("SELECT")
+    val distinct = acceptKw("DISTINCT")
     val items = Vector.newBuilder[SelectItem]
     def selectItem(): SelectItem =
       if (acceptOp("*")) Wildcard
@@ -194,7 +195,7 @@ class Parser(tokens: Vector[Token]) {
     } else None
 
     Select(items.result(), from, joins, where, groupBy, having,
-           orderBy, limit)
+           orderBy, limit, distinct)
   }
 
   // ---- statements -------------------------------------------------------
@@ -283,6 +284,23 @@ class Parser(tokens: Vector[Token]) {
         } else {
           InsertSelect(table, columns, select())
         }
+      case Kw("UPDATE") =>
+        next()
+        val table = ident()
+        expectKw("SET")
+        val sets = Vector.newBuilder[(String, Expr)]
+        def assignment(): (String, Expr) = {
+          val c = ident(); expectOp("="); (c, expression())
+        }
+        sets += assignment()
+        while (acceptOp(",")) sets += assignment()
+        val where = if (acceptKw("WHERE")) Some(expression()) else None
+        Update(table, sets.result(), where)
+      case Kw("DELETE") =>
+        next(); expectKw("FROM")
+        val table = ident()
+        val where = if (acceptKw("WHERE")) Some(expression()) else None
+        Delete(table, where)
       case t => throw ParseError(s"unexpected token $t at statement start")
     }
     stmt
