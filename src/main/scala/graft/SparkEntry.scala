@@ -62,6 +62,7 @@ object SparkEntry {
     "q29_emb_neardup"     -> ((s: SparkSession, d: String) => ext.Dedup.embeddingNearDup(s, d)),
     "q30_knn_brute"       -> ((s: SparkSession, d: String) => ext.Similarity.bruteForceTopK(s, d)),
     "q31_knn_lsh"         -> ((s: SparkSession, d: String) => ext.Similarity.lshTopK(s, d)),
+    "q37_knn_ivf"         -> ((s: SparkSession, d: String) => ext.Similarity.ivfTopK(s, d)),
     "q32_events_hourly"   -> ext.Events.hourlyAgg _,
     "q33_sessionize"      -> ext.Events.sessionize _,
     "q34_multimodal"      -> ext.Multimodal.featureSummary _,

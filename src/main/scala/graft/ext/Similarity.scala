@@ -84,6 +84,67 @@ object Similarity {
     df.withColumn("bucket", bits.reduce(_ + _))
   }
 
+  // ---- IVF (coarse quantizer + multi-probe) -------------------------
+
+  /** Deterministic coarse centroids: the first `k` corpus vectors by
+    * vec_id, L2-normalized. A production index trains k-means here; the
+    * IVF *structure* — bounded centroid table on the driver, map-side
+    * cell assignment, multi-probe search — is identical either way and
+    * is what matters at scale (the centroid table is K x dim doubles,
+    * bounded regardless of corpus size). */
+  private[ext] def centroids(corpus: DataFrame, k: Int): Array[Array[Double]] =
+    corpus.orderBy(col("vec_id")).limit(k)
+      .select(l2normalize(col("embedding")).as("c")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Cell id = argmax-dot centroid (map-side; ties → lowest index). */
+  private[ext] def withIvfCells(df: DataFrame, emb: Column,
+                                cents: Array[Array[Double]]): DataFrame = {
+    val dots = array(cents.map(c =>
+      dot(l2normalize(emb), array(c.map(lit): _*))): _*)
+    df.withColumn("__d", dots)
+      .withColumn("cell",
+        expr("array_position(__d, array_max(__d))").cast("int") - 1)
+      .drop("__d")
+  }
+
+  /** IVF ANN top-k: corpus vectors live in their nearest-centroid cell;
+    * each query probes its `nProbe` nearest cells only. Shuffle keyed on
+    * cell id; recall tuned by nProbe (and centroid count) — the standard
+    * IVF trade. Output shape matches bruteForceTopK. */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+              k: Int = 10, numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val cents = centroids(corpus, numCells)
+    val corpusCells = withIvfCells(corpus, col("embedding"), cents)
+      .select(col("vec_id").as("nid"), l2normalize(col("embedding")).as("ne"),
+              col("cell"))
+    // per query: dots to every centroid, take the nProbe best cells.
+    // (HOF sort is interpreted but runs on the bounded query batch only.)
+    val qDots = array(cents.map(c =>
+      dot(l2normalize(col("embedding")), array(c.map(lit): _*))): _*)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), l2normalize(col("embedding")).as("qe"),
+              qDots.as("__d"))
+      .select(col("qid"), col("qe"), explode(expr(
+        s"""slice(transform(
+           |  array_sort(
+           |    transform(sequence(0, ${cents.length - 1}),
+           |      i -> named_struct('d', element_at(__d, i + 1), 'idx', i)),
+           |    (l, r) -> CASE WHEN l.d > r.d THEN -1
+           |                   WHEN l.d < r.d THEN 1
+           |                   WHEN l.idx < r.idx THEN -1 ELSE 1 END),
+           |  s -> s.idx), 1, $nProbe)""".stripMargin)).as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    corpusCells.join(broadcast(queries),
+        corpusCells("cell") === queries("cell") && col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"))
+  }
+
   /** LSH ANN top-k: queries probe only their own bucket. Same output
     * shape as bruteForceTopK; recall < 1 by design (spec-tested). */
   def lshTopK(spark: SparkSession, dir: String,

@@ -84,4 +84,38 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(b1 == b2)
   }
+
+  test("IVF cells: every vector lands in its argmax-dot centroid cell") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.centroids(e, 8)
+    assert(cents.length == 8)
+    val cells = Similarity.withIvfCells(e, col("embedding"), cents)
+      .select(col("vec_id"), col("cell"),
+              Similarity.l2normalize(col("embedding")).as("ne"))
+      .limit(50).collect()
+    cells.foreach { r =>
+      val ne = r.getSeq[Double](2).toArray
+      val dots = cents.map(c => c.zip(ne).map { case (a, b) => a * b }.sum)
+      val best = dots.indexOf(dots.max)
+      assert(r.getInt(1) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("IVF top-k: valid ranks, self excluded, hits only in probed cells") {
+    val out = Similarity.ivfTopK(spark, sfDir, nQueries = 5, k = 10,
+      numCells = 8, nProbe = 3).cache()
+    assert(out.filter(col("qid") === col("nid")).count() == 0)
+    assert(out.filter(col("rnk") < 1 || col("rnk") > 10).count() == 0)
+    assert(out.count() > 0)
+    // multi-probe must find at least as much as probing fewer cells
+    val narrow = Similarity.ivfTopK(spark, sfDir, nQueries = 5, k = 10,
+      numCells = 8, nProbe = 1)
+    assert(out.count() >= narrow.count())
+    // with all cells probed, IVF == brute force exactly
+    val all = Similarity.ivfTopK(spark, sfDir, nQueries = 5, k = 10,
+      numCells = 8, nProbe = 8)
+    val bf = Similarity.bruteForceTopK(spark, sfDir, nQueries = 5, k = 10)
+    assert(all.exceptAll(bf).isEmpty && bf.exceptAll(all).isEmpty)
+    out.unpersist()
+  }
 }
