@@ -65,6 +65,7 @@ object SparkEntry {
     "q37_knn_ivf"         -> ((s: SparkSession, d: String) => ext.Similarity.ivfTopK(s, d)),
     "q32_events_hourly"   -> ext.Events.hourlyAgg _,
     "q33_sessionize"      -> ext.Events.sessionize _,
+    "q38_json_props"      -> ext.Events.propsAgg _,
     "q34_multimodal"      -> ext.Multimodal.featureSummary _,
     // Structured Streaming (graft.streaming): the static events table
     // processed as a bounded stream must equal the batch twins exactly
@@ -251,6 +252,13 @@ object SparkEntry {
         |                 ORDER BY ts, event_id) AS prev_ts
         |  FROM events) t) s
         |GROUP BY user_id""".stripMargin,
+    "q38_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |      AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+        |   AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q35_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS h, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value

@@ -19,6 +19,20 @@ object Events {
       .agg(count(lit(1)).as("n"),
            round(sum(col("value")), 2).as("sum_value"))
 
+  /** Semi-structured props: parse the JSON payload column with an
+    * explicit schema (`from_json` — columnar, codegen-friendly; schema
+    * inference over 100 TB of JSON is not an option) and aggregate on
+    * the extracted field. */
+  def propsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           round(avg(col("k")), 4).as("avg_k"))
+
   /** Sessionization: a new session starts after a >30-minute gap. Gaps
     * via lag() over (user_id, ts) — one shuffle on user_id; at scale
     * this is the standard sort-within-partition sessionize. */
