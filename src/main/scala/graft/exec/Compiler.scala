@@ -656,14 +656,44 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
     * driver-sized; each row's expressions are compiled against a 1-row
     * frame (subqueries bind onto it) and collected. */
   def evalValues(rows: Seq[Seq[Expr]]): Seq[Seq[Any]] = rows.map { vals =>
-    var df = spark.range(1).drop("id")
-    val scope = Scope(Nil, None)
-    val cols = vals.zipWithIndex.map { case (e, i) =>
-      val (e2, df2) = bindSubqueries(e, df, scope)
-      df = df2
-      compileExpr(e2, scope, df).as(s"_v$i")
+    // Fast path: literal-only rows evaluate on the driver directly — a
+    // bulk INSERT script would otherwise run one Spark job per row
+    // (3,500 jobs ≈ minutes for the reference's own testdata script).
+    val fast = vals.map(evalLiteral)
+    if (fast.forall(_.isDefined)) fast.map(_.get)
+    else {
+      // general path (subqueries, arithmetic over subqueries, ...):
+      // compile against a one-row frame and run the job.
+      var df = spark.range(1).drop("id")
+      val scope = Scope(Nil, None)
+      val cols = vals.zipWithIndex.map { case (e, i) =>
+        val (e2, df2) = bindSubqueries(e, df, scope)
+        df = df2
+        compileExpr(e2, scope, df).as(s"_v$i")
+      }
+      val row = df.select(cols: _*).collect().head
+      row.toSeq
     }
-    val row = df.select(cols: _*).collect().head
-    row.toSeq
+  }
+
+  /** Driver-side value of a literal-only expression (None = not literal).
+    * Number typing mirrors `numberLit`: integral → Long (Decimal beyond
+    * i64 range), else Double — same values the Spark path produces. */
+  private def evalLiteral(e: Expr): Option[Any] = e match {
+    case StringLit(s) => Some(s)
+    case NullLit      => Some(null)
+    case NumberLit(t) =>
+      if (t.contains('.')) Some(t.toDouble)
+      else try Some(t.toLong) catch {
+        case _: NumberFormatException => Some(BigDecimal(t))
+      }
+    case Unary("-", x) => evalLiteral(x).flatMap {
+      case l: Long   => Some(-l)
+      case d: Double => Some(-d)
+      case b: BigDecimal => Some(-b)
+      case _ => None // -'string' etc: let the Spark path error consistently
+    }
+    case Unary("+", x) => evalLiteral(x)
+    case _ => None
   }
 }
