@@ -60,6 +60,7 @@ object SparkEntry {
     "q27_dedup_simhash"   -> ((s: SparkSession, d: String) => ext.Dedup.simhashPairs(s, d)),
     "q28_jaccard_pairs"   -> ((s: SparkSession, d: String) => ext.Dedup.jaccardPairs(s, d, 0.8)),
     "q29_emb_neardup"     -> ((s: SparkSession, d: String) => ext.Dedup.embeddingNearDup(s, d)),
+    "q39_dedup_clusters"  -> ((s: SparkSession, d: String) => ext.Dedup.dedupedCorpus(s, d)),
     "q30_knn_brute"       -> ((s: SparkSession, d: String) => ext.Similarity.bruteForceTopK(s, d)),
     "q31_knn_lsh"         -> ((s: SparkSession, d: String) => ext.Similarity.lshTopK(s, d)),
     "q37_knn_ivf"         -> ((s: SparkSession, d: String) => ext.Similarity.ivfTopK(s, d)),

@@ -205,6 +205,64 @@ object Dedup {
               round(col("cos"), 4).as("cos_r"))
   }
 
+  // ---- near-dup clustering (pairs → canonical survivor) -------------
+
+  /** Connected components over a near-dup pair set by hash-min label
+    * propagation: every doc's label converges to the smallest doc_id
+    * reachable through duplicate edges, giving one canonical survivor
+    * per duplicate cluster (the step that turns pairwise dedup output
+    * into an actual deduped corpus).
+    *
+    * Each iteration is one shuffle (edges ⋈ labels, min-aggregated);
+    * iterations needed = graph diameter, which for near-dup clusters is
+    * tiny (dups of a doc are dups of each other, so components are
+    * near-cliques). `maxIter` bounds the loop; convergence is detected
+    * by an unchanged-labels check. At very large scale the same loop is
+    * the standard large/small-star formulation — the plan shape per
+    * iteration is identical. */
+  def clusterLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label per node: min of own and neighbors' labels
+      val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels // (id, label = min reachable doc_id)
+  }
+
+  /** End-to-end near-dup removal: minhash-LSH pairs → clusters → keep
+    * the smallest doc_id of each cluster plus every unpaired doc.
+    * Output: the surviving doc_ids with their cluster label. */
+  def dedupedCorpus(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val labels = clusterLabels(
+      minhashLsh(spark, dir, threshold).select(col("a_id"), col("b_id")))
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    docs.join(labels, docs("doc_id") === labels("id"), "left_outer")
+      .select(col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("cluster"))
+      .filter(col("doc_id") === col("cluster"))
+  }
+
   /** Sign-LSH-bucketed variant of the same operator (the path when no
     * coarse cells exist): candidates share a random-hyperplane bucket. */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,

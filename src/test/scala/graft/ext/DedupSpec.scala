@@ -72,6 +72,33 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("clusterLabels: hash-min label propagation finds components") {
+    import spark.implicits._
+    // two chains (needing >1 iteration) and one pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.clusterLabels(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert((20L to 22L).forall(labels(_) == 20L))
+  }
+
+  test("dedupedCorpus keeps one survivor per cluster plus all unpaired docs") {
+    val pairs = Dedup.minhashLsh(spark, sfDir)
+      .select(col("a_id"), col("b_id")).cache()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val members = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id"))).distinct().count()
+    val clusters = Dedup.clusterLabels(pairs)
+      .select("label").distinct().count()
+    val survivors = Dedup.dedupedCorpus(spark, sfDir).cache()
+    assert(survivors.count() == nDocs - members + clusters)
+    // a survivor is its own cluster representative
+    assert(survivors.filter(col("doc_id") =!= col("cluster")).count() == 0)
+    survivors.unpersist(); pairs.unpersist()
+  }
+
   test("minhash signature is stable across runs (fixed permutations)") {
     val sig1 = Dedup.signatures(Dedup.shingled(spark, sfDir))
       .orderBy("doc_id").limit(3).collect().map(_.toString).toSeq
