@@ -232,9 +232,8 @@ class Parser(tokens: Vector[Token]) {
         val cols = Vector.newBuilder[ColumnDef]
         def columnDef(): ColumnDef = {
           val cname = ident()
-          // type name: ident possibly with [N] suffix (byte[16]) — the
-          // lexer has no '[', so types like byte[] arrive as ident only;
-          // accept ident + optional parenthesized size for VARCHAR(n).
+          // type name: ident with optional [N]/[] suffix (byte[16],
+          // byte[]) or parenthesized size (VARCHAR(n))
           val tname = ident()
           val tfull = if (acceptOp("(")) {
             val sz = next() match {
@@ -243,6 +242,13 @@ class Parser(tokens: Vector[Token]) {
             }
             expectOp(")")
             s"$tname($sz)"
+          } else if (acceptOp("[")) {
+            val sz = peek match {
+              case Num(t) => pos += 1; t
+              case _ => ""
+            }
+            expectOp("]")
+            s"$tname[$sz]"
           } else tname
           // constraints: only NULL is honored (opt-in nullability,
           // reference tempdb/mod.rs:176-178); NOT NULL accepted as no-op

@@ -32,7 +32,9 @@ object TypeMapper {
       case "f64" | "double"          => DoubleType
       case "string" | "varchar" | "text" => StringType
       case s if s.startsWith("varchar(") => StringType
-      case s if s.startsWith("byte(") || s == "byte[]" => BinaryType
+      // byte[] dynamic and byte[N] fixed both map to BinaryType; the
+      // reference enforces the fixed length at insert (`variant.rs:88-94`)
+      case s if s.startsWith("byte(") || s.startsWith("byte[") => BinaryType
       case other => throw TypeError(s"unknown column type '$other'")
     }
   }
