@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply collected injectFunction entries to a LIVE session (the
+    * supported path is withExtensions at build time; this covers
+    * registering into an already-built session, e.g. shared test
+    * sessions). */
+  def registerInto(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
 }
