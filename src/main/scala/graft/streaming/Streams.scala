@@ -126,9 +126,27 @@ object Streams {
     val spark = df.sparkSession
     val name = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // throwaway checkpoint for a bounded verification run: prefer the
+    // RAM-backed tmpfs (offset/commit-log + state-store fsyncs dominate
+    // small AvailableNow runs); production queries pass a durable
+    // checkpointLocation instead.
+    val ckptBase = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm" else
+        System.getProperty("java.io.tmpdir")
+    }
     val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$ckptBase/graft_ckpt_$name")
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // best-effort cleanup of the throwaway checkpoint
+    try {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$ckptBase/graft_ckpt_$name"))
+    } catch { case _: Throwable => () }
     spark.table(name)
   }
 
