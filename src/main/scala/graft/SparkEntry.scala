@@ -78,7 +78,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        | CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS revenue
+        | CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-06-01' AND l_quantity < 10"""
         .stripMargin,
@@ -130,8 +131,8 @@ object SparkEntry {
         | CASE WHEN l_tax = 0 THEN NULL
         |      ELSE round(l_quantity / l_tax, 2) END AS qty_per_tax,
         | l_returnflag || l_linestatus AS flag_status,
-        | CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-        |      AS DECIMAL(18,6)) AS charge
+        | CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |           AS DECIMAL(18,6)) AS DOUBLE) AS charge
         |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
     "q11_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS total

@@ -28,11 +28,14 @@ object RefQueries {
               col("l_quantity") < 10)
       .select(col("l_orderkey"), col("l_linenumber"),
               // price/discount carry 2 decimals, so the true product has
-              // exactly 4 — DECIMAL(18,4) is an exact, tie-free cast (a
+              // exactly 4 — DECIMAL(18,4) is an exact, tie-free quantize (a
               // round(x, 2) here ties at the half-cent and diverges from
-              // the oracle by 1 ulp of rounding).
+              // the oracle by 1 ulp of rounding). The final cast back to
+              // DOUBLE keeps the output type float so both engines stringify
+              // identically (nearest-double of an exact decimal is
+              // deterministic IEEE rounding on both sides).
               (col("l_extendedprice") * (lit(1) - col("l_discount")))
-                .cast("decimal(18,4)").as("revenue"))
+                .cast("decimal(18,4)").cast("double").as("revenue"))
 
   /** Cross join + WHERE equi-predicate — the reference's `Usage.md:95-112`
     * query shape (`FROM a, b WHERE a.k = b.k`). Compiled by the reference
@@ -159,9 +162,11 @@ object RefQueries {
         LlamaSem.concatSem(col("l_returnflag"), col("l_linestatus"))
           .as("flag_status"),
         // three 2-decimal factors → the true product has exactly 6
-        // decimals; DECIMAL(18,6) is the tie-free exact cast.
+        // decimals; DECIMAL(18,6) is the tie-free exact quantize, then cast
+        // back to DOUBLE so both engines stringify the same representation.
         (col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))).cast("decimal(18,6)").as("charge"))
+          (lit(1) + col("l_tax"))).cast("decimal(18,6)").cast("double")
+          .as("charge"))
 
   /** ORDER BY + LIMIT — beyond-reference capability (parsed but
     * unimplemented there, `queryplan/mod.rs:354-356`). Spark plans

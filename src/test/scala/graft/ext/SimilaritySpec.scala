@@ -60,18 +60,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expectTop)
   }
 
-  test("LSH top-k: every hit shares the query's bucket; valid ranks") {
-    val buckets = Similarity.withBuckets(
-        spark.read.parquet(s"$sfDir/embeddings.parquet"), col("embedding"))
-      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+  test("LSH top-k: hits within Hamming-1 of a probed table bucket; valid ranks") {
+    val buckets = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.allTableBuckets(col("embedding")).as("bks"))
+      .as[(Long, Seq[Long])].collect().toMap
     val lsh = Similarity.lshTopK(spark, sfDir, nQueries = 5, k = 10).cache()
     assert(lsh.filter(col("qid") === col("nid")).count() == 0)
     assert(lsh.filter(col("rnk") < 1 || col("rnk") > 10).count() == 0)
     val hits = lsh.select("qid", "nid").as[(Long, Long)].collect()
     assert(hits.nonEmpty, "buckets must be populated at sf0.001")
-    // the operator contract: candidates come ONLY from the query's bucket
-    assert(hits.forall { case (q, n) => buckets(q) == buckets(n) })
+    // contract: a candidate collides with the query (own bucket or one
+    // flipped bit) in at least one of the L hash tables
+    assert(hits.forall { case (q, n) =>
+      buckets(q).zip(buckets(n)).exists { case (qb, nb) =>
+        java.lang.Long.bitCount(qb ^ nb) <= 1
+      }
+    })
+    // each (qid, nid) pair is ranked exactly once despite multi-collisions
+    assert(lsh.select("qid", "nid").distinct().count() == lsh.count())
     lsh.unpersist()
+  }
+
+  test("LSH top-k: near-full result set and >=0.9 recall vs brute force") {
+    val k = 10
+    val bf = Similarity.bruteForceTopK(spark, sfDir, nQueries = 5, k = k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(spark, sfDir, nQueries = 5, k = k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(lsh.size >= (0.9 * 5 * k).toInt, s"got ${lsh.size} rows")
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9")
+  }
+
+  test("IVF top-k with trained centroids: >=0.95 recall at nProbe=4") {
+    val k = 10
+    val bf = Similarity.bruteForceTopK(spark, sfDir, nQueries = 5, k = k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir, nQueries = 5, k = k,
+        numCells = 16, nProbe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.95, s"IVF recall $recall < 0.95")
   }
 
   test("bucket assignment is deterministic") {
