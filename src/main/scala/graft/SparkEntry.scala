@@ -56,7 +56,7 @@ object SparkEntry {
     "q23_token_count"     -> ext.TextAnalysis.tokenCount _,
     "q24_dedup_exact"     -> ext.Dedup.exact _,
     "q25_dedup_fingerprint" -> ext.Dedup.fingerprint _,
-    "q26_dedup_minhash"   -> ((s: SparkSession, d: String) => ext.Dedup.minhashLsh(s, d)),
+    "q26_dedup_minhash"   -> ((s: SparkSession, d: String) => ext.Dedup.minhashLshCached(s, d)),
     "q27_dedup_simhash"   -> ((s: SparkSession, d: String) => ext.Dedup.simhashPairs(s, d)),
     "q28_jaccard_pairs"   -> ((s: SparkSession, d: String) => ext.Dedup.jaccardPairs(s, d, 0.8)),
     "q29_emb_neardup"     -> ((s: SparkSession, d: String) => ext.Dedup.embeddingNearDup(s, d)),

@@ -115,6 +115,20 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Per-(dir, threshold) memo of the minhash-LSH pair set, persisted.
+    * The pair table is the shared input of the near-dup family (pair
+    * listing, clustering, deduped corpus): computing it once and
+    * persisting is the cluster-scale pattern (materialize the shared
+    * stage), and it keeps `dedupedCorpus` from re-running the whole
+    * shingle→signature→band pipeline the pair query already ran. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap[(String, Double), DataFrame]()
+  def minhashLshCached(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame =
+    pairsCache.getOrElseUpdate((dir, threshold),
+      minhashLsh(spark, dir, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit simhash per doc via the custom codegen'd Catalyst expression
@@ -152,11 +166,27 @@ object Dedup {
 
   // ---- exact n-gram / word-set Jaccard ------------------------------
 
-  /** Word-set Jaccard similarity for pairs within the same `source`
-    * (the demonstration candidate generator; at scale candidates come
-    * from the LSH operators above). Distinct word unigram sets; output
-    * pairs with jaccard >= threshold. Division is int/int → double:
-    * bit-deterministic, oracle-comparable. */
+  /** Word-set Jaccard similarity for same-`source` pairs, with EXACT
+    * prefix-filter candidate generation (AllPairs/PPJoin family) instead
+    * of a same-source self-join.
+    *
+    * Theorem (prefix filtering): order each doc's distinct word hashes
+    * by a global total order (ascending hash value here). jac(A,B) ≥ t
+    * implies |A∩B| ≥ t·max(|A|,|B|) ≥ ⌈t·|A|⌉, so A and B must share a
+    * token inside A's first |A| − ⌈t·|A|⌉ + 1 tokens (else all shared
+    * tokens sit in A's last ⌈t·|A|⌉ − 1 ⇒ jac < t) — and symmetrically
+    * for B. So every qualifying pair meets on a token both sides emit
+    * from their prefix: the candidate join is keyed on that token, never
+    * all-pairs, never keyed on the skewed `source` column. Recall is
+    * exactly 1 (unlike LSH banding) — the output still hash-matches the
+    * brute-force DuckDB oracle.
+    *
+    * Scale: candidate volume is Σ_token df_prefix(token)². Hash order is
+    * a random order; the classic refinement — order by ascending global
+    * document frequency so prefixes hold the rarest tokens — drops it
+    * further and composes with this plan (one extra df join). Same-source
+    * and length filters run on the candidates before the exact merge
+    * intersect. Division is int/int → double: bit-deterministic. */
   def jaccardPairs(spark: SparkSession, dir: String,
                    threshold: Double = 0.5): DataFrame = {
     // Word sets as sorted distinct xxhash64s (64-bit: collision-free in
@@ -167,20 +197,34 @@ object Dedup {
               graft.functions.HashShingles.shingles(
                 split(TextAnalysis.normalized(col("text")), " "), 1).as("ws"))
       .withColumn("n", size(col("ws")))
-    docs.as("l").join(docs.as("r"),
-        col("l.source") === col("r.source") &&
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length p = n − ⌈t·n⌉ + 1; emit (token, doc) per prefix token
+    val prefixes = docs
+      .select(col("doc_id"),
+              explode(slice(col("ws"), lit(1),
+                (col("n") - ceil(col("n") * threshold) + 1).cast("int")))
+                .as("token"))
+    val cand = prefixes.as("l").join(prefixes.as("r"),
+        col("l.token") === col("r.token") &&
         col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("source").as("sa"),
+                        col("ws").as("wa"), col("n").as("na")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("source").as("sb"),
+                        col("ws").as("wb"), col("n").as("nb")), "b_id")
+      .filter(col("sa") === col("sb"))
       // size prefilter: jac <= min/max, and fl(x/c) is monotone in x, so a
       // pair failing min/max >= t cannot pass inter/union >= t — exact-safe
-      .filter(least(col("l.n"), col("r.n")).cast("double") /
-        greatest(col("l.n"), col("r.n")) >= threshold)
+      .filter(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")) >= threshold)
       .withColumn("inter", graft.functions.SortedIntersectCount
-        .sortedIntersectCount(col("l.ws"), col("r.ws")))
+        .sortedIntersectCount(col("wa"), col("wb")))
       .withColumn("jac", col("inter").cast("double") /
-        (col("l.n") + col("r.n") - col("inter")))
+        (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= threshold)
-      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
-              col("jac"))
+      .select(col("a_id"), col("b_id"), col("jac"))
   }
 
   /** Embedding-cosine near-dup pairs, IVF-style: candidates only within
@@ -238,8 +282,12 @@ object Dedup {
         .join(labels, "id")
         .select(col("id"), least(col("label"), col("nbr")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      // iteration 1 always changes something on any non-trivial edge set —
+      // skip its convergence-count job (one fewer Spark job per call)
+      val changed =
+        if (iter == 0) 1L
+        else next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
@@ -255,7 +303,7 @@ object Dedup {
   def dedupedCorpus(spark: SparkSession, dir: String,
                     threshold: Double = 0.5): DataFrame = {
     val labels = clusterLabels(
-      minhashLsh(spark, dir, threshold).select(col("a_id"), col("b_id")))
+      minhashLshCached(spark, dir, threshold).select(col("a_id"), col("b_id")))
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
     docs.join(labels, docs("doc_id") === labels("id"), "left_outer")
       .select(col("doc_id"),

@@ -64,6 +64,49 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("jaccard pairs: prefix-filter candidates match the brute-force join") {
+    val t = 0.5
+    // brute-force reference: same-source self-join (the old plan shape)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+              graft.functions.HashShingles.shingles(
+                split(TextAnalysis.normalized(col("text")), " "), 1).as("ws"))
+      .withColumn("n", size(col("ws")))
+    val brute = docs.as("l").join(docs.as("r"),
+        col("l.source") === col("r.source") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("l.ws"), col("r.ws")))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("l.n") + col("r.n") - col("inter")))
+      .filter(col("jac") >= t)
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+              col("jac"))
+    val fast = Dedup.jaccardPairs(spark, sfDir, t)
+    // exact candidate generation: identical result set, value for value
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
+  test("jaccard pairs plan joins on prefix tokens, not on source") {
+    val plan = Dedup.jaccardPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the candidate join key must be the prefix token; the skewed
+    // `source` column appears only as a post-candidate filter
+    assert(plan.contains("token"),
+      "candidate generation must join on prefix token")
+    val joinKeyOnSource = plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+       l.contains("ShuffledHashJoin")) && l.contains("source"))
+    assert(!joinKeyOnSource, "no join keyed on the skewed source column")
+  }
+
+  test("minhashLshCached returns the same persisted frame per (dir, threshold)") {
+    val a = Dedup.minhashLshCached(spark, sfDir, 0.5)
+    val b = Dedup.minhashLshCached(spark, sfDir, 0.5)
+    assert(a eq b)
+  }
+
   test("embedding near-dup: candidates only within cells, cos in [-1,1]") {
     val pairs = Dedup.embeddingNearDup(spark, sfDir, 0.35).cache()
     assert(pairs.count() > 0)
