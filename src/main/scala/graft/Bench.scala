@@ -26,7 +26,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout gets wrapped in sbt log prefixes — also write the JSON to a
+    // file so machine consumers don't have to scrape the build log
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

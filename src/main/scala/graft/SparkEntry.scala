@@ -49,6 +49,18 @@ object SparkEntry {
           |   WHERE customer.c_nationkey = nation.n_nationkey) AS n_cust
           |FROM nation""".stripMargin)
     }),
+    "q18_sqlfront_theta_subq" -> ((s: SparkSession, d: String) => {
+      val eng = new Engine(s); eng.registerTestTables(d)
+      // mixed equality + theta correlation: the equality conjunct still
+      // becomes the join key, the `<` rides along as residual condition
+      eng.sql(
+        """SELECT o_orderkey,
+          |  (SELECT count(*) FROM lineitem
+          |   WHERE lineitem.l_orderkey = orders.o_orderkey
+          |     AND lineitem.l_extendedprice < orders.o_totalprice)
+          |    AS n_below
+          |FROM orders WHERE o_orderkey < 1000""".stripMargin)
+    }),
     // LLM-data-pipeline extensions (ext/)
     "q20_text_stats"      -> ext.TextAnalysis.textStats _,
     "q21_lang_id"         -> ext.TextAnalysis.langId _,
@@ -172,6 +184,13 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer
         |   WHERE customer.c_nationkey = nation.n_nationkey) AS n_cust
         |FROM nation""".stripMargin,
+    "q18_sqlfront_theta_subq" ->
+      """SELECT o_orderkey,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE lineitem.l_orderkey = orders.o_orderkey
+        |     AND lineitem.l_extendedprice < orders.o_totalprice)
+        |    AS n_below
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
     // ---- extensions (q26/q27/q31/q34 are not SQL-expressible:
     //      engine-internal hashes / custom expressions → rows-only) ----
     "q20_text_stats" ->

@@ -29,7 +29,8 @@ class Catalog(spark: SparkSession) {
     * `union` keeps a 3,500-statement script O(rows), not a 3,500-deep
     * union plan; `extra` holds INSERT..SELECT appends (arbitrary plans)
     * as one union branch each. */
-  private class Managed(val schema: StructType) {
+  private class Managed(val schema: StructType,
+                        val fixedLens: Map[String, Int] = Map.empty) {
     val rows = scala.collection.mutable.ArrayBuffer[Row]()
     var extra: Option[DataFrame] = None
     private var cached: Option[DataFrame] = None
@@ -73,8 +74,11 @@ class Catalog(spark: SparkSession) {
     val fields = cols.map { case (cname, tname, nullable) =>
       StructField(cname.toLowerCase, TypeMapper.toSpark(tname), nullable)
     }
+    val fixedLens = cols.flatMap { case (cname, tname, _) =>
+      TypeMapper.fixedByteLength(tname).map(cname.toLowerCase -> _)
+    }.toMap
     val schema = StructType(fields)
-    managed(n) = new Managed(schema)
+    managed(n) = new Managed(schema, fixedLens)
   }
 
   /** INSERT evaluated-values into a managed table. `rows` are already
@@ -103,7 +107,11 @@ class Catalog(spark: SparkSession) {
           s"${vals.length} values")
       val arr = new Array[Any](schema.length)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
-        arr(i) = TypeMapper.defaultValue(f.dataType, f.nullable)
+        arr(i) = m.fixedLens.get(f.name) match {
+          // byte[N] default is N zero bytes, not the dynamic empty value
+          case Some(len) if !f.nullable => Array.fill[Byte](len)(0)
+          case _ => TypeMapper.defaultValue(f.dataType, f.nullable)
+        }
       }
       targetCols.zip(vals).foreach { case (c, v) =>
         val i = colIdx(c)
@@ -112,6 +120,14 @@ class Catalog(spark: SparkSession) {
         if (coerced == null && !f.nullable)
           throw CatalogError(
             s"cannot insert NULL into non-nullable column '${f.name}'")
+        // reference enforces byte[N] length at insert (variant.rs:88-94)
+        (m.fixedLens.get(f.name), coerced) match {
+          case (Some(len), b: Array[Byte]) if b.length != len =>
+            throw CatalogError(
+              s"value of length ${b.length} does not fit byte[$len] " +
+              s"column '${f.name}'")
+          case _ => ()
+        }
         arr(i) = coerced
       }
       Row.fromSeq(arr.toIndexedSeq)

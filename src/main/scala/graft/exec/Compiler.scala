@@ -82,6 +82,21 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
     case _ => false
   }
 
+  /** Does this expression reference the scope's OWN sources anywhere? */
+  private def referencesLocal(e: Expr, scope: Scope): Boolean = e match {
+    case Ident(n) => scope.resolve(n).exists(!_._2)
+    case QualifiedIdent(t, c) => scope.resolveQualified(t, c).exists(!_._2)
+    case Binary(_, l, r) =>
+      referencesLocal(l, scope) || referencesLocal(r, scope)
+    case Unary(_, x) => referencesLocal(x, scope)
+    case FnCall(_, args) => args.exists(referencesLocal(_, scope))
+    case _ => false
+  }
+
+  /** All sources visible through the scope chain, inner-to-outer. */
+  private def flattenSources(s: Scope): Seq[Source] =
+    s.sources ++ s.parent.map(flattenSources).getOrElse(Nil)
+
   private def selectReferencesOuter(s: Select, outer: Scope): Boolean = {
     // conservative: any where/having/item referencing beyond s's own
     // sources AND beyond `outer`'s immediate sources counts
@@ -144,13 +159,8 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
       val scope = Scope(sources, parent)
       if (exprHasSubquery(j.on))
         throw CompileError("subqueries in ON conditions are not supported")
-      val cond = compileExpr(j.on, scope, df.crossJoin(f))
-      val condT = j.on match {
-        case Binary(op, _, _)
-          if Set("=", "<>", "<", "<=", ">", ">=", "AND", "OR")(op) => cond
-        case _ => // truthiness probe needs a frame with both sides
-          truthyByProbe(cond, df.crossJoin(f))
-      }
+      // truthiness probe needs a frame with both sides
+      val condT = compilePredicate(j.on, scope, df.crossJoin(f))
       df = j.kind match {
         case InnerJoin => df.join(f, condT, "inner")
         case LeftJoin  => df.join(f, condT, "left_outer")
@@ -161,7 +171,7 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
 
     sel.where.foreach { w =>
       val (w2, df2) = bindSubqueries(w, df, scope)
-      df = df2.filter(truthy(w2, compileExpr(w2, scope, df2), df2))
+      df = df2.filter(compilePredicate(w2, scope, df2))
       df = dropHidden(df)
     }
 
@@ -202,15 +212,20 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
     // ---- DISTINCT / ORDER BY / LIMIT (beyond-reference; SURVEY §2.4) ---
     var result = if (sel.distinct) out.distinct() else out
     if (sel.orderBy.nonEmpty) {
+      // sort expressions compile against the output frame; alias it so
+      // scope-resolved "__out.col" references actually bind (bare idents
+      // short-circuit, but ORDER BY v + w / ORDER BY -v go through the
+      // compiler)
+      val aliased = result.alias("__out")
       val outScope = Scope(Seq(Source("__out", result.schema)), None)
       val sorts = sel.orderBy.map { o =>
         val c = o.e match {
           case Ident(n) if result.columns.contains(n) => col(n)
-          case _ => compileExpr(o.e, outScope, result)
+          case _ => compileExpr(o.e, outScope, aliased)
         }
         if (o.desc) c.desc else c.asc
       }
-      result = result.orderBy(sorts: _*)
+      result = aliased.orderBy(sorts: _*)
     }
     sel.limit.foreach(n => result = result.limit(n.toInt))
     result
@@ -314,7 +329,15 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
     }
     var res = grouped
     having.foreach { h =>
-      res = res.filter(truthyByProbe(rewrite(h), res))
+      // HAVING is a predicate site too: AND/OR operands get per-branch
+      // truthiness like WHERE (the rewrite works over the agg frame)
+      def predicate(e: Expr): Column = e match {
+        case Binary("AND", l, r) => predicate(l) && predicate(r)
+        case Binary("OR", l, r)  => predicate(l) || predicate(r)
+        case Binary(op, _, _) if comparisonOps(op) => rewrite(e)
+        case _ => truthyByProbe(rewrite(e), res)
+      }
+      res = res.filter(predicate(h))
     }
     res.select(items.zipWithIndex.map { case (ExprItem(e, a), i) =>
       rewrite(e).as(outName(e, a, i))
@@ -405,86 +428,155 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
               col("__n").cast("string"), lit(")")))).as(name))
       (name, outer.crossJoin(broadcast(one)))
     } else {
-      // ---- correlated: decorrelate equality conjuncts to a join --------
-      val pairs = correlated.map {
-        case Binary("=", a, b) =>
-          val aOuter = referencesOuter(a, subScope)
-          val bOuter = referencesOuter(b, subScope)
-          (aOuter, bOuter) match {
-            case (true, false) => (b, a) // (innerSide, outerSide)
-            case (false, true) => (a, b)
-            case _ => throw CompileError(
-              "correlated predicate must compare an inner column with an " +
-              "outer column")
-          }
-        case other => throw CompileError(
-          s"only equality correlation is supported, found: $other")
-      }
-
-      // inner plan: FROM + local WHERE
-      var inner = sub.from.head match {
-        case NamedTable(n, a) => catalog.table(n).alias(a.getOrElse(n))
-        case DerivedTable(s, a) =>
-          compileSelect(s, None).alias(a.getOrElse("__sub"))
-      }
-      if (sub.from.length != 1)
-        throw CompileError(
-          "correlated subquery supports exactly one FROM table")
-      val innerScope = Scope(subSources, None) // no outer: local only
-      local.foreach { p =>
-        inner = inner.filter(
-          truthy(p, compileExpr(p, innerScope, inner), inner))
-      }
-
-      val keyNames = pairs.zipWithIndex.map { case (_, i) => s"${name}_k$i" }
-      pairs.zip(keyNames).foreach { case ((innerE, _), kn) =>
-        inner = inner.withColumn(kn, compileExpr(innerE, innerScope, inner))
-      }
-
+      // The decorrelated rewrites model a plain per-outer-row SELECT —
+      // reject subquery clauses they do not reproduce (an explicit
+      // unsupported-feature error, not a silent wrong answer)
+      if (sub.groupBy.nonEmpty || sub.having.nonEmpty ||
+          sub.orderBy.nonEmpty || sub.limit.nonEmpty || sub.distinct)
+        throw CompileError("GROUP BY/HAVING/ORDER BY/LIMIT/DISTINCT are " +
+          "not supported in a correlated subquery")
       val valueExpr = sub.items.head.asInstanceOf[ExprItem].e
       val isAggSub = containsAgg(valueExpr)
-      val perKey =
-        if (isAggSub) {
-          // aggregate subquery: one row per key by construction; empty
-          // key-groups follow standard SQL via the join-miss below
-          // (count → 0, others NULL) — documented deviation from the
-          // reference's error-on-empty
-          val aggCol = compileAggOverExpr(valueExpr, innerScope, inner)
-          inner.groupBy(keyNames.map(col): _*)
-            .agg(aggCol.as(s"${name}_v"), count(lit(1)).as(s"${name}_n"))
-        } else {
-          val v = compileExpr(valueExpr, innerScope, inner)
-          inner.groupBy(keyNames.map(col): _*)
-            .agg(first(v).as(s"${name}_v"), count(lit(1)).as(s"${name}_n"))
+
+      // fast path applies when every correlated conjunct is a clean
+      // equality with one purely-inner and one purely-outer side, over a
+      // single FROM table, and the selected value is inner-only
+      val cleanPairs = correlated.map {
+        case Binary("=", a, b) =>
+          val aOut = referencesOuter(a, subScope)
+          val bOut = referencesOuter(b, subScope)
+          if (aOut && !referencesLocal(a, subScope) && !bOut)
+            Some((b, a)) // (innerSide, outerSide)
+          else if (bOut && !referencesLocal(b, subScope) && !aOut)
+            Some((a, b))
+          else None
+        case _ => None
+      }
+      val fastEligible = cleanPairs.forall(_.isDefined) &&
+        sub.from.length == 1 && !referencesOuter(valueExpr, subScope)
+
+      if (fastEligible) {
+        // ---- equality correlation: decorrelate to a per-key join ------
+        val pairs = cleanPairs.map(_.get)
+        var inner = sub.from.head match {
+          case NamedTable(n, a) => catalog.table(n).alias(a.getOrElse(n))
+          case DerivedTable(s, a) =>
+            compileSelect(s, None).alias(a.getOrElse("__sub"))
+        }
+        val innerScope = Scope(subSources, None) // no outer: local only
+        local.foreach { p =>
+          inner = inner.filter(compilePredicate(p, innerScope, inner))
         }
 
-      val joinCond = pairs.zip(keyNames).map { case ((_, outerE), kn) =>
-        compileExpr(outerE, outerScope, outer) === col(kn)
-      }.reduce(_ && _)
+        val keyNames = pairs.zipWithIndex.map { case (_, i) => s"${name}_k$i" }
+        pairs.zip(keyNames).foreach { case ((innerE, _), kn) =>
+          inner = inner.withColumn(kn, compileExpr(innerE, innerScope, inner))
+        }
 
-      val joined = outer.join(perKey, joinCond, "left_outer")
-      val value =
-        if (isAggSub)
-          // standard-SQL empty-group semantics on join miss
-          (valueExpr match {
-            case FnCall(n, _) if n.toLowerCase == "count" =>
-              coalesce(col(s"${name}_v"), lit(0L))
-            case CountAll => coalesce(col(s"${name}_v"), lit(0L))
-            case _ => col(s"${name}_v")
-          })
-        else
-          // reference: exactly one row per outer row, else error
-          when(col(s"${name}_n").isNull, raise_error(
-            lit("subquery must yield exactly one row (got 0)")))
-          .when(col(s"${name}_n") > 1, raise_error(concat(
-            lit("subquery must yield exactly one row (got "),
-            col(s"${name}_n").cast("string"), lit(")"))))
-          .otherwise(col(s"${name}_v"))
-      val bound = joined.withColumn(name, value)
-        .drop((keyNames :+ s"${name}_v" :+ s"${name}_n").toIndexedSeq: _*)
-      (name, bound)
+        val perKey =
+          if (isAggSub) {
+            // aggregate subquery: one row per key by construction; empty
+            // key-groups follow standard SQL via the join-miss below
+            // (count → 0, others NULL) — documented deviation from the
+            // reference's error-on-empty
+            val aggCol = compileAggOverExpr(valueExpr, innerScope, inner)
+            inner.groupBy(keyNames.map(col): _*)
+              .agg(aggCol.as(s"${name}_v"), count(lit(1)).as(s"${name}_n"))
+          } else {
+            val v = compileExpr(valueExpr, innerScope, inner)
+            inner.groupBy(keyNames.map(col): _*)
+              .agg(first(v).as(s"${name}_v"), count(lit(1)).as(s"${name}_n"))
+          }
+
+        val joinCond = pairs.zip(keyNames).map { case ((_, outerE), kn) =>
+          compileExpr(outerE, outerScope, outer) === col(kn)
+        }.reduce(_ && _)
+
+        val joined = outer.join(perKey, joinCond, "left_outer")
+        val bound = joined
+          .withColumn(name, subqueryValue(name, valueExpr, isAggSub))
+          .drop((keyNames :+ s"${name}_v" :+ s"${name}_n").toIndexedSeq: _*)
+        (name, bound)
+      } else {
+        // ---- general correlation (theta predicates, multi-FROM, outer
+        // refs in the selected value): the reference's nested-loop Map
+        // (`execute/mod.rs:308-337`) as a set-based rewrite. Match outer
+        // rows to inner rows on the FULL correlated predicate, reduce
+        // per outer row, join back by a synthetic outer-row id.
+        // Catalyst still extracts any equality conjuncts as join keys,
+        // so mixed equality+theta correlation plans a hash/merge join
+        // with the theta part as residual condition — pure-theta falls
+        // back to a nested-loop join, the reference's own cost shape.
+        val outerAliases = flattenSources(outerScope)
+          .map(_.alias.toLowerCase).toSet
+        subSources.find(s => outerAliases(s.alias.toLowerCase)).foreach(s =>
+          throw CompileError(s"correlated subquery reuses outer table " +
+            s"alias '${s.alias}'; alias the subquery table"))
+
+        val oid = s"${name}_oid"
+        // the id is recomputed on both branches below from the same
+        // deterministic plan → identical values per row
+        val outerW = outer.withColumn(oid, monotonically_increasing_id())
+
+        var inner = sub.from.zip(subSources.map(_.alias)).map {
+          case (NamedTable(n, _), a) => catalog.table(n).alias(a)
+          case (DerivedTable(s, _), a) => compileSelect(s, None).alias(a)
+        }.reduce(_ crossJoin _)
+        val innerScope = Scope(subSources, None)
+        local.foreach { p =>
+          inner = inner.filter(compilePredicate(p, innerScope, inner))
+        }
+
+        // joint scope: inner + all outer sources resolve as local
+        val jointScope =
+          Scope(subSources ++ flattenSources(outerScope), None)
+        val probe = outerW.crossJoin(inner)
+        val pred = correlated
+          .map(p => compilePredicate(p, jointScope, probe))
+          .reduce(_ && _)
+        val matches = outerW.join(inner, pred, "inner")
+
+        val perId =
+          if (isAggSub)
+            matches.groupBy(col(oid))
+              .agg(compileAggOverExpr(valueExpr, jointScope, matches)
+                     .as(s"${name}_v"),
+                   count(lit(1)).as(s"${name}_n"))
+          else
+            matches.groupBy(col(oid))
+              .agg(first(compileExpr(valueExpr, jointScope, matches))
+                     .as(s"${name}_v"),
+                   count(lit(1)).as(s"${name}_n"))
+
+        val joined = outerW.join(perId, Seq(oid), "left_outer")
+        val bound = joined
+          .withColumn(name, subqueryValue(name, valueExpr, isAggSub))
+          .drop(oid, s"${name}_v", s"${name}_n")
+        (name, bound)
+      }
     }
   }
+
+  /** The bound subquery value over a (…_v, …_n) join result: aggregate
+    * subqueries follow standard SQL on the join miss (count → 0, others
+    * NULL); non-aggregate subqueries enforce the reference's
+    * exactly-one-row rule with a runtime error. */
+  private def subqueryValue(name: String, valueExpr: Expr,
+                            isAggSub: Boolean): Column =
+    if (isAggSub)
+      valueExpr match {
+        case FnCall(n, _) if n.toLowerCase == "count" =>
+          coalesce(col(s"${name}_v"), lit(0L))
+        case CountAll => coalesce(col(s"${name}_v"), lit(0L))
+        case _ => col(s"${name}_v")
+      }
+    else
+      when(col(s"${name}_n").isNull, raise_error(
+        lit("subquery must yield exactly one row (got 0)")))
+      .when(col(s"${name}_n") > 1, raise_error(concat(
+        lit("subquery must yield exactly one row (got "),
+        col(s"${name}_n").cast("string"), lit(")"))))
+      .otherwise(col(s"${name}_v"))
 
   /** Compile an expression that is a single aggregate call (possibly
     * wrapped in arithmetic) for a correlated aggregate subquery. */
@@ -500,6 +592,11 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
     case StringLit(s) => lit(s)
     case NumberLit(t) => numberLit(t)
     case NullLit => lit(null)
+    // bare column in aggregate context → deterministic any-row (min),
+    // the same rule as bare columns under GROUP BY; covers correlated
+    // outer refs in the value expr, which are constant per group
+    case id: Ident => LlamaSem.bareColumn(compileExpr(id, scope, probe))
+    case q: QualifiedIdent => LlamaSem.bareColumn(compileExpr(q, scope, probe))
     case other => throw CompileError(
       s"unsupported expression in aggregate subquery: $other")
   }
@@ -630,13 +727,28 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
   }
 
   /** Same, but wrapped in predicate truthiness (WHERE position). */
-  def compilePredicateOnTable(table: String, df: DataFrame, e: Expr): Column =
-    truthy(e, compileOnTable(table, df, e), df)
+  def compilePredicateOnTable(table: String, df: DataFrame, e: Expr): Column = {
+    if (exprHasSubquery(e))
+      throw CompileError("subqueries are not supported in UPDATE/DELETE")
+    compilePredicate(e, Scope(Seq(Source(table, df.schema)), None), df)
+  }
 
-  private def truthy(e: Expr, c: Column, df: DataFrame): Column = e match {
-    case Binary(op, _, _)
-      if Set("=", "<>", "<", "<=", ">", ">=", "AND", "OR")(op) => c
-    case _ => truthyByProbe(c, df)
+  private val comparisonOps = Set("=", "<>", "<", "<=", ">", ">=")
+
+  /** Compile an expression in predicate position. The reference's And/Or
+    * run `tests_true` on EACH operand (`columnvalueops.rs:95-109`), so
+    * `WHERE x AND name` with an integer x and a string name works —
+    * recurse through AND/OR wrapping every non-boolean branch, leave
+    * comparisons (already boolean) untouched. */
+  private def compilePredicate(e: Expr, scope: Scope,
+                               probe: DataFrame): Column = e match {
+    case Binary("AND", l, r) =>
+      compilePredicate(l, scope, probe) && compilePredicate(r, scope, probe)
+    case Binary("OR", l, r) =>
+      compilePredicate(l, scope, probe) || compilePredicate(r, scope, probe)
+    case Binary(op, _, _) if comparisonOps(op) =>
+      compileExpr(e, scope, probe)
+    case _ => truthyByProbe(compileExpr(e, scope, probe), probe)
   }
 
   /** Resolve the expression's type with a schema probe, then wrap

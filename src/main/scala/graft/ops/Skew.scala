@@ -24,6 +24,16 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    // right/full outer would emit each unmatched small row `salts` times
+    // (the small side is exploded); only large-side-preserving joins are
+    // correct under salting
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+                "leftsemi", "left_anti", "leftanti", "cross")
+              .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
+    // salt from a hash of the whole row: identical rows share a salt, so
+    // a hot key whose rows are all identical will not spread — salt on a
+    // varying column subset (or add a row-number) in that case
     val salted = large.withColumn("__salt",
       pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salts))
         .cast("int"))

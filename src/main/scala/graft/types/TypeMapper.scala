@@ -39,6 +39,14 @@ object TypeMapper {
     }
   }
 
+  /** Fixed length N of a `byte[N]` / `byte(N)` column type, if any —
+    * the reference enforces it at insert (`variant.rs:88-94`). */
+  def fixedByteLength(name: String): Option[Int] = {
+    val t = name.toLowerCase.trim
+    val m = "^byte[\\[(](\\d+)[\\])]$".r.findFirstMatchIn(t)
+    m.map(_.group(1).toInt)
+  }
+
   /** Type-specific default for columns omitted from INSERT
     * (reference `types/mod.rs:68-94` + `tempdb/mod.rs:264-268`):
     * zero for numbers, empty string/bytes, NULL if nullable. */

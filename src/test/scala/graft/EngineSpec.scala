@@ -265,6 +265,107 @@ class EngineSpec extends SparkSpec {
     assert(eng.sql("SELECT s FROM strs").as[String].head() == "it's")
   }
 
+  test("truthiness applies per AND/OR operand (columnvalueops.rs:95-109)") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE trb (n int, s string)")
+    eng.execute("INSERT INTO trb VALUES (0, 'x'), (2, 'y'), (3, '')")
+    // integer and string operands under AND: non-zero AND non-empty
+    assertSameRows(eng.sql("SELECT n FROM trb WHERE n AND s"), Seq(Row(2)))
+    // OR: non-zero OR non-empty
+    assertSameRows(eng.sql("SELECT n FROM trb WHERE n OR s"),
+      Seq(Row(0), Row(2), Row(3)))
+    // mixed: comparison AND string operand
+    assertSameRows(eng.sql("SELECT n FROM trb WHERE n >= 2 AND s"),
+      Seq(Row(2)))
+  }
+
+  test("theta-correlated subquery (non-equality correlation)") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE emp (id int, dept int, sal int)")
+    eng.execute("INSERT INTO emp VALUES " +
+      "(1, 10, 100), (2, 10, 200), (3, 10, 300), (4, 20, 150), (5, 20, 50)")
+    // per employee: employees in the same dept earning strictly less
+    val out = eng.sql(
+      """SELECT id,
+        |  (SELECT count(*) FROM emp e
+        |   WHERE e.dept = emp.dept AND e.sal < emp.sal) AS n_lower
+        |FROM emp""".stripMargin)
+    assertSameRows(out, Seq(
+      Row(1, 0L), Row(2, 1L), Row(3, 2L), Row(4, 1L), Row(5, 0L)))
+  }
+
+  test("correlated subquery: outer reference in the SELECT value") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE ords (k int, amt int)")
+    eng.execute("CREATE TABLE pay (k int, paid int)")
+    eng.execute("INSERT INTO ords VALUES (1, 100), (2, 50)")
+    eng.execute("INSERT INTO pay VALUES (1, 30), (1, 20), (2, 50)")
+    // outstanding balance: outer column minus correlated aggregate
+    val out = eng.sql(
+      """SELECT k, (SELECT ords.amt - sum(paid) FROM pay
+        |            WHERE pay.k = ords.k) AS rest
+        |FROM ords""".stripMargin)
+    assertSameRows(out, Seq(Row(1, 50.0), Row(2, 0.0)))
+  }
+
+  test("multi-FROM correlated subquery") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE fa (k int)")
+    eng.execute("CREATE TABLE fb (k int)")
+    eng.execute("CREATE TABLE fo (k int)")
+    eng.execute("INSERT INTO fa VALUES (1), (1), (2)")
+    eng.execute("INSERT INTO fb VALUES (1), (2), (2)")
+    eng.execute("INSERT INTO fo VALUES (1), (2), (3)")
+    // pairs (fa x fb) matching the outer key on both sides
+    val out = eng.sql(
+      """SELECT k, (SELECT count(*) FROM fa, fb
+        |            WHERE fa.k = fo.k AND fb.k = fo.k) AS n
+        |FROM fo""".stripMargin)
+    assertSameRows(out, Seq(Row(1, 2L), Row(2, 2L), Row(3, 0L)))
+  }
+
+  test("correlated subquery rejects GROUP BY/ORDER BY/LIMIT explicitly") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE cg (k int, v int)")
+    eng.execute("CREATE TABLE co (k int)")
+    eng.execute("INSERT INTO cg VALUES (1, 2)")
+    eng.execute("INSERT INTO co VALUES (1)")
+    def msg(sql: String): String =
+      intercept[Exception](eng.sql(sql)).getMessage
+    assert(msg("""SELECT (SELECT count(*) FROM cg
+                 | WHERE cg.k = co.k GROUP BY v) FROM co""".stripMargin)
+      .contains("not supported in a correlated subquery"))
+    assert(msg("""SELECT (SELECT v FROM cg
+                 | WHERE cg.k = co.k LIMIT 1) FROM co""".stripMargin)
+      .contains("not supported in a correlated subquery"))
+  }
+
+  test("ORDER BY compiles expressions, not just bare columns") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE obe (v int, w int)")
+    eng.execute("INSERT INTO obe VALUES (1, 9), (3, 1), (2, 3)")
+    assert(eng.sql("SELECT v, w FROM obe ORDER BY v + w")
+      .as[(Int, Int)].collect().toSeq == Seq((3, 1), (2, 3), (1, 9)))
+    assert(eng.sql("SELECT v FROM obe ORDER BY -v")
+      .as[Int].collect().toSeq == Seq(3, 2, 1))
+  }
+
+  test("byte[N] length is enforced at insert (variant.rs:88-94)") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE fx (id int, tag byte[4])")
+    // exactly 4 UTF-8 bytes is accepted
+    eng.execute("INSERT INTO fx VALUES (1, 'abcd')")
+    val e = intercept[Exception] {
+      eng.execute("INSERT INTO fx VALUES (2, 'abcde')")
+    }
+    assert(e.getMessage.contains("does not fit byte[4]"))
+    // omitted byte[4] column defaults to 4 zero bytes
+    eng.execute("INSERT INTO fx (id) VALUES (3)")
+    import spark.implicits._
+    val tags = eng.sql("SELECT tag FROM fx").as[Array[Byte]].collect()
+    assert(tags.forall(_.length == 4))
+  }
+
   test("operator precedence: * binds over +, comparisons over AND/OR") {
     val eng = freshEngine
     eng.execute("CREATE TABLE p (x int)")

@@ -32,6 +32,14 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(TypeMapper.toSpark("byte[16]") == BinaryType)
   }
 
+  test("fixedByteLength parses byte[N]/byte(N) only") {
+    assert(TypeMapper.fixedByteLength("byte[16]") == Some(16))
+    assert(TypeMapper.fixedByteLength("BYTE(4)") == Some(4))
+    assert(TypeMapper.fixedByteLength("byte[]") == None)
+    assert(TypeMapper.fixedByteLength("byte") == None)
+    assert(TypeMapper.fixedByteLength("string") == None)
+  }
+
   test("unknown types error like the reference (types/mod.rs:64)") {
     intercept[TypeMapper.TypeError] { TypeMapper.toSpark("uuid") }
     intercept[TypeMapper.TypeError] { TypeMapper.toSpark("json") }
