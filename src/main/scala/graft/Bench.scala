@@ -17,6 +17,11 @@ object Bench {
       li.groupBy("l_returnflag").count().count()
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
       li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+      // warm the Structured Streaming machinery too (micro-batch engine,
+      // state store, file stream source) on the smallest dataset so the
+      // timed streaming queries measure steady-state cost, not JIT
+      streaming.Streams.hourlyAggAvailableNow(
+        spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

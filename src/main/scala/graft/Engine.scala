@@ -49,6 +49,10 @@ class Engine(val spark: SparkSession) {
   def executeScript(script: String): Seq[Result] =
     Parser.parseScript(script).map(run)
 
+  /** Execute one already-parsed statement (REPL path — statements arrive
+    * pre-split at each `;`). */
+  def runStatement(stmt: Ast.Statement): Result = run(stmt)
+
   private def run(stmt: Ast.Statement): Result = stmt match {
     case Ast.SelectStmt(s) => Rows(compiler.compileSelect(s))
     case Ast.CreateTable(name, cols) =>
@@ -100,7 +104,8 @@ class Engine(val spark: SparkSession) {
       catalog.replaceRows(t, df.filter(not(coalesce(cond, lit(false)))))
       Deleted(matched)
     case Ast.Explain(s) =>
-      val logical = graft.explain.Explain.render(s)
+      val logical = graft.explain.Explain.render(s,
+        n => scala.util.Try(catalog.schemaOf(n).fieldNames.toSeq).toOption)
       val physical = compiler.compileSelect(s)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -155,15 +155,27 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
     // explicit JOIN ... ON chains
     sel.joins.zip(joinAliases).foreach { case (j, a) =>
       val f = refFrame(j.table, a)
+      val leftSources = sources
       sources = sources :+ Source(a, f.schema)
       val scope = Scope(sources, parent)
-      if (exprHasSubquery(j.on))
-        throw CompileError("subqueries in ON conditions are not supported")
+      // ON is an arbitrary expression in the reference
+      // (`queryplan/mod.rs:563-572`), subqueries included. Scalar
+      // subqueries bind onto the LEFT side before the join (uncorrelated
+      // → broadcast one row; correlated on left columns → per-key join);
+      // refs to the right-side table from inside the subquery error
+      // cleanly since the binding scope excludes it.
+      var dfL = df
+      val on2 =
+        if (exprHasSubquery(j.on)) {
+          val (e2, d2) =
+            bindSubqueries(j.on, dfL, Scope(leftSources, parent))
+          dfL = d2; e2
+        } else j.on
       // truthiness probe needs a frame with both sides
-      val condT = compilePredicate(j.on, scope, df.crossJoin(f))
+      val condT = compilePredicate(on2, scope, dfL.crossJoin(f))
       df = j.kind match {
-        case InnerJoin => df.join(f, condT, "inner")
-        case LeftJoin  => df.join(f, condT, "left_outer")
+        case InnerJoin => dfL.join(f, condT, "inner")
+        case LeftJoin  => dfL.join(f, condT, "left_outer")
       }
     }
 

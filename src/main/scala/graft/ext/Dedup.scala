@@ -181,14 +181,18 @@ object Dedup {
     * exactly 1 (unlike LSH banding) — the output still hash-matches the
     * brute-force DuckDB oracle.
     *
-    * Scale: candidate volume is Σ_token df_prefix(token)². Hash order is
-    * a random order; the classic refinement — order by ascending global
-    * document frequency so prefixes hold the rarest tokens — drops it
-    * further and composes with this plan (one extra df join). Same-source
-    * and length filters run on the candidates before the exact merge
-    * intersect. Division is int/int → double: bit-deterministic. */
+    * Scale: candidate volume is Σ_token df_prefix(token)², so the global
+    * order is ASCENDING DOCUMENT FREQUENCY (the AllPairs refinement):
+    * each doc's prefix holds its rarest tokens, stopwords never enter a
+    * prefix, and candidates collapse to near-true-pair volume. (A
+    * hash-random order is also correct but lets a stopword into ~p/n of
+    * all prefixes — measured 8x slower on the documents table.) The df
+    * table is one extra token-keyed shuffle. Same-source and length
+    * filters run on the candidates before the exact merge intersect.
+    * Division is int/int → double: bit-deterministic. */
   def jaccardPairs(spark: SparkSession, dir: String,
                    threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Word sets as sorted distinct xxhash64s (64-bit: collision-free in
     // practice, so |A∩B| over hashes equals |A∩B| over the words) — the
     // merge-scan intersect beats per-pair hash-set builds ~5x.
@@ -198,23 +202,34 @@ object Dedup {
                 split(TextAnalysis.normalized(col("text")), " "), 1).as("ws"))
       .withColumn("n", size(col("ws")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length p = n − ⌈t·n⌉ + 1; emit (token, doc) per prefix token
-    val prefixes = docs
-      .select(col("doc_id"),
-              explode(slice(col("ws"), lit(1),
-                (col("n") - ceil(col("n") * threshold) + 1).cast("int")))
-                .as("token"))
+    // prefix length p = n − ⌈t·n⌉ + 1 over the global (df, token) order;
+    // emit (source, token, doc) per prefix token. The candidate key is
+    // the COMPOSITE (source, token): the query only asks for same-source
+    // pairs, so folding source into the key is exact, splits every token
+    // bucket across sources, and keeps the join scale-safe even when one
+    // source is huge (prefix tokens prune within it).
+    val toks = docs.select(col("doc_id"), col("source"), col("n"),
+                           explode(col("ws")).as("token"))
+    val dfreq = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("token"))
+    val prefixes = toks.join(dfreq, "token")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <=
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col("doc_id"), col("source"), col("token"))
     val cand = prefixes.as("l").join(prefixes.as("r"),
+        col("l.source") === col("r.source") &&
         col("l.token") === col("r.token") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("a_id"), col("source").as("sa"),
+      .join(docs.select(col("doc_id").as("a_id"),
                         col("ws").as("wa"), col("n").as("na")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("source").as("sb"),
+      .join(docs.select(col("doc_id").as("b_id"),
                         col("ws").as("wb"), col("n").as("nb")), "b_id")
-      .filter(col("sa") === col("sb"))
       // size prefilter: jac <= min/max, and fl(x/c) is monotone in x, so a
       // pair failing min/max >= t cannot pass inter/union >= t — exact-safe
       .filter(least(col("na"), col("nb")).cast("double") /

@@ -135,10 +135,38 @@ object Streams {
       if (shm.isDirectory && shm.canWrite) "/dev/shm" else
         System.getProperty("java.io.tmpdir")
     }
-    val q = df.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", s"$ckptBase/graft_ckpt_$name")
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Bounded-run cost is almost all per-micro-batch machinery, so spend
+    // fewer batches and fewer state partitions:
+    //   - no-data micro-batches exist to advance the watermark for
+    //     append-mode emission; these gate runs use Complete/Update
+    //     modes where the final data batch already emits everything, so
+    //     the trailing empty batch is pure overhead — skip it.
+    //   - each shuffle partition is a state-store instance with its own
+    //     load/commit lifecycle per batch; the bounded verification data
+    //     does not need 32 of them.
+    // Both are session confs — set around the run, restored after (the
+    // query pins its state partition count at first start from its own
+    // checkpoint, so batch queries in the session are unaffected).
+    val conf = spark.conf
+    val prevNoData =
+      conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevParts = conf.getOption("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try {
+        val started = df.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$ckptBase/graft_ckpt_$name")
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        started.awaitTermination()
+        started
+      } finally {
+        prevNoData.fold(
+          conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(v =>
+          conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
+        prevParts.fold(conf.unset("spark.sql.shuffle.partitions"))(v =>
+          conf.set("spark.sql.shuffle.partitions", v))
+      }
     // best-effort cleanup of the throwaway checkpoint
     try {
       def rm(f: java.io.File): Unit = {

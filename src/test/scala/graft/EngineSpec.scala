@@ -237,9 +237,23 @@ class EngineSpec extends SparkSpec {
     val eng.Explained(text) = eng.execute(
       "EXPLAIN SELECT g, count(*) FROM ex WHERE v > 1 GROUP BY g"): @unchecked
     assert(text.contains("(query"))
-    assert(text.contains("(scan `ex`"))
-    assert(text.contains("temp-group-by"))
+    assert(text.contains("(scan `ex` :source-id 0"))
+    assert(text.contains("temp-group-by :source-id 1"))
+    // v is column offset 1 of source 0 (Usage.md:150-156 numbering)
+    assert(text.contains("(column-field :source-id 0 :column-offset 1)"))
     assert(text.contains("spark physical plan"))
+  }
+
+  test("EXPLAIN numbers multiple sources in scan order") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE ea (x int)")
+    eng.execute("CREATE TABLE eb (y int)")
+    val eng.Explained(text) = eng.execute(
+      "EXPLAIN SELECT x, y FROM ea, eb WHERE x = y"): @unchecked
+    assert(text.contains("(scan `ea` :source-id 0"))
+    assert(text.contains("(scan `eb` :source-id 1"))
+    assert(text.contains("(column-field :source-id 0 :column-offset 0)"))
+    assert(text.contains("(column-field :source-id 1 :column-offset 0)"))
   }
 
   test("llamadb front end over registered parquet tables (scale path)") {
@@ -348,6 +362,28 @@ class EngineSpec extends SparkSpec {
       .as[(Int, Int)].collect().toSeq == Seq((3, 1), (2, 3), (1, 9)))
     assert(eng.sql("SELECT v FROM obe ORDER BY -v")
       .as[Int].collect().toSeq == Seq(3, 2, 1))
+  }
+
+  test("scalar subqueries in JOIN ON conditions") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE jl (k int, v int)")
+    eng.execute("CREATE TABLE jr (k int, w int)")
+    eng.execute("CREATE TABLE lim (cap int)")
+    eng.execute("INSERT INTO jl VALUES (1, 5), (2, 50)")
+    eng.execute("INSERT INTO jr VALUES (1, 10), (2, 20)")
+    eng.execute("INSERT INTO lim VALUES (15)")
+    // uncorrelated: join only when the right value clears the cap
+    assertSameRows(
+      eng.sql("""SELECT jl.k, w FROM jl JOIN jr
+                |ON jl.k = jr.k AND w < (SELECT cap FROM lim)"""
+                .stripMargin),
+      Seq(Row(1, 10)))
+    // left-correlated: the subquery keys on a left-side column
+    assertSameRows(
+      eng.sql("""SELECT jl.k, w FROM jl JOIN jr
+                |ON w > (SELECT v FROM jl l2 WHERE l2.k = jl.k)"""
+                .stripMargin),
+      Seq(Row(1, 10), Row(1, 20)))
   }
 
   test("byte[N] length is enforced at insert (variant.rs:88-94)") {

@@ -87,18 +87,19 @@ class DedupSpec extends SparkSpec {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
-  test("jaccard pairs plan joins on prefix tokens, not on source") {
+  test("jaccard pairs plan joins on prefix tokens, never on source alone") {
     val plan = Dedup.jaccardPairs(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
-    // the candidate join key must be the prefix token; the skewed
-    // `source` column appears only as a post-candidate filter
     assert(plan.contains("token"),
       "candidate generation must join on prefix token")
-    val joinKeyOnSource = plan.linesIterator.exists(l =>
+    // `source` may appear in a join key only as part of the composite
+    // (source, token) candidate key — never as the sole equi-key
+    val sourceOnlyJoin = plan.linesIterator.exists(l =>
       (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
-       l.contains("ShuffledHashJoin")) && l.contains("source"))
-    assert(!joinKeyOnSource, "no join keyed on the skewed source column")
+       l.contains("ShuffledHashJoin")) &&
+      l.contains("source") && !l.contains("token"))
+    assert(!sourceOnlyJoin, "no join keyed on source alone")
   }
 
   test("minhashLshCached returns the same persisted frame per (dir, threshold)") {
