@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: time the bounded streaming gate runs phase by phase
+  * (start→first batch→termination) and dump each batch's durationMs so
+  * the bounded-run overhead is attributable, not guessed. */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm
+    graft.streaming.Streams.hourlyAggAvailableNow(
+      spark, "/root/testdata/sf0.001").count()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        println(s"[probe] batch ${e.progress.batchId} " +
+          s"durations=${e.progress.durationMs} rows=${e.progress.numInputRows}")
+    }
+    spark.streams.addListener(listener)
+    for (name <- Seq("hourly", "sessionize"); _ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = name match {
+        case "hourly" =>
+          graft.streaming.Streams.hourlyAggAvailableNow(spark, sfDir).count()
+        case _ =>
+          graft.streaming.Streams.sessionCountsAvailableNow(spark, sfDir).count()
+      }
+      println(f"[probe] $name total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -256,6 +256,24 @@ class EngineSpec extends SparkSpec {
     assert(text.contains("(column-field :source-id 1 :column-offset 0)"))
   }
 
+  test("theta-correlated subquery plans keyed joins, no cartesian product") {
+    val eng = freshEngine
+    eng.registerTestTables(sfDir)
+    val df = eng.sql(
+      """SELECT o_orderkey,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE lineitem.l_orderkey = orders.o_orderkey
+        |     AND lineitem.l_extendedprice < orders.o_totalprice)
+        |    AS n_below
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst must extract the equality conjunct as the join key and
+    // carry the `<` as residual condition — never a cartesian product
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+           || plan.contains("BroadcastHashJoin"))
+  }
+
   test("llamadb front end over registered parquet tables (scale path)") {
     val eng = freshEngine
     eng.registerTestTables(sfDir)
