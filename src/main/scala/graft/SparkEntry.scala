@@ -61,6 +61,21 @@ object SparkEntry {
           |    AS n_below
           |FROM orders WHERE o_orderkey < 1000""".stripMargin)
     }),
+    "q19_sqlfront_on_subq" -> ((s: SparkSession, d: String) => {
+      val eng = new Engine(s); eng.registerTestTables(d)
+      // scalar subquery inside JOIN ON (arbitrary-expression ON,
+      // reference queryplan/mod.rs:563-572)
+      eng.sql(
+        """SELECT c_name, o_orderkey
+          |FROM customer JOIN orders
+          |ON c_custkey = o_custkey
+          |   AND o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)"""
+          .stripMargin)
+    }),
+    "q40_window_funcs"    -> ops.RefQueries.q40WindowFuncs _,
+    "q41_mix_sample"      -> ext.Sampling.mixtureSample _,
+    "q43_mix_rates"       -> ext.Sampling.mixtureRates _,
+    "q42_stream_enrich"   -> streaming.Streams.enrichedSegmentAvailableNow _,
     // LLM-data-pipeline extensions (ext/)
     "q20_text_stats"      -> ext.TextAnalysis.textStats _,
     "q21_lang_id"         -> ext.TextAnalysis.langId _,
@@ -191,6 +206,37 @@ object SparkEntry {
         |     AND lineitem.l_extendedprice < orders.o_totalprice)
         |    AS n_below
         |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+    "q19_sqlfront_on_subq" ->
+      """SELECT c_name, o_orderkey
+        |FROM customer JOIN orders
+        |ON c_custkey = o_custkey
+        |   AND o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)"""
+        .stripMargin,
+    "q40_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | rank() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+        | lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS prev_ok,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+        |   AS cust_total
+        |FROM orders WHERE o_custkey < 300""".stripMargin,
+    "q41_mix_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |      CASE WHEN length(source) <= 4 THEN 'c' ELSE '4' END"""
+        .stripMargin,
+    "q43_mix_rates" ->
+      """SELECT source, count(*) AS n_total,
+        | CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |      CASE WHEN length(source) <= 4 THEN 'c' ELSE '4' END
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY source""".stripMargin,
+    "q42_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2)
+        |   AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     // ---- extensions (q26/q27/q31/q34 are not SQL-expressible:
     //      engine-internal hashes / custom expressions → rows-only) ----
     "q20_text_stats" ->

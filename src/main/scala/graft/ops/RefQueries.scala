@@ -216,6 +216,24 @@ object RefQueries {
               col("rnk").cast("long").as("rnk"))
   }
 
+  /** Window-function breadth beyond q14's row_number: rank (gap
+    * semantics), lag (physical offset), and a whole-partition sum —
+    * all over one shuffle on o_custkey (Catalyst collapses the two
+    * window specs sharing the partition key into one exchange). */
+  def q40WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val whole = Window.partitionBy(col("o_custkey"))
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderkey"),
+              rank().over(byPrice).cast("long").as("rnk"),
+              lag(col("o_orderkey"), 1).over(byPrice).as("prev_ok"),
+              round(sum(col("o_totalprice")).over(whole), 2)
+                .as("cust_total"))
+  }
+
   /** Three-table join through the star schema with a bounded-dim broadcast:
     * revenue by nation. nation/region carry explicit broadcast hints
     * (Tables.dim) — at 100 TB the two fact joins shuffle on their keys,

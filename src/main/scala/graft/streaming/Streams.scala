@@ -192,6 +192,28 @@ object Streams {
     runBounded(agg, OutputMode.Complete())
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension table (the standard streaming-enrichment shape — the
+    * static side is planned as a broadcast per micro-batch, no stream
+    * state for the join itself), then aggregate per segment. */
+  def enrichedSegmentAgg(events: DataFrame,
+                         customer: DataFrame): DataFrame =
+    events.join(
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value")), 2).as("sum_value"))
+
+  /** Bounded gate run of the stream-static join; Complete mode emits
+    * every segment at the final trigger, matching the batch join. */
+  def enrichedSegmentAvailableNow(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val events = readEventsStream(spark, dir)
+    val customer = graft.Tables.load(spark, dir, "customer")
+    runBounded(enrichedSegmentAgg(events, customer), OutputMode.Complete())
+  }
+
   /** Static events dir sessionized as a stream; cumulative counts are
     * monotone, so max-per-user over all updates equals the batch
     * sessionization (q33's oracle). */

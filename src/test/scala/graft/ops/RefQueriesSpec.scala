@@ -118,6 +118,25 @@ class RefQueriesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q40 window funcs: rank gaps, lag offsets, one exchange for both specs") {
+    val df = RefQueries.q40WindowFuncs(spark, sfDir)
+    // rank 1 exists per customer; lag of rank-1 row is NULL
+    assert(df.filter(col("rnk") === 1 && col("prev_ok").isNotNull)
+      .count() == 0)
+    assert(df.filter(col("rnk") === 1).count() ==
+           df.select("o_custkey").distinct().count())
+    // both window specs share the o_custkey partitioning → Catalyst
+    // plans ONE exchange, not one per window. Count exchanges in the
+    // pre-AQE executed plan; drop any cached copy of the same logical
+    // plan first (an InMemoryRelation would embed the exchange twice
+    // via AQE's initial+final sections).
+    spark.sharedState.cacheManager.clearCache()
+    val plan = RefQueries.q40WindowFuncs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected a single shuffle, got:\n$plan")
+  }
+
   test("q15 star join broadcasts the bounded dim (nation)") {
     val df = RefQueries.q15StarJoin(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -105,4 +105,19 @@ class StreamsSpec extends SparkSpec {
     assert(streamSess.exceptAll(batchSess).isEmpty &&
            batchSess.exceptAll(streamSess).isEmpty)
   }
+
+  test("bounded stream-static enrichment equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.enrichedSegmentAvailableNow(spark, sfDir)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val cust = graft.Tables.load(spark, sfDir, "customer")
+    val batch = ev
+      .join(cust.select(col("c_custkey"), col("c_mktsegment")),
+            col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value")), 2).as("sum_value"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+           batch.exceptAll(streamed).isEmpty)
+  }
 }
