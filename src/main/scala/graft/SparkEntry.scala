@@ -73,6 +73,8 @@ object SparkEntry {
           .stripMargin)
     }),
     "q40_window_funcs"    -> ops.RefQueries.q40WindowFuncs _,
+    "q44_top_terms"       -> ((s: SparkSession, d: String) =>
+                                ext.TextAnalysis.topTerms(s, d)),
     "q41_mix_sample"      -> ext.Sampling.mixtureSample _,
     "q43_mix_rates"       -> ext.Sampling.mixtureRates _,
     "q42_stream_enrich"   -> streaming.Streams.enrichedSegmentAvailableNow _,
@@ -237,6 +239,19 @@ object SparkEntry {
         |   AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q44_top_terms" ->
+      """SELECT source, token, n, rnk FROM (
+        |  SELECT source, token, count(*) AS n,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY count(*) DESC, token) AS rnk
+        |  FROM (SELECT source, unnest(string_split(
+        |          trim(regexp_replace(regexp_replace(lower(text),
+        |            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |          AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY source, token)
+        |WHERE rnk <= 5""".stripMargin,
     // ---- extensions (q26/q27/q31/q34 are not SQL-expressible:
     //      engine-internal hashes / custom expressions → rows-only) ----
     "q20_text_stats" ->

@@ -100,6 +100,26 @@ object TextAnalysis {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), md5(normalized(col("text"))).as("fp"))
 
+  /** Per-source top-k corpus terms by occurrence count (ties broken on
+    * the term) — the vocabulary audit a data pipeline logs per mixture
+    * source. One explode + one (source, token) shuffle + a top-k window
+    * over the (bounded: sources x vocab) count table; integer counts and
+    * string tie-breaks keep the result engine-exact. */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("token"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+              explode(split(normalized(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("token"), col("n"), col("rnk"))
+  }
+
   /** BPE-ish token counting: letter runs, single digits, single
     * punctuation marks — the pre-tokenizer split most BPE vocabularies
     * assume. Pure regex count, identical in Java regex and RE2. */
