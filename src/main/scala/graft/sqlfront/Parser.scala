@@ -41,6 +41,20 @@ class Parser(tokens: Vector[Token]) {
     case t => throw ParseError(s"expected identifier, found $t")
   }
 
+  /** Table name in a statement position. The reference grammar accepts
+    * `database.table` but every execution path panics on a database
+    * qualifier (`tempdb/mod.rs:155` unimplemented!) — surface that as a
+    * clean parse error instead. */
+  private def tableName(): String = {
+    val name = ident()
+    if (acceptOp(".")) {
+      val t = ident()
+      throw ParseError(
+        s"database-qualified table name '$name.$t' is not supported")
+    }
+    name
+  }
+
   // ---- expressions (precedence climbing) ------------------------------
 
   private val precedence: Map[String, Int] = Map(
@@ -141,7 +155,7 @@ class Parser(tokens: Vector[Token]) {
             else peek match { case Id(a) => pos += 1; Some(a); case _ => None }
           DerivedTable(s, alias)
         } else {
-          val name = ident()
+          val name = tableName()
           val alias = if (acceptKw("AS")) Some(ident())
             else peek match { case Id(a) => pos += 1; Some(a); case _ => None }
           NamedTable(name, alias)
@@ -227,7 +241,7 @@ class Parser(tokens: Vector[Token]) {
       case Kw("EXPLAIN") => next(); Explain(select())
       case Kw("CREATE") =>
         next(); expectKw("TABLE")
-        val name = ident()
+        val name = tableName()
         expectOp("(")
         val cols = Vector.newBuilder[ColumnDef]
         def columnDef(): ColumnDef = {
@@ -267,7 +281,7 @@ class Parser(tokens: Vector[Token]) {
         CreateTable(name, cols.result())
       case Kw("INSERT") =>
         next(); expectKw("INTO")
-        val table = ident()
+        val table = tableName()
         var columns = Vector.empty[String]
         if (acceptOp("(")) {
           columns = columns :+ ident()
@@ -292,7 +306,7 @@ class Parser(tokens: Vector[Token]) {
         }
       case Kw("UPDATE") =>
         next()
-        val table = ident()
+        val table = tableName()
         expectKw("SET")
         val sets = Vector.newBuilder[(String, Expr)]
         def assignment(): (String, Expr) = {
@@ -304,7 +318,7 @@ class Parser(tokens: Vector[Token]) {
         Update(table, sets.result(), where)
       case Kw("DELETE") =>
         next(); expectKw("FROM")
-        val table = ident()
+        val table = tableName()
         val where = if (acceptKw("WHERE")) Some(expression()) else None
         Delete(table, where)
       case t => throw ParseError(s"unexpected token $t at statement start")

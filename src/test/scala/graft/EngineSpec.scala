@@ -420,6 +420,16 @@ class EngineSpec extends SparkSpec {
     assert(tags.forall(_.length == 4))
   }
 
+  test("database-qualified table names error cleanly (reference panics)") {
+    val eng = freshEngine
+    def msg(sql: String): String =
+      intercept[Exception](eng.execute(sql)).getMessage
+    assert(msg("CREATE TABLE db1.t (x int)")
+      .contains("database-qualified table name 'db1.t' is not supported"))
+    assert(msg("SELECT x FROM db1.t").contains("not supported"))
+    assert(msg("INSERT INTO db1.t VALUES (1)").contains("not supported"))
+  }
+
   test("operator precedence: * binds over +, comparisons over AND/OR") {
     val eng = freshEngine
     eng.execute("CREATE TABLE p (x int)")
