@@ -92,7 +92,11 @@ object TextAnalysis {
   /** Normalized-text column: lowercase, non-alnum → space, collapse
     * whitespace, trim. The basis for fingerprinting and shingling. */
   def normalized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    // single-pass codegen'd kernel; value-identical to
+    // trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
+    // " +", " ")) — equivalence property-tested in NormalizeTextSpec,
+    // and the DuckDB oracles still run the regex formulation
+    graft.functions.NormalizeText.normalize(c)
 
   /** Document fingerprint: md5 of the normalized text — a
     * punctuation/casing/whitespace-insensitive content hash. */
