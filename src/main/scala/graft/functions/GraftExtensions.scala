@@ -19,7 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * Registered: `hash_shingles(words, n)` (sorted distinct n-gram hashes),
   * `word_hashes(words)` (in-order multiset hashes), `minhash_sig(shingles,
   * k)` (k-permutation signature, fixed seed), `sorted_intersect_count(a,
-  * b)`, `simhash64(hashes)`, `vec_dot(a, b)`, `vec_l2norm(a)`.
+  * b)`, `simhash64(hashes)`, `vec_dot(a, b)`, `vec_l2norm(a)`,
+  * `normalize_text(s)` (single-pass lowercase/strip/collapse/trim).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -83,6 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "vec_l2norm(a)")
         VectorOps.L2Normalize(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text",
+        "normalize_text(s) - lowercase, non-alnum → space, collapse, trim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "normalize_text(s)")
+        NormalizeText.Normalize(args.head)
       }))
   }
 }

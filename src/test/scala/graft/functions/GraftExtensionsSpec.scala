@@ -35,6 +35,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) == 0L)
   }
 
+  test("normalize_text works in SQL") {
+    registered
+    val r = spark.sql(
+      "SELECT normalize_text('  Hello, WORLD!  123 ') AS n").head()
+    assert(r.getString(0) == "hello world 123")
+  }
+
   test("vec_dot / vec_l2norm agree with the Column builders") {
     registered
     val r = spark.sql(
