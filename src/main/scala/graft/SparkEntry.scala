@@ -75,6 +75,8 @@ object SparkEntry {
     "q40_window_funcs"    -> ops.RefQueries.q40WindowFuncs _,
     "q44_top_terms"       -> ((s: SparkSession, d: String) =>
                                 ext.TextAnalysis.topTerms(s, d)),
+    "q45_quality_filter"  -> ((s: SparkSession, d: String) =>
+                                ext.TextAnalysis.qualityFilter(s, d)),
     "q41_mix_sample"      -> ext.Sampling.mixtureSample _,
     "q43_mix_rates"       -> ext.Sampling.mixtureRates _,
     "q42_stream_enrich"   -> streaming.Streams.enrichedSegmentAvailableNow _,
@@ -267,6 +269,16 @@ object SparkEntry {
         |    '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS BIGINT) AS n_stop,
         |  CAST(length(text) AS BIGINT) AS n_chars_raw
         | FROM documents) t""".stripMargin,
+    "q45_quality_filter" ->
+      """SELECT doc_id, n_tokens, n_stop
+        |FROM (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS BIGINT) AS n_stop
+        | FROM documents) t
+        |WHERE n_tokens >= 20 AND n_tokens <= 1000
+        |  AND n_stop * 10 <= n_tokens * 6""".stripMargin,
     "q21_lang_id" -> ext.TextAnalysis.langIdOracleSql,
     "q22_fingerprint" ->
       """SELECT doc_id,

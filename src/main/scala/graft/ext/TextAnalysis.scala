@@ -41,6 +41,20 @@ object TextAnalysis {
       .withColumn("avg_token_len",
         col("n_alnum").cast("double") / col("n_tokens"))
 
+  /** Quality filtering: turn the quality scores into the pipeline's
+    * actual keep/drop decision — token-count band plus a stopword-ratio
+    * cap. The ratio threshold is evaluated as integer cross-
+    * multiplication (n_stop * 10 <= n_tokens * 6 ⇔ ratio <= 0.6) so the
+    * keep set is engine-exact, never a float-boundary coin flip.
+    * Pure map-side filter: composes with any downstream pipeline. */
+  def qualityFilter(spark: SparkSession, dir: String,
+                    minTokens: Int = 20, maxTokens: Int = 1000): DataFrame =
+    textStats(spark, dir)
+      .filter(col("n_tokens") >= minTokens &&
+              col("n_tokens") <= maxTokens &&
+              col("n_stop") * 10 <= col("n_tokens") * 6)
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"))
+
   /** Language ID via stopword-profile scoring (n-gram-free heuristic):
     * count hits from small per-language function-word sets, argmax with a
     * fixed priority order on ties. Deterministic and oracle-expressible.

@@ -53,6 +53,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(langs.subsetOf(Set("en", "de", "es", "fr")))
   }
 
+  test("qualityFilter keeps only docs inside the token band and ratio cap") {
+    val kept = TextAnalysis.qualityFilter(spark, sfDir).cache()
+    assert(kept.filter(col("n_tokens") < 20 || col("n_tokens") > 1000)
+      .count() == 0)
+    assert(kept.filter(col("n_stop") * 10 > col("n_tokens") * 6)
+      .count() == 0)
+    // it is a strict filter of the stats view
+    val all = TextAnalysis.textStats(spark, sfDir).count()
+    assert(kept.count() > 0 && kept.count() <= all)
+    kept.unpersist()
+  }
+
   test("fingerprint equals md5 of normalized text") {
     val fp = TextAnalysis.fingerprint(spark, sfDir)
       .orderBy("doc_id").limit(1).select("fp").as[String].head()
