@@ -103,6 +103,7 @@ object SparkEntry {
     // processed as a bounded stream must equal the batch twins exactly
     "q35_stream_hourly"   -> streaming.Streams.hourlyAggAvailableNow _,
     "q36_stream_sessionize" -> streaming.Streams.sessionCountsAvailableNow _,
+    "q46_stream_funnel"   -> streaming.Streams.funnelJoinAvailableNow _,
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -241,6 +242,14 @@ object SparkEntry {
         |   AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q46_stream_funnel" ->
+      """SELECT e1.user_id AS user_id, e1.event_id AS click_id,
+        |       e2.event_id AS purchase_id
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+        | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR"""
+        .stripMargin,
     "q44_top_terms" ->
       """SELECT source, token, n, rnk FROM (
         |  SELECT source, token, count(*) AS n,

@@ -214,6 +214,36 @@ object Streams {
     runBounded(enrichedSegmentAgg(events, customer), OutputMode.Complete())
   }
 
+  /** Stream-stream funnel join: each click matched to the same user's
+    * purchases within the following hour. Both sides carry watermarks
+    * and the join condition bounds the event-time distance, so the state
+    * store retains only one watermark-horizon of each side — the
+    * canonical bounded-state stream-stream join. Output: one row per
+    * (click, purchase) pair. */
+  def funnelJoin(events: DataFrame,
+                 watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+              col("purchase_id"))
+  }
+
+  /** Bounded gate run of the funnel join (append mode — stream-stream
+    * inner joins emit exactly the matched pairs). */
+  def funnelJoinAvailableNow(spark: SparkSession, dir: String): DataFrame =
+    runBounded(funnelJoin(readEventsStream(spark, dir)),
+               OutputMode.Append())
+
   /** Static events dir sessionized as a stream; cumulative counts are
     * monotone, so max-per-user over all updates equals the batch
     * sessionization (q33's oracle). */

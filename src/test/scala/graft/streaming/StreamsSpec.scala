@@ -106,6 +106,27 @@ class StreamsSpec extends SparkSpec {
            batchSess.exceptAll(streamSess).isEmpty)
   }
 
+  test("bounded stream-stream funnel join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.funnelJoinAvailableNow(spark, sfDir)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+              col("purchase_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+           batch.exceptAll(streamed).isEmpty)
+  }
+
   test("bounded stream-static enrichment equals the batch join") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.enrichedSegmentAvailableNow(spark, sfDir)
