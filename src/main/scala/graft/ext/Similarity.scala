@@ -140,7 +140,7 @@ object Similarity {
     * reach the driver. `sampleMod > 1` trains on a deterministic
     * hash-sample of the corpus (vec_id hash-mod) so training cost is
     * bounded at 100 TB while the full corpus is still indexed. */
-  private[ext] def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 4,
+  private[ext] def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
                                   sampleMod: Int = 1): Array[Array[Double]] = {
     val train = (if (sampleMod > 1)
         corpus.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)

@@ -122,7 +122,8 @@ object Streams {
 
   // ---- bounded (AvailableNow) runs for the driver gate --------------
 
-  private def runBounded(df: DataFrame, mode: OutputMode): DataFrame = {
+  private def runBounded(df: DataFrame, mode: OutputMode,
+                         statePartitions: Int = 4): DataFrame = {
     val spark = df.sparkSession
     val name = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -152,7 +153,7 @@ object Streams {
       conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     val prevParts = conf.getOption("spark.sql.shuffle.partitions")
     conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", "4")
+    conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q =
       try {
         val started = df.writeStream.format("memory").queryName(name)
@@ -239,7 +240,11 @@ object Streams {
   }
 
   /** Bounded gate run of the funnel join (append mode — stream-stream
-    * inner joins emit exactly the matched pairs). */
+    * inner joins emit exactly the matched pairs). Keeps the small state
+    * partition count: a stream-stream join runs FOUR state stores per
+    * partition (two per side), so raising partitions multiplies store
+    * lifecycles faster than it buys parallelism (measured 2x slower at
+    * 16 partitions than at 4 on the bounded run). */
   def funnelJoinAvailableNow(spark: SparkSession, dir: String): DataFrame =
     runBounded(funnelJoin(readEventsStream(spark, dir)),
                OutputMode.Append())
