@@ -280,22 +280,24 @@ object Dedup {
     * the standard large/small-star formulation — the plan shape per
     * iteration is identical. */
   def clusterLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // undirected edge list, both directions, PLUS a self-edge per node:
+    // the self-edge carries each node's own label through the neighbor
+    // aggregation, so one join+agg per iteration computes
+    // min(own, neighbors) — no second join against the label table
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val edges = sym
+      .union(sym.select(col("src").as("src"), col("src").as("dst")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // candidate label per node: min of own and neighbors' labels
       val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nbr"))
-        .join(labels, "id")
-        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+        .agg(min(col("label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // iteration 1 always changes something on any non-trivial edge set —
       // skip its convergence-count job (one fewer Spark job per call)
