@@ -47,6 +47,18 @@ object Sources {
     }
   }
 
+  /** ORC scan with the same stable-projection contract as readParquet —
+    * ORC carries the same columnar pushdown/pruning properties and is
+    * the other common warehouse interchange format. */
+  def readOrc(spark: SparkSession, path: String,
+              expected: Option[StructType] = None): DataFrame = {
+    val df = spark.read.orc(path)
+    expected.fold(df) { s =>
+      df.select(s.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    }
+  }
+
   /** Whole-text documents: one row per file (doc_id = file path). For
     * corpus ingestion where documents arrive as individual files. */
   def readTextCorpus(spark: SparkSession, path: String): DataFrame = {

@@ -44,6 +44,14 @@ class SourcesSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "k"))
   }
 
+  test("orc round-trip with expected-schema projection") {
+    val p = s"$tmp/orc"
+    sample.withColumn("extra", lit(9)).write.orc(p)
+    val got = Sources.readOrc(spark, p, Some(StructType(schema.take(2))))
+    assert(got.columns.toSeq == Seq("id", "k"))
+    assert(Sources.readOrc(spark, p).count() == 3)
+  }
+
   test("partitioned write enables partition pruning at read") {
     val p = s"$tmp/part"
     Sources.writePartitioned(sample, p, Seq("k"))
