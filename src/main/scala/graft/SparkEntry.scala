@@ -77,6 +77,7 @@ object SparkEntry {
                                 ext.TextAnalysis.topTerms(s, d)),
     "q45_quality_filter"  -> ((s: SparkSession, d: String) =>
                                 ext.TextAnalysis.qualityFilter(s, d)),
+    "q47_asof_join"       -> ops.AsOf.purchasesWithLastClick _,
     "q41_mix_sample"      -> ext.Sampling.mixtureSample _,
     "q43_mix_rates"       -> ext.Sampling.mixtureRates _,
     "q42_stream_enrich"   -> streaming.Streams.enrichedSegmentAvailableNow _,
@@ -250,6 +251,20 @@ object SparkEntry {
         | AND e1.event_type = 'click' AND e2.event_type = 'purchase'
         | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR"""
         .stripMargin,
+    "q47_asof_join" ->
+      """SELECT purchase_id, user_id, last_click_id FROM (
+        |  SELECT event_id AS purchase_id, user_id, side,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_click_id
+        |  FROM (SELECT user_id, ts, event_id, 1 AS side,
+        |               NULL AS click_id
+        |        FROM events WHERE event_type = 'purchase'
+        |        UNION ALL
+        |        SELECT user_id, ts, event_id, 0, event_id
+        |        FROM events WHERE event_type = 'click') u
+        |) WHERE side = 1""".stripMargin,
     "q44_top_terms" ->
       """SELECT source, token, n, rnk FROM (
         |  SELECT source, token, count(*) AS n,

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for every left row, the most recent right row (by event
+  * time) with the same key and time ≤ the left row's time — the
+  * operator behind point-in-time feature lookups and "state as of the
+  * event" enrichment, which Spark has no built-in for.
+  *
+  * Spark-first design: NO join at all. Both sides are unioned with a
+  * side marker, shuffled ONCE on the key, sorted by (time, side,
+  * tiebreak) within partitions, and each left row reads the running
+  * `last(right value, ignoreNulls)` over the unbounded-preceding
+  * window. Right rows at the same timestamp sort before left rows, so
+  * `time ≤ left.time` is inclusive; the tiebreak column makes equal-
+  * timestamp choices deterministic. Cost at any scale: one shuffle of
+  * |L| + |R| rows on the key — never a per-pair blowup, no range-join
+  * explosion, skew handled by AQE like any keyed sort. */
+object AsOf {
+
+  /** Generic form: `left` and `right` must share `key`, `time`, and
+    * `tiebreak` column names; every column of `right` in `valueCols`
+    * rides along as `asof_<name>` on the matched left rows (NULL when
+    * no right row precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               time: String, tiebreak: String,
+               valueCols: Seq[String]): DataFrame = {
+    val l2 = left.withColumn("__side", lit(1))
+    val r2 = right.select(
+      (Seq(col(key), col(time), col(tiebreak), lit(0).as("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+    // unionByName null-fills each side's missing columns: the left rows
+    // carry null __v_* (filled by the window), the right rows carry null
+    // left payload (dropped by the side filter)
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withVals = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true)
+        .over(w))
+    }
+    withVals.filter(col("__side") === 1)
+      .drop((("__side" +: valueCols.map(c => s"__v_$c")).toIndexedSeq): _*)
+  }
+
+  /** Gate shape: every purchase event annotated with the same user's
+    * most recent click event id at or before the purchase time. */
+  def purchasesWithLastClick(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.load(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asofJoin(purchases, clicks, "user_id", "ts", "event_id",
+             Seq("event_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("asof_event_id").as("last_click_id"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join: correctness vs a brute-force range join + the no-join
+  * plan-shape guarantee. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    // both sides share the key/time/tiebreak column names (the contract)
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "t", "id")
+    val right = Seq((1L, 90L, 900L), (1L, 100L, 901L), (1L, 150L, 902L),
+                    (2L, 60L, 903L))
+      .toDF("k", "t", "id")
+    val out = AsOf.asofJoin(left, right, "k", "t", "id", Seq("id"))
+      .select($"k", $"t", $"id", $"asof_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, 100L, 10L, Some(901L)), // equal timestamp is inclusive
+      (1L, 200L, 11L, Some(902L)),
+      (2L, 50L, 12L, None)))       // nothing at or before t=50
+  }
+
+  test("gate shape equals a brute-force range join on real events") {
+    val got = AsOf.purchasesWithLastClick(spark, sfDir)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"),
+              col("event_id").as("purchase_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"),
+              col("event_id").as("click_id"))
+    // brute force: all preceding clicks, keep the (ct, click_id)-max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+      .orderBy(col("ct").desc, col("click_id").desc)
+    val brute = p.join(c, col("pu") === col("cu") && col("ct") <= col("pt"),
+        "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("pu").as("user_id"),
+              col("click_id").as("last_click_id"))
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("plan is a single keyed shuffle — no join operator at all") {
+    val plan = AsOf.purchasesWithLastClick(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join in:\n$plan")
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one shuffle in:\n$plan")
+  }
+}
