@@ -78,6 +78,29 @@ object SparkEntry {
     "q45_quality_filter"  -> ((s: SparkSession, d: String) =>
                                 ext.TextAnalysis.qualityFilter(s, d)),
     "q47_asof_join"       -> ops.AsOf.purchasesWithLastClick _,
+    // skew utilities as gate queries: results must equal the plain
+    // join/aggregation (the salt is an execution detail, not semantics)
+    "q48_salted_join"     -> ((s: SparkSession, d: String) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(org.apache.spark.sql.functions.col("l_orderkey").as("k"),
+                org.apache.spark.sql.functions.col("l_quantity"))
+      val big = Tables.load(s, d, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+        .select(org.apache.spark.sql.functions.col("o_orderkey").as("k"),
+                org.apache.spark.sql.functions.col("o_totalprice"))
+      ops.Skew.saltedJoin(li, big, "k", salts = 8)
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.count(
+               org.apache.spark.sql.functions.lit(1)).as("n"),
+             org.apache.spark.sql.functions.round(
+               org.apache.spark.sql.functions.sum(
+                 org.apache.spark.sql.functions.col("l_quantity")), 2)
+               .as("sum_qty"))
+    }),
+    "q49_salted_agg"      -> ((s: SparkSession, d: String) =>
+      ops.Skew.saltedCountSum(
+        Tables.load(s, d, "lineitem"), "l_returnflag", "l_quantity",
+        salts = 8)),
     "q41_mix_sample"      -> ext.Sampling.mixtureSample _,
     "q43_mix_rates"       -> ext.Sampling.mixtureRates _,
     "q42_stream_enrich"   -> streaming.Streams.enrichedSegmentAvailableNow _,
@@ -265,6 +288,16 @@ object SparkEntry {
         |        SELECT user_id, ts, event_id, 0, event_id
         |        FROM events WHERE event_type = 'click') u
         |) WHERE side = 1""".stripMargin,
+    "q48_salted_join" ->
+      """SELECT l_orderkey AS k, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY l_orderkey""".stripMargin,
+    "q49_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(l_quantity) AS sum_l_quantity
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q44_top_terms" ->
       """SELECT source, token, n, rnk FROM (
         |  SELECT source, token, count(*) AS n,
