@@ -64,12 +64,14 @@ object SparkEntry {
     "q19_sqlfront_on_subq" -> ((s: SparkSession, d: String) => {
       val eng = new Engine(s); eng.registerTestTables(d)
       // scalar subquery inside JOIN ON (arbitrary-expression ON,
-      // reference queryplan/mod.rs:563-572)
+      // reference queryplan/mod.rs:563-572). 1.2x the average keeps the
+      // gate non-vacuous: it must emit rows at every test scale (a 0-row
+      // hash match would verify only the schema).
       eng.sql(
         """SELECT c_name, o_orderkey
           |FROM customer JOIN orders
           |ON c_custkey = o_custkey
-          |   AND o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)"""
+          |   AND o_totalprice > 1.2 * (SELECT avg(o_totalprice) FROM orders)"""
           .stripMargin)
     }),
     "q40_window_funcs"    -> ops.RefQueries.q40WindowFuncs _,
@@ -239,7 +241,7 @@ object SparkEntry {
       """SELECT c_name, o_orderkey
         |FROM customer JOIN orders
         |ON c_custkey = o_custkey
-        |   AND o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)"""
+        |   AND o_totalprice > 1.2 * (SELECT avg(o_totalprice) FROM orders)"""
         .stripMargin,
     "q40_window_funcs" ->
       """SELECT o_custkey, o_orderkey,

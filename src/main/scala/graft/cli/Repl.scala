@@ -1,5 +1,7 @@
 package graft.cli
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import graft.Engine
 import graft.sqlfront.Lexer
@@ -78,8 +80,13 @@ object Repl {
     catch { case e: Exception => e.getMessage }
 
   /** Execute every statement in the script, printing each result the
-    * reference CLI's way; an error aborts the rest of the script but not
-    * the session. */
+    * reference CLI's way; an error is reported and the remaining
+    * statements still run — neither the script nor the session dies.
+    * Execution errors can surface while ITERATING the result (the
+    * compiled raise_error for a 0- or multi-row scalar subquery, casts),
+    * so result printing sits inside the same handler as the statement
+    * run. SELECT results stream through `toLocalIterator` — one
+    * partition on the driver at a time, constant memory for any size. */
   private[cli] def runScript(eng: Engine, script: String): Unit = {
     val statements =
       try graft.sqlfront.Parser.parseScript(script)
@@ -88,14 +95,9 @@ object Repl {
       }
     statements.foreach { stmt =>
       val t0 = System.nanoTime()
-      val result =
-        try Right(eng.runStatement(stmt))
-        catch { case e: Exception => Left(e.getMessage) }
-      val secs = (System.nanoTime() - t0) / 1e9
-      val dur = f"$secs%.3fs"
-      result match {
-        case Left(msg) => println(s"execution error: $msg")
-        case Right(r) => r match {
+      def dur = f"${(System.nanoTime() - t0) / 1e9}%.3fs"
+      try {
+        eng.runStatement(stmt) match {
           case eng.Created       => println(s"Created ($dur).")
           case eng.Inserted(n)   => println(s"$n rows inserted ($dur).")
           case eng.Updated(n)    => println(s"$n rows updated ($dur).")
@@ -103,7 +105,7 @@ object Repl {
           case eng.Explained(t)  => println(t)
           case eng.Rows(df)      =>
             val names = df.columns.toSeq
-            val rows = df.collect().iterator.map(row =>
+            val rows = df.toLocalIterator().asScala.map(row =>
               names.indices.map(i =>
                 if (row.isNullAt(i)) "NULL" else {
                   row.get(i) match {
@@ -119,6 +121,8 @@ object Repl {
             if (n == 0) print(prettyTable(names, Nil))
             println(s"$n rows selected ($dur).")
         }
+      } catch {
+        case e: Exception => println(s"execution error: ${e.getMessage}")
       }
     }
   }

@@ -250,16 +250,20 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
   private def aggregatePath(df0: DataFrame, sel: Select, scope: Scope)
       : DataFrame = {
     var df = df0
-    if (sel.items.contains(Wildcard))
-      throw CompileError("SELECT * is not allowed with GROUP BY")
 
-    // subqueries inside the agg path bind against the PRE-agg frame
-    var items = sel.items.map {
+    // subqueries inside the agg path bind against the PRE-agg frame.
+    // `*` under GROUP BY expands to every visible column, each resolved
+    // as a bare column → "any row of the group" (reference
+    // `execute/mod.rs:233-247` resolves them through the same bare-column
+    // rule), which the deterministic min() path below implements.
+    var items = sel.items.flatMap {
       case ExprItem(e, a) =>
         val (e2, df2) = bindSubqueries(e, df, scope); df = df2
-        ExprItem(e2, a)
-      case Wildcard => Wildcard
-    }.collect { case e: ExprItem => e }
+        Seq(ExprItem(e2, a))
+      case Wildcard =>
+        scope.sources.flatMap(s => s.schema.fieldNames.toSeq
+          .map(f => ExprItem(QualifiedIdent(s.alias, f), Some(f))))
+    }
     var having = sel.having.map { h =>
       val (h2, df2) = bindSubqueries(h, df, scope); df = df2; h2
     }
@@ -408,23 +412,27 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
       throw CompileError("scalar subquery must select exactly one column")
     val name = freshSq()
 
-    // Build the subquery's own scope over its FROM, to classify WHERE
-    // conjuncts as local vs correlated.
-    val subSources = sub.from.map {
+    // Build the subquery's own scope over its FROM + JOIN chain, to
+    // classify WHERE/ON conjuncts as local vs correlated. (The reference
+    // compiles a nested SELECT including joins by recursing into the full
+    // compiler, `queryplan/mod.rs:735-757`.)
+    def asSource(r: TableRef): Source = r match {
       case NamedTable(n, a) =>
         Source(a.getOrElse(n), catalog.table(n).schema)
       case DerivedTable(s, a) =>
         Source(a.getOrElse("__sub"), compileSelect(s, None).schema)
     }
-    if (sub.joins.nonEmpty)
-      throw CompileError("JOIN inside a scalar subquery is not supported")
+    val fromSources = sub.from.map(asSource)
+    val joinSources = sub.joins.map(j => asSource(j.table))
+    val subSources = fromSources ++ joinSources
     val subScope = Scope(subSources, Some(outerScope))
 
     val conjuncts = sub.where.map(splitAnd).getOrElse(Nil)
     val (correlated, local) =
       conjuncts.partition(referencesOuter(_, subScope))
+    val onCorrelated = sub.joins.exists(j => referencesOuter(j.on, subScope))
 
-    if (correlated.isEmpty) {
+    if (correlated.isEmpty && !onCorrelated) {
       // ---- uncorrelated: one global row, broadcast ----------------------
       val inner = compileSelect(sub, None)
       val v = inner.columns.head
@@ -465,7 +473,8 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
         case _ => None
       }
       val fastEligible = cleanPairs.forall(_.isDefined) &&
-        sub.from.length == 1 && !referencesOuter(valueExpr, subScope)
+        sub.from.length == 1 && sub.joins.isEmpty &&
+        !referencesOuter(valueExpr, subScope)
 
       if (fastEligible) {
         // ---- equality correlation: decorrelate to a per-key join ------
@@ -526,14 +535,51 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
             s"alias '${s.alias}'; alias the subquery table"))
 
         val oid = s"${name}_oid"
-        // the id is recomputed on both branches below from the same
-        // deterministic plan → identical values per row
+        // the id is position-based, so it is only stable across the TWO
+        // plan branches below (matches-join and the final join-back) if
+        // both see one materialized assignment: persist the stamped
+        // frame. Without it a nondeterministic upstream — a shuffle with
+        // ties, AQE re-coalescing, recomputation after a lost block —
+        // could stamp different ids per branch and silently misattach
+        // subquery values to rows.
         val outerW = outer.withColumn(oid, monotonically_increasing_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-        var inner = sub.from.zip(subSources.map(_.alias)).map {
-          case (NamedTable(n, _), a) => catalog.table(n).alias(a)
-          case (DerivedTable(s, _), a) => compileSelect(s, None).alias(a)
-        }.reduce(_ crossJoin _)
+        def refFrame(r: TableRef, a: String): DataFrame = r match {
+          case NamedTable(n, _) => catalog.table(n).alias(a)
+          case DerivedTable(s, _) => compileSelect(s, None).alias(a)
+        }
+        var inner = sub.from.zip(fromSources.map(_.alias))
+          .map { case (r, a) => refFrame(r, a) }.reduce(_ crossJoin _)
+        // JOIN chain inside the subquery: an ON without outer refs joins
+        // directly (scope = inner sources seen so far); an INNER join
+        // whose ON references the outer scope is folded into the
+        // correlated predicate via A JOIN B ON p ≡ A CROSS JOIN B
+        // WHERE p — a LEFT join cannot be folded that way (null-padding
+        // depends on p per outer row), so it errors explicitly.
+        var extraCorrelated = List.empty[Expr]
+        var seen = fromSources
+        sub.joins.zip(joinSources).foreach { case (j, src) =>
+          if (exprHasSubquery(j.on))
+            throw CompileError("a subquery in JOIN ON inside a " +
+              "correlated subquery is not supported")
+          val f = refFrame(j.table, src.alias)
+          seen = seen :+ src
+          if (!referencesOuter(j.on, Scope(seen, Some(outerScope)))) {
+            val localScope = Scope(seen, None)
+            val cond = compilePredicate(j.on, localScope, inner.crossJoin(f))
+            inner = j.kind match {
+              case InnerJoin => inner.join(f, cond, "inner")
+              case LeftJoin  => inner.join(f, cond, "left_outer")
+            }
+          } else j.kind match {
+            case InnerJoin =>
+              inner = inner.crossJoin(f)
+              extraCorrelated ++= splitAnd(j.on)
+            case LeftJoin => throw CompileError(
+              "correlated ON in a LEFT JOIN inside a subquery is not supported")
+          }
+        }
         val innerScope = Scope(subSources, None)
         local.foreach { p =>
           inner = inner.filter(compilePredicate(p, innerScope, inner))
@@ -543,7 +589,7 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
         val jointScope =
           Scope(subSources ++ flattenSources(outerScope), None)
         val probe = outerW.crossJoin(inner)
-        val pred = correlated
+        val pred = (correlated ++ extraCorrelated)
           .map(p => compilePredicate(p, jointScope, probe))
           .reduce(_ && _)
         val matches = outerW.join(inner, pred, "inner")

@@ -121,11 +121,14 @@ object Dedup {
     * persisting is the cluster-scale pattern (materialize the shared
     * stage), and it keeps `dedupedCorpus` from re-running the whole
     * shingle→signature→band pipeline the pair query already ran. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap[(String, Double), DataFrame]()
+  private val pairsCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Double), DataFrame]()
   def minhashLshCached(spark: SparkSession, dir: String,
                        threshold: Double = 0.5): DataFrame =
-    pairsCache.getOrElseUpdate((dir, threshold),
+    // keyed by the session too (reference identity): a DataFrame is bound
+    // to its session, so a memo hit from a different/stopped session
+    // would fail or reuse stale plans — each session builds its own entry
+    pairsCache.getOrElseUpdate((spark, dir, threshold),
       minhashLsh(spark, dir, threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

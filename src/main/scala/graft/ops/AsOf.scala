@@ -23,12 +23,15 @@ object AsOf {
   /** Generic form: `left` and `right` must share `key`, `time`, and
     * `tiebreak` column names; every column of `right` in `valueCols`
     * rides along as `asof_<name>` on the matched left rows (NULL when
-    * no right row precedes). */
+    * no right row precedes). Equi-join NULL semantics: a NULL key never
+    * matches — right rows with a NULL key are dropped, left rows with a
+    * NULL key come through with NULL asof values (the window would
+    * otherwise group all NULL keys together and "match" them). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                time: String, tiebreak: String,
                valueCols: Seq[String]): DataFrame = {
     val l2 = left.withColumn("__side", lit(1))
-    val r2 = right.select(
+    val r2 = right.filter(col(key).isNotNull).select(
       (Seq(col(key), col(time), col(tiebreak), lit(0).as("__side")) ++
         valueCols.map(c => col(c).as(s"__v_$c"))): _*)
     // unionByName null-fills each side's missing columns: the left rows

@@ -25,10 +25,11 @@ object Skew {
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
     // right/full outer would emit each unmatched small row `salts` times
-    // (the small side is exploded); only large-side-preserving joins are
-    // correct under salting
+    // (the small side is exploded), and the key+salt usingColumns join
+    // cannot express a cross join at all; only large-side-preserving
+    // equi-joins are correct under salting
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-                "leftsemi", "left_anti", "leftanti", "cross")
+                "leftsemi", "left_anti", "leftanti")
               .contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left joins only, got '$joinType'")
     // salt from a hash of the whole row: identical rows share a salt, so

@@ -356,6 +356,78 @@ class EngineSpec extends SparkSpec {
     assertSameRows(out, Seq(Row(1, 2L), Row(2, 2L), Row(3, 0L)))
   }
 
+  test("JOIN inside a scalar subquery (queryplan/mod.rs:735-757)") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE sa (k int, v int)")
+    eng.execute("CREATE TABLE sb (k int, w int)")
+    eng.execute("CREATE TABLE so (id int, cap int)")
+    eng.execute("INSERT INTO sa VALUES (1, 10), (2, 20)")
+    eng.execute("INSERT INTO sb VALUES (1, 1), (1, 2), (2, 3)")
+    eng.execute("INSERT INTO so VALUES (1, 1), (2, 15)")
+    // uncorrelated joined subquery: full join cardinality per outer row
+    assertSameRows(
+      eng.sql("""SELECT id, (SELECT count(*) FROM sa JOIN sb
+                |            ON sa.k = sb.k) AS n FROM so""".stripMargin),
+      Seq(Row(1, 3L), Row(2, 3L)))
+    // correlated WHERE over the joined inner frame (empty group -> 0)
+    assertSameRows(
+      eng.sql("""SELECT id, (SELECT count(*) FROM sa JOIN sb
+                |            ON sa.k = sb.k
+                |            WHERE sb.w >= so.cap) AS n FROM so"""
+                .stripMargin),
+      Seq(Row(1, 3L), Row(2, 0L)))
+    // outer-referencing INNER-join ON folds into the correlated predicate
+    assertSameRows(
+      eng.sql("""SELECT id, (SELECT count(*) FROM sa JOIN sb
+                |            ON sa.k = sb.k AND sb.w >= so.cap) AS n
+                |FROM so""".stripMargin),
+      Seq(Row(1, 3L), Row(2, 0L)))
+    // LEFT JOIN with a local ON inside a correlated subquery: null-padded
+    // rows survive the correlated WHERE, count(col) skips the NULLs
+    assertSameRows(
+      eng.sql("""SELECT id, (SELECT count(sb.w) FROM sa LEFT JOIN sb
+                |            ON sa.k = sb.k AND sb.w > 2
+                |            WHERE sa.v >= so.cap) AS n FROM so"""
+                .stripMargin),
+      Seq(Row(1, 1L), Row(2, 1L)))
+    // correlated ON in a LEFT JOIN cannot fold -> explicit error
+    val e = intercept[Exception](eng.sql(
+      """SELECT id, (SELECT count(*) FROM sa LEFT JOIN sb
+        |            ON sb.w >= so.cap) AS n FROM so""".stripMargin))
+    assert(e.getMessage.contains("LEFT JOIN"))
+  }
+
+  test("SELECT * under GROUP BY = any-row columns (execute/mod.rs:233-247)") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE gw (k int, v int)")
+    eng.execute("INSERT INTO gw VALUES (1, 5), (1, 9), (2, 7)")
+    // reference resolves every expanded column as a bare column -> "any
+    // row of the group"; deterministic min() here
+    assertSameRows(eng.sql("SELECT * FROM gw GROUP BY k"),
+      Seq(Row(1, 5), Row(2, 7)))
+    assertSameRows(eng.sql("SELECT *, count(*) FROM gw GROUP BY k"),
+      Seq(Row(1, 5, 2L), Row(2, 7, 1L)))
+  }
+
+  test("general decorrelation is exact over a shuffled outer frame") {
+    val eng = freshEngine
+    // the outer plan contains a repartition shuffle: the synthetic
+    // outer-row id must come from ONE materialized assignment (the
+    // persisted frame), not be re-stamped per join branch
+    val emp = Seq((1, 10, 100), (2, 10, 200), (3, 10, 300), (4, 20, 150),
+                  (5, 20, 50))
+      .toDF("id", "dept", "sal")
+      .repartition(7, org.apache.spark.sql.functions.col("sal"))
+    eng.register("semp", emp)
+    val out = eng.sql(
+      """SELECT id,
+        |  (SELECT count(*) FROM semp e
+        |   WHERE e.dept = semp.dept AND e.sal < semp.sal) AS n_lower
+        |FROM semp""".stripMargin)
+    assertSameRows(out, Seq(
+      Row(1, 0L), Row(2, 1L), Row(3, 2L), Row(4, 1L), Row(5, 0L)))
+  }
+
   test("correlated subquery rejects GROUP BY/ORDER BY/LIMIT explicitly") {
     val eng = freshEngine
     eng.execute("CREATE TABLE cg (k int, v int)")

@@ -24,6 +24,19 @@ class AsOfSpec extends SparkSpec {
       (2L, 50L, 12L, None)))       // nothing at or before t=50
   }
 
+  test("NULL keys never match (equi-join semantics)") {
+    val left = Seq((Some(1L), 100L, 10L), (None: Option[Long], 100L, 11L))
+      .toDF("k", "t", "id")
+    val right = Seq((Some(1L), 90L, 900L), (None: Option[Long], 50L, 901L))
+      .toDF("k", "t", "id")
+    val out = AsOf.asofJoin(left, right, "k", "t", "id", Seq("id"))
+      .select($"id", $"asof_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // keyed left row matches; NULL-key left row gets NULL, not the
+    // NULL-key right row that precedes it
+    assert(out == Map(10L -> Some(900L), 11L -> None))
+  }
+
   test("gate shape equals a brute-force range join on real events") {
     val got = AsOf.purchasesWithLastClick(spark, sfDir)
     val ev = graft.Tables.load(spark, sfDir, "events")

@@ -39,6 +39,15 @@ class SkewSpec extends SparkSpec {
     assert(j.filter(abs(col("sum_o_totalprice") - col("ps")) > 1e-6).count() == 0)
   }
 
+  test("saltedJoin rejects join types salting cannot preserve") {
+    for (jt <- Seq("right_outer", "full_outer", "cross")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(orders, customer, "o_custkey", 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("inner/left"))
+    }
+  }
+
   test("salt is deterministic (content-derived, retry-safe)") {
     val s1 = Skew.saltedJoin(orders, customer, "o_custkey", 7).count()
     val s2 = Skew.saltedJoin(orders, customer, "o_custkey", 7).count()
