@@ -115,9 +115,12 @@ object SparkEntry {
     "q25_dedup_fingerprint" -> ext.Dedup.fingerprint _,
     "q26_dedup_minhash"   -> ((s: SparkSession, d: String) => ext.Dedup.minhashLshCached(s, d)),
     "q27_dedup_simhash"   -> ((s: SparkSession, d: String) => ext.Dedup.simhashPairs(s, d)),
-    "q28_jaccard_pairs"   -> ((s: SparkSession, d: String) => ext.Dedup.jaccardPairs(s, d, 0.8)),
+    "q28_jaccard_pairs"   -> ((s: SparkSession, d: String) => ext.Dedup.jaccardPairsCached(s, d, 0.8)),
     "q29_emb_neardup"     -> ((s: SparkSession, d: String) => ext.Dedup.embeddingNearDup(s, d)),
-    "q39_dedup_clusters"  -> ((s: SparkSession, d: String) => ext.Dedup.dedupedCorpus(s, d)),
+    // clustering over the EXACT pair set (shared with q28) so the whole
+    // dedup pipeline is oracle-checkable; the minhash-LSH variant of the
+    // same operator stays spec-tested (DedupSpec)
+    "q39_dedup_clusters"  -> ((s: SparkSession, d: String) => ext.Dedup.dedupedCorpusExact(s, d, 0.8)),
     "q30_knn_brute"       -> ((s: SparkSession, d: String) => ext.Similarity.bruteForceTopK(s, d)),
     "q31_knn_lsh"         -> ((s: SparkSession, d: String) => ext.Similarity.lshTopK(s, d)),
     "q37_knn_ivf"         -> ((s: SparkSession, d: String) => ext.Similarity.ivfTopK(s, d)),
@@ -373,6 +376,29 @@ object SparkEntry {
         | FROM d l, d r
         | WHERE l.source = r.source AND l.doc_id < r.doc_id) p
         |WHERE jac >= 0.8""".stripMargin,
+    "q39_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, source,
+        |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |    AS ws
+        | FROM documents),
+        |p AS (SELECT a_id, b_id FROM (
+        | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+        |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+        |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+        | FROM d l, d r
+        | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+        | WHERE jac >= 0.8),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+        |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+        |SELECT doc_id, coalesce(lab.label, doc_id) AS cluster
+        |FROM documents LEFT JOIN lab ON doc_id = lab.id
+        |WHERE doc_id = coalesce(lab.label, doc_id)""".stripMargin,
     "q29_emb_neardup" ->
       """SELECT a_id, b_id, round(CAST(cos AS DOUBLE), 4) AS cos_r FROM (
         | SELECT l.vec_id AS a_id, r.vec_id AS b_id,

@@ -317,19 +317,44 @@ object Dedup {
     labels // (id, label = min reachable doc_id)
   }
 
-  /** End-to-end near-dup removal: minhash-LSH pairs → clusters → keep
-    * the smallest doc_id of each cluster plus every unpaired doc.
-    * Output: the surviving doc_ids with their cluster label. */
-  def dedupedCorpus(spark: SparkSession, dir: String,
-                    threshold: Double = 0.5): DataFrame = {
-    val labels = clusterLabels(
-      minhashLshCached(spark, dir, threshold).select(col("a_id"), col("b_id")))
+  /** Cluster a pair set and keep the smallest doc_id of each cluster
+    * plus every unpaired doc: the surviving doc_ids with their cluster
+    * label (shared tail of both deduped-corpus variants). */
+  private def survivors(spark: SparkSession, dir: String,
+                        pairs: DataFrame): DataFrame = {
+    val labels = clusterLabels(pairs.select(col("a_id"), col("b_id")))
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
     docs.join(labels, docs("doc_id") === labels("id"), "left_outer")
       .select(col("doc_id"),
               coalesce(col("label"), col("doc_id")).as("cluster"))
       .filter(col("doc_id") === col("cluster"))
   }
+
+  /** End-to-end near-dup removal: minhash-LSH pairs → clusters → keep
+    * the smallest doc_id of each cluster plus every unpaired doc.
+    * Output: the surviving doc_ids with their cluster label. */
+  def dedupedCorpus(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame =
+    survivors(spark, dir, minhashLshCached(spark, dir, threshold))
+
+  /** Per-(session, dir, threshold) memo of the EXACT prefix-filter pair
+    * set (same pattern as [[minhashLshCached]]): the pair gate and the
+    * deduped-corpus gate share one computation + persist. */
+  private val exactPairsCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Double), DataFrame]()
+  def jaccardPairsCached(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5): DataFrame =
+    exactPairsCache.getOrElseUpdate((spark, dir, threshold),
+      jaccardPairs(spark, dir, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Deduped corpus over the EXACT jaccard pair set (recall exactly 1,
+    * unlike the minhash variant) — fully deterministic, so the whole
+    * pipeline is oracle-checkable: a DuckDB WITH RECURSIVE min-label
+    * propagation over the same pairs must produce the same survivors. */
+  def dedupedCorpusExact(spark: SparkSession, dir: String,
+                         threshold: Double = 0.8): DataFrame =
+    survivors(spark, dir, jaccardPairsCached(spark, dir, threshold))
 
   /** Sign-LSH-bucketed variant of the same operator (the path when no
     * coarse cells exist): candidates share a random-hyperplane bucket. */

@@ -143,6 +143,31 @@ class DedupSpec extends SparkSpec {
     survivors.unpersist(); pairs.unpersist()
   }
 
+  test("dedupedCorpusExact clusters the exact pair set deterministically") {
+    val t = 0.8
+    val pairs = Dedup.jaccardPairs(spark, sfDir, t)
+      .select(col("a_id"), col("b_id")).cache()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val members = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id"))).distinct().count()
+    val clusters = Dedup.clusterLabels(pairs)
+      .select("label").distinct().count()
+    val survivors = Dedup.dedupedCorpusExact(spark, sfDir, t).cache()
+    assert(survivors.count() == nDocs - members + clusters)
+    assert(survivors.filter(col("doc_id") =!= col("cluster")).count() == 0)
+    // deterministic: two computations agree row-for-row
+    val again = Dedup.dedupedCorpusExact(spark, sfDir, t)
+    assert(survivors.exceptAll(again).isEmpty &&
+           again.exceptAll(survivors).isEmpty)
+    survivors.unpersist(); pairs.unpersist()
+  }
+
+  test("jaccardPairsCached returns the same persisted frame per (session, dir, threshold)") {
+    val a = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
+    val b = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
+    assert(a eq b)
+  }
+
   test("minhash signature is stable across runs (fixed permutations)") {
     val sig1 = Dedup.signatures(Dedup.shingled(spark, sfDir))
       .orderBy("doc_id").limit(3).collect().map(_.toString).toSeq
