@@ -124,6 +124,10 @@ object Streams {
 
   private def runBounded(df: DataFrame, mode: OutputMode,
                          statePartitions: Int = 4): DataFrame = {
+    // tuning knob for gate/probe runs: -Dgraft.stream.statePartitions=N
+    // overrides every bounded run's state partition count
+    val parts = sys.props.get("graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(statePartitions)
     val spark = df.sparkSession
     val name = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -153,7 +157,7 @@ object Streams {
       conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     val prevParts = conf.getOption("spark.sql.shuffle.partitions")
     conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    conf.set("spark.sql.shuffle.partitions", parts.toString)
     val q =
       try {
         val started = df.writeStream.format("memory").queryName(name)

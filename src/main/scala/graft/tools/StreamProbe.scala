@@ -27,13 +27,17 @@ object StreamProbe {
           s"durations=${e.progress.durationMs} rows=${e.progress.numInputRows}")
     }
     spark.streams.addListener(listener)
-    for (name <- Seq("hourly", "sessionize"); _ <- 1 to 2) {
+    for (name <- Seq("hourly", "sessionize", "funnel", "enrich"); _ <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = name match {
         case "hourly" =>
           graft.streaming.Streams.hourlyAggAvailableNow(spark, sfDir).count()
-        case _ =>
+        case "sessionize" =>
           graft.streaming.Streams.sessionCountsAvailableNow(spark, sfDir).count()
+        case "funnel" =>
+          graft.streaming.Streams.funnelJoinAvailableNow(spark, sfDir).count()
+        case _ =>
+          graft.streaming.Streams.enrichedSegmentAvailableNow(spark, sfDir).count()
       }
       println(f"[probe] $name total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
