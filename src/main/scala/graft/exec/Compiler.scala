@@ -537,13 +537,18 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
         val oid = s"${name}_oid"
         // the id is position-based, so it is only stable across the TWO
         // plan branches below (matches-join and the final join-back) if
-        // both see one materialized assignment: persist the stamped
-        // frame. Without it a nondeterministic upstream — a shuffle with
-        // ties, AQE re-coalescing, recomputation after a lost block —
-        // could stamp different ids per branch and silently misattach
-        // subquery values to rows.
+        // both see one materialized assignment: eagerly checkpoint the
+        // stamped frame. localCheckpoint over persist() for two reasons:
+        // (1) lifecycle — persisted frames sit in the session's
+        // CacheManager forever unless explicitly unpersisted (and the
+        // statement's action happens after compilation returns, so there
+        // is no safe unpersist point); a checkpointed RDD is freed by the
+        // ContextCleaner as soon as the result frame is dropped. (2)
+        // failure semantics — the truncated lineage means a lost block
+        // fails the query loudly instead of silently recomputing with
+        // different ids and misattaching subquery values to rows.
         val outerW = outer.withColumn(oid, monotonically_increasing_id())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
 
         def refFrame(r: TableRef, a: String): DataFrame = r match {
           case NamedTable(n, _) => catalog.table(n).alias(a)

@@ -123,14 +123,29 @@ object Dedup {
     * shingle→signature→band pipeline the pair query already ran. */
   private val pairsCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Double), DataFrame]()
+
+  /** Drop memo entries whose session has been stopped — their cached
+    * blocks are already gone, and without the sweep a JVM that creates
+    * and stops many sessions (test suites, notebooks) would retain a
+    * DataFrame + session reference per stopped session forever. Swept
+    * lazily on every memo access; the maps hold a handful of entries. */
+  private def sweepStopped[V](
+      m: scala.collection.concurrent.TrieMap[(SparkSession, String, Double), V])
+      : Unit =
+    m.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) m.remove(k)
+    }
+
   def minhashLshCached(spark: SparkSession, dir: String,
-                       threshold: Double = 0.5): DataFrame =
+                       threshold: Double = 0.5): DataFrame = {
     // keyed by the session too (reference identity): a DataFrame is bound
     // to its session, so a memo hit from a different/stopped session
     // would fail or reuse stale plans — each session builds its own entry
+    sweepStopped(pairsCache)
     pairsCache.getOrElseUpdate((spark, dir, threshold),
       minhashLsh(spark, dir, threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   // ---- SimHash ------------------------------------------------------
 
@@ -282,39 +297,77 @@ object Dedup {
     * by an unchanged-labels check. At very large scale the same loop is
     * the standard large/small-star formulation — the plan shape per
     * iteration is identical. */
-  def clusterLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list, both directions, PLUS a self-edge per node:
-    // the self-edge carries each node's own label through the neighbor
-    // aggregation, so one join+agg per iteration computes
-    // min(own, neighbors) — no second join against the label table
-    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    val edges = sym
-      .union(sym.select(col("src").as("src"), col("src").as("dst")).distinct())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def clusterLabels(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // An iterative fixpoint is the one shape the DataFrame API has no
+    // operator for: every formulation pays a full Catalyst analyze +
+    // optimize + shuffle-planning pass PER ITERATION (persist leaves the
+    // logical plan growing — measured 1.6 s → 4.0 s per round at sf0.1;
+    // eager localCheckpoint makes it constant but stats-free LogicalRDDs
+    // sort-merge-join every round — still ~1.2 s/iter on a 300k-edge
+    // graph). So this one operator drops to the co-partitioned RDD loop
+    // — the same design GraphX's Pregel uses, and the documented
+    // exception to "DataFrames everywhere":
+    //   * edges are keyed by dst and hash-partitioned ONCE, then cached;
+    //   * labels live on the SAME partitioner, so the per-iteration join
+    //     is narrow (zero shuffle on the 'big' side);
+    //   * the only per-iteration shuffle is the map-side-combined
+    //     min-reduce over (node → candidate label) — |nodes| rows;
+    //   * the convergence probe is a narrow co-partitioned join.
+    // At 100 TB the edge RDD is the near-dup pair set (≪ corpus); the
+    // partitioner spreads it across the cluster and nothing here ever
+    // collects to the driver.
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(4, sc.defaultParallelism / 4))
+    // (dst → src), both directions: "dst's label is a candidate for src"
+    val edges = p.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist(mem)
+    edges.count() // materialize once; the deep pair plan compiles here only
+    // every node appears as a dst (edges are symmetric), so the edge keys
+    // enumerate the nodes; one map-side-combined reduce seeds label = id
+    var labels = edges.map { case (dst, _) => (dst, dst) }
+      .reduceByKey(part, math.min(_: Long, _: Long)).persist(mem)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // own label rides along via the union (no self-edges needed):
+      // next(id) = min(label(id), min over neighbors' labels)
+      val next = edges.join(labels)
+        .map { case (_, (src, label)) => (src, label) }
+        .union(labels)
+        .reduceByKey(part, math.min(_: Long, _: Long))
+        .persist(mem)
       // iteration 1 always changes something on any non-trivial edge set —
-      // skip its convergence-count job (one fewer Spark job per call)
+      // skip its convergence probe (one fewer Spark job per call)
       val changed =
-        if (iter == 0) 1L
-        else next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
+        if (iter == 0) true
+        else next.join(labels)
+          .filter { case (_, (n, o)) => n != o }.take(1).nonEmpty
+      labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
+      converged = !changed
       iter += 1
     }
-    edges.unpersist()
-    labels // (id, label = min reachable doc_id)
+    edges.unpersist(blocking = false)
+    // Non-convergence must surface, not silently return partial labels:
+    // the exact-oracle gate (q39) compares against a full transitive
+    // closure, so a component with diameter > maxIter would otherwise
+    // produce a silent oracle mismatch.
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterLabels did not converge within $maxIter iterations — " +
+        "a duplicate chain longer than maxIter exists; raise maxIter")
+    spark.createDataFrame(labels.map { case (idNode, label) =>
+      org.apache.spark.sql.Row(idNode, label) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Cluster a pair set and keep the smallest doc_id of each cluster
@@ -343,10 +396,12 @@ object Dedup {
   private val exactPairsCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Double), DataFrame]()
   def jaccardPairsCached(spark: SparkSession, dir: String,
-                         threshold: Double = 0.5): DataFrame =
+                         threshold: Double = 0.5): DataFrame = {
+    sweepStopped(exactPairsCache)
     exactPairsCache.getOrElseUpdate((spark, dir, threshold),
       jaccardPairs(spark, dir, threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Deduped corpus over the EXACT jaccard pair set (recall exactly 1,
     * unlike the minhash variant) — fully deterministic, so the whole

@@ -125,9 +125,11 @@ object Streams {
   private def runBounded(df: DataFrame, mode: OutputMode,
                          statePartitions: Int = 4): DataFrame = {
     // tuning knob for gate/probe runs: -Dgraft.stream.statePartitions=N
-    // overrides every bounded run's state partition count
+    // overrides every bounded run's state partition count; malformed or
+    // non-positive values fall back to the default instead of throwing
+    // from deep inside the stream run
     val parts = sys.props.get("graft.stream.statePartitions")
-      .map(_.toInt).getOrElse(statePartitions)
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(statePartitions)
     val spark = df.sparkSession
     val name = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
