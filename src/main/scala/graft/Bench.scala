@@ -23,16 +23,35 @@ object Bench {
       streaming.Streams.hourlyAggAvailableNow(
         spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Two full passes, report the per-query MIN: single-shot timings on a
+    // shared VM swing 2-5x under host contention, so one sample measures
+    // the neighbor's load, not the plan. Between passes every cached
+    // block (DataFrame persists, memoized pair tables, RDD persists from
+    // the label-propagation loop) is dropped, so the second pass honestly
+    // recomputes each operator rather than reading pass-1 caches.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val reps = 2
+    val samples = (1 to reps).map { pass =>
+      if (pass > 1) {
+        ext.Dedup.clearMemos()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = names.map { case (name, _) =>
+      name -> samples.map(_(name)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt log prefixes — also write the JSON to a
     // file so machine consumers don't have to scrape the build log
     println(json)

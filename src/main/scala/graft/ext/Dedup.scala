@@ -136,6 +136,17 @@ object Dedup {
       if (k._1.sparkContext.isStopped) m.remove(k)
     }
 
+  /** Drop every memoized pair table and its cached blocks (benchmark
+    * harness hook: lets a measurement pass start from the same no-cache
+    * state a fresh session would). */
+  def clearMemos(): Unit = {
+    (pairsCache.values ++ exactPairsCache.values).foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    pairsCache.clear()
+    exactPairsCache.clear()
+  }
+
   def minhashLshCached(spark: SparkSession, dir: String,
                        threshold: Double = 0.5): DataFrame = {
     // keyed by the session too (reference identity): a DataFrame is bound
