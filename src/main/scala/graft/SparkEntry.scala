@@ -316,8 +316,23 @@ object SparkEntry {
         |  WHERE token <> ''
         |  GROUP BY source, token)
         |WHERE rnk <= 5""".stripMargin,
-    // ---- extensions (q26/q27/q31/q34 are not SQL-expressible:
+    // ---- extensions (q26/q27/q31/q37 are not SQL-expressible:
     //      engine-internal hashes / custom expressions → rows-only) ----
+    // q34: the media payloads are real PNG/GIF/BMP bytes generated
+    // deterministically from doc_id (solid gray doc_id % 256, size
+    // derived from doc_id), and the gate sums the DECODED values — so
+    // the oracle recomputes the same integer sums analytically from
+    // doc_id, verifying the javax.imageio encode→decode round trip.
+    "q34_multimodal" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |            WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+        |  count(*) AS n,
+        |  CAST(sum(doc_id % 13 + 4) AS BIGINT) AS sum_width,
+        |  CAST(sum(doc_id % 7 + 4) AS BIGINT) AS sum_height,
+        |  CAST(sum(doc_id % 256) AS BIGINT) AS sum_gray,
+        |  CAST(sum(CASE WHEN doc_id % 256 < 32 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_f0
+        |FROM documents GROUP BY 1""".stripMargin,
     "q20_text_stats" ->
       """SELECT doc_id, n_tokens, n_alnum, n_stop, n_chars_raw,
         | CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0) AS stop_ratio,

@@ -5,18 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
-  * typed metadata struct, processed per-partition.
+  * typed metadata struct, processed per-partition with REAL codecs.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic fake (see [[FakeCodec]]); everything
-  * Spark-side is real and tested: the schema (binary payload + metadata
-  * struct), partition-batched processing via `mapPartitions` on a typed
-  * `Dataset` (the Scala analog of mapInPandas' batch shape — one iterator
-  * per partition, constant memory), and the explode-style frame sampler.
+  * The decode path uses `javax.imageio` (JDK-native — no external
+  * libraries), so the payloads are genuine PNG/GIF/BMP bytes and
+  * `extractFeatures` performs a real parse+decode per image. The demo
+  * media table synthesizes its images deterministically from `doc_id`
+  * (solid gray `doc_id % 256`, size derived from `doc_id`), which makes
+  * the whole encode→decode→aggregate pipeline exactly checkable by a
+  * SQL oracle: any decode defect (channel order, scaling, size) breaks
+  * the per-format sums the gate hashes.
   *
   * At 100 TB: payloads stay in executors end-to-end (no driver collect);
-  * decode parallelism = partition count; feature vectors are fixed-width
-  * arrays so downstream joins/aggs are columnar.
+  * decode parallelism = partition count via `mapPartitions` on a typed
+  * `Dataset` (one iterator per partition, constant memory — the Scala
+  * analog of mapInPandas' batch contract); feature vectors are
+  * fixed-width arrays so downstream joins/aggs are columnar.
   */
 object Multimodal {
 
@@ -24,56 +28,109 @@ object Multimodal {
   case class MediaRow(media_id: Long, payload: Array[Byte],
                       format: String, width: Int, height: Int)
 
+  /** Decoded per-image features. `width`/`height`/`mean_px` come from
+    * the DECODED pixels, not the metadata — the two agreeing is what the
+    * round-trip spec and the q34 oracle verify. `feature` is an 8-bucket
+    * luminance histogram (shares sum to 1). */
   case class MediaFeatures(media_id: Long, format: String,
-                           n_bytes: Long, mean_byte: Double,
-                           feature: Array[Double])
+                           width: Int, height: Int, n_bytes: Long,
+                           mean_px: Double, feature: Array[Double])
 
-  /** STUB decoder — deterministic fake standing in for a real codec
-    * (libjpeg/ffmpeg are not in this container). Derives "pixels" from
-    * payload bytes so tests are reproducible. The Spark plumbing around
-    * it (schema, batching, partitioning) is the real deliverable. */
-  object FakeCodec {
-    /** "Decode" a payload into an 8-bucket byte histogram feature. */
-    def decodeToFeature(payload: Array[Byte]): Array[Double] = {
+  /** Real JDK codec layer. All three formats are lossless for the
+    * solid-color RGB images the demo table generates (PNG always; GIF
+    * palettizes exactly ≤256 distinct colors; BMP is raw). */
+  object Codec {
+    private val Formats = Array("png", "gif", "bmp")
+    def formatFor(id: Long): String = Formats((id % 3).toInt)
+    def widthFor(id: Long): Int = (id % 13).toInt + 4
+    def heightFor(id: Long): Int = (id % 7).toInt + 4
+    def grayFor(id: Long): Int = (id % 256).toInt
+
+    // ImageIO's default scratch-file cache costs a temp-file per
+    // encode/decode; in-memory streams don't need it
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Encode the deterministic image for `id` in its format: solid
+      * gray `grayFor(id)`, widthFor × heightFor. */
+    def encode(id: Long): Array[Byte] = {
+      val w = widthFor(id); val h = heightFor(id); val g = grayFor(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(img, formatFor(id), bos)
+      if (!ok) throw new IllegalStateException(
+        s"no ImageIO writer for ${formatFor(id)}")
+      bos.toByteArray
+    }
+
+    case class Decoded(width: Int, height: Int, meanPx: Double,
+                       hist: Array[Double])
+
+    /** Parse + decode real image bytes; mean luminance uses the integer
+      * (r+g+b)/3 per pixel so solid-gray images decode to an exact
+      * integer-valued mean. */
+    def decode(payload: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException("payload is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
       val hist = new Array[Double](8)
-      var i = 0
-      while (i < payload.length) {
-        hist((payload(i) & 0xFF) >> 5) += 1.0
-        i += 1
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                     (rgb & 0xFF)) / 3
+          sum += lum
+          hist(lum >> 5) += 1.0
+          x += 1
+        }
+        y += 1
       }
-      if (payload.length > 0) {
-        var j = 0
-        while (j < 8) { hist(j) /= payload.length; j += 1 }
-      }
-      hist
+      val n = w.toLong * h
+      var j = 0
+      while (j < 8) { hist(j) /= n; j += 1 }
+      Decoded(w, h, sum.toDouble / n, hist)
     }
   }
 
-  /** Build a media table from `documents`: payload = utf-8 bytes of the
-    * text (a stand-in for real image bytes), metadata derived
-    * deterministically. Demonstrates the binary-column schema. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+  /** Build a media table keyed by `documents.doc_id`: payload = real
+    * encoded image bytes (PNG/GIF/BMP by id), metadata derived
+    * deterministically. Encoding runs on executors via a typed
+    * `mapPartitions` — payloads never touch the driver. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.load(spark, dir, "documents")
-      .select(
-        col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        element_at(array(lit("png"), lit("jpeg"), lit("webp")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
-        (pmod(col("doc_id"), lit(640)) + 32).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          MediaRow(id, Codec.encode(id), Codec.formatFor(id),
+                   Codec.widthFor(id), Codec.heightFor(id))
+        }
+      }
+      .toDF()
+  }
 
-  /** Decode + feature-extract, batched per partition. Typed Dataset →
-    * mapPartitions: the iterator never materializes a partition in
-    * memory, matching mapInPandas' batch contract. */
+  /** Decode + feature-extract, batched per partition. The emitted
+    * width/height/mean come from the decoded pixels — the metadata
+    * columns are deliberately ignored so the gate exercises the codec. */
   def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val feat = FakeCodec.decodeToFeature(r.payload)
-        val mean =
-          if (r.payload.length == 0) 0.0
-          else r.payload.map(b => (b & 0xFF).toDouble).sum / r.payload.length
-        MediaFeatures(r.media_id, r.format, r.payload.length.toLong, mean, feat)
+        val d = Codec.decode(r.payload)
+        MediaFeatures(r.media_id, r.format, d.width, d.height,
+                      r.payload.length.toLong, d.meanPx, d.hist)
       }
     }
   }
@@ -92,12 +149,19 @@ object Multimodal {
             .stripMargin)).as(Seq("frame_idx", "frame")))
       .filter(pmod(col("frame_idx"), lit(stride)) === 0)
 
-  /** Queryable summary for the driver gate: per-format feature stats.
-    * (Registered rows-only — the fake decode is not SQL-expressible.) */
+  /** Driver-gate summary: per-format counts and integer sums of the
+    * DECODED width/height/gray plus the count of images whose whole
+    * histogram mass sits in bucket 0 (gray < 32). All columns are exact
+    * integers — no float rounding — and every value is analytically
+    * derivable from doc_id, so a DuckDB oracle over `documents` verifies
+    * the real encode→decode round trip. */
   def featureSummary(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF()
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n"),
-           round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
-           round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"))
+           sum(col("width")).as("sum_width"),
+           sum(col("height")).as("sum_height"),
+           sum(col("mean_px")).cast("long").as("sum_gray"),
+           sum(when(element_at(col("feature"), 1) === 1.0, 1L)
+             .otherwise(0L)).as("n_f0"))
 }

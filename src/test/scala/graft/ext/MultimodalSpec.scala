@@ -3,10 +3,9 @@ package graft.ext
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Multimodal binary-column plumbing: schema, per-partition batch
-  * processing, frame sampling. The codec itself is a documented stub. */
+/** Multimodal binary-column plumbing with REAL JDK codecs: the payloads
+  * are genuine PNG/GIF/BMP bytes and decode goes through javax.imageio. */
 class MultimodalSpec extends SparkSpec {
-  import spark.implicits._
 
   test("media table has the binary + typed-metadata schema") {
     val df = Multimodal.mediaTable(spark, sfDir)
@@ -17,20 +16,37 @@ class MultimodalSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("feature extraction: histogram sums to 1, mean byte in range") {
+  test("codec round trip: all three formats decode to the encoded image") {
+    (0L until 60L).foreach { id =>
+      val payload = Multimodal.Codec.encode(id)
+      // real container bytes, not raw pixels: PNG/GIF/BMP magic numbers
+      val magicOk = Multimodal.Codec.formatFor(id) match {
+        case "png" => (payload(0) & 0xFF) == 0x89 && payload(1) == 'P'
+        case "gif" => payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
+        case "bmp" => payload(0) == 'B' && payload(1) == 'M'
+      }
+      assert(magicOk, s"id=$id wrong magic for ${Multimodal.Codec.formatFor(id)}")
+      val d = Multimodal.Codec.decode(payload)
+      assert(d.width == Multimodal.Codec.widthFor(id))
+      assert(d.height == Multimodal.Codec.heightFor(id))
+      assert(d.meanPx == Multimodal.Codec.grayFor(id).toDouble,
+        s"id=$id decoded mean ${d.meanPx} != ${Multimodal.Codec.grayFor(id)}")
+      // solid image: all histogram mass in the gray's bucket
+      assert(d.hist(Multimodal.Codec.grayFor(id) >> 5) == 1.0)
+      assert(math.abs(d.hist.sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("feature extraction decodes real bytes distributed") {
     val feats = Multimodal.extractFeatures(spark, sfDir).cache()
     val bad = feats.filter(f =>
       math.abs(f.feature.sum - 1.0) > 1e-9 ||
-      f.mean_byte < 0 || f.mean_byte > 255 ||
+      f.mean_px != Multimodal.Codec.grayFor(f.media_id).toDouble ||
+      f.width != Multimodal.Codec.widthFor(f.media_id) ||
+      f.height != Multimodal.Codec.heightFor(f.media_id) ||
       f.n_bytes <= 0).count()
     assert(bad == 0)
     feats.unpersist()
-  }
-
-  test("fake codec is deterministic on a known payload") {
-    val payload = "abc".getBytes("UTF-8") // 97,98,99 -> bucket 3 (>>5)
-    val f = Multimodal.FakeCodec.decodeToFeature(payload)
-    assert(f(3) == 1.0 && f.sum == 1.0)
   }
 
   test("frame sampler: stride-spaced indices, bounded frame size") {
@@ -42,11 +58,20 @@ class MultimodalSpec extends SparkSpec {
     frames.unpersist()
   }
 
-  test("featureSummary groups by format over all media") {
-    val df = Multimodal.featureSummary(spark, sfDir)
-    val rows = df.collect()
-    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp")))
-    assert(rows.map(r => r.getLong(1)).sum ==
-      Multimodal.mediaTable(spark, sfDir).count())
+  test("featureSummary matches the analytic per-format sums") {
+    val rows = Multimodal.featureSummary(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+                                   r.getLong(4), r.getLong(5))).toMap
+    val ids = Multimodal.mediaTable(spark, sfDir)
+      .select("media_id").collect().map(_.getLong(0))
+    val expected = ids.groupBy(Multimodal.Codec.formatFor).map {
+      case (fmt, gs) =>
+        fmt -> ((gs.length.toLong,
+                 gs.map(Multimodal.Codec.widthFor(_).toLong).sum,
+                 gs.map(Multimodal.Codec.heightFor(_).toLong).sum,
+                 gs.map(Multimodal.Codec.grayFor(_).toLong).sum,
+                 gs.count(Multimodal.Codec.grayFor(_) < 32).toLong))
+    }
+    assert(rows == expected)
   }
 }
