@@ -133,6 +133,14 @@ object SparkEntry {
     "q35_stream_hourly"   -> streaming.Streams.hourlyAggAvailableNow _,
     "q36_stream_sessionize" -> streaming.Streams.sessionCountsAvailableNow _,
     "q46_stream_funnel"   -> streaming.Streams.funnelJoinAvailableNow _,
+    // multi-level aggregation + keyword extraction (ops/Olap, ext/)
+    "q50_rollup"          -> ops.Olap.rollupAgg _,
+    "q51_cube"            -> ops.Olap.cubeAgg _,
+    "q52_grouping_sets"   -> ops.Olap.groupingSets _,
+    "q53_pivot"           -> ops.Olap.pivotHourlyTypes _,
+    "q54_percentile"      -> ops.Olap.percentiles _,
+    "q55_tfidf"           -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.tfidfTopTerms(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -469,5 +477,59 @@ object SparkEntry {
         |                 ORDER BY ts, event_id) AS prev_ts
         |  FROM events) t) s
         |GROUP BY user_id""".stripMargin,
+    "q50_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(l_quantity) AS sum_l_quantity
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q51_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(l_quantity) AS sum_l_quantity
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q52_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(l_quantity) AS sum_l_quantity
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin,
+    "q53_pivot" ->
+      """SELECT date_trunc('hour', ts) AS h,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q54_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q55_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS n_tf FROM toks
+        |  WHERE token <> '' GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+        |SELECT doc_id, token, n_tf, df, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT tf.doc_id, tf.token, tf.n_tf, dfreq.df,
+        |         tf.n_tf * 1000000 // dfreq.df AS score,
+        |         row_number() OVER (
+        |           PARTITION BY tf.doc_id
+        |           ORDER BY (tf.n_tf * 1000000 // dfreq.df) DESC, tf.token)
+        |           AS rnk
+        |  FROM tf JOIN dfreq USING (token)) t
+        |WHERE rnk <= 3""".stripMargin,
   )
 }

@@ -138,6 +138,39 @@ object TextAnalysis {
       .select(col("source"), col("token"), col("n"), col("rnk"))
   }
 
+  /** Per-document top-k terms by a TF-IDF-style relevance score — the
+    * keyword-extraction step of a corpus-analysis pipeline. The score is
+    * kept in exact integer arithmetic (`n_tf * 1_000_000 div df` — tf
+    * scaled against document frequency; floor division) instead of the
+    * float `tf·ln(N/df)` so the ranking is bit-deterministic across
+    * engines: float scores tie-break differently when two terms land
+    * within an ulp, which breaks oracle comparison without changing the
+    * semantics being tested. Ties break on the token.
+    *
+    * Scale: one explode + two token-keyed shuffles (term counts, then
+    * document frequencies over the already-aggregated tf table — vocab-
+    * sized, not corpus-sized) + a per-doc top-k window partitioned on
+    * doc_id. No driver-side state; df is a candidate for broadcast when
+    * the vocabulary is bounded. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              explode(split(normalized(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n_tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", expr("n_tf * 1000000 div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("n_tf"), col("df"),
+              col("score"), col("rnk"))
+  }
+
   /** BPE-ish token counting: letter runs, single digits, single
     * punctuation marks — the pre-tokenizer split most BPE vocabularies
     * assume. Pure regex count, identical in Java regex and RE2. */

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multi-level aggregation operators beyond the reference surface
+  * (SURVEY.md §2.5 family): ROLLUP / CUBE / GROUPING SETS / PIVOT and
+  * exact per-group percentiles.
+  *
+  * Scale notes: rollup/cube/grouping-sets compile to Catalyst's Expand +
+  * partial-aggregate plan — one shuffle keyed on (group cols,
+  * grouping-id), map-side combined, so the multi-level aggregation costs
+  * one pass regardless of level count. Pivot is a bounded-width
+  * conditional aggregation (the value list is explicit — never inferred
+  * by a driver-side distinct scan at 100 TB). Exact percentile
+  * materializes each group's values (fine for bounded group counts like
+  * return flags); unbounded-cardinality groups should use
+  * approx_percentile(t-digest) instead — both are exposed.
+  *
+  * All gates emit exact integers or exact integer-valued double sums
+  * (l_quantity is integral), so DuckDB oracle hashes are bit-stable.
+  */
+object Olap {
+
+  /** ROLLUP (l_returnflag, l_linestatus): per-pair, per-flag, grand
+    * total — the hierarchy roll-up. NULL marks rolled-up levels, same as
+    * ANSI. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_quantity")).as("sum_l_quantity"))
+
+  /** CUBE (l_returnflag, l_linestatus): every subset of the grouping
+    * columns. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_quantity")).as("sum_l_quantity"))
+
+  /** Explicit GROUPING SETS — the general form rollup/cube desugar to
+    * (per-flag, per-status, grand total; never the pair). Spark exposes
+    * it in SQL only, so the operator registers a view and uses the SQL
+    * form — same Expand plan as rollup/cube. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("olap_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(l_quantity) AS sum_l_quantity
+        |FROM olap_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin)
+  }
+
+  /** The event-type universe pivoted into columns. Explicit value list:
+    * pivot with an inferred list needs a driver-side distinct scan —
+    * never acceptable on an unbounded stream of event types. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT: hourly event counts, one column per event type. Single
+    * shuffle on the hour; the pivot itself is a conditional count
+    * (codegen'd), width bounded by the explicit type list. */
+  def pivotHourlyTypes(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    // absent (hour, type) combos pivot to NULL; the gate wants exact 0s
+    pivoted.select(col("h") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** Exact per-group percentiles (median, p90) of l_quantity.
+    * l_quantity is integral, and both engines interpolate quantiles with
+    * the same (n-1)·q rule, so the exact values are bit-identical. (The
+    * 100 TB path for unbounded group cardinalities is
+    * `approx_percentile` — a mergeable t-digest-style sketch — but its
+    * output is engine-specific, so the gate hashes the exact form.) */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+           percentile(col("l_quantity"), lit(0.9)).as("p90"))
+}
