@@ -141,6 +141,9 @@ object SparkEntry {
     "q54_percentile"      -> ops.Olap.percentiles _,
     "q55_tfidf"           -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.tfidfTopTerms(s, d)),
+    "q56_repetition"      -> ext.TextAnalysis.repetitionStats _,
+    "q57_contamination"   -> ((s: SparkSession, d: String) =>
+      ext.Contamination.contaminated(s, d, n = 4)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -531,5 +534,37 @@ object SparkEntry {
         |           AS rnk
         |  FROM tf JOIN dfreq USING (token)) t
         |WHERE rnk <= 3""".stripMargin,
+    "q56_repetition" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(string_split(
+        |      trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> '' GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS max_tf,
+        |       CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT)
+        |         AS top_share,
+        |       CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT)
+        |         AS distinct_ratio
+        |FROM tf GROUP BY doc_id""".stripMargin,
+    "q57_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS gram
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, len(ts) - 3)) AS i
+        |        FROM toks WHERE len(ts) >= 4)),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+        |train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
+        |SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT)
+        |         AS n_shared_grams
+        |FROM train JOIN bench USING (gram)
+        |GROUP BY doc_id""".stripMargin,
   )
 }

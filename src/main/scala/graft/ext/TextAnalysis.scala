@@ -138,6 +138,31 @@ object TextAnalysis {
       .select(col("source"), col("token"), col("n"), col("rnk"))
   }
 
+  /** Per-document repetition signals — the quality filter that catches
+    * boilerplate/spam (a document repeating one token dominates its
+    * token distribution): total/distinct token counts, the max single-
+    * token count, and the derived ratios. Ratios divide the exact
+    * integer counts, so both engines produce bit-identical doubles.
+    *
+    * Scale: one (doc_id, token) shuffle with map-side combine, then a
+    * doc_id-keyed aggregate of the (bounded: per-doc vocab) count
+    * table. Docs that normalize to zero tokens drop out on both sides. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              explode(split(normalized(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           max(col("n")).as("max_tf"))
+      .withColumn("top_share",
+        col("max_tf").cast("double") / col("n_tokens"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+
   /** Per-document top-k terms by a TF-IDF-style relevance score — the
     * keyword-extraction step of a corpus-analysis pipeline. The score is
     * kept in exact integer arithmetic (`n_tf * 1_000_000 div df` — tf
