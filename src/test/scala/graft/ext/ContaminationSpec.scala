@@ -35,6 +35,14 @@ class ContaminationSpec extends SparkSpec {
     assert(flagged == expected)
   }
 
+  test("contamination joins broadcast — the corpus is never shuffled for it") {
+    val plan = Contamination.contaminated(spark, sfDir, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join against the benchmark gram set:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus-side shuffle join found")
+  }
+
   test("repetition stats: identities hold row by row") {
     val out = TextAnalysis.repetitionStats(spark, sfDir).cache()
     assert(out.count() > 0)

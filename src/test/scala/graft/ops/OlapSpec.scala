@@ -35,6 +35,16 @@ class OlapSpec extends SparkSpec {
     assert(Olap.groupingSets(spark, sfDir).count() == flags + stats + 1)
   }
 
+  test("rollup is one Expand + one shuffle, not a pass per level") {
+    // AQE wraps the physical plan, so count exchanges in the rendered
+    // initial plan rather than collecting node instances
+    val s = Olap.rollupAgg(spark, sfDir).queryExecution.executedPlan.toString
+    assert(s.contains("Expand"), s"rollup should plan through Expand:\n$s")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(exchanges == 1,
+      s"rollup should shuffle exactly once, found $exchanges:\n$s")
+  }
+
   test("pivot columns partition the hourly event counts") {
     val out = Olap.pivotHourlyTypes(spark, sfDir).cache()
     val pivotTotal = out.select(
