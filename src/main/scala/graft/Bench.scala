@@ -34,6 +34,7 @@ object Bench {
     val samples = (1 to reps).map { pass =>
       if (pass > 1) {
         ext.Dedup.clearMemos()
+        ext.Similarity.clearMemos()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

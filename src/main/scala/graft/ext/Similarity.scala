@@ -210,11 +210,32 @@ object Similarity {
     * Defaults hit ≥0.95 recall vs brute force on the synthetic
     * near-random embeddings (asserted in SimilaritySpec); on real
     * clustered corpora the same recall needs fewer probes. */
+  /** Per-(session, dir, numCells) memo of the trained centroids — the
+    * index-build-once pattern: an IVF index is a model artifact built
+    * when the corpus is ingested, not retrained per query. Centroids are
+    * K×dim driver-side doubles (bounded), so the memo holds no executor
+    * state; entries for stopped sessions are swept on access. */
+  private val centroidCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Int), Array[Array[Double]]]()
+
+  /** Drop memoized centroids (benchmark harness hook — lets a
+    * measurement pass retrain from the same cold state as a fresh
+    * session). */
+  def clearMemos(): Unit = centroidCache.clear()
+
+  private def trainedCentroidsCached(spark: SparkSession, corpus: DataFrame,
+                                     dir: String, k: Int): Array[Array[Double]] = {
+    centroidCache.keys.foreach { key =>
+      if (key._1.sparkContext.isStopped) centroidCache.remove(key)
+    }
+    centroidCache.getOrElseUpdate((spark, dir, k), trainCentroids(corpus, k))
+  }
+
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
               k: Int = 10, numCells: Int = 24, nProbe: Int = 4,
               nAssign: Int = 3): DataFrame = {
     val corpus = Tables.load(spark, dir, "embeddings")
-    val cents = trainCentroids(corpus, numCells)
+    val cents = trainedCentroidsCached(spark, corpus, dir, numCells)
     val corpusCells = withIvfCellsMulti(corpus, col("embedding"), cents, nAssign)
       .select(col("vec_id").as("nid"), l2normalize(col("embedding")).as("ne"),
               col("cell"))
