@@ -29,12 +29,11 @@ object Contamination {
       .select(col("doc_id"),
               split(TextAnalysis.normalized(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= n)
-      // sequence(1, size-n+1) is ascending only when size >= n — the
-      // filter above guarantees it (Spark's sequence(1, 0) descends!)
+      // codegen'd kernel — the equivalent transform/slice/concat_ws HOF
+      // is evaluated interpreted per array element (StringNGramsSpec
+      // asserts value parity with that formulation)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(ts) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(ts, i, $n)))")).as("gram"))
+        explode(graft.functions.StringNGrams.ngrams(col("ts"), n)).as("gram"))
 
   /** Contaminated training docs: every doc outside the benchmark slice
     * that shares at least one word-`n`-gram with it, with the count of

@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "hash_shingles(words, n)")
         HashShingles(args.head, intArg(args(1), "n"), dedupe = true)
       }))
+    ext.injectFunction((FunctionIdentifier("string_ngrams"),
+      info("string_ngrams",
+        "string_ngrams(words, n) - word n-gram strings, document order"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "string_ngrams(words, n)")
+        StringNGrams(args.head, intArg(args(1), "n"))
+      }))
     ext.injectFunction((FunctionIdentifier("word_hashes"),
       info("word_hashes",
         "word_hashes(words) - per-word xxhash64, in order, duplicates kept"),
