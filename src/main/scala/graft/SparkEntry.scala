@@ -144,6 +144,23 @@ object SparkEntry {
     "q56_repetition"      -> ext.TextAnalysis.repetitionStats _,
     "q57_contamination"   -> ((s: SparkSession, d: String) =>
       ext.Contamination.contaminated(s, d, n = 4)),
+    // training-sequence prep + PII scrub (ext/), join-pruning plans (ops/)
+    "q58_chunking"        -> ((s: SparkSession, d: String) =>
+      ext.Chunking.chunks(s, d)),
+    "q59_pii_redact"      -> ext.Pii.piiAudit _,
+    "q60_bloom_join"      -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val li  = Tables.load(s, d, "lineitem")
+      val hot = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 450000.0).select("o_orderkey")
+      ops.Bloom.prunedJoin(li, "l_orderkey", hot, "o_orderkey",
+          expectedItems = 100000L, fpp = 0.03)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(col("l_orderkey"), col("n"), col("sum_qty"))
+    }),
+    "q61_range_join"      -> ops.RangeJoin.errorsNearClicks _,
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -566,5 +583,14 @@ object SparkEntry {
         |         AS n_shared_grams
         |FROM train JOIN bench USING (gram)
         |GROUP BY doc_id""".stripMargin,
+    "q58_chunking" -> ext.Chunking.chunksOracleSql(),
+    "q59_pii_redact" -> ext.Pii.piiAuditOracleSql,
+    "q60_bloom_join" ->
+      """SELECT l_orderkey, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY l_orderkey""".stripMargin,
+    "q61_range_join" -> ops.RangeJoin.errorsNearClicksOracleSql,
   )
 }
