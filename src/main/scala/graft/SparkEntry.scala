@@ -161,6 +161,10 @@ object SparkEntry {
         .select(col("l_orderkey"), col("n"), col("sum_qty"))
     }),
     "q61_range_join"      -> ops.RangeJoin.errorsNearClicks _,
+    "q62_token_spectrum"  -> ext.TextAnalysis.tokenFrequencySpectrum _,
+    // end-to-end: quality filter → exact near-dup survivors → chunks
+    "q63_clean_corpus"    -> ((s: SparkSession, d: String) =>
+      ext.Pipeline.cleanCorpus(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -592,5 +596,8 @@ object SparkEntry {
         |WHERE o_totalprice > 450000
         |GROUP BY l_orderkey""".stripMargin,
     "q61_range_join" -> ops.RangeJoin.errorsNearClicksOracleSql,
+    "q62_token_spectrum" ->
+      ext.TextAnalysis.tokenFrequencySpectrumOracleSql,
+    "q63_clean_corpus" -> ext.Pipeline.cleanCorpusOracleSql(),
   )
 }

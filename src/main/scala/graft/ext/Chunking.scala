@@ -25,9 +25,15 @@ import graft.Tables
 object Chunking {
 
   def chunks(spark: SparkSession, dir: String,
-             seqLen: Int = 32, stride: Int = 16): DataFrame = {
+             seqLen: Int = 32, stride: Int = 16): DataFrame =
+    chunksOf(Tables.load(spark, dir, "documents"), seqLen, stride)
+
+  /** Same operator over any (doc_id, text, ...) frame — the composable
+    * form used by the end-to-end pipeline ([[Pipeline.cleanCorpus]]). */
+  def chunksOf(documents: DataFrame,
+               seqLen: Int = 32, stride: Int = 16): DataFrame = {
     require(seqLen > 0 && stride > 0, "seqLen and stride must be positive")
-    Tables.load(spark, dir, "documents")
+    documents
       .select(col("doc_id"),
               split(TextAnalysis.normalized(col("text")), " ").as("toks"))
       .filter(size(col("toks")) > 0 && col("toks").getItem(0) =!= "")

@@ -438,4 +438,31 @@ object Dedup {
       .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
               col("cos"))
   }
+
+  /** Cross-source near-duplicate overlap matrix: fold any (a_id, b_id)
+    * pair set down to per-source-pair counts — the mixture-hygiene audit
+    * ("how much of src A re-appears in src B") a pipeline logs before
+    * weighting sources. Source pairs are canonicalized (lexicographic
+    * lo/hi) so each unordered pair counts once; the diagonal rows are
+    * the within-source duplicate mass.
+    *
+    * Deliberately NOT a driver gate: with an exact all-source pair set
+    * this corpus is output-bound (≈24 % of ALL pairs qualify at 0.8 —
+    * 31-word vocabulary), so the gate would bench-charge data pathology,
+    * not the operator; feed it [[minhashLshCached]] pairs (global LSH —
+    * cross-source candidates included, sub-quadratic) instead. Cost on
+    * top of the pair set: two doc_id-keyed joins against the (doc_id,
+    * source) projection + one small aggregate. */
+  def sourceOverlap(pairs: DataFrame, documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.withColumnRenamed("doc_id", "a_id")
+               .withColumnRenamed("source", "source_a"), "a_id")
+      .join(src.withColumnRenamed("doc_id", "b_id")
+               .withColumnRenamed("source", "source_b"), "b_id")
+      .select(least(col("source_a"), col("source_b")).as("source_lo"),
+              greatest(col("source_a"), col("source_b")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

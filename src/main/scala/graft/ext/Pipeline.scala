@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The end-to-end corpus-cleaning pipeline, composed from the individual
+  * operators that are each oracle-checked on their own:
+  *
+  *   quality filter (token band + stopword-ratio cap, q45)
+  *   → exact near-dup pairs among kept docs (prefix-filter Jaccard, q28)
+  *   → cluster survivors (hash-min label propagation, q39)
+  *   → fixed-length token chunks of the surviving docs (q58)
+  *
+  * This is the "raw crawl in, training sequences out" path a data
+  * pipeline actually runs, and its gate pins the COMPOSITION: filters
+  * applied in the right order, dedup restricted to the filtered corpus,
+  * chunking only of survivors. Restricting the globally-cached pair set
+  * to kept×kept pairs is exact — the Jaccard predicate is pairwise, so
+  * the pair set over a doc subset equals the full pair set filtered to
+  * that subset (recall of the prefix filter is exactly 1 either way).
+  *
+  * Scale: adds nothing beyond its parts — the pair table is the shared
+  * per-(session, dir, threshold) persist, the kept set joins map-side
+  * (semi), label propagation is the same co-partitioned loop, and
+  * chunking is shuffle-free.
+  */
+object Pipeline {
+
+  def cleanCorpus(spark: SparkSession, dir: String,
+                  threshold: Double = 0.8,
+                  seqLen: Int = 32, stride: Int = 16): DataFrame = {
+    val kept = TextAnalysis.qualityFilter(spark, dir).select("doc_id")
+    val pairs = Dedup.jaccardPairsCached(spark, dir, threshold)
+      .join(kept.withColumnRenamed("doc_id", "a_id"), Seq("a_id"),
+            "left_semi")
+      .join(kept.withColumnRenamed("doc_id", "b_id"), Seq("b_id"),
+            "left_semi")
+      .select(col("a_id"), col("b_id"))
+    val labels = Dedup.clusterLabels(pairs)
+    val surviving = kept
+      .join(labels, kept("doc_id") === labels("id"), "left_outer")
+      .select(col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("cluster"))
+      .filter(col("doc_id") === col("cluster"))
+      .select("doc_id")
+    Chunking.chunksOf(
+      Tables.load(spark, dir, "documents").join(surviving, Seq("doc_id"),
+        "left_semi"),
+      seqLen, stride)
+  }
+
+  /** DuckDB oracle: the composition of the q45/q28/q39/q58 oracle
+    * fragments over the same tables. */
+  def cleanCorpusOracleSql(threshold: Double = 0.8,
+                           seqLen: Int = 32, stride: Int = 16): String =
+    s"""WITH RECURSIVE
+       |stats AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+       |    AS n_tokens,
+       |  CAST(len(regexp_extract_all(lower(text),
+       |    '\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS BIGINT)
+       |    AS n_stop
+       | FROM documents),
+       |kept AS (SELECT doc_id FROM stats
+       |  WHERE n_tokens >= 20 AND n_tokens <= 1000
+       |    AND n_stop * 10 <= n_tokens * 6),
+       |d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)),
+       |p AS (SELECT a_id, b_id FROM (
+       | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws)))
+       |   AS jac
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+       | WHERE jac >= $threshold),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION SELECT b_id, a_id FROM p),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+       |surv AS (SELECT k.doc_id FROM kept k
+       |  LEFT JOIN lab ON k.doc_id = lab.id
+       |  WHERE k.doc_id = coalesce(lab.label, k.doc_id)),
+       |toks AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS ts
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)),
+       |n AS (
+       |  SELECT doc_id, ts, len(ts) AS l,
+       |    CASE WHEN len(ts) <= $seqLen THEN 1
+       |         ELSE (len(ts) - $seqLen + $stride - 1) // $stride + 1
+       |    END AS nc
+       |  FROM toks WHERE len(ts) > 0 AND ts[1] <> '')
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(i * $stride + 1 AS BIGINT) AS start_tok,
+       |  CAST(least(l - i * $stride, $seqLen) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  md5(array_to_string(
+       |    ts[i * $stride + 1 : least(i * $stride + $seqLen, l)], ' '))
+       |    AS chunk_hash
+       |FROM (SELECT doc_id, ts, l,
+       |        unnest(generate_series(0, nc - 1)) AS i
+       |      FROM n)""".stripMargin
+}

@@ -196,6 +196,40 @@ object TextAnalysis {
               col("score"), col("rnk"))
   }
 
+  /** Per-source token-frequency spectrum: how many vocabulary types fall
+    * in each power-of-2 occurrence band, and how many token occurrences
+    * they account for — the Zipf-health audit a pipeline logs to catch a
+    * source whose frequency curve collapsed (boilerplate) or exploded
+    * (OCR noise). The band is `length(bin(n)) − 1` = ⌊log₂ n⌋ computed on
+    * the binary-string length, which is exact integer arithmetic in both
+    * engines — float `log2` ties at exact powers of two and may round
+    * either way.
+    *
+    * Scale: one (source, token) shuffle with map-side combine, then a
+    * band aggregate over the vocab-sized count table. */
+  def tokenFrequencySpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+              explode(split(normalized(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("band", (length(bin(col("n"))) - 1).cast("long"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_occurrences"))
+
+  val tokenFrequencySpectrumOracleSql: String =
+    """WITH tf AS (
+      |  SELECT source, token, count(*) AS n FROM (
+      |    SELECT source, unnest(string_split(
+      |      trim(regexp_replace(regexp_replace(lower(text),
+      |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> '' GROUP BY source, token)
+      |SELECT source, CAST(length(bin(n)) - 1 AS BIGINT) AS band,
+      |       count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_occurrences
+      |FROM tf GROUP BY source, band""".stripMargin
+
   /** BPE-ish token counting: letter runs, single digits, single
     * punctuation marks — the pre-tokenizer split most BPE vocabularies
     * assume. Pure regex count, identical in Java regex and RE2. */
