@@ -165,6 +165,21 @@ object SparkEntry {
     // end-to-end: quality filter → exact near-dup survivors → chunks
     "q63_clean_corpus"    -> ((s: SparkSession, d: String) =>
       ext.Pipeline.cleanCorpus(s, d)),
+    // sequence packing: hierarchical prefix sum → global token offsets
+    "q64_seq_packing"     -> ((s: SparkSession, d: String) =>
+      ext.Packing.packedDocs(s, d)),
+    // join-type breadth beyond the reference's inner/left
+    "q65_semi_join"       -> ops.RefQueries.q65SemiJoin _,
+    "q66_anti_join"       -> ops.RefQueries.q66AntiJoin _,
+    "q67_full_outer_join" -> ops.RefQueries.q67FullOuterJoin _,
+    // streaming dedup of a redelivered stream → exactly the batch table
+    "q68_stream_dedup"    -> streaming.Streams.dedupAvailableNow _,
+    // BPE merge-step pair counts over the vocabulary
+    "q69_bpe_pairs"       -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.bpePairCounts(s, d)),
+    // real WAV decode: javax.sound round trip, analytically oracled
+    "q70_audio_decode"    -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.audioFeatures(s, d).toDF()),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -599,5 +614,28 @@ object SparkEntry {
     "q62_token_spectrum" ->
       ext.TextAnalysis.tokenFrequencySpectrumOracleSql,
     "q63_clean_corpus" -> ext.Pipeline.cleanCorpusOracleSql(),
+    "q64_seq_packing" -> ext.Packing.packedDocsOracleSql(),
+    "q65_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_totalprice > 300000)""".stripMargin,
+    "q66_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)""".stripMargin,
+    "q67_full_outer_join" ->
+      """SELECT coalesce(ck, sk) AS nationkey, n_cust, n_supp
+        |FROM (SELECT c_nationkey AS ck, count(*) AS n_cust
+        |      FROM customer WHERE c_nationkey < 15 GROUP BY 1) l
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS sk, count(*) AS n_supp
+        |      FROM supplier WHERE s_nationkey >= 10 GROUP BY 1) r
+        |ON ck = sk""".stripMargin,
+    "q68_stream_dedup" ->
+      "SELECT event_id, event_type, value FROM events",
+    "q69_bpe_pairs" -> ext.TextAnalysis.bpePairCountsOracleSql(),
+    "q70_audio_decode" -> ext.Multimodal.audioFeaturesOracleSql,
   )
 }

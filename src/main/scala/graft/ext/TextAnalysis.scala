@@ -240,4 +240,58 @@ object TextAnalysis {
         expr("size(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s])', 1))")
           .cast("long").as("n_bpe_tokens"),
         expr(s"size($tokenExpr)").cast("long").as("n_word_tokens"))
+
+  /** The BPE merge step's first iteration: adjacent character-pair
+    * frequencies over the corpus, ranked — the statistic a tokenizer
+    * trainer computes to pick its next merge.
+    *
+    * Computed the way BPE trainers actually scale: collapse the corpus
+    * to its VOCABULARY first (distinct word → occurrence count, one
+    * map-side-combined shuffle), then explode each distinct word's
+    * adjacent pairs once and weight by the word count. Pair work is
+    * proportional to vocab size, not corpus size — at 100 TB the vocab
+    * table is the only thing the pair stage ever touches. The final
+    * ranking window runs over the aggregated pair table, whose
+    * cardinality is bounded by the alphabet squared (≤ ~1.3k rows for
+    * normalized alnum text) — a bounded single-task window, not a
+    * corpus-sized one. */
+  def bpePairCounts(spark: SparkSession, dir: String,
+                    k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wordCounts = Tables.load(spark, dir, "documents")
+      .select(explode(split(normalized(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n_occ").desc, col("pair"))
+    wordCounts
+      .filter(length(col("w")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_occ"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("pair"), col("n_occ"), col("rnk"))
+  }
+
+  def bpePairCountsOracleSql(k: Int = 50): String =
+    s"""WITH wc AS (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |      AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |pairs AS (
+       |  SELECT substr(w, i, 2) AS pair, n
+       |  FROM (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+       |        FROM wc WHERE length(w) >= 2)),
+       |agg AS (
+       |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ FROM pairs
+       |  GROUP BY pair)
+       |SELECT pair, n_occ,
+       |  CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT)
+       |    AS rnk
+       |FROM agg
+       |ORDER BY n_occ DESC, pair LIMIT $k""".stripMargin
 }

@@ -249,4 +249,60 @@ object RefQueries {
       .agg(count(lit(1)).as("n_orders"),
            round(sum(col("o_totalprice")), 2).as("revenue"))
   }
+
+  /** LEFT SEMI join — customers with at least one high-value order
+    * (beyond the reference's inner/left joins; SURVEY §2.5). A semi
+    * join needs only the existence of a matching key, so the plan never
+    * materializes order rows into the output: the probe side carries
+    * just `o_custkey` (column-pruned at the scan, with the totalprice
+    * predicate pushed down), and the join emits each customer at most
+    * once — at 100 TB the shuffled payload is one long per qualifying
+    * order, not the order row. */
+  def q65SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val hot = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey"))
+    customer.join(hot, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** LEFT ANTI join — customers that never placed a high-value order:
+    * the exact complement of [[q65SemiJoin]], so semi + anti partition
+    * the customer table (spec-asserted) and BOTH sides are non-empty at
+    * every scale factor (in this corpus every customer has some order,
+    * so an unfiltered anti join would be a vacuous gate). Anti joins
+    * are how large-scale pipelines express "not yet processed" /
+    * "missing from the index" scans without a NOT IN subquery (which
+    * NULL semantics make treacherous); the probe side is pruned to the
+    * single key column with the price predicate pushed to the scan. */
+  def q66AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val hot = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey"))
+    customer.join(hot, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** FULL OUTER join with guaranteed null-padding on BOTH sides: the
+    * two inputs are per-nation aggregates over deliberately disjoint
+    * nation ranges (customers of nations <15, suppliers of nations
+    * >=10), so nations 0-9 are left-only, 10-14 matched, 15-24
+    * right-only. Aggregate-then-join keeps the shuffled sides at one
+    * row per nation — join small aggregated frames, never the raw
+    * fact tables, when the question is per-key totals. */
+  def q67FullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val custPerNation = Tables.load(spark, dir, "customer")
+      .filter(col("c_nationkey") < 15)
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val suppPerNation = Tables.load(spark, dir, "supplier")
+      .filter(col("s_nationkey") >= 10)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    custPerNation.join(suppPerNation, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+              col("n_cust"), col("n_supp"))
+  }
 }

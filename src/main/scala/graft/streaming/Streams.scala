@@ -255,6 +255,22 @@ object Streams {
     runBounded(funnelJoin(readEventsStream(spark, dir)),
                OutputMode.Append())
 
+  /** Bounded gate run of the streaming dedup: the events stream unioned
+    * with itself simulates an at-least-once source redelivering every
+    * event; `dropDuplicatesWithinWatermark` must collapse the stream
+    * back to exactly the batch table (q68's oracle is a plain SELECT of
+    * the events table). State = one entry per event_id within the
+    * watermark horizon — bounded, and keyed so it scales out with
+    * shuffle partitions. */
+  def dedupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEventsStream(spark, dir)
+    val redelivered = ev.union(ev)
+    runBounded(
+      dedupStream(redelivered)
+        .select(col("event_id"), col("event_type"), col("value")),
+      OutputMode.Append())
+  }
+
   /** Static events dir sessionized as a stream; cumulative counts are
     * monotone, so max-per-user over all updates equals the batch
     * sessionization (q33's oracle). */

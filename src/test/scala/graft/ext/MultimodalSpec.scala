@@ -58,6 +58,42 @@ class MultimodalSpec extends SparkSpec {
     frames.unpersist()
   }
 
+  test("audio: WAV round trip recovers frames, rate, and amplitudes") {
+    for (id <- Seq(0L, 1L, 7L, 255L, 54321L)) {
+      val wav = Multimodal.AudioCodec.encode(id)
+      // genuine RIFF/WAVE container
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+      assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+      val d = Multimodal.AudioCodec.decode(wav)
+      val n = Multimodal.AudioCodec.nFramesFor(id)
+      val samples = (0 until n).map(Multimodal.AudioCodec.sampleFor(id, _))
+      assert(d.nFrames == n.toLong)
+      assert(d.sampleRate == Multimodal.AudioCodec.SampleRate)
+      assert(d.sumAmp == samples.map(_.toLong).sum)
+      assert(d.minAmp == samples.min && d.maxAmp == samples.max)
+    }
+  }
+
+  test("audio: decode rejects non-WAV payloads loudly") {
+    intercept[Exception] {
+      Multimodal.AudioCodec.decode(Array.fill[Byte](64)(7))
+    }
+  }
+
+  test("audioFeatures over the corpus matches the per-id formula") {
+    val feats = Multimodal.audioFeatures(spark, sfDir).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val n = Multimodal.AudioCodec.nFramesFor(f.media_id)
+      val samples =
+        (0 until n).map(Multimodal.AudioCodec.sampleFor(f.media_id, _))
+      assert(f.n_frames == n.toLong && f.sample_rate == 8000L)
+      assert(f.sum_amp == samples.map(_.toLong).sum)
+      assert(f.min_amp == samples.min.toLong &&
+             f.max_amp == samples.max.toLong)
+    }
+  }
+
   test("featureSummary matches the analytic per-format sums") {
     val rows = Multimodal.featureSummary(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -70,4 +70,38 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").limit(1).select("fp").as[String].head()
     assert(fp.matches("[0-9a-f]{32}"))
   }
+
+  test("bpePairCounts equals a driver-side recount of the corpus") {
+    val got = TextAnalysis.bpePairCounts(spark, sfDir, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // brute force: normalize every doc locally, count adjacent char
+    // pairs of every word occurrence
+    val norm = graft.Tables.load(spark, sfDir, "documents")
+      .select(TextAnalysis.normalized(col("text"))).as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    norm.foreach(_.split(" ").filter(_.nonEmpty).foreach { w =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    })
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, i + 1L) }
+    assert(got.sortBy(_._3).toSeq == want)
+  }
+
+  test("bpePairCounts: ranks are 1..k with deterministic tie-breaks") {
+    val rows = TextAnalysis.bpePairCounts(spark, sfDir, k = 50).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    assert(rows.length <= 50 && rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to rows.length))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (na, nb) = (a.getAs[Long]("n_occ"), b.getAs[Long]("n_occ"))
+        assert(na > nb || (na == nb &&
+          a.getAs[String]("pair") < b.getAs[String]("pair")))
+      case _ =>
+    }
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+  }
 }

@@ -152,4 +152,43 @@ class RefQueriesSpec extends SparkSpec {
     assertSameRows(out, Seq(
       Row(1, "a", "x"), Row(1, "a", "y"), Row(2, "b", null)))
   }
+
+  test("q65 semi join emits each customer at most once and equals EXISTS") {
+    val df = RefQueries.q65SemiJoin(spark, sfDir).cache()
+    val n = df.count()
+    assert(n > 0)
+    assert(df.select("c_custkey").distinct().count() == n,
+      "semi join must not multiply rows by match count")
+    // brute-force EXISTS twin: customers keyed by any qualifying order
+    val hot = graft.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey")).distinct()
+    val expect = graft.Tables.load(spark, sfDir, "customer")
+      .join(hot, col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+    assert(df.exceptAll(expect).isEmpty && expect.exceptAll(df).isEmpty)
+  }
+
+  test("q66 anti join is the exact complement of the q65 semi join") {
+    val anti = RefQueries.q66AntiJoin(spark, sfDir)
+    val semi = RefQueries.q65SemiJoin(spark, sfDir)
+    val customer = graft.Tables.load(spark, sfDir, "customer")
+    assert(anti.count() + semi.count() == customer.count(),
+      "semi + anti must partition the left side")
+    assert(anti.count() > 0, "fixture must exercise the anti side")
+    assert(semi.count() > 0, "fixture must exercise the semi side")
+    assert(anti.select("c_custkey")
+      .join(semi.select("c_custkey"), Seq("c_custkey")).count() == 0,
+      "no customer appears on both sides")
+  }
+
+  test("q67 full outer pads both sides (left-only, matched, right-only)") {
+    val rows = RefQueries.q67FullOuterJoin(spark, sfDir).collect()
+    val leftOnly = rows.count(r => !r.isNullAt(1) && r.isNullAt(2))
+    val rightOnly = rows.count(r => r.isNullAt(1) && !r.isNullAt(2))
+    val both = rows.count(r => !r.isNullAt(1) && !r.isNullAt(2))
+    assert(leftOnly > 0 && rightOnly > 0 && both > 0,
+      s"want all three regions: leftOnly=$leftOnly both=$both rightOnly=$rightOnly")
+    assert(rows.forall(!_.isNullAt(0)), "coalesced key is never null")
+  }
 }

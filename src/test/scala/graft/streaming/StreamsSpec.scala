@@ -127,6 +127,17 @@ class StreamsSpec extends SparkSpec {
            batch.exceptAll(streamed).isEmpty)
   }
 
+  test("bounded dedup of a redelivered stream equals the batch table") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.dedupAvailableNow(spark, sfDir)
+    val batch = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    assert(streamed.count() == batch.count(),
+      "every duplicate from the redelivered union must collapse")
+    assert(streamed.exceptAll(batch).isEmpty &&
+           batch.exceptAll(streamed).isEmpty)
+  }
+
   test("bounded stream-static enrichment equals the batch join") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.enrichedSegmentAvailableNow(spark, sfDir)
