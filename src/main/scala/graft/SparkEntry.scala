@@ -180,6 +180,14 @@ object SparkEntry {
     // real WAV decode: javax.sound round trip, analytically oracled
     "q70_audio_decode"    -> ((s: SparkSession, d: String) =>
       ext.Multimodal.audioFeatures(s, d).toDF()),
+    // distinct aggregates (Expand plan) + RANGE window frames
+    "q71_distinct_agg"    -> ext.Events.distinctAgg _,
+    "q72_range_window"    -> ext.Events.trailingHourCounts _,
+    // temperature mixture reweighting + deterministic k-per-source sample
+    "q73_temp_rates"      -> ((s: SparkSession, d: String) =>
+      ext.Sampling.temperatureRates(s, d)),
+    "q74_reservoir"       -> ((s: SparkSession, d: String) =>
+      ext.Sampling.reservoirSample(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -637,5 +645,20 @@ object SparkEntry {
       "SELECT event_id, event_type, value FROM events",
     "q69_bpe_pairs" -> ext.TextAnalysis.bpePairCountsOracleSql(),
     "q70_audio_decode" -> ext.Multimodal.audioFeaturesOracleSql,
+    "q71_distinct_agg" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS n_users,
+        | count(DISTINCT date_trunc('day', ts)) AS n_days,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q72_range_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | CAST(count(*) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS n_prev_hour
+        |FROM events""".stripMargin,
+    "q73_temp_rates" -> ext.Sampling.temperatureRatesOracleSql,
+    "q74_reservoir" -> ext.Sampling.reservoirSampleOracleSql(),
   )
 }

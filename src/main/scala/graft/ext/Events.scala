@@ -33,6 +33,41 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
            round(avg(col("k")), 4).as("avg_k"))
 
+  /** DISTINCT aggregates: unique users (and active days) per event
+    * type alongside plain aggregates. Multiple distinct columns force
+    * Catalyst's Expand-based plan — each input row fans out per
+    * distinct group, partial-aggregated map-side, so the shuffle
+    * carries (type, user) / (type, day) PAIRS once each rather than
+    * raw events; the classic count-distinct-at-scale shape (the
+    * approx_count_distinct sketch is the fallback when even the
+    * distinct pair set is too wide). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+           count_distinct(date_trunc("day", col("ts"))).as("n_days"),
+           count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+
+  /** Trailing-hour activity via a RANGE window frame: for every event,
+    * how many events the same user produced in the preceding hour
+    * (inclusive). Event time is compared in exact integer microseconds
+    * (ts carries sub-second precision; truncating to seconds would
+    * merge distinct instants). One shuffle on user_id; the frame bound
+    * keeps each window scan local to a sorted run — the standard
+    * "activity in the last N minutes" feature-engineering shape. */
+  def trailingHourCounts(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0L)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("n_prev_hour", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+              col("n_prev_hour"))
+  }
+
   /** Sessionization: a new session starts after a >30-minute gap. Gaps
     * via lag() over (user_id, ts) — one shuffle on user_id; at scale
     * this is the standard sort-within-partition sessionize. */

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -44,4 +45,101 @@ object Sampling {
       .agg(count(lit(1)).as("n_total"),
            sum(when(keyHex < thresholdHex, 1L).otherwise(0L)).as("n_kept"))
   }
+
+  /** Temperature-based mixture reweighting: sampling weight per source
+    * ∝ n_docs^alpha, normalized — alpha < 1 upweights small curated
+    * sources against the crawl (the standard multilingual/multi-source
+    * temperature trick). Pure arithmetic over the per-source count
+    * table (bounded: one row per source), so the only corpus-sized work
+    * is the counting shuffle. Rates are rounded to 6 decimals for
+    * engine comparison (pow and a bounded sum are the only float ops). */
+  def temperatureRates(spark: SparkSession, dir: String,
+                       alpha: Double = 0.5): DataFrame = {
+    val w = pow(col("n_docs").cast("double"), alpha)
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        round(w / sum(w).over(Window.partitionBy()), 6))
+      .select(col("source"), col("n_docs"), col("rate"))
+  }
+
+  val temperatureRatesOracleSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  round(pow(count(*), 0.5) /
+      |        sum(pow(count(*), 0.5)) OVER (), 6) AS rate
+      |FROM documents GROUP BY source""".stripMargin
+
+  // ---- deterministic k-per-source sample (hash-ordered reservoir) ---
+
+  /** Row shape for the typed heap pass (public: Catalyst's generated
+    * deserializer must be able to construct it). */
+  case class KeyedDoc(source: String, doc_id: Long, skey: String)
+
+  /** Deterministic k-per-source sample: the k documents with the
+    * smallest md5(doc_id) per source — a reproducible "reservoir"
+    * (re-running, re-partitioning, or re-ingesting the corpus yields
+    * the same sample, unlike rand()-based reservoirs).
+    *
+    * A naive `row_number() OVER (PARTITION BY source ...)` sorts every
+    * row of a source in one task. This computes the same result with a
+    * bounded-memory partial top-k per PARTITION first (a k-sized heap
+    * per source per partition, the map-side combine of top-k), so the
+    * final rank window sees at most partitions × k rows per source —
+    * the same hierarchical trick as [[graft.ext.Packing]]. Spec asserts
+    * equality with the naive window. */
+  def reservoirSample(spark: SparkSession, dir: String,
+                      k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    import spark.implicits._
+    val keyed = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+              md5(col("doc_id").cast("string")).as("skey"))
+      .as[KeyedDoc]
+    val partial = keyed.mapPartitions { rows =>
+      // per-source max-heap of size k: evict the LARGEST key so the k
+      // smallest survive
+      val heaps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[KeyedDoc]]
+      implicit val ord: Ordering[KeyedDoc] =
+        Ordering.by(d => (d.skey, d.doc_id))
+      rows.foreach { d =>
+        val h = heaps.getOrElseUpdate(d.source,
+          scala.collection.mutable.PriorityQueue.empty[KeyedDoc])
+        if (h.size < k) h.enqueue(d)
+        else if (ord.lt(d, h.head)) { h.dequeue(); h.enqueue(d) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+    partial.toDF()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("doc_id"), col("rnk"))
+  }
+
+  /** Reference semantics for [[reservoirSample]]: the naive global
+    * window. Spec-only (single task per source at scale). */
+  private[ext] def reservoirSampleNaive(spark: SparkSession, dir: String,
+                                        k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+              md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("doc_id"), col("rnk"))
+  }
+
+  def reservoirSampleOracleSql(k: Int = 20): String =
+    s"""SELECT source, doc_id, rnk FROM (
+       |  SELECT source, doc_id,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+       |      AS rnk
+       |  FROM documents)
+       |WHERE rnk <= $k""".stripMargin
 }

@@ -52,4 +52,34 @@ class EventsSpec extends SparkSpec {
     assert(df.schema("ts").dataType.typeName == "timestamp_ntz")
     assert(df.filter(col("ts").isNull).count() == 0)
   }
+
+  test("distinctAgg: unique users bounded by events; Expand plan used") {
+    val df = Events.distinctAgg(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_users") > col("n_events")).count() == 0)
+    assert(df.filter(col("n_days") > col("n_events")).count() == 0)
+    assert(df.filter(col("n_users") < 1 || col("n_days") < 1).count() == 0)
+    // two distinct columns force the Expand-based distinct rewrite
+    val plan = Events.distinctAgg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    df.unpersist()
+  }
+
+  test("trailingHourCounts equals a brute-force self-count") {
+    val df = Events.trailingHourCounts(spark, sfDir).cache()
+    val events = df.select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).sorted }
+    val hourUs = 3600L * 1000000L
+    df.collect().foreach { r =>
+      val (u, ts, n) = (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+                        r.getAs[Long]("n_prev_hour"))
+      val expect = events(u).count(t => t >= ts - hourUs && t <= ts)
+      assert(n == expect, s"user $u at $ts: $n != $expect")
+    }
+    assert(df.filter(col("n_prev_hour") < 1).count() == 0,
+      "frame includes the current row")
+    df.unpersist()
+  }
 }

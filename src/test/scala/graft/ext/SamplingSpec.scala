@@ -37,4 +37,53 @@ class SamplingSpec extends SparkSpec {
     assert(kept.forall { case (id, src) => docs.get(id).contains(src) })
     assert(kept.length < docs.size)
   }
+
+  test("temperatureRates: normalized, small sources upweighted") {
+    val rows = Sampling.temperatureRates(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4,
+      "rates must normalize to ~1")
+    // alpha=0.5 compresses the spread: rate ratio < count ratio for
+    // any two sources with different sizes
+    for (Seq(a, b) <- rows.sortBy(_._2).combinations(2).map(_.toSeq)
+         if a._2 < b._2) {
+      assert(b._3 / a._3 < b._2.toDouble / a._2 + 1e-9,
+        s"${a._1} vs ${b._1}: temperature must compress the ratio")
+    }
+  }
+
+  test("reservoirSample: heap-partial result equals the naive window") {
+    val got = Sampling.reservoirSample(spark, sfDir, k = 7)
+    val naive = Sampling.reservoirSampleNaive(spark, sfDir, k = 7)
+    assert(got.count() > 0)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("reservoirSample: exactly min(k, source size) rows per source") {
+    val sizes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = Sampling.reservoirSample(spark, sfDir, k = 20)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.keySet == sizes.keySet)
+    perSource.foreach { case (s, n) =>
+      assert(n == math.min(20L, sizes(s)), s"$s: $n")
+    }
+  }
+
+  test("reservoirSample is deterministic across runs and repartitionings") {
+    val a = Sampling.reservoirSample(spark, sfDir, k = 5).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Sampling.reservoirSample(spark, sfDir, k = 5).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("reservoirSample rejects non-positive k") {
+    intercept[IllegalArgumentException] {
+      Sampling.reservoirSample(spark, sfDir, k = 0)
+    }
+  }
 }
