@@ -188,6 +188,16 @@ object SparkEntry {
       ext.Sampling.temperatureRates(s, d)),
     "q74_reservoir"       -> ((s: SparkSession, d: String) =>
       ext.Sampling.reservoirSample(s, d)),
+    // duplicate-3-gram repetition rule (Gopher-style, gram granularity)
+    "q75_dup_ngrams"      -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.dupNgramStats(s, d)),
+    // engine-exact second moments: decimal sums → closed-form doubles
+    "q76_moment_stats"    -> ops.Olap.momentStats _,
+    // BM25 top-k retrieval (rational idf, decimal-quantized term scores)
+    "q77_bm25"            -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.bm25TopK(s, d)),
+    // symmetric int8 (max-abs) embedding quantization audit
+    "q78_int8_quant"      -> ext.Quantize.int8Stats _,
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -660,5 +670,9 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "q73_temp_rates" -> ext.Sampling.temperatureRatesOracleSql,
     "q74_reservoir" -> ext.Sampling.reservoirSampleOracleSql(),
+    "q75_dup_ngrams" -> ext.TextAnalysis.dupNgramStatsOracleSql(),
+    "q76_moment_stats" -> ops.Olap.momentStatsOracleSql,
+    "q77_bm25" -> ext.TextAnalysis.bm25TopKOracleSql(),
+    "q78_int8_quant" -> ext.Quantize.int8StatsOracleSql,
   )
 }

@@ -274,6 +274,148 @@ object TextAnalysis {
       .select(col("pair"), col("n_occ"), col("rnk"))
   }
 
+  /** Per-document duplicate word-n-gram stats — the Gopher/RefinedWeb
+    * repetition rule at n-gram granularity: a document whose 3-grams are
+    * mostly repeats of each other is boilerplate even when its unigram
+    * distribution looks healthy (q56 catches only the latter). Emits the
+    * exact integer counts (total/distinct/dup grams, max single-gram
+    * count) plus the dup fraction from those integers, so both engines
+    * produce bit-identical doubles.
+    *
+    * Scale: n-grams are emitted map-side by the codegen'd
+    * [[graft.functions.StringNGrams]] kernel, then one (doc_id, gram)
+    * shuffle with map-side combine and a doc_id-keyed fold of the
+    * per-doc gram table — the same shape as q56, never all-pairs.
+    * Documents with fewer than n tokens have no n-grams and drop out on
+    * both sides. */
+  def dupNgramStats(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    dupNgramStatsDf(Tables.load(spark, dir, "documents"), n)
+
+  /** Same operator over any (doc_id, text) frame. */
+  def dupNgramStatsDf(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"),
+              explode(graft.functions.StringNGrams.ngrams(
+                split(normalized(col("text")), " "), n)).as("g"))
+      .filter(col("g") =!= "")
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+           count(lit(1)).as("n_distinct_grams"),
+           max(col("c")).as("max_gram_tf"))
+      .withColumn("dup_grams", col("n_grams") - col("n_distinct_grams"))
+      .withColumn("dup_fraction",
+        col("dup_grams").cast("double") / col("n_grams").cast("double"))
+
+  def dupNgramStatsOracleSql(n: Int = 3): String = {
+    val gram = (1 to n).map(i => s"ws[i + ${i - 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS ws
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, $gram AS g
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - ${n - 1})) AS i
+       |        FROM toks WHERE len(ws) >= $n)
+       |  WHERE $gram <> ''),
+       |gc AS (SELECT doc_id, g, count(*) AS c FROM grams
+       |       GROUP BY doc_id, g)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |  count(*) AS n_distinct_grams, CAST(max(c) AS BIGINT) AS max_gram_tf,
+       |  CAST(sum(c) - count(*) AS BIGINT) AS dup_grams,
+       |  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+       |    AS dup_fraction
+       |FROM gc GROUP BY doc_id""".stripMargin
+  }
+
+  /** BM25 top-k retrieval for a fixed query-term set — the relevance
+    * ranking a corpus-search / eval-retrieval step runs. Uses the
+    * rational idf `(N − df + ½)/(df + ½)` instead of its log (monotone
+    * in the same argument, so the ranking is the BM25 ranking) because
+    * `ln` is not guaranteed correctly-rounded across engines while
+    * `+ − × ÷ sqrt` are: every per-term score here is one
+    * IEEE-deterministic double expression, mirrored verbatim in the
+    * oracle, and per-term scores are quantized to DECIMAL before the
+    * per-doc sum so addition order cannot perturb the total.
+    *
+    * Scale: tf is one (doc_id, token) shuffle; df and the corpus
+    * constants (N, Σdl) are aggregates of the already-aggregated tf/dl
+    * tables; df and the one-row constants broadcast into the scorer.
+    * Top-k is a global sort-limit → TakeOrderedAndProject, never a full
+    * sort. k1 = 1.2, b = 0.75 (the standard Robertson defaults). */
+  def bm25TopK(spark: SparkSession, dir: String,
+               queryTerms: Seq[String] = Seq("spark", "join", "window"),
+               k: Int = 20): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              explode(split(normalized(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qtf = tf.filter(col("token").isin(queryTerms: _*))
+    val dfreq = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val dfd = col("df").cast("double")
+    val nD = col("n_docs").cast("double")
+    val dld = col("dl").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val idf = (nD - dfd + lit(0.5)) / (dfd + lit(0.5))
+    val score = (idf * (tfd * lit(2.2))) /
+      (tfd + lit(1.2) * (lit(0.25) + (lit(0.75) * dld) / avgdl))
+    qtf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(consts))
+      .withColumn("s_q", score.cast("decimal(28,10)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_q")).cast("double").as("score"),
+           count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25TopKOracleSql(queryTerms: Seq[String] = Seq("spark", "join", "window"),
+                        k: Int = 20): String = {
+    val qlist = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(trim(regexp_replace(
+       |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |      ' +', ' ', 'g')), ' ')) AS token
+       |    FROM documents)
+       |  WHERE token <> '' GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+       |       GROUP BY doc_id),
+       |consts AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
+       |             AS sum_dl FROM dl),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf
+       |          WHERE token IN ($qlist) GROUP BY token),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(
+       |      (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |        / (CAST(df AS DOUBLE) + 0.5))
+       |       * (CAST(tf AS DOUBLE) * 2.2))
+       |      / (CAST(tf AS DOUBLE)
+       |         + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+       |                         / (CAST(sum_dl AS DOUBLE)
+       |                            / CAST(n_docs AS DOUBLE))))
+       |      AS DECIMAL(28,10)) AS s_q
+       |  FROM tf t
+       |  JOIN dfreq USING (token)
+       |  JOIN dl USING (doc_id)
+       |  CROSS JOIN consts
+       |  WHERE t.token IN ($qlist))
+       |SELECT doc_id, CAST(sum(s_q) AS DOUBLE) AS score,
+       |       count(*) AS n_terms
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def bpePairCountsOracleSql(k: Int = 50): String =
     s"""WITH wc AS (
        |  SELECT w, count(*) AS n FROM (

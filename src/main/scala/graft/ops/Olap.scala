@@ -83,4 +83,80 @@ object Olap {
       .groupBy(col("l_returnflag"))
       .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
            percentile(col("l_quantity"), lit(0.9)).as("p90"))
+
+  /** Per-group second-moment statistics — mean / sample variance /
+    * stddev of quantity and the quantity↔price correlation — computed
+    * the only way a distributed engine can make them engine-exact:
+    * accumulate the five raw sums (Σx, Σy, Σx², Σy², Σxy) in DECIMAL
+    * (exact, order-independent — float sums differ run-to-run with
+    * partial-aggregation order), then evaluate the closed-form moments
+    * in double with an expression tree mirrored verbatim in the oracle.
+    * `sqrt` is IEEE correctly-rounded, so the doubles are bit-identical;
+    * outputs are still DECIMAL-quantized for belt-and-braces.
+    *
+    * Scale: one shuffle, map-side combined — the textbook one-pass
+    * moments pattern (vs. naive two-pass mean-then-deviation). Spark's
+    * own var_samp/corr use float partial sums (order-dependent in the
+    * last ulps); this is the reproducible-pipeline variant, equality
+    * within 1e-9 of the built-ins spec-asserted. */
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+              col("l_quantity").cast("decimal(18,4)").as("x"),
+              col("l_extendedprice").cast("decimal(18,4)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"),
+           sum(col("x") * col("y")).as("sxy"))
+    val nD  = col("n").cast("double")
+    val sx  = col("sx").cast("double");  val sy  = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    def quant(c: org.apache.spark.sql.Column) =
+      c.cast("decimal(28,10)").cast("double")
+    val varX = (nD * sxx - sx * sx) / (nD * (nD - lit(1.0)))
+    sums.select(
+      col("l_returnflag"), col("n"),
+      quant(sx / nD).as("mean_qty"),
+      quant(sy / nD).as("mean_price"),
+      quant(varX).as("var_qty"),
+      quant(sqrt(varX)).as("std_qty"),
+      quant((nD * sxy - sx * sy) /
+            (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)))
+        .as("corr_qty_price"))
+  }
+
+  def momentStatsOracleSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |  FROM (SELECT l_returnflag,
+      |          CAST(l_quantity AS DECIMAL(19,4)) AS x,
+      |          CAST(l_extendedprice AS DECIMAL(19,4)) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,10)) AS DOUBLE) AS mean_qty,
+      |  CAST(CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,10)) AS DOUBLE) AS mean_price,
+      |  CAST(CAST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |    AS DECIMAL(28,10)) AS DOUBLE) AS var_qty,
+      |  CAST(CAST(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |    AS DECIMAL(28,10)) AS DOUBLE) AS std_qty,
+      |  CAST(CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS DECIMAL(28,10)) AS DOUBLE) AS corr_qty_price
+      |FROM s""".stripMargin
 }
