@@ -19,8 +19,12 @@ import graft.Tables
   * Scale: pure per-row expression work over the array column inside one
   * projection — no shuffle, no UDF; at 100 TB this runs at scan speed
   * and composes map-side with any upstream (e.g. after [[Dedup]]
-  * survivors, before an [[Similarity]] index build). Zero vectors
-  * quantize to all-zero codes with zero error rather than NaN. */
+  * survivors, before an [[Similarity]] index build). Zero vectors —
+  * and empty ones, whose max-abs is NULL — quantize to all-zero codes
+  * with zero error rather than NaN (the empty-array guard matters:
+  * Spark's `aggregate` over an empty array returns the seed while
+  * DuckDB's `list_aggregate` returns NULL, so an unguarded empty
+  * vector would diverge between the engines). */
 object Quantize {
 
   private def xd(x: Column): Column = x.cast("double")
@@ -42,17 +46,17 @@ object Quantize {
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("n_dims"),
-        when(col("amax") === 0.0, lit(0L))
+        when(col("amax").isNull || col("amax") === 0.0, lit(0L))
           .otherwise(aggregate(
             transform(col("embedding"), x => code(x)),
             lit(0L), (acc, c) => acc + c)).as("sum_code"),
-        when(col("amax") === 0.0, lit(0L))
+        when(col("amax").isNull || col("amax") === 0.0, lit(0L))
           .otherwise(array_max(transform(col("embedding"), x => code(x))))
           .as("max_code"),
-        when(col("amax") === 0.0, lit(0L))
+        when(col("amax").isNull || col("amax") === 0.0, lit(0L))
           .otherwise(array_min(transform(col("embedding"), x => code(x))))
           .as("min_code"),
-        when(col("amax") === 0.0, lit(0.0))
+        when(col("amax").isNull || col("amax") === 0.0, lit(0.0))
           .otherwise(
             array_max(transform(col("embedding"), x => dequantErr(x)))
               .cast("decimal(18,12)").cast("double")).as("max_abs_err"))
@@ -66,19 +70,19 @@ object Quantize {
       |  FROM embeddings)
       |SELECT vec_id,
       |  CAST(len(embedding) AS BIGINT) AS n_dims,
-      |  CASE WHEN amax = 0 THEN 0 ELSE
+      |  CASE WHEN coalesce(amax, 0) = 0 THEN 0 ELSE
       |    CAST(list_aggregate(list_transform(embedding, x ->
       |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)),
       |      'sum') AS BIGINT) END AS sum_code,
-      |  CASE WHEN amax = 0 THEN 0 ELSE
+      |  CASE WHEN coalesce(amax, 0) = 0 THEN 0 ELSE
       |    CAST(list_max(list_transform(embedding, x ->
       |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)))
       |      AS BIGINT) END AS max_code,
-      |  CASE WHEN amax = 0 THEN 0 ELSE
+      |  CASE WHEN coalesce(amax, 0) = 0 THEN 0 ELSE
       |    CAST(list_min(list_transform(embedding, x ->
       |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)))
       |      AS BIGINT) END AS min_code,
-      |  CASE WHEN amax = 0 THEN 0.0 ELSE
+      |  CASE WHEN coalesce(amax, 0) = 0 THEN 0.0 ELSE
       |    CAST(CAST(list_max(list_transform(embedding, x ->
       |      abs(CAST(x AS DOUBLE)
       |          - (CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5)

@@ -331,15 +331,19 @@ object TextAnalysis {
        |FROM gc GROUP BY doc_id""".stripMargin
   }
 
-  /** BM25 top-k retrieval for a fixed query-term set — the relevance
-    * ranking a corpus-search / eval-retrieval step runs. Uses the
-    * rational idf `(N − df + ½)/(df + ½)` instead of its log (monotone
-    * in the same argument, so the ranking is the BM25 ranking) because
+  /** BM25-style top-k retrieval for a fixed query-term set — the
+    * relevance ranking a corpus-search / eval-retrieval step runs. Uses
+    * the rational idf `(N − df + ½)/(df + ½)` instead of its log because
     * `ln` is not guaranteed correctly-rounded across engines while
     * `+ − × ÷ sqrt` are: every per-term score here is one
     * IEEE-deterministic double expression, mirrored verbatim in the
     * oracle, and per-term scores are quantized to DECIMAL before the
-    * per-doc sum so addition order cannot perturb the total.
+    * per-doc sum so addition order cannot perturb the total. The
+    * monotone idf substitution keeps each PER-TERM score rank-equivalent
+    * to log-idf BM25; the per-doc SUM over multiple terms is a
+    * deterministic BM25 variant, not guaranteed identical in order to
+    * the log-idf total (a sum of per-term monotone transforms need not
+    * preserve the ordering of the sums).
     *
     * Scale: tf is one (doc_id, token) shuffle; df and the corpus
     * constants (N, Σdl) are aggregates of the already-aggregated tf/dl
@@ -380,7 +384,10 @@ object TextAnalysis {
 
   def bm25TopKOracleSql(queryTerms: Seq[String] = Seq("spark", "join", "window"),
                         k: Int = 20): String = {
-    val qlist = queryTerms.map(t => s"'$t'").mkString(", ")
+    // Escape embedded quotes: terms are normalized [a-z0-9]+ in practice,
+    // but the SQL must stay well-formed for any caller-supplied term.
+    val qlist =
+      queryTerms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     s"""WITH tf AS (
        |  SELECT doc_id, token, count(*) AS tf FROM (
        |    SELECT doc_id, unnest(string_split(trim(regexp_replace(

@@ -102,8 +102,14 @@ object Olap {
   def momentStats(spark: SparkSession, dir: String): DataFrame = {
     val sums = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag"),
-              col("l_quantity").cast("decimal(18,4)").as("x"),
-              col("l_extendedprice").cast("decimal(18,4)").as("y"))
+              // DECIMAL(19,4) on BOTH engines (oracle matches): DuckDB
+              // needs width >= 19 so the multiply runs in int128 (an
+              // int64-backed DECIMAL(18,4) square overflows at runtime),
+              // and Spark's (19,4)x(19,4) product type decimal(38,7) is
+              // exact here because the doubles carry <= 2 real fractional
+              // digits, so every product has <= 4.
+              col("l_quantity").cast("decimal(19,4)").as("x"),
+              col("l_extendedprice").cast("decimal(19,4)").as("y"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -117,14 +123,20 @@ object Olap {
     def quant(c: org.apache.spark.sql.Column) =
       c.cast("decimal(28,10)").cast("double")
     val varX = (nD * sxx - sx * sx) / (nD * (nD - lit(1.0)))
+    // Degenerate groups are pinned to NULL SYMMETRICALLY with the oracle:
+    // n = 1 makes sample variance 0/0 (a double Inf/NaN that Spark's
+    // decimal cast nulls but DuckDB's raises on), and a zero variance
+    // makes corr 0/0 — so both engines short-circuit before dividing.
+    val ssX = nD * sxx - sx * sx
+    val ssY = nD * syy - sy * sy
     sums.select(
       col("l_returnflag"), col("n"),
       quant(sx / nD).as("mean_qty"),
       quant(sy / nD).as("mean_price"),
-      quant(varX).as("var_qty"),
-      quant(sqrt(varX)).as("std_qty"),
-      quant((nD * sxy - sx * sy) /
-            (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)))
+      quant(when(col("n") > 1, varX)).as("var_qty"),
+      quant(when(col("n") > 1, sqrt(varX))).as("std_qty"),
+      quant(when(col("n") > 1 && ssX > 0.0 && ssY > 0.0,
+                 (nD * sxy - sx * sy) / (sqrt(ssX) * sqrt(ssY))))
         .as("corr_qty_price"))
   }
 
@@ -143,20 +155,27 @@ object Olap {
       |    AS DECIMAL(28,10)) AS DOUBLE) AS mean_qty,
       |  CAST(CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
       |    AS DECIMAL(28,10)) AS DOUBLE) AS mean_price,
-      |  CAST(CAST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |  CAST(CAST(CASE WHEN n > 1 THEN
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END
       |    AS DECIMAL(28,10)) AS DOUBLE) AS var_qty,
-      |  CAST(CAST(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |  CAST(CAST(CASE WHEN n > 1 THEN
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END
       |    AS DECIMAL(28,10)) AS DOUBLE) AS std_qty,
-      |  CAST(CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |  CAST(CAST(CASE WHEN n > 1
+      |      AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      |      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END
       |    AS DECIMAL(28,10)) AS DOUBLE) AS corr_qty_price
       |FROM s""".stripMargin
 }
