@@ -198,6 +198,36 @@ object SparkEntry {
       ext.TextAnalysis.bm25TopK(s, d)),
     // symmetric int8 (max-abs) embedding quantization audit
     "q78_int8_quant"      -> ext.Quantize.int8Stats _,
+    // DML lifecycle through the llamadb dialect: CREATE + INSERT-SELECT
+    // seed, expression UPDATEs, predicate DELETE, post-state SELECT. The
+    // oracle runs the IDENTICAL mutation script in DuckDB (multi-statement
+    // execute; the trailing SELECT is the compared result).
+    "q79_dml_update" -> ((s: SparkSession, d: String) => {
+      val eng = new Engine(s); eng.registerTestTables(d)
+      eng.executeScript(
+        """CREATE TABLE dml_acct (id i64, bal i64, seg string null);
+          |INSERT INTO dml_acct
+          |  SELECT n_nationkey, (n_regionkey + 1) * 100, n_name FROM nation;
+          |UPDATE dml_acct SET bal = bal * 2 + 5 WHERE id > 10;
+          |UPDATE dml_acct SET seg = 'low' WHERE bal < 300;
+          |DELETE FROM dml_acct WHERE id = 3 OR bal > 900;""".stripMargin)
+      eng.sql("SELECT id, bal, seg FROM dml_acct")
+    }),
+    // INSERT VALUES (expressions, NULLs, column-subset defaults) +
+    // INSERT INTO ... SELECT (the statement the reference parses then
+    // panics on, tempdb/mod.rs:279) — post-state hash-checked in DuckDB.
+    "q80_insert_select" -> ((s: SparkSession, d: String) => {
+      val eng = new Engine(s); eng.registerTestTables(d)
+      eng.executeScript(
+        """CREATE TABLE dml_log (k i64, tag string, amt i64 null);
+          |INSERT INTO dml_log VALUES (1, 'a', 10), (2, 'b', NULL),
+          |                           (3, 'c', 2 + 3 * 4);
+          |INSERT INTO dml_log
+          |  SELECT n_nationkey + 100, n_name, n_regionkey
+          |  FROM nation WHERE n_regionkey <> 2;
+          |INSERT INTO dml_log (k, tag) VALUES (4, 'd');""".stripMargin)
+      eng.sql("SELECT k, tag, amt FROM dml_log")
+    }),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -674,5 +704,25 @@ object SparkEntry {
     "q76_moment_stats" -> ops.Olap.momentStatsOracleSql,
     "q77_bm25" -> ext.TextAnalysis.bm25TopKOracleSql(),
     "q78_int8_quant" -> ext.Quantize.int8StatsOracleSql,
+    // Multi-statement mutation scripts: DuckDB executes every statement
+    // and returns the trailing SELECT. Statement-for-statement identical
+    // to the dialect scripts the Spark side runs through graft.Engine.
+    "q79_dml_update" ->
+      """CREATE TEMP TABLE dml_acct (id BIGINT, bal BIGINT, seg VARCHAR);
+        |INSERT INTO dml_acct
+        |  SELECT n_nationkey, (n_regionkey + 1) * 100, n_name FROM nation;
+        |UPDATE dml_acct SET bal = bal * 2 + 5 WHERE id > 10;
+        |UPDATE dml_acct SET seg = 'low' WHERE bal < 300;
+        |DELETE FROM dml_acct WHERE id = 3 OR bal > 900;
+        |SELECT id, bal, seg FROM dml_acct""".stripMargin,
+    "q80_insert_select" ->
+      """CREATE TEMP TABLE dml_log (k BIGINT, tag VARCHAR, amt BIGINT);
+        |INSERT INTO dml_log VALUES (1, 'a', 10), (2, 'b', NULL),
+        |                           (3, 'c', 2 + 3 * 4);
+        |INSERT INTO dml_log
+        |  SELECT n_nationkey + 100, n_name, n_regionkey
+        |  FROM nation WHERE n_regionkey <> 2;
+        |INSERT INTO dml_log (k, tag) VALUES (4, 'd');
+        |SELECT k, tag, amt FROM dml_log""".stripMargin,
   )
 }
