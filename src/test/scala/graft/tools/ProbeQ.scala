@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc probe: time a named subset of SparkEntry.queries in a fresh
   * session, each query run twice (cold, warm). Usage:
-  *   runMain graft.tools.ProbeQ q30_knn_brute q37_knn_ivf
+  *   Test/runMain graft.tools.ProbeQ q30_knn_brute q37_knn_ivf
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
   */
 object ProbeQ {
