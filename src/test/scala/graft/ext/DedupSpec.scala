@@ -168,6 +168,36 @@ class DedupSpec extends SparkSpec {
     assert(a eq b)
   }
 
+  test("minhash-LSH vs brute-force exact pairs: precision exactly 1, recall floor") {
+    val t = 0.5
+    val sh = Dedup.shingled(spark, sfDir).cache()
+    // ground truth: all-pairs exact shingle Jaccard >= t (test-only
+    // O(n^2) join — never a production plan shape)
+    val exact = sh.as("l").join(sh.as("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("l.shingles"), col("r.shingles")))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("l.shingles")) + size(col("r.shingles")) - col("inter")))
+      .filter(col("jac") >= t)
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .cache()
+    val lsh = Dedup.minhashLsh(spark, sfDir, t)
+      .select("a_id", "b_id").cache()
+    val nExact = exact.count(); val nLsh = lsh.count()
+    assert(nExact > 0, "sf0.001 must contain planted near-dups")
+    // precision = 1 BY CONSTRUCTION (candidates are verified with the
+    // same exact Jaccard) — every LSH pair must be a true pair
+    assert(lsh.exceptAll(exact).count() == 0,
+      "minhash-LSH emitted a pair outside the exact >=t pair set")
+    // banding (8 bands x 4 rows) may miss borderline-t pairs; assert the
+    // recall floor rather than equality
+    val recall = (nLsh - lsh.exceptAll(exact).count()).toDouble / nExact
+    assert(recall >= 0.8, s"minhash-LSH recall $recall < 0.8 " +
+      s"($nLsh of $nExact exact pairs)")
+    sh.unpersist(); exact.unpersist(); lsh.unpersist()
+  }
+
   test("minhash signature is stable across runs (fixed permutations)") {
     val sig1 = Dedup.signatures(Dedup.shingled(spark, sfDir))
       .orderBy("doc_id").limit(3).collect().map(_.toString).toSeq
