@@ -23,14 +23,15 @@ object Bench {
       streaming.Streams.hourlyAggAvailableNow(
         spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
-    // Two full passes, report the per-query MIN: single-shot timings on a
-    // shared VM swing 2-5x under host contention, so one sample measures
-    // the neighbor's load, not the plan. Between passes every cached
+    // Multiple full passes, report the per-query MIN: single-shot timings
+    // on a shared VM swing 2-5x under host contention, so one sample
+    // measures the neighbor's load, not the plan (r4 showed isolated
+    // +0.3 s swings surviving min-of-2). Between passes every cached
     // block (DataFrame persists, memoized pair tables, RDD persists from
-    // the label-propagation loop) is dropped, so the second pass honestly
-    // recomputes each operator rather than reading pass-1 caches.
+    // the label-propagation loop) is dropped, so later passes honestly
+    // recompute each operator rather than reading pass-1 caches.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val reps = 2
+    val reps = 3
     val samples = (1 to reps).map { pass =>
       if (pass > 1) {
         ext.Dedup.clearMemos()
