@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10x scale smoke: replicate sf0.1 documents/embeddings/events
+  * 10x under target/scale10 (seeded, deterministic, throwaway — NEVER
+  * touches /root/testdata), then time the dedup/ANN/packing/reservoir
+  * families at 1x and 10x and print the growth ratios for SCALE.md.
+  *
+  * Replication is structure-preserving, not copy-pasting:
+  *   - documents: every word gets a per-replica suffix, so WITHIN-replica
+  *     near-dup structure is identical to sf0.1 while CROSS-replica
+  *     Jaccard is 0 — true pair volume grows exactly linearly, which is
+  *     what a real 10x corpus (new content, same dup rate) looks like.
+  *     Cross-replica exact/fingerprint dups would otherwise explode the
+  *     pair count quadratically and measure the synthetic corpus, not
+  *     the operator.
+  *   - embeddings: dimensions circularly shifted per replica (norms
+  *     preserved, cross-replica cosine decorrelated) and labels offset
+  *     so cell populations stay sf0.1-sized while cell COUNT grows 10x —
+  *     the IVF/cell scaling story (more data -> more cells, bounded
+  *     cell size).
+  *   - events: id/user offsets only; per-user session structure repeats.
+  *
+  * Usage: Test/runMain graft.tools.ScaleSmoke
+  */
+object ScaleSmoke {
+  private val Base = "/root/testdata/sf0.1"
+  private val Out = "target/scale10"
+
+  private val Families = Seq(
+    "q24_dedup_exact", "q25_dedup_fingerprint", "q26_dedup_minhash",
+    "q27_dedup_simhash", "q28_jaccard_pairs", "q29_emb_neardup",
+    "q30_knn_brute", "q31_knn_lsh", "q37_knn_ivf", "q39_dedup_clusters",
+    "q63_clean_corpus", "q64_seq_packing", "q74_reservoir")
+
+  def generate(spark: SparkSession): Unit = {
+    // events.ts is parquet TIMESTAMP(NANOS); read the nanos as plain
+    // longs (same as Tables.loadEvents) — the replica keeps ts as INT64
+    // nanos, which `ts div 1000` downstream handles identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reps = explode(array((0 until 10).map(lit): _*)).as("rep")
+
+    val docs = spark.read.parquet(s"$Base/documents.parquet")
+    docs.select(col("*"), reps)
+      .select(
+        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("x"), col("rep"))), " ").as("text"),
+        col("lang"), col("source"),
+        col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+
+    val embs = spark.read.parquet(s"$Base/embeddings.parquet")
+    embs.select(col("*"), reps)
+      .select(
+        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        concat(slice(col("embedding"), col("rep") + 1, size(col("embedding"))),
+               slice(col("embedding"), lit(1), col("rep"))).as("embedding"),
+        (col("label") + col("rep") * 100000).as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
+
+    val events = spark.read.parquet(s"$Base/events.parquet")
+    events.select(col("*"), reps)
+      .select(
+        (col("event_id") + col("rep") * 100000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Out/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // events is written LAST — its presence marks a complete generation
+    if (!new java.io.File(s"$Out/events.parquet").isDirectory) {
+      val t0 = System.nanoTime()
+      generate(spark)
+      println(f"[scale] generated $Out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    for (t <- Seq("documents", "embeddings", "events"))
+      println(s"[scale] $t rows 10x = " +
+        spark.read.parquet(s"$Out/$t.parquet").count())
+
+    def time(name: String, dir: String): (Double, Long) = {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val rows = fn(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    // Cached operators (minhashLshCached / jaccardPairsCached / IVF
+    // centroid memos) would make the 1x side a cache HIT while the 10x
+    // side computes cold — clear every memo/persist before each timed
+    // run so both sides measure a full recompute.
+    def coldStart(): Unit = {
+      graft.ext.Dedup.clearMemos()
+      graft.ext.Similarity.clearMemos()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    println(f"[scale] ${"query"}%-22s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s ${"rows1x"}%8s ${"rows10x"}%9s")
+    for (name <- Families) {
+      time(name, Base)                     // warms JIT/codegen paths
+      coldStart()
+      val (t1, r1) = time(name, Base)      // cold-data warm-code 1x
+      coldStart()
+      val (t10, r10) = time(name, Out)     // cold-data warm-code 10x
+      val ratio = t10 / math.max(t1, 1e-9)
+      println(f"[scale] $name%-22s $t1%7.2fs $t10%7.2fs $ratio%6.1f $r1%8d $r10%9d")
+    }
+    spark.stop()
+  }
+}
