@@ -57,6 +57,23 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("simhash combinatorial-block pairs equal the brute-force Hamming join") {
+    val sh = Dedup.simhashes(spark, sfDir).cache()
+    val brute = sh.as("l").join(sh.as("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+              bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+                .as("hamming"))
+      .filter(col("hamming") <= 3)
+    val banded = Dedup.simhashPairs(spark, sfDir, maxHam = 3)
+    // recall AND precision exactly 1: pigeonhole guarantees every
+    // ham<=3 pair shares a 3-block combo key; the verify filter removes
+    // everything else
+    assert(banded.exceptAll(brute).count() == 0 &&
+           brute.exceptAll(banded).count() == 0)
+    sh.unpersist()
+  }
+
   test("jaccard pairs: symmetric-free (a<b), all above threshold") {
     val pairs = Dedup.jaccardPairs(spark, sfDir, 0.8).cache()
     assert(pairs.filter(col("a_id") >= col("b_id")).count() == 0)
