@@ -228,6 +228,14 @@ object SparkEntry {
           |INSERT INTO dml_log (k, tag) VALUES (4, 'd');""".stripMargin)
       eng.sql("SELECT k, tag, amt FROM dml_log")
     }),
+    // deterministic salted-hash train/val/test split (pure map, no
+    // shuffle; assignment independent of row order/partitioning)
+    "q81_hash_split" -> ((s: SparkSession, d: String) =>
+      ext.Splits.hashSplit(s, d)),
+    // daily-batch incremental dedup: batch-internal canonical copy +
+    // anti-join against the existing corpus's fingerprints
+    "q82_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      ext.Splits.incrementalDedup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -724,5 +732,7 @@ object SparkEntry {
         |  FROM nation WHERE n_regionkey <> 2;
         |INSERT INTO dml_log (k, tag) VALUES (4, 'd');
         |SELECT k, tag, amt FROM dml_log""".stripMargin,
+    "q81_hash_split" -> ext.Splits.hashSplitOracleSql(),
+    "q82_incremental_dedup" -> ext.Splits.incrementalDedupOracleSql,
   )
 }

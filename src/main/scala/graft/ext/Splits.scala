@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus partitioning operators for training pipelines: deterministic
+  * train/val/test splits and incremental (new-batch-vs-existing) dedup.
+  *
+  * Both are scale-shaped from the start: the split is a pure per-row
+  * expression (scan speed, no shuffle, stable under any repartitioning —
+  * the assignment depends only on the row's key, never on row order or
+  * partition layout, so re-running on a re-sharded 100 TB corpus yields
+  * the identical split), and incremental dedup is the daily-crawl-append
+  * pattern — one fingerprint shuffle over the NEW batch plus an
+  * anti-join against the existing corpus's fingerprints (which at
+  * production scale is a precomputed bucketed table, not a rescan).
+  */
+object Splits {
+
+  /** Deterministic hash split: md5 of the salted doc key → first hex
+    * char buckets 13/16 train, 1/16 val, 2/16 test. Salting the key
+    * (rather than hashing the bare id) decorrelates the split from any
+    * other id-derived assignment in the pipeline. */
+  def hashSplit(spark: SparkSession, dir: String,
+                salt: String = "graft"): DataFrame = {
+    val hexc = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+              when(hexc <= "c", "train")
+                .when(hexc === "d", "val")
+                .otherwise("test").as("split"))
+  }
+
+  def hashSplitOracleSql(salt: String = "graft"): String =
+    s"""SELECT doc_id, source,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':$salt'), 1, 1)
+       |            <= 'c' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':$salt'), 1, 1)
+       |            = 'd' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  /** Incremental dedup: treat sources src0–src9 as the EXISTING corpus
+    * and src10+ as the NEW batch; a new doc survives iff its normalized
+    * fingerprint (1) is the batch's canonical copy (min doc_id) and
+    * (2) does not already exist in the corpus.
+    *
+    * The synthetic corpus has zero natural exact-fp overlap between the
+    * halves, which would make the gate vacuous (identity). Like the PII
+    * gate, a deterministic doc_id-keyed injection creates the structure
+    * being tested, mirrored verbatim in the oracle: docs with
+    * `doc_id % 10 = 7` take the text of `doc_id − 250` (batch→corpus
+    * overlap at sf0.01), docs with `doc_id % 50 = 33` take the text of
+    * `doc_id − 10` (batch-internal duplicates). Donors always contribute
+    * their ORIGINAL text (both engines read the base table for donors),
+    * so the injection is order-independent.
+    *
+    * Scale: the within-batch dedup is one fingerprint shuffle over the
+    * new batch only; the corpus check is a left_anti join on the
+    * fingerprint — at 100 TB the existing side is the stored fingerprint
+    * index of the corpus (bucketed on fp), so appending a daily batch
+    * never rescans history. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val donorExt = base.select((col("doc_id") + 250).as("doc_id"),
+                               col("text").as("t_ext"))
+    val donorInt = base.select((col("doc_id") + 10).as("doc_id"),
+                               col("text").as("t_int"))
+    val injected = base
+      .join(donorExt, Seq("doc_id"), "left")
+      .join(donorInt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 10 === 7 && col("t_ext").isNotNull, col("t_ext"))
+          .when(col("doc_id") % 50 === 33 && col("t_int").isNotNull,
+                col("t_int"))
+          .otherwise(col("text")).as("text"))
+    val docs = injected.select(col("doc_id"), col("source"),
+      md5(TextAnalysis.normalized(col("text"))).as("fp"))
+    val isExisting = col("source").rlike("^src[0-9]$")
+    val existing = docs.filter(isExisting).select(col("fp"))
+    val batch = docs.filter(!isExisting)
+    batch.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_copies"))
+      .join(existing, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("n_batch_copies"))
+  }
+
+  val incrementalDedupOracleSql: String =
+    """WITH inj AS (
+      |  SELECT d.doc_id, d.source,
+      |    CASE WHEN d.doc_id % 10 = 7 AND e.text IS NOT NULL THEN e.text
+      |         WHEN d.doc_id % 50 = 33 AND i.text IS NOT NULL THEN i.text
+      |         ELSE d.text END AS text
+      |  FROM documents d
+      |  LEFT JOIN documents e ON e.doc_id = d.doc_id - 250
+      |  LEFT JOIN documents i ON i.doc_id = d.doc_id - 10),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+      |  FROM inj),
+      |batch AS (SELECT fp, min(doc_id) AS doc_id,
+      |            count(*) AS n_batch_copies
+      |          FROM f WHERE NOT regexp_matches(source, '^src[0-9]$')
+      |          GROUP BY fp)
+      |SELECT doc_id, fp, n_batch_copies FROM batch b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM f
+      |  WHERE regexp_matches(f.source, '^src[0-9]$') AND f.fp = b.fp)"""
+      .stripMargin
+}

@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus partitioning: deterministic hash split + incremental dedup. */
+class SplitsSpec extends SparkSpec {
+
+  test("hash split is deterministic, total, and near the 13/1/2 ratio") {
+    val a = Splits.hashSplit(spark, sfDir).cache()
+    val b = Splits.hashSplit(spark, sfDir)
+    // identical on re-run (no order/partition dependence)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val n = a.count()
+    val byPart = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPart.values.sum == n, "every doc gets exactly one split")
+    // md5 hex chars are uniform: train 13/16, val 1/16, test 2/16;
+    // loose bands — this asserts the mapping, not the RNG
+    assert(byPart("train").toDouble / n > 0.70)
+    assert(byPart("val").toDouble / n < 0.15)
+    assert(byPart("test").toDouble / n < 0.25)
+    a.unpersist()
+  }
+
+  test("different salts give different (but internally stable) splits") {
+    val a = Splits.hashSplit(spark, sfDir, salt = "graft")
+    val b = Splits.hashSplit(spark, sfDir, salt = "other")
+    val moved = a.as("a").join(b.as("b"), "doc_id")
+      .filter(col("a.split") =!= col("b.split")).count()
+    assert(moved > 0, "salt must decorrelate assignments")
+  }
+
+  test("incremental dedup drops corpus-known and batch-dup fingerprints") {
+    val kept = Splits.incrementalDedup(spark, sfDir).cache()
+    // every kept fp is unique in the output (canonical copy only)
+    assert(kept.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+    // the injection creates known drops: kept < batch size
+    val batchSize = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(!col("source").rlike("^src[0-9]$")).count()
+    assert(kept.count() < batchSize,
+      s"gate must be non-vacuous: kept=${kept.count()} batch=$batchSize")
+    // copy counts are consistent: each kept fp has >=1 batch copy and
+    // the copies cannot exceed the batch itself
+    assert(kept.filter(col("n_batch_copies") < 1).count() == 0)
+    val copies = kept.agg(sum("n_batch_copies")).head.getLong(0)
+    assert(copies <= batchSize)
+    kept.unpersist()
+  }
+}
