@@ -236,6 +236,9 @@ object SparkEntry {
     // anti-join against the existing corpus's fingerprints
     "q82_incremental_dedup" -> ((s: SparkSession, d: String) =>
       ext.Splits.incrementalDedup(s, d)),
+    // MOSS winnowing fingerprints (SIGMOD'03): per-window min gram hash
+    "q83_winnowing" -> ((s: SparkSession, d: String) =>
+      ext.Winnow.fingerprints(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -734,5 +737,6 @@ object SparkEntry {
         |SELECT k, tag, amt FROM dml_log""".stripMargin,
     "q81_hash_split" -> ext.Splits.hashSplitOracleSql(),
     "q82_incremental_dedup" -> ext.Splits.incrementalDedupOracleSql,
+    "q83_winnowing" -> ext.Winnow.fingerprintsOracleSql(),
   )
 }

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+  * k-gram, slide a window of w consecutive gram hashes, select each
+  * window's minimum — the selected set is a position-robust fingerprint
+  * with guaranteed detection of matches of length >= w + k - 1.
+  *
+  * Engine-exactness: the gram "hash" is the md5 HEX STRING (lexicographic
+  * min over hex strings is identical in Spark and DuckDB; no integer-hash
+  * parity problem), and the window min is a plain ROWS window — both
+  * sides mirror verbatim.
+  *
+  * Scale: one explode to (doc, pos, gram-hash) rows, one per-doc window
+  * (partitions bounded by document length — arrival-bounded, never
+  * corpus-bounded), one distinct-aggregate back to per-doc stats. The
+  * cross-doc use (docs sharing selected fingerprints -> near-dup
+  * candidates, bucketed by fingerprint value) composes on top without
+  * any new shuffle shape — the spec exercises it. */
+object Winnow {
+
+  /** Per-doc (pos, gram md5) rows for word k-grams. */
+  private[ext] def gramHashesOf(docs: DataFrame, k: Int): DataFrame = {
+    val words = split(TextAnalysis.normalized(col("text")), " ")
+    docs
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - k),
+          i => md5(array_join(slice(col("ws"), i + 1, lit(k)), " "))))
+        .as(Seq("pos", "gh")))
+  }
+
+  /** The winnowed fingerprint SET per doc: (doc_id, sel) distinct rows —
+    * the cross-doc matching input (docs sharing a sel are candidates). */
+  def selectedFingerprintsOf(docs: DataFrame,
+                             k: Int = 3, w: Int = 4): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val nWin = Window.partitionBy(col("doc_id"))
+    gramHashesOf(docs, k)
+      .withColumn("n_grams", count(lit(1)).over(nWin))
+      .withColumn("sel", min(col("gh")).over(win))
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0L)))
+      .select(col("doc_id"), col("sel")).distinct()
+  }
+
+  /** Winnowed fingerprint stats per doc: total grams, selected distinct
+    * fingerprints, their min and max (hex strings). k=3, w=4 defaults. */
+  def fingerprints(spark: SparkSession, dir: String,
+                   k: Int = 3, w: Int = 4): DataFrame = {
+    val gh = gramHashesOf(Tables.load(spark, dir, "documents"), k)
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val nWin = Window.partitionBy(col("doc_id"))
+    gh.withColumn("n_grams", count(lit(1)).over(nWin))
+      // only full windows select (pos <= n_grams - w); a doc shorter
+      // than w grams still yields one window at pos 0 (the whole doc)
+      .withColumn("sel", min(col("gh")).over(win))
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+           count_distinct(col("sel")).as("n_fingerprints"),
+           min(col("sel")).as("min_fp"),
+           max(col("sel")).as("max_fp"))
+  }
+
+  def fingerprintsOracleSql(k: Int = 3, w: Int = 4): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS w FROM documents),
+       |gh0 AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1,
+       |    'gh': md5(array_to_string(w[i:i+${k - 1}], ' '))}
+       |    for i in range(1, len(w) - ${k - 2})]) AS u
+       |  FROM ws WHERE len(w) >= $k),
+       |gh AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM gh0),
+       |sel AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_grams,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+       |  FROM gh)
+       |SELECT doc_id, max(n_grams) AS n_grams,
+       |  count(DISTINCT sel) AS n_fingerprints,
+       |  min(sel) AS min_fp, max(sel) AS max_fp
+       |FROM sel
+       |WHERE pos <= greatest(n_grams - $w, 0)
+       |GROUP BY doc_id""".stripMargin
+}
