@@ -23,6 +23,13 @@ class SplitsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("hash split plan is a pure scan+project — no shuffle") {
+    val plan = Splits.hashSplit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "split assignment must not shuffle — it runs at scan speed")
+  }
+
   test("different salts give different (but internally stable) splits") {
     val a = Splits.hashSplit(spark, sfDir, salt = "graft")
     val b = Splits.hashSplit(spark, sfDir, salt = "other")
