@@ -239,6 +239,9 @@ object SparkEntry {
     // MOSS winnowing fingerprints (SIGMOD'03): per-window min gram hash
     "q83_winnowing" -> ((s: SparkSession, d: String) =>
       ext.Winnow.fingerprints(s, d)),
+    // cross-doc n-gram novelty (boilerplate signal; exact integers)
+    "q84_gram_novelty" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.gramNovelty(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -738,5 +741,6 @@ object SparkEntry {
     "q81_hash_split" -> ext.Splits.hashSplitOracleSql(),
     "q82_incremental_dedup" -> ext.Splits.incrementalDedupOracleSql,
     "q83_winnowing" -> ext.Winnow.fingerprintsOracleSql(),
+    "q84_gram_novelty" -> ext.TextAnalysis.gramNoveltyOracleSql(),
   )
 }

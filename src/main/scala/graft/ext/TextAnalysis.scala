@@ -331,6 +331,62 @@ object TextAnalysis {
        |FROM gc GROUP BY doc_id""".stripMargin
   }
 
+  /** Cross-document n-gram novelty — the RefinedWeb/Gopher-family
+    * signal `dupNgramStats` does NOT measure: what fraction of a doc's
+    * distinct n-grams also appear in OTHER documents. Low novelty marks
+    * boilerplate/templated docs even when each doc is internally
+    * repetition-free. Exact integer arithmetic end to end (int counts,
+    * one int/int division at the edge).
+    *
+    * Scale: one (doc, gram) distinct shuffle, one gram-keyed df
+    * aggregate (vocabulary-sized, with map-side combine), one gram-keyed
+    * join back — the same two-shuffle shape as TF-IDF (q55); nothing is
+    * ever corpus x corpus. */
+  def gramNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    gramNoveltyDf(Tables.load(spark, dir, "documents"), n)
+
+  /** Same operator over any (doc_id, text) frame. */
+  def gramNoveltyDf(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+              explode(graft.functions.StringNGrams.ngrams(
+                split(normalized(col("text")), " "), n)).as("g"))
+      .filter(col("g") =!= "")
+      .select(col("doc_id"), col("g")).distinct()
+    val dfreq = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("gdf"))
+    grams.join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+           sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("shared_grams"))
+      .select(col("doc_id"), col("n_distinct_grams"), col("shared_grams"),
+        ((col("n_distinct_grams") - col("shared_grams")).cast("double") /
+          col("n_distinct_grams").cast("double")).as("novelty"))
+  }
+
+  def gramNoveltyOracleSql(n: Int = 3): String = {
+    val gram = (1 to n).map(i => s"ws[i + ${i - 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS ws
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, $gram AS g
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - ${n - 1})) AS i
+       |        FROM toks WHERE len(ws) >= $n)
+       |  WHERE $gram <> ''),
+       |dfreq AS (SELECT g, count(*) AS gdf FROM grams GROUP BY g)
+       |SELECT doc_id, count(*) AS n_distinct_grams,
+       |  CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS shared_grams,
+       |  CAST(count(*) - sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END)
+       |       AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM grams JOIN dfreq USING (g)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   /** BM25-style top-k retrieval for a fixed query-term set — the
     * relevance ranking a corpus-search / eval-retrieval step runs. Uses
     * the rational idf `(N − df + ½)/(df + ½)` instead of its log because

@@ -104,4 +104,15 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(rows.forall(_.getAs[String]("pair").length == 2))
   }
+  test("gram novelty: full-overlap docs score 0, unique doc scores 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gramNoveltyDf(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0, "identical docs share all grams")
+    assert(out(3L) == 1.0, "disjoint vocabulary is fully novel")
+  }
 }
