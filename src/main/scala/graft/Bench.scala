@@ -36,6 +36,7 @@ object Bench {
       if (pass > 1) {
         ext.Dedup.clearMemos()
         ext.Similarity.clearMemos()
+        ext.Quantize.clearMemos()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

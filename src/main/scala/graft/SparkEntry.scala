@@ -242,6 +242,11 @@ object SparkEntry {
     // cross-doc n-gram novelty (boilerplate signal; exact integers)
     "q84_gram_novelty" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.gramNovelty(s, d)),
+    // product quantization (PQ m=4 k=16): trained codebooks, map-side
+    // encode; rows-only (codes depend on trained centroids — PqSpec
+    // asserts determinism, bounds, and reconstruction-error dominance)
+    "q85_pq_codes" -> ((s: SparkSession, d: String) =>
+      ext.Quantize.pqCodes(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */

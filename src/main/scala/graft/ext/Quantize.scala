@@ -62,6 +62,103 @@ object Quantize {
               .cast("decimal(18,12)").cast("double")).as("max_abs_err"))
   }
 
+  // ---- Product quantization (PQ) ------------------------------------
+
+  /** Number of subspaces and codes per subspace (PQ m=4, k=16 → 4-bit
+    * codes, 64-dim vectors split into 16-dim subvectors). */
+  private val PqM = 4
+  private val PqK = 16
+
+  /** Sum of squared differences between a subvector and a codebook
+    * entry, as one codegen'd expression tree. */
+  private def sqDist(sub: Column, cent: Array[Double]): Column =
+    aggregate(
+      zip_with(sub, array(cent.map(c => lit(c)): _*),
+               (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Train per-subspace Lloyd k-means codebooks (deterministic init:
+    * first PqK vectors by vec_id; empty cells keep their previous
+    * centroid — no reseeding, bit-stable across runs).
+    *
+    * Scale: assignment is map-side (argmin over PqK literal centroids);
+    * per iteration one shuffle of (code, pos, value) skinny rows with
+    * map-side combine; only M x K x subdim sums reach the driver. Like
+    * IVF training, a hash-sample bound (`Similarity.trainCentroids`
+    * pattern) caps training cost at 100 TB while the full corpus is
+    * still encoded. */
+  private[ext] def pqTrain(embeddings: DataFrame, dim: Int,
+                           iters: Int = 2): Array[Array[Array[Double]]] = {
+    val sub = dim / PqM
+    val seed = embeddings.orderBy(col("vec_id")).limit(PqK)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val books = Array.tabulate(PqM)(m =>
+      seed.map(v => v.slice(m * sub, (m + 1) * sub)))
+    for (_ <- 1 to iters; m <- 0 until PqM) {
+      val subCol = slice(col("embedding"), m * sub + 1, sub)
+      val dists = array(books(m).indices.map(k =>
+        sqDist(subCol, books(m)(k))): _*)
+      // argmin with lowest-index tie-break: array_position finds the
+      // FIRST occurrence of the minimum (1-based)
+      val code = (array_position(dists, array_min(dists)) - 1).cast("int")
+      val stats = embeddings
+        .select(code.as("code"), posexplode(subCol).as(Seq("pos", "v")))
+        .groupBy(col("code"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"),
+             count(lit(1)).as("n"))
+        .collect()
+      stats.groupBy(_.getInt(0)).foreach { case (k, rows) =>
+        val vec = books(m)(k).clone()
+        rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        books(m)(k) = vec
+      }
+    }
+    books
+  }
+
+  /** Per-(session, dir) memo of trained codebooks (IVF-centroid
+    * pattern: training is the bounded driver-side step, encode is pure
+    * map work). */
+  private val bookCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String), Array[Array[Array[Double]]]]()
+
+  def clearMemos(): Unit = bookCache.clear()
+
+  /** PQ encode: per vector, the M argmin-distance codes plus the total
+    * squared reconstruction error. Encoding is a single map-side
+    * projection (argmin over literal codebooks — codegen'd, no shuffle,
+    * no UDF); at 100 TB it runs at scan speed like SQ8 above. Output is
+    * deterministic (ties break to the lowest code) but depends on the
+    * trained codebooks, so the gate is rows-only; PqSpec asserts
+    * determinism, code bounds, and that PQ reconstruction beats the
+    * 1-centroid baseline. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val dim = 64
+    bookCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) bookCache.remove(k)
+    }
+    val books = bookCache.getOrElseUpdate((spark, dir), pqTrain(embs, dim))
+    pqCodesDf(embs, dim, books)
+  }
+
+  private[ext] def pqCodesDf(embeddings: DataFrame, dim: Int,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = dim / PqM
+    val parts = (0 until PqM).map { m =>
+      val subCol = slice(col("embedding"), m * sub + 1, sub)
+      val dists = array(books(m).indices.map(k =>
+        sqDist(subCol, books(m)(k))): _*)
+      ((array_position(dists, array_min(dists)) - 1).cast("int"),
+       array_min(dists))
+    }
+    embeddings.select(
+      col("vec_id"),
+      array(parts.map(_._1): _*).as("codes"),
+      parts.map(_._2).reduce(_ + _).as("sq_err"))
+  }
+
   val int8StatsOracleSql: String =
     """WITH a AS (
       |  SELECT vec_id, embedding,

@@ -106,6 +106,7 @@ object ScaleSmoke {
     def coldStart(): Unit = {
       graft.ext.Dedup.clearMemos()
       graft.ext.Similarity.clearMemos()
+      graft.ext.Quantize.clearMemos()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
