@@ -77,6 +77,12 @@ object Lexer {
               case '=' | '<' | '>' | '+' | '-' | '*' | '/' | '(' | ')' |
                    ',' | ';' | '.' | '&' | '|' | '[' | ']' =>
                 out += Op(c.toString); i += 1
+              // `?` is a lexer token in the reference
+              // (src/sqlsyntax/lexer.rs:39) with no parse or execute
+              // path there either — lex it so scripts containing it
+              // fail in the parser with a clear message, not a lex error
+              case '?' =>
+                out += Op("?"); i += 1
               case other => throw LexError(s"unexpected character '$other'")
             }
         }

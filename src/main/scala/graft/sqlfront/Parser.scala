@@ -121,6 +121,13 @@ class Parser(tokens: Vector[Token]) {
           QualifiedIdent(name, ident())
         case _ => Ident(name)
       }
+    case Op("?") =>
+      // the reference lexes `?` (sqlsyntax/lexer.rs:39) but has no
+      // parse or execute path for prepared statements — mirror that
+      // surface with an explicit, actionable error
+      throw ParseError(
+        "prepared-statement placeholder '?' is not executable " +
+        "(token-only in the reference); bind values before submitting")
     case t => throw ParseError(s"unexpected token $t in expression")
   }
 

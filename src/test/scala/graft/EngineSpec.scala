@@ -502,6 +502,14 @@ class EngineSpec extends SparkSpec {
     assert(msg("INSERT INTO db1.t VALUES (1)").contains("not supported"))
   }
 
+  test("prepared-statement '?' lexes but fails to parse with a clear error") {
+    val eng = freshEngine
+    eng.execute("CREATE TABLE q (x int)")
+    val m = intercept[Exception](
+      eng.execute("SELECT x FROM q WHERE x = ?")).getMessage
+    assert(m.contains("prepared-statement placeholder"))
+  }
+
   test("operator precedence: * binds over +, comparisons over AND/OR") {
     val eng = freshEngine
     eng.execute("CREATE TABLE p (x int)")
