@@ -242,6 +242,9 @@ object SparkEntry {
     // cross-doc n-gram novelty (boilerplate signal; exact integers)
     "q84_gram_novelty" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.gramNovelty(s, d)),
+    // MOSS cross-doc matching: pairs sharing winnowed fingerprints
+    "q86_winnow_matches" -> ((s: SparkSession, d: String) =>
+      ext.Winnow.matches(s, d)),
     // product quantization (PQ m=4 k=16): trained codebooks, map-side
     // encode; rows-only (codes depend on trained centroids — PqSpec
     // asserts determinism, bounds, and reconstruction-error dominance)
@@ -747,5 +750,6 @@ object SparkEntry {
     "q82_incremental_dedup" -> ext.Splits.incrementalDedupOracleSql,
     "q83_winnowing" -> ext.Winnow.fingerprintsOracleSql(),
     "q84_gram_novelty" -> ext.TextAnalysis.gramNoveltyOracleSql(),
+    "q86_winnow_matches" -> ext.Winnow.matchesOracleSql(),
   )
 }

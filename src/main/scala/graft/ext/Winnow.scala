@@ -70,6 +70,63 @@ object Winnow {
            max(col("sel")).as("max_fp"))
   }
 
+  /** Cross-doc MOSS matching: pairs of docs sharing >= minShared
+    * winnowed fingerprints, with the shared count. Fingerprints more
+    * common than dfCap docs are dropped first — the standard MOSS
+    * "ignore ubiquitous fingerprints" lever, which is also what bounds
+    * the bucket join at scale (without it a boilerplate gram shared by
+    * 1M docs would create a 10^12-pair bucket; with it candidate volume
+    * is <= dfCap * |fingerprints|).
+    *
+    * Scale: one fingerprint-keyed df aggregate, one semi-join filter,
+    * one fingerprint-bucketed self-join (the candidate generator — same
+    * bounded-bucket shape as LSH banding), one pair aggregate. */
+  def matches(spark: SparkSession, dir: String,
+              k: Int = 3, w: Int = 4,
+              dfCap: Int = 100, minShared: Int = 2): DataFrame = {
+    val sel = selectedFingerprintsOf(
+      Tables.load(spark, dir, "documents"), k, w)
+    val rare = sel.groupBy(col("sel"))
+      .agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") <= dfCap)
+      .select(col("sel"))
+    val fpf = sel.join(rare, "sel")
+    fpf.as("a").join(fpf.as("b"),
+        col("a.sel") === col("b.sel") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  def matchesOracleSql(k: Int = 3, w: Int = 4,
+                       dfCap: Int = 100, minShared: Int = 2): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS w FROM documents),
+       |gh0 AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1,
+       |    'gh': md5(array_to_string(w[i:i+${k - 1}], ' '))}
+       |    for i in range(1, len(w) - ${k - 2})]) AS u
+       |  FROM ws WHERE len(w) >= $k),
+       |gh AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM gh0),
+       |sel0 AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_grams,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+       |  FROM gh),
+       |fp AS (SELECT DISTINCT doc_id, sel FROM sel0
+       |       WHERE pos <= greatest(n_grams - $w, 0)),
+       |rare AS (SELECT sel FROM fp GROUP BY sel
+       |         HAVING count(*) <= $dfCap),
+       |fpf AS (SELECT fp.doc_id, fp.sel FROM fp JOIN rare USING (sel))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |FROM fpf a JOIN fpf b
+       |  ON a.sel = b.sel AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
   def fingerprintsOracleSql(k: Int = 3, w: Int = 4): String =
     s"""WITH ws AS (
        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(

@@ -41,6 +41,23 @@ class WinnowSpec extends SparkSpec {
     sel.unpersist()
   }
 
+  test("cross-doc matches: symmetric-free, shared bounded by set sizes") {
+    val m = Winnow.matches(spark, sfDir).cache()
+    assert(m.count() > 0, "planted near-dups must share fingerprints")
+    assert(m.filter(col("a_id") >= col("b_id")).count() == 0)
+    // shared count cannot exceed either doc's fingerprint-set size
+    val fps = Winnow.fingerprints(spark, sfDir)
+      .select(col("doc_id"), col("n_fingerprints"))
+    val bad = m
+      .join(fps.withColumnRenamed("doc_id", "a_id")
+               .withColumnRenamed("n_fingerprints", "na"), "a_id")
+      .join(fps.withColumnRenamed("doc_id", "b_id")
+               .withColumnRenamed("n_fingerprints", "nb"), "b_id")
+      .filter(col("shared") > least(col("na"), col("nb")))
+    assert(bad.count() == 0)
+    m.unpersist()
+  }
+
   test("fingerprints are a subset of the doc's gram hashes") {
     val docs = Seq((1L, "a b c d e f g h i j k l m n o p"))
       .toDF("doc_id", "text")
