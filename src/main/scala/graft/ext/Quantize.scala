@@ -77,44 +77,45 @@ object Quantize {
                (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, d) => acc + d)
 
-  /** Train per-subspace Lloyd k-means codebooks (deterministic init:
-    * first PqK vectors by vec_id; empty cells keep their previous
-    * centroid — no reseeding, bit-stable across runs).
-    *
-    * Scale: assignment is map-side (argmin over PqK literal centroids);
-    * per iteration one shuffle of (code, pos, value) skinny rows with
-    * map-side combine; only M x K x subdim sums reach the driver. Like
-    * IVF training, a hash-sample bound (`Similarity.trainCentroids`
-    * pattern) caps training cost at 100 TB while the full corpus is
-    * still encoded. */
+  /** Train per-subspace Lloyd k-means codebooks on a BOUNDED sample,
+    * driver-side — the standard PQ practice (FAISS trains on a sample
+    * too): the sample is the first `sampleN` vectors by vec_id
+    * (TakeOrdered — a scan, never a full sort), ~2 MB on the driver at
+    * the defaults, and Lloyd over it is microseconds of local work. The
+    * corpus-sized stage is the ENCODE, which stays distributed and
+    * map-side. Deterministic throughout: fixed sample, first-K init,
+    * lowest-index tie-breaks, empty cells keep their centroid. */
   private[ext] def pqTrain(embeddings: DataFrame, dim: Int,
-                           iters: Int = 2): Array[Array[Array[Double]]] = {
+                           iters: Int = 5,
+                           sampleN: Int = 4096): Array[Array[Array[Double]]] = {
     val sub = dim / PqM
-    val seed = embeddings.orderBy(col("vec_id")).limit(PqK)
+    val sample = embeddings.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val books = Array.tabulate(PqM)(m =>
-      seed.map(v => v.slice(m * sub, (m + 1) * sub)))
-    for (_ <- 1 to iters; m <- 0 until PqM) {
-      val subCol = slice(col("embedding"), m * sub + 1, sub)
-      val dists = array(books(m).indices.map(k =>
-        sqDist(subCol, books(m)(k))): _*)
-      // argmin with lowest-index tie-break: array_position finds the
-      // FIRST occurrence of the minimum (1-based)
-      val code = (array_position(dists, array_min(dists)) - 1).cast("int")
-      val stats = embeddings
-        .select(code.as("code"), posexplode(subCol).as(Seq("pos", "v")))
-        .groupBy(col("code"), col("pos"))
-        .agg(sum(col("v").cast("double")).as("s"),
-             count(lit(1)).as("n"))
-        .collect()
-      stats.groupBy(_.getInt(0)).foreach { case (k, rows) =>
-        val vec = books(m)(k).clone()
-        rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
-        books(m)(k) = vec
+    Array.tabulate(PqM) { m =>
+      val xs = sample.map(v => v.slice(m * sub, (m + 1) * sub))
+      var cents = xs.take(PqK).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(PqK)(new Array[Double](sub))
+        val counts = new Array[Long](PqK)
+        xs.foreach { x =>
+          var best = 0; var bd = Double.MaxValue
+          var k = 0
+          while (k < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = x(i) - cents(k)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = k }
+            k += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += x(i); i += 1 }
+        }
+        cents = Array.tabulate(PqK)(k =>
+          if (counts(k) > 0) sums(k).map(_ / counts(k)) else cents(k))
       }
+      cents
     }
-    books
   }
 
   /** Per-(session, dir) memo of trained codebooks (IVF-centroid

@@ -33,7 +33,9 @@ object ScaleSmoke {
     "q24_dedup_exact", "q25_dedup_fingerprint", "q26_dedup_minhash",
     "q27_dedup_simhash", "q28_jaccard_pairs", "q29_emb_neardup",
     "q30_knn_brute", "q31_knn_lsh", "q37_knn_ivf", "q39_dedup_clusters",
-    "q63_clean_corpus", "q64_seq_packing", "q74_reservoir")
+    "q63_clean_corpus", "q64_seq_packing", "q74_reservoir",
+    "q81_hash_split", "q82_incremental_dedup", "q83_winnowing",
+    "q84_gram_novelty", "q85_pq_codes", "q86_winnow_matches")
 
   def generate(spark: SparkSession): Unit = {
     // events.ts is parquet TIMESTAMP(NANOS); read the nanos as plain
