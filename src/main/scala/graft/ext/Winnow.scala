@@ -11,10 +11,12 @@ import graft.Tables
   * window's minimum — the selected set is a position-robust fingerprint
   * with guaranteed detection of matches of length >= w + k - 1.
   *
-  * Engine-exactness: the gram "hash" is the md5 HEX STRING (lexicographic
-  * min over hex strings is identical in Spark and DuckDB; no integer-hash
-  * parity problem), and the window min is a plain ROWS window — both
-  * sides mirror verbatim.
+  * Engine-exactness: the gram "hash" is the first 16 hex chars of the
+  * md5 (64 bits — dedup-grade; lexicographic min over hex strings is
+  * identical in Spark and DuckDB, no integer-hash parity problem, and
+  * halving the string width halves the bytes through every window and
+  * join), and the window min is a plain ROWS window — both sides mirror
+  * verbatim.
   *
   * Scale: one explode to (doc, pos, gram-hash) rows, one per-doc window
   * (partitions bounded by document length — arrival-bounded, never
@@ -32,7 +34,8 @@ object Winnow {
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), size(col("ws")) - k),
-          i => md5(array_join(slice(col("ws"), i + 1, lit(k)), " "))))
+          i => substring(
+            md5(array_join(slice(col("ws"), i + 1, lit(k)), " ")), 1, 16)))
         .as(Seq("pos", "gh")))
   }
 
@@ -107,7 +110,7 @@ object Winnow {
        |    AS w FROM documents),
        |gh0 AS (
        |  SELECT doc_id, unnest([{'pos': i - 1,
-       |    'gh': md5(array_to_string(w[i:i+${k - 1}], ' '))}
+       |    'gh': substr(md5(array_to_string(w[i:i+${k - 1}], ' ')), 1, 16)}
        |    for i in range(1, len(w) - ${k - 2})]) AS u
        |  FROM ws WHERE len(w) >= $k),
        |gh AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM gh0),
@@ -134,7 +137,7 @@ object Winnow {
        |    AS w FROM documents),
        |gh0 AS (
        |  SELECT doc_id, unnest([{'pos': i - 1,
-       |    'gh': md5(array_to_string(w[i:i+${k - 1}], ' '))}
+       |    'gh': substr(md5(array_to_string(w[i:i+${k - 1}], ' ')), 1, 16)}
        |    for i in range(1, len(w) - ${k - 2})]) AS u
        |  FROM ws WHERE len(w) >= $k),
        |gh AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM gh0),
