@@ -58,6 +58,37 @@ class WinnowSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("property: every random doc pair sharing a >= w+k-1 run matches") {
+    // ScalaCheck-style randomized check with a fixed seed: random word
+    // sequences with a random shared run of length w+k-1..2(w+k) words
+    // planted at random offsets MUST share a winnowed fingerprint
+    // (Schleimer-Wilkerson-Aiken guarantee), for every case.
+    val rnd = new scala.util.Random(4242)
+    def words(n: Int): Seq[String] =
+      Seq.fill(n)("w" + rnd.nextInt(1000000))
+    val cases = (0 until 20).map { i =>
+      val run = words(w + k - 1 + rnd.nextInt(w + k + 1))
+      def doc(): String = {
+        val pre = words(rnd.nextInt(30))
+        val post = words(rnd.nextInt(30))
+        (pre ++ run ++ post).mkString(" ")
+      }
+      (2L * i, doc(), 2L * i + 1, doc())
+    }
+    val docs = cases.flatMap { case (ida, ta, idb, tb) =>
+      Seq((ida, ta), (idb, tb)) }
+      .toDF("doc_id", "text")
+    val sel = Winnow.selectedFingerprintsOf(docs, k, w).cache()
+    val pairs = sel.as("a").join(sel.as("b"),
+        col("a.sel") === col("b.sel") &&
+        col("a.doc_id") + 1 === col("b.doc_id") &&
+        col("a.doc_id") % 2 === 0)
+      .select(col("a.doc_id")).distinct().count()
+    assert(pairs == cases.length,
+      s"all ${cases.length} planted pairs must match, got $pairs")
+    sel.unpersist()
+  }
+
   test("fingerprints are a subset of the doc's gram hashes") {
     val docs = Seq((1L, "a b c d e f g h i j k l m n o p"))
       .toDF("doc_id", "text")
