@@ -242,6 +242,9 @@ object SparkEntry {
     // cross-doc n-gram novelty (boilerplate signal; exact integers)
     "q84_gram_novelty" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.gramNovelty(s, d)),
+    // per-source corpus card (docs/tokens/dup-rate/quality, exact ints)
+    "q87_corpus_card" -> ((s: SparkSession, d: String) =>
+      ext.Pipeline.corpusCard(s, d)),
     // MOSS cross-doc matching: pairs sharing winnowed fingerprints
     "q86_winnow_matches" -> ((s: SparkSession, d: String) =>
       ext.Winnow.matches(s, d)),
@@ -751,5 +754,6 @@ object SparkEntry {
     "q83_winnowing" -> ext.Winnow.fingerprintsOracleSql(),
     "q84_gram_novelty" -> ext.TextAnalysis.gramNoveltyOracleSql(),
     "q86_winnow_matches" -> ext.Winnow.matchesOracleSql(),
+    "q87_corpus_card" -> ext.Pipeline.corpusCardOracleSql,
   )
 }

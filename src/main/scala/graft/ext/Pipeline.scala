@@ -27,6 +27,53 @@ import graft.Tables
   */
 object Pipeline {
 
+  /** Per-source corpus card — the "data card" summary a pipeline
+    * publishes with every corpus release: document and token volumes,
+    * duplicate rate (normalized fingerprints), and quality-pass counts,
+    * all integer-exact so the report is bit-stable across engines.
+    *
+    * Scale: one documents scan into one groupBy(source) with a distinct
+    * aggregate — Catalyst's Expand plan, same shape as q71; source
+    * cardinality is bounded, so the result is dashboard-sized. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(TextAnalysis.normalized(col("text")))
+    val nTokens =
+      expr("size(regexp_extract_all(text, '([A-Za-z0-9]+)', 1))")
+        .cast("long")
+    val nStop = expr(
+      "size(regexp_extract_all(lower(text), " +
+      "'\\\\b(the|a|an|and|of|to|in|is|it|for)\\\\b', 1))").cast("long")
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), fp.as("fp"),
+              nTokens.as("n_tokens"), nStop.as("n_stop"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           count_distinct(col("fp")).as("n_fingerprints"),
+           (count(lit(1)) - count_distinct(col("fp"))).as("n_dup_docs"),
+           sum(when(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+                    col("n_stop") * 10 <= col("n_tokens") * 6, 1L)
+                 .otherwise(0L)).as("n_quality_pass"))
+  }
+
+  val corpusCardOracleSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  count(DISTINCT fp) AS n_fingerprints,
+      |  count(*) - count(DISTINCT fp) AS n_dup_docs,
+      |  CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+      |                 AND n_stop * 10 <= n_tokens * 6
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+      |FROM (SELECT source,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(len(regexp_extract_all(lower(text),
+      |    '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS BIGINT) AS n_stop
+      | FROM documents) t
+      |GROUP BY source""".stripMargin
+
   def cleanCorpus(spark: SparkSession, dir: String,
                   threshold: Double = 0.8,
                   seqLen: Int = 32, stride: Int = 16): DataFrame = {

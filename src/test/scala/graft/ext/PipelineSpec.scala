@@ -64,4 +64,17 @@ class PipelineSpec extends SparkSpec {
     val composed = out.collect().map(_.toString).sorted.toSeq
     assert(composed == standalone)
   }
+
+  test("corpus card totals are internally consistent") {
+    val card = Pipeline.corpusCard(spark, sfDir).cache()
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(card.agg(sum("n_docs")).head.getLong(0) == corpus.count(),
+      "per-source doc counts must sum to the corpus")
+    assert(card.filter(col("n_dup_docs") =!=
+      col("n_docs") - col("n_fingerprints")).count() == 0)
+    assert(card.filter(col("n_quality_pass") > col("n_docs")).count() == 0)
+    assert(card.filter(col("total_tokens") < col("n_docs")).count() == 0,
+      "every doc has at least one token in the synthetic corpus")
+    card.unpersist()
+  }
 }
