@@ -26,17 +26,20 @@ import graft.Tables
   * any new shuffle shape — the spec exercises it. */
 object Winnow {
 
-  /** Per-doc (pos, gram md5) rows for word k-grams. */
+  /** Per-doc (pos, gram md5) rows for word k-grams, via the codegen'd
+    * [[graft.functions.StringNGrams]] (the interpreted
+    * transform/sequence/slice lambda walk it replaces costs one boxed
+    * tree-eval per gram). */
   private[ext] def gramHashesOf(docs: DataFrame, k: Int): DataFrame = {
     val words = split(TextAnalysis.normalized(col("text")), " ")
     docs
       .select(col("doc_id"), words.as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("ws")) - k),
-          i => substring(
-            md5(array_join(slice(col("ws"), i + 1, lit(k)), " ")), 1, 16)))
-        .as(Seq("pos", "gh")))
+        graft.functions.StringNGrams.ngrams(col("ws"), k))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+              substring(md5(col("g")), 1, 16).as("gh"))
   }
 
   /** The winnowed fingerprint SET per doc: (doc_id, sel) distinct rows —
