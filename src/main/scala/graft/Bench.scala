@@ -37,6 +37,7 @@ object Bench {
         ext.Dedup.clearMemos()
         ext.Similarity.clearMemos()
         ext.Quantize.clearMemos()
+        ext.Winnow.clearMemos()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

@@ -76,6 +76,32 @@ object Winnow {
            max(col("sel")).as("max_fp"))
   }
 
+  /** Per-(session, dir, k, w) memo of the PERSISTED selection — the
+    * fingerprint table feeds both the per-doc stats gate and the
+    * cross-doc matcher, and the `matches` self-join reads it from both
+    * sides; materializing the shared stage once is the same
+    * cluster-scale pattern as `Dedup.jaccardPairsCached`. */
+  private val selCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Int, Int), DataFrame]()
+
+  /** Drop memoized selections and their cached blocks (bench hook). */
+  def clearMemos(): Unit = {
+    selCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    selCache.clear()
+  }
+
+  private def selectedCached(spark: SparkSession, dir: String,
+                             k: Int, w: Int): DataFrame = {
+    selCache.keys.foreach { key =>
+      if (key._1.sparkContext.isStopped) selCache.remove(key)
+    }
+    selCache.getOrElseUpdate((spark, dir, k, w),
+      selectedFingerprintsOf(Tables.load(spark, dir, "documents"), k, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Cross-doc MOSS matching: pairs of docs sharing >= minShared
     * winnowed fingerprints, with the shared count. Fingerprints more
     * common than dfCap docs are dropped first — the standard MOSS
@@ -86,12 +112,12 @@ object Winnow {
     *
     * Scale: one fingerprint-keyed df aggregate, one semi-join filter,
     * one fingerprint-bucketed self-join (the candidate generator — same
-    * bounded-bucket shape as LSH banding), one pair aggregate. */
+    * bounded-bucket shape as LSH banding), one pair aggregate, all over
+    * the persisted shared selection. */
   def matches(spark: SparkSession, dir: String,
               k: Int = 3, w: Int = 4,
               dfCap: Int = 100, minShared: Int = 2): DataFrame = {
-    val sel = selectedFingerprintsOf(
-      Tables.load(spark, dir, "documents"), k, w)
+    val sel = selectedCached(spark, dir, k, w)
     val rare = sel.groupBy(col("sel"))
       .agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") <= dfCap)

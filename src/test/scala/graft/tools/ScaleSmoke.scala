@@ -109,6 +109,7 @@ object ScaleSmoke {
       graft.ext.Dedup.clearMemos()
       graft.ext.Similarity.clearMemos()
       graft.ext.Quantize.clearMemos()
+      graft.ext.Winnow.clearMemos()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
