@@ -77,10 +77,11 @@ object Winnow {
   }
 
   /** Per-(session, dir, k, w) memo of the PERSISTED selection — the
-    * fingerprint table feeds both the per-doc stats gate and the
-    * cross-doc matcher, and the `matches` self-join reads it from both
-    * sides; materializing the shared stage once is the same
-    * cluster-scale pattern as `Dedup.jaccardPairsCached`. */
+    * `matches` plan reads the selection three times (df aggregate + both
+    * sides of the self-join), so materializing it once is the same
+    * shared-stage pattern as `Dedup.jaccardPairsCached`. (The stats gate
+    * q83 recomputes from the scan instead: it also needs raw gram
+    * counts, which the distinct selection no longer carries.) */
   private val selCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Int, Int), DataFrame]()
 
