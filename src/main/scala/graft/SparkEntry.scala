@@ -242,6 +242,9 @@ object SparkEntry {
     // cross-doc n-gram novelty (boilerplate signal; exact integers)
     "q84_gram_novelty" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.gramNovelty(s, d)),
+    // hourly count anomalies (z > 2 sigma; exact integer moment sums)
+    "q88_hourly_anomalies" -> ((s: SparkSession, d: String) =>
+      ext.Events.hourlyAnomalies(s, d)),
     // per-source corpus card (docs/tokens/dup-rate/quality, exact ints)
     "q87_corpus_card" -> ((s: SparkSession, d: String) =>
       ext.Pipeline.corpusCard(s, d)),
@@ -755,5 +758,6 @@ object SparkEntry {
     "q84_gram_novelty" -> ext.TextAnalysis.gramNoveltyOracleSql(),
     "q86_winnow_matches" -> ext.Winnow.matchesOracleSql(),
     "q87_corpus_card" -> ext.Pipeline.corpusCardOracleSql,
+    "q88_hourly_anomalies" -> ext.Events.hourlyAnomaliesOracleSql(),
   )
 }

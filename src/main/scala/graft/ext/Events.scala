@@ -87,4 +87,54 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
            sum(col("new_session")).as("n_sessions"))
   }
+
+  /** Hourly anomaly detection: hours whose event count sits more than
+    * `sigma` sample standard deviations from the per-type mean — the
+    * monitoring query an event pipeline alerts on. Engine-exact by
+    * construction: counts are integers, so the per-type sums (n, Σc,
+    * Σc²) are exact BIGINTs and mean/std/z are IEEE-deterministic double
+    * trees mirrored verbatim in the oracle — the comparison against
+    * `sigma` can never be a float-boundary coin flip across engines.
+    *
+    * Scale: the hourly aggregate is one shuffle (map-side combined);
+    * per-type moment sums aggregate the already-tiny hourly table; the
+    * stats join broadcasts (type cardinality is bounded). */
+  def hourlyAnomalies(spark: SparkSession, dir: String,
+                      sigma: Double = 2.0): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+           sum(col("c") * col("c")).as("s2"))
+    val nD = col("n").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val cD = col("c").cast("double")
+    val mean = s1 / nD
+    val std = sqrt((nD * s2 - s1 * s1) / (nD * (nD - lit(1.0))))
+    hourly.join(broadcast(stats), "event_type")
+      .filter(abs(cD - mean) > lit(sigma) * std)
+      .select(col("event_type"), col("h"), col("c"),
+              ((cD - mean) / std).cast("decimal(28,10)").cast("double")
+                .as("z"))
+  }
+
+  def hourlyAnomaliesOracleSql(sigma: Double = 2.0): String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, count(*) AS n, sum(c) AS s1, sum(c*c) AS s2
+       |  FROM hourly GROUP BY 1)
+       |SELECT event_type, h, c,
+       |  CAST(CAST((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+       |    / sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+       |            - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+       |           / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)))
+       |    AS DECIMAL(28,10)) AS DOUBLE) AS z
+       |FROM hourly JOIN st USING (event_type)
+       |WHERE abs(CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+       |  > $sigma * sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+       |          - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+       |         / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)))""".stripMargin
 }

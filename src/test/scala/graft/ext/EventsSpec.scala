@@ -82,4 +82,26 @@ class EventsSpec extends SparkSpec {
       "frame includes the current row")
     df.unpersist()
   }
+
+  test("hourlyAnomalies: |z| > sigma for every flagged hour, none missed") {
+    val sigma = 2.0
+    val anom = Events.hourlyAnomalies(spark, sfDir, sigma).cache()
+    assert(anom.count() > 0, "synthetic counts include >2-sigma hours")
+    assert(anom.filter(abs(col("z")) <= sigma).count() == 0,
+      "every flagged hour must exceed the threshold")
+    // completeness: flagged count equals the brute-force z computation
+    val hourly = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).map { case (_, rows) =>
+      val cs = rows.map(_._2.toDouble)
+      val n = cs.length.toDouble
+      val mean = cs.sum / n
+      val varS = cs.map(c => (c - mean) * (c - mean)).sum / (n - 1)
+      cs.count(c => math.abs(c - mean) > sigma * math.sqrt(varS))
+    }.sum
+    assert(anom.count() == expected)
+    anom.unpersist()
+  }
 }
