@@ -89,15 +89,27 @@ object Quantize {
                            iters: Int = 5,
                            sampleN: Int = 4096): Array[Array[Array[Double]]] = {
     val sub = dim / PqM
+    // drop malformed vectors (null / shorter than dim) before slicing —
+    // one bad row must not crash training, and padding it with zeros
+    // would bias the centroids instead
     val sample = embeddings.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .flatMap { r =>
+        val s = if (r.isNullAt(0)) null else r.getSeq[Float](0)
+        if (s == null || s.length < dim) None
+        else Some(s.map(_.toDouble).toArray)
+      }
+    require(sample.nonEmpty,
+      s"pqTrain: no embeddings of dimension >= $dim to train on")
+    // effective K: can't have more centroids than training vectors
+    // (first-K init would read past the sample)
+    val k0 = math.min(PqK, sample.length)
     Array.tabulate(PqM) { m =>
       val xs = sample.map(v => v.slice(m * sub, (m + 1) * sub))
-      var cents = xs.take(PqK).map(_.clone())
+      var cents = xs.take(k0).map(_.clone())
       for (_ <- 1 to iters) {
-        val sums = Array.fill(PqK)(new Array[Double](sub))
-        val counts = new Array[Long](PqK)
+        val sums = Array.fill(k0)(new Array[Double](sub))
+        val counts = new Array[Long](k0)
         xs.foreach { x =>
           var best = 0; var bd = Double.MaxValue
           var k = 0
@@ -111,7 +123,7 @@ object Quantize {
           var i = 0
           while (i < sub) { sums(best)(i) += x(i); i += 1 }
         }
-        cents = Array.tabulate(PqK)(k =>
+        cents = Array.tabulate(k0)(k =>
           if (counts(k) > 0) sums(k).map(_ / counts(k)) else cents(k))
       }
       cents
@@ -133,7 +145,13 @@ object Quantize {
     * deterministic (ties break to the lowest code) but depends on the
     * trained codebooks, so the gate is rows-only; PqSpec asserts
     * determinism, code bounds, and that PQ reconstruction beats the
-    * 1-centroid baseline. */
+    * 1-centroid baseline.
+    *
+    * Codes are emitted as flat `code_0..code_{M-1}` int columns rather
+    * than one `array<int>` — semantically the same tuple, but scalar
+    * columns survive any downstream row canonicalization (sorting /
+    * hashing frameworks generally cannot order array cells), and a flat
+    * int per subspace is also the shape a PQ index stores. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
     val dim = 64
@@ -155,9 +173,9 @@ object Quantize {
        array_min(dists))
     }
     embeddings.select(
-      col("vec_id"),
-      array(parts.map(_._1): _*).as("codes"),
-      parts.map(_._2).reduce(_ + _).as("sq_err"))
+      col("vec_id") +:
+      parts.zipWithIndex.map { case ((c, _), m) => c.as(s"code_$m") } :+
+      parts.map(_._2).reduce(_ + _).as("sq_err"): _*)
   }
 
   val int8StatsOracleSql: String =
