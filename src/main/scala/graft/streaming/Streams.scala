@@ -123,7 +123,7 @@ object Streams {
   // ---- bounded (AvailableNow) runs for the driver gate --------------
 
   private def runBounded(df: DataFrame, mode: OutputMode,
-                         statePartitions: Int = 1): DataFrame = {
+                         statePartitions: Int = 4): DataFrame = {
     // tuning knob for gate/probe runs: -Dgraft.stream.statePartitions=N
     // overrides every bounded run's state partition count; malformed or
     // non-positive values fall back to the default instead of throwing
@@ -150,9 +150,12 @@ object Streams {
     //     the trailing empty batch is pure overhead — skip it.
     //   - each shuffle partition is a state-store instance with its own
     //     load/commit lifecycle per batch; the bounded verification data
-    //     does not need 32 of them. Probed at sf0.1: 1 state partition
-    //     beats 4 on every gate (funnel 2.0 s vs 2.5 s warm) because the
-    //     per-store commit overhead dominates the tiny state volume.
+    //     does not need 32 of them, but it DOES need more than one: a
+    //     single store serializes all state work on one core (a warm
+    //     probe once suggested 1 beats 4, but cold runs — the bench
+    //     methodology — showed 1 partition tripling the dedup gate, so
+    //     the default is 4: enough stores to spread commit work, few
+    //     enough that per-store lifecycle overhead stays small).
     // Both are session confs — set around the run, restored after (the
     // query pins its state partition count at first start from its own
     // checkpoint, so batch queries in the session are unaffected).
