@@ -439,8 +439,16 @@ object SparkEntry {
         |  WHERE token <> ''
         |  GROUP BY source, token)
         |WHERE rnk <= 5""".stripMargin,
-    // ---- extensions (q26/q27/q31/q37 are not SQL-expressible:
-    //      engine-internal hashes / custom expressions → rows-only) ----
+    // ---- extensions (q37 is the one remaining rows-only gate: its
+    //      IVF centroids are trained by distributed float aggregation,
+    //      so the oracle cannot re-derive them from static SQL) ----
+    // q26/q27: md5-based hashing makes the minhash/simhash pipelines
+    // exactly SQL-reproducible (the winnowing trick on integer domains)
+    "q26_dedup_minhash" -> ext.Dedup.minhashLshOracleSql(),
+    "q27_dedup_simhash" -> ext.Dedup.simhashPairsOracleSql(),
+    // q31: the LSH hyperplanes are fixed-seed constants — embedded as
+    // literals; bucket signs replayed bit-exactly via list_reduce
+    "q31_knn_lsh" -> ext.Similarity.lshTopKOracleSql(),
     // q34: the media payloads are real PNG/GIF/BMP bytes generated
     // deterministically from doc_id (solid gray doc_id % 256, size
     // derived from doc_id), and the gate sums the DECODED values — so

@@ -53,13 +53,20 @@ object Dedup {
 
   /** doc_id + sorted distinct word-3-gram shingle hashes (array<long>),
     * via the codegen'd [[graft.functions.HashShingles]] (the interpreted
-    * higher-order `transform` lambda this replaces was ~20x slower). */
+    * higher-order `transform` lambda this replaces was ~20x slower).
+    *
+    * The hash basis is md5-top-60-bits, not xxhash64: identical dedup
+    * quality (any collision-free 60-bit hash works), but md5 is
+    * reproducible from standard SQL (`md5()` hex → integer), which makes
+    * the whole minhash pipeline — signatures, banding, verified pairs —
+    * oracle-checkable instead of rows-only. Same trick as the winnowing
+    * gates (q83/q86), applied to an integer domain. */
   private[ext] def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
               split(TextAnalysis.normalized(col("text")), " ").as("words"))
       .select(col("doc_id"),
-              graft.functions.HashShingles.shingles(col("words"), 3).as("shingles"))
+              graft.functions.HashShingles.md5Shingles(col("words"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   /** MinHash signature per doc as one array<long> column, computed
@@ -72,20 +79,24 @@ object Dedup {
         col("shingles"), perms.map(_._1), perms.map(_._2)).as("sig"))
 
   /** Candidate pairs via banding: 8 bands of 4 signature rows; docs
-    * sharing any band hash become candidates. Shuffle key = (band,
-    * band_hash); join within buckets only. */
+    * sharing a band's full 4-value slice become candidates. Shuffle key
+    * = (band, the 4 raw signature values): semantically what a band
+    * "hash" approximates, but exact — no band-hash collisions — and
+    * reproducible in the SQL oracle (a Murmur band hash would be
+    * engine-internal again). The key is 4 longs instead of 1 int; band
+    * count is fixed, so the shuffle stays keyed and bounded the same
+    * way. */
   private[ext] def candidatePairs(sh: DataFrame): DataFrame = {
     val sig = signatures(sh)
     val bandCols = (0 until NumPerms / BandRows).map { bIdx =>
       val cols = (0 until BandRows).map(r =>
-        element_at(col("sig"), bIdx * BandRows + r + 1))
-      struct(lit(bIdx).as("band"), hash(cols: _*).as("bh"))
+        element_at(col("sig"), bIdx * BandRows + r + 1).as(s"s$r"))
+      struct(lit(bIdx).as("band") +: cols: _*)
     }
     val bands = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
+        explode(array(bandCols: _*)).as("bk"))
     bands.as("l").join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.bk") === col("r.bk") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .distinct()
@@ -161,14 +172,17 @@ object Dedup {
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit simhash per doc via the custom codegen'd Catalyst expression
-    * (graft.functions.SimHash64) over token xxhash64s. */
+    * (graft.functions.SimHash64) over per-word md5-first-8-byte hashes —
+    * md5 (not xxhash64) so the voting input, and therefore the whole
+    * fingerprint, is reproducible from SQL `md5()` and the gate is
+    * oracle-checkable. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
               split(TextAnalysis.normalized(col("text")), " ").as("words"))
       .select(col("doc_id"),
               SimHash64.simhash64(
-                graft.functions.HashShingles.wordHashes(col("words")))
+                graft.functions.HashShingles.md5WordHashes(col("words")))
                 .as("simhash"))
 
   /** SimHash near-dup pairs within Hamming distance <= maxHam, candidates
@@ -477,6 +491,93 @@ object Dedup {
     * cross-source candidates included, sub-quadratic) instead. Cost on
     * top of the pair set: two doc_id-keyed joins against the (doc_id,
     * source) projection + one small aggregate. */
+  // ---- DuckDB oracles for the md5-based minhash/simhash gates --------
+
+  /** Shared SQL fragment: normalized word list per doc (mirrors
+    * [[TextAnalysis.normalized]] + split). */
+  private val wsCte: String =
+    """ws AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+      |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+      |    AS w FROM documents)""".stripMargin
+
+  /** SQL expression parsing hex chars [from, to) of `col`'s md5-style hex
+    * string into a BIGINT (big-endian nibbles, the same value the Spark
+    * kernel derives from the digest bytes). */
+  private def hexToLong(col: String, from: Int, until: Int): String =
+    s"list_reduce([CAST(strpos('0123456789abcdef', substr($col, p, 1)) - 1" +
+      s" AS BIGINT) for p in range($from, $until)], (a, b) -> a * 16 + b)"
+
+  /** Exact DuckDB replica of the minhash-LSH pipeline: md5-top-60-bit
+    * 3-gram shingles, the same 32 fixed permutations, 8x4 banding on raw
+    * signature slices, exact-jaccard verification. Every stage mirrors
+    * the Spark operators value-for-value, so the gate hash-matches. */
+  def minhashLshOracleSql(threshold: Double = 0.5): String = {
+    val sigExprs = perms.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * (h % ${graft.functions.MinHashSig.P}) + $b) % ${graft.functions.MinHashSig.P}))"
+    }.mkString(",\n      ")
+    s"""WITH $wsCte,
+       |gh0 AS (
+       |  SELECT doc_id, unnest([substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15)
+       |                         for i in range(1, len(w) - 1)]) AS hx
+       |  FROM ws WHERE len(w) >= 3),
+       |gh AS (
+       |  SELECT DISTINCT doc_id, ${hexToLong("hx", 1, 16)} AS h
+       |  FROM gh0),
+       |sh AS (SELECT doc_id, list(h) AS hs FROM gh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, [
+       |      $sigExprs] AS s
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b, s[4*b+1:4*b+4] AS bk
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |  FROM bands l JOIN bands r
+       |    ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_intersect(la.hs, lb.hs)) AS DOUBLE) /
+       |      (len(la.hs) + len(lb.hs) - len(list_intersect(la.hs, lb.hs)))
+       |      AS jaccard
+       |  FROM cand JOIN sh la ON la.doc_id = cand.a_id
+       |            JOIN sh lb ON lb.doc_id = cand.b_id) v
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** Exact DuckDB replica of the simhash pipeline's OUTPUT: per-word
+    * md5-first-8-byte hashes (two 32-bit hex halves), the same ±1 bit
+    * voting, then a brute-force Hamming join. Brute force is valid as an
+    * oracle precisely because the Manku block keys have recall exactly 1
+    * and candidates are verified — the engine's sub-quadratic candidate
+    * generation changes cost, never the result set. */
+  def simhashPairsOracleSql(maxHam: Int = 3): String = {
+    def votes(half: String): String =
+      (0 until 32).map { i =>
+        s"(CASE WHEN sum(CASE WHEN ($half >> $i) & 1 = 1 THEN 1 ELSE -1 END)" +
+          s" > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" +\n      ")
+    s"""WITH $wsCte,
+       |wd AS (SELECT doc_id, unnest(w) AS word FROM ws),
+       |wh0 AS (SELECT doc_id, md5(word) AS hx FROM wd),
+       |wh AS (
+       |  SELECT doc_id,
+       |    ${hexToLong("hx", 1, 9)} AS hi,
+       |    ${hexToLong("hx", 9, 17)} AS lo
+       |  FROM wh0),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(${votes("lo")} AS BIGINT) AS slo,
+       |    CAST(${votes("hi")} AS BIGINT) AS shi
+       |  FROM wh GROUP BY doc_id)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi))
+       |       AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi))
+       |      <= $maxHam""".stripMargin
+  }
+
   def sourceOverlap(pairs: DataFrame, documents: DataFrame): DataFrame = {
     val src = documents.select(col("doc_id"), col("source"))
     pairs

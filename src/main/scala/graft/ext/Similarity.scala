@@ -267,6 +267,51 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rnk"))
   }
 
+  /** DuckDB oracle for [[lshTopK]]: the hyperplanes are deterministic
+    * constants (fixed-seed Gaussians), so they are embedded as literal
+    * lists; the bucket sign decisions replay the engine's dot product
+    * BIT-EXACTLY (same sequential left-to-right double accumulation via
+    * `list_reduce`, same float→double casts — Java's shortest-round-trip
+    * double formatting parses back to the identical bits), and the final
+    * ranking uses `list_cosine_similarity` like the q30 oracle (engines
+    * agree to ~1e-8; top-k gaps are ~1e-4, so ranks cannot flip). */
+  def lshTopKOracleSql(nQueries: Int = 5, k: Int = 10): String = {
+    val planeRows = (for {
+      t <- 0 until NumTables
+      i <- 0 until PlanesPerTable
+    } yield s"($t, ${1L << i}, [${tablePlanes(t)(i).mkString(", ")}])")
+      .mkString(",\n    ")
+    val dotp =
+      s"list_reduce([CAST(e.embedding[j] AS DOUBLE) * pl.p[j] " +
+        s"for j in range(1, ${Dim + 1})], (a, b) -> a + b)"
+    s"""WITH planes(tbl, bit, p) AS (VALUES
+       |    $planeRows),
+       |db AS (
+       |  SELECT e.vec_id, pl.tbl,
+       |    CAST(sum(CASE WHEN $dotp >= 0 THEN pl.bit ELSE 0 END)
+       |         AS BIGINT) AS bucket
+       |  FROM embeddings e, planes pl
+       |  GROUP BY e.vec_id, pl.tbl),
+       |qp AS (
+       |  SELECT vec_id AS qid, tbl,
+       |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+       |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+       |  FROM db WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT DISTINCT qp.qid, c.vec_id AS nid
+       |  FROM qp JOIN db c ON c.tbl = qp.tbl AND c.bucket = qp.bucket
+       |  WHERE c.vec_id <> qp.qid),
+       |r AS (
+       |  SELECT cand.qid, cand.nid,
+       |    row_number() OVER (PARTITION BY cand.qid
+       |      ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+       |               cand.nid) AS rnk
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+       |            JOIN embeddings n ON n.vec_id = cand.nid)
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k"""
+      .stripMargin
+  }
+
   /** LSH ANN top-k over L hash tables with 1-bit multi-probe.
     *
     * Corpus side: each vector is indexed once per table — an L-row

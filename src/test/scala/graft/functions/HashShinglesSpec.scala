@@ -48,6 +48,38 @@ class HashShinglesSpec extends SparkSpec {
     assert(r.getSeq[Long](1).size == 4)
   }
 
+  test("md5 shingles equal conv(substr(md5(gram), 1, 15), 16, 10)") {
+    // the oracle-reproducibility contract: the kernel's 60-bit value IS
+    // the first 15 hex chars of the standard md5 hex form
+    val got = docs.select(
+      HashShingles.md5Shingles(col("words"), 3).as("mine"),
+      expr("""CASE WHEN size(words) < 3 THEN array()
+             |ELSE array_sort(array_distinct(transform(
+             |  sequence(1, size(words) - 2),
+             |  i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))),
+             |                 1, 15), 16, 10) AS LONG)))) END"""
+        .stripMargin).as("builtin")).collect()
+    got.foreach { r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)) }
+  }
+
+  test("md5 word hashes: hex halves of md5(word) are the long's two halves") {
+    // compare per half (a signed-64 rebuild of the top half would
+    // overflow under ANSI); hi = bits 63..32, lo = bits 31..0
+    val base = docs.select(col("words"),
+      HashShingles.md5WordHashes(col("words")).as("hs"))
+    val rows = base.select(
+      expr("transform(hs, h -> shiftrightunsigned(h, 32))").as("mine_hi"),
+      expr("transform(hs, h -> h & 4294967295L)").as("mine_lo"),
+      expr("transform(words, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) AS LONG))")
+        .as("oracle_hi"),
+      expr("transform(words, w -> cast(conv(substring(md5(w), 9, 8), 16, 10) AS LONG))")
+        .as("oracle_lo")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2))
+      assert(r.getSeq[Long](1) == r.getSeq[Long](3))
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
     val pairs = Seq(
       (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),
@@ -66,7 +98,8 @@ class HashShinglesSpec extends SparkSpec {
     val words = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       Array("aa", "bb", "cc", "dd").map(
         org.apache.spark.unsafe.types.UTF8String.fromString))
-    val viaEval = HashShingles.compute(words, 3, dedupe = true)
+    val viaEval =
+      HashShingles.compute(words, 3, dedupe = true, HashShingles.AlgoXx64)
     val viaDf = Seq("aa bb cc dd").toDF("t")
       .select(HashShingles.shingles(split(col("t"), " "), 3)).head().getSeq[Long](0)
     assert(viaEval.toLongArray().toSeq == viaDf)
