@@ -32,6 +32,14 @@ object Bench {
     // recompute each operator rather than reading pass-1 caches.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val reps = 3
+    // Storage-memory high-water per pass: cached blocks (operator memos,
+    // shared pair sets, streaming state) compete for the storage pool,
+    // and a regression caused by cache eviction is invisible in timings
+    // alone — record the footprint so eviction pressure is diagnosable
+    // from the artifact.
+    def storageBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    val storagePeaks = new Array[Long](reps)
     val samples = (1 to reps).map { pass =>
       if (pass > 1) {
         ext.Dedup.clearMemos()
@@ -45,6 +53,8 @@ object Bench {
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        storagePeaks(pass - 1) =
+          math.max(storagePeaks(pass - 1), storageBytes())
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
@@ -54,8 +64,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val peaks = storagePeaks.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","storage_peak_bytes":$peaks,"queries":$qs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt log prefixes — also write the JSON to a
     // file so machine consumers don't have to scrape the build log
     println(json)
