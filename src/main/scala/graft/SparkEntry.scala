@@ -256,6 +256,12 @@ object SparkEntry {
     // asserts determinism, bounds, and reconstruction-error dominance)
     "q85_pq_codes" -> ((s: SparkSession, d: String) =>
       ext.Quantize.pqCodes(s, d)),
+    // ExactSubstr-style positional duplication audit (Lee et al. ACL'22)
+    "q89_substr_dup" -> ((s: SparkSession, d: String) =>
+      ext.SubstrDup.substrDupStats(s, d)),
+    // cross-split duplicate leakage (eval-integrity check after split)
+    "q90_split_leakage" -> ((s: SparkSession, d: String) =>
+      ext.Splits.splitLeakage(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -767,5 +773,7 @@ object SparkEntry {
     "q86_winnow_matches" -> ext.Winnow.matchesOracleSql(),
     "q87_corpus_card" -> ext.Pipeline.corpusCardOracleSql,
     "q88_hourly_anomalies" -> ext.Events.hourlyAnomaliesOracleSql(),
+    "q89_substr_dup" -> ext.SubstrDup.substrDupStatsOracleSql(),
+    "q90_split_leakage" -> ext.Splits.splitLeakageOracleSql(),
   )
 }

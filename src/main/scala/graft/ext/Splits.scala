@@ -88,6 +88,79 @@ object Splits {
       .select(col("doc_id"), col("fp"), col("n_batch_copies"))
   }
 
+  /** Cross-split leakage audit: duplicate documents whose copies landed
+    * in DIFFERENT train/val/test splits — the eval-integrity check a
+    * pipeline runs after splitting (a val/test doc with a train-side
+    * duplicate silently inflates eval scores). Output: one row per
+    * split pair with the number of leaking fingerprint groups and of
+    * cross-split doc pairs.
+    *
+    * The corpus has no natural exact-fingerprint duplicates (q25 groups
+    * are all singletons), so — like the incremental-dedup and PII
+    * gates — a deterministic doc_id-keyed injection creates the
+    * structure under test, mirrored verbatim in the oracle: docs with
+    * `doc_id % 25 = 11` take the text of `doc_id − 17` (donors
+    * contribute their ORIGINAL text, so injection is order-independent).
+    * Whether each injected pair actually crosses a split boundary is
+    * then decided by the salted-md5 split itself — the gate verifies
+    * split assignment and fingerprinting TOGETHER.
+    *
+    * Scale: fingerprint shuffle + fingerprint-keyed self-join (group
+    * sizes bounded by true duplication, the exact-dedup contract) + a
+    * 3-row aggregate. */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   salt: String = "graft"): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val donor = base.select((col("doc_id") + 17).as("doc_id"),
+                            col("text").as("t_d"))
+    val injected = base.join(donor, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 25 === 11 && col("t_d").isNotNull, col("t_d"))
+          .otherwise(col("text")).as("text"))
+    val hexc = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 1)
+    val d = injected.select(col("doc_id"),
+      when(hexc <= "c", "train").when(hexc === "d", "val")
+        .otherwise("test").as("split"),
+      md5(TextAnalysis.normalized(col("text"))).as("fp"))
+    d.as("a").join(d.as("b"),
+        col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.split") =!= col("b.split"))
+      .select(least(col("a.split"), col("b.split")).as("split_lo"),
+              greatest(col("a.split"), col("b.split")).as("split_hi"),
+              col("a.fp").as("fp"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count_distinct(col("fp")).as("n_fp_groups"),
+           count(lit(1)).as("n_doc_pairs"))
+  }
+
+  def splitLeakageOracleSql(salt: String = "graft"): String =
+    s"""WITH inj AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 25 = 11 AND e.text IS NOT NULL THEN e.text
+       |         ELSE d.text END AS text
+       |  FROM documents d
+       |  LEFT JOIN documents e ON e.doc_id = d.doc_id - 17),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':$salt'), 1, 1)
+       |              <= 'c' THEN 'train'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':$salt'), 1, 1)
+       |              = 'd' THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+       |  FROM inj)
+       |SELECT least(a.split, b.split) AS split_lo,
+       |       greatest(a.split, b.split) AS split_hi,
+       |       count(DISTINCT a.fp) AS n_fp_groups,
+       |       count(*) AS n_doc_pairs
+       |FROM f a JOIN f b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.split <> b.split
+       |GROUP BY 1, 2""".stripMargin
+
   val incrementalDedupOracleSql: String =
     """WITH inj AS (
       |  SELECT d.doc_id, d.source,

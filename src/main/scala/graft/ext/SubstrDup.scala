@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Exact-substring duplication audit (the Lee et al., ACL'22
+  * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+  * signal, at word-k-gram granularity): for every position in a document,
+  * does the k-token window starting there also occur in ANOTHER document?
+  *
+  * Unlike [[TextAnalysis.gramNoveltyDf]] (distinct-gram novelty — how
+  * much of the doc's VOCABULARY of grams is shared), this measures
+  * positional COVERAGE — how much of the doc's TEXT is duplicated text —
+  * and the length of the longest duplicated run, which is ExactSubstr's
+  * actual detection target (a run of r consecutive duplicated k-windows
+  * certifies a duplicated substring of r + k − 1 tokens).
+  *
+  * Scale: one positional-gram explode (md5 hex, the winnowing basis), a
+  * gram-keyed document-frequency aggregate over DISTINCT (doc, gram)
+  * rows, a join-back, and per-DOC windows (arrival-bounded, never
+  * corpus-bounded) for the run analysis — the q84 TF-IDF shuffle shape
+  * plus a doc-local window; everything linear in corpus size. */
+object SubstrDup {
+
+  /** Per-doc substring-duplication stats over `documents`: total
+    * k-windows, duplicated windows (window occurs in ≥1 other doc),
+    * positional duplication fraction, and the longest duplicated run in
+    * TOKENS (0 when nothing is duplicated). */
+  def substrDupStats(spark: SparkSession, dir: String,
+                     k: Int = 8): DataFrame =
+    substrDupStatsDf(Tables.load(spark, dir, "documents"), k)
+
+  def substrDupStatsDf(docs: DataFrame, k: Int = 8): DataFrame = {
+    val gh = Winnow.gramHashesOf(docs.select(col("doc_id"), col("text")), k)
+    // document frequency of each gram VALUE (distinct docs containing it)
+    val gdf = gh.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = gh.join(gdf, "gh")
+      .select(col("doc_id"), col("pos"),
+              (col("gdf") >= 2).as("dup"))
+      // run id for consecutive dup positions: the count of NON-dup
+      // positions at-or-before pos is constant exactly across a dup run
+      .withColumn("run_id",
+        sum(when(col("dup"), 0L).otherwise(1L)).over(byPos))
+    val runs = marked.filter(col("dup"))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+           sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double")).as("dup_fraction"),
+        coalesce(col("max_run") + lit(k - 1), lit(0L))
+          .as("max_dup_run_tokens"))
+  }
+
+  /** DuckDB oracle: the same positional pipeline, value-for-value (the
+    * gram basis is the q83 md5-hex form, engine-exact by construction). */
+  def substrDupStatsOracleSql(k: Int = 8): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS w FROM documents),
+       |gh0 AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1,
+       |    'gh': substr(md5(array_to_string(w[i:i+${k - 1}], ' ')), 1, 16)}
+       |    for i in range(1, len(w) - ${k - 2})]) AS u
+       |  FROM ws WHERE len(w) >= $k),
+       |gh AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM gh0),
+       |gdf AS (SELECT gh, count(*) AS gdf
+       |        FROM (SELECT DISTINCT doc_id, gh FROM gh) GROUP BY gh),
+       |marked AS (
+       |  SELECT gh.doc_id, gh.pos, gdf.gdf >= 2 AS dup,
+       |    sum(CASE WHEN gdf.gdf >= 2 THEN 0 ELSE 1 END)
+       |      OVER (PARTITION BY gh.doc_id ORDER BY gh.pos) AS run_id
+       |  FROM gh JOIN gdf USING (gh)),
+       |runs AS (
+       |  SELECT doc_id, max(run_len) AS max_run FROM (
+       |    SELECT doc_id, run_id, count(*) AS run_len
+       |    FROM marked WHERE dup GROUP BY doc_id, run_id)
+       |  GROUP BY doc_id),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_windows,
+       |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_windows
+       |  FROM marked GROUP BY doc_id)
+       |SELECT s.doc_id, s.n_windows, s.n_dup_windows,
+       |  CAST(s.n_dup_windows AS DOUBLE) / CAST(s.n_windows AS DOUBLE)
+       |    AS dup_fraction,
+       |  CAST(coalesce(r.max_run + ${k - 1}, 0) AS BIGINT)
+       |    AS max_dup_run_tokens
+       |FROM stats s LEFT JOIN runs r USING (doc_id)""".stripMargin
+}

@@ -69,21 +69,21 @@ object HashShingles {
   private val Seed = 42L // builtin xxhash64's default seed
   private val Space = ' '.toByte
 
-  // MessageDigest is stateful; one instance per executor thread. reset()
-  // in digest() makes reuse safe.
+  // MessageDigest is stateful; one (digest, output buffer) pair per
+  // executor thread — digest-into-buffer avoids a 16-byte allocation per
+  // shingle (millions per task on a long document partition).
   private val md5Local =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
+    new ThreadLocal[(java.security.MessageDigest, Array[Byte])] {
+      override def initialValue(): (java.security.MessageDigest, Array[Byte]) =
+        (java.security.MessageDigest.getInstance("MD5"), new Array[Byte](16))
     }
 
   /** First 8 md5 bytes, big-endian (so the value equals the first 16 hex
     * chars of the standard md5 hex form parsed as an unsigned integer). */
   private def md5Top64(buf: Array[Byte], len: Int): Long = {
-    val md = md5Local.get()
-    md.reset()
+    val (md, d) = md5Local.get()
     md.update(buf, 0, len)
-    val d = md.digest()
+    md.digest(d, 0, 16) // resets the digest for the next call
     ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
       ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |

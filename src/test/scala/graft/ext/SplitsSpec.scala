@@ -38,6 +38,29 @@ class SplitsSpec extends SparkSpec {
     assert(moved > 0, "salt must decorrelate assignments")
   }
 
+  test("split leakage counts exactly the injected cross-split dup pairs") {
+    val out = Splits.splitLeakage(spark, sfDir).cache()
+    // only distinct ordered split pairs, each at most once
+    assert(out.count() <= 3)
+    assert(out.filter(col("split_lo") >= col("split_hi")).count() == 0)
+    assert(out.filter(col("n_doc_pairs") < col("n_fp_groups")).count() == 0)
+    // cross-check the total against a direct computation: injected pairs
+    // (i, i-17) with i % 25 = 11 whose endpoints hash to different splits
+    val splits = Splits.hashSplit(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+    val expected = splits.as("a").join(
+        splits.as("b"),
+        col("a.doc_id") === col("b.doc_id") + 17 &&
+        col("a.doc_id") % 25 === 11 &&
+        col("a.split") =!= col("b.split"))
+      .count()
+    assert(expected > 0, "injection must produce cross-split dups")
+    val total = out.agg(sum("n_doc_pairs")).head.getLong(0)
+    assert(total == expected,
+      s"leaked pairs $total must equal injected cross-split pairs $expected")
+    out.unpersist()
+  }
+
   test("incremental dedup drops corpus-known and batch-dup fingerprints") {
     val kept = Splits.incrementalDedup(spark, sfDir).cache()
     // every kept fp is unique in the output (canonical copy only)

@@ -35,7 +35,8 @@ object ScaleSmoke {
     "q30_knn_brute", "q31_knn_lsh", "q37_knn_ivf", "q39_dedup_clusters",
     "q63_clean_corpus", "q64_seq_packing", "q74_reservoir",
     "q81_hash_split", "q82_incremental_dedup", "q83_winnowing",
-    "q84_gram_novelty", "q85_pq_codes", "q86_winnow_matches")
+    "q84_gram_novelty", "q85_pq_codes", "q86_winnow_matches",
+    "q89_substr_dup", "q90_split_leakage")
 
   def generate(spark: SparkSession): Unit = {
     // events.ts is parquet TIMESTAMP(NANOS); read the nanos as plain
