@@ -262,6 +262,13 @@ object SparkEntry {
     // cross-split duplicate leakage (eval-integrity check after split)
     "q90_split_leakage" -> ((s: SparkSession, d: String) =>
       ext.Splits.splitLeakage(s, d)),
+    // retention cohorts over the events stream (exact integers)
+    "q91_retention" -> ((s: SparkSession, d: String) =>
+      ext.Events.retentionCohorts(s, d)),
+    // all-integer PageRank over the exact near-dup graph (bit-exact
+    // iterative graph op; shares the q28/q39/q63 pair-set persist)
+    "q92_dup_pagerank" -> ((s: SparkSession, d: String) =>
+      ext.PageRank.dupPagerank(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -775,5 +782,7 @@ object SparkEntry {
     "q88_hourly_anomalies" -> ext.Events.hourlyAnomaliesOracleSql(),
     "q89_substr_dup" -> ext.SubstrDup.substrDupStatsOracleSql(),
     "q90_split_leakage" -> ext.Splits.splitLeakageOracleSql(),
+    "q91_retention" -> ext.Events.retentionCohortsOracleSql,
+    "q92_dup_pagerank" -> ext.PageRank.dupPagerankOracleSql(),
   )
 }

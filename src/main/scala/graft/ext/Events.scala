@@ -137,4 +137,47 @@ object Events {
        |  > $sigma * sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
        |          - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
        |         / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)))""".stripMargin
+
+  /** Retention cohorts — the product-analytics staple: users grouped by
+    * first-activity day, with how many come back exactly 1 and 7 days
+    * later. Exact integers throughout.
+    *
+    * Scale: one (user, day) distinct shuffle (bounded by activity, not
+    * event volume — the distinct collapses within-day event counts
+    * map-side), one min-per-user aggregate, one user-keyed join back,
+    * one cohort-day distinct-aggregate (Expand plan, q71 shape). All
+    * keyed shuffles, everything linear in active-user-days. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    // day stays a (midnight) TIMESTAMP_NTZ, not a DATE: parquet DATE and
+    // SQL DATE deserialize to different host types downstream (date vs
+    // timestamp objects), while NTZ timestamps compare naive-to-naive on
+    // both engines — the q32/q35 convention
+    val ud = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohorts = ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ud.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+           count_distinct(when(
+             col("day") === col("cohort_day") + expr("INTERVAL 1 DAY"),
+             col("user_id"))).as("ret_1"),
+           count_distinct(when(
+             col("day") === col("cohort_day") + expr("INTERVAL 7 DAY"),
+             col("user_id"))).as("ret_7"))
+  }
+
+  val retentionCohortsOracleSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      |  FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+      |SELECT cohort_day, count(DISTINCT ud.user_id) AS n_users,
+      |  count(DISTINCT CASE WHEN day = cohort_day + INTERVAL 1 DAY
+      |                      THEN ud.user_id END) AS ret_1,
+      |  count(DISTINCT CASE WHEN day = cohort_day + INTERVAL 7 DAY
+      |                      THEN ud.user_id END) AS ret_7
+      |FROM ud JOIN c USING (user_id)
+      |GROUP BY cohort_day""".stripMargin
 }

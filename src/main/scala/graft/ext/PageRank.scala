@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over the near-duplicate graph — ranking a
+  * duplicate cluster's members by connectivity (the "which copy is the
+  * hub" signal a dedup pipeline can use instead of min-doc_id survivor
+  * selection, and the classic iterative-graph workload).
+  *
+  * ALL-INTEGER formulation: ranks are BIGINTs scaled by 1e9, each
+  * iteration is `rank' = 0.15·S + 0.85·Σ_in floor(rank/deg)` with floor
+  * division at both steps — no floating point anywhere, so the result
+  * is bit-exact and the DuckDB oracle replays the iterations verbatim
+  * (distributed float summation order can never perturb it; the same
+  * trick as the q76 decimal moments, taken all the way to integers).
+  * Headroom: a node's contribution sum is ≤ max-degree·1e9, so signed-64
+  * overflows only past ~9e9 in-neighbors — not a real graph.
+  *
+  * Scale: per iteration one src-keyed join (ranks onto edges) and one
+  * dst-keyed sum — the label-propagation shuffle shape (SCALE.md §dedup);
+  * iteration count is FIXED (3), so the lazy plan stays bounded and no
+  * convergence probe is needed. Every node of the symmetric pair graph
+  * has degree ≥ 1 and receives ≥ 1 contribution, so no dangling-mass
+  * term is needed. */
+object PageRank {
+
+  private val Scale = 1000000000L           // 1e9: rank fixed-point scale
+  private val Base = 150000000L             // 0.15 · Scale
+
+  /** Integer PageRank over an undirected (a_id, b_id) pair set. Output:
+    * (doc_id, rank) for every doc appearing in a pair. */
+  def dupPagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = e.join(deg, "src")
+    var ranks = deg.select(col("src").as("id"), lit(Scale).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = edges.join(ranks, edges("src") === ranks("id"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"),
+                (lit(Base) + expr("85 * s div 100")).as("rank"))
+    }
+    ranks.select(col("id").as("doc_id"), col("rank"))
+  }
+
+  /** Gate entry: PageRank over the exact jaccard pair set (shared,
+    * persisted computation with q28/q39/q63). */
+  def dupPagerank(spark: SparkSession, dir: String): DataFrame =
+    dupPagerank(Dedup.jaccardPairsCached(spark, dir, 0.8))
+
+  /** DuckDB oracle: the q28/q39 exact-pair CTE, then the iterations
+    * unrolled — same integer floor divisions, necessarily identical. */
+  def dupPagerankOracleSql(iters: Int = 3): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS id,
+         |    $Base + 85 * sum(r${i - 1}.rank // deg.deg) // 100 AS rank
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
+         |         JOIN deg ON deg.id = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents),
+       |p AS (SELECT a_id, b_id FROM (
+       | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+       | WHERE jac >= 0.8),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION ALL SELECT b_id, a_id FROM p),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST($Scale AS BIGINT) AS rank FROM deg),
+       |$iterCtes
+       |SELECT id AS doc_id, rank FROM r$iters""".stripMargin
+  }
+}

@@ -104,4 +104,19 @@ class EventsSpec extends SparkSpec {
     assert(anom.count() == expected)
     anom.unpersist()
   }
+
+  test("retention cohorts partition users; returners bounded by cohort") {
+    import org.apache.spark.sql.functions._
+    val out = Events.retentionCohorts(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("ret_1") > col("n_users") ||
+                      col("ret_7") > col("n_users")).count() == 0)
+    // cohorts partition the user base: sizes sum to total distinct users
+    val totalUsers = graft.Tables.load(spark, sfDir, "events")
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(out.agg(sum("n_users")).head.getLong(0) == totalUsers)
+    // non-vacuous: someone comes back the next day
+    assert(out.agg(sum("ret_1")).head.getLong(0) > 0)
+    out.unpersist()
+  }
 }
