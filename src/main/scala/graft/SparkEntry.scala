@@ -269,6 +269,11 @@ object SparkEntry {
     // iterative graph op; shares the q28/q39/q63 pair-set persist)
     "q92_dup_pagerank" -> ((s: SparkSession, d: String) =>
       ext.PageRank.dupPagerank(s, d)),
+    // duplicate-cluster size histogram (dedup-audit summary)
+    "q93_cluster_sizes" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.clusterSizeHistogram(s, d)),
+    // one-pass column profiling via stack/unpivot (Expand, single scan)
+    "q94_profile" -> ops.Profile.lineitemProfile _,
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -784,5 +789,7 @@ object SparkEntry {
     "q90_split_leakage" -> ext.Splits.splitLeakageOracleSql(),
     "q91_retention" -> ext.Events.retentionCohortsOracleSql,
     "q92_dup_pagerank" -> ext.PageRank.dupPagerankOracleSql(),
+    "q93_cluster_sizes" -> ext.Dedup.clusterSizeHistogramOracleSql(),
+    "q94_profile" -> ops.Profile.lineitemProfileOracleSql,
   )
 }

@@ -460,6 +460,49 @@ object Dedup {
                          threshold: Double = 0.8): DataFrame =
     survivors(spark, dir, jaccardPairsCached(spark, dir, threshold))
 
+  /** Duplicate-cluster size histogram — the dedup-audit summary a
+    * pipeline logs ("how much mass sits in how-big clusters"): cluster
+    * the exact pair set, then count clusters and docs per cluster size.
+    * Singleton (unpaired) docs are excluded — the histogram describes
+    * the duplicated mass. Exact integers; reuses the shared pair-set
+    * persist and the label-propagation loop, plus two tiny aggregates
+    * (cluster-sized, then size-sized — both ≪ corpus). */
+  def clusterSizeHistogram(spark: SparkSession, dir: String,
+                           threshold: Double = 0.8): DataFrame =
+    clusterLabels(jaccardPairsCached(spark, dir, threshold)
+        .select(col("a_id"), col("b_id")))
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("sz")).as("n_docs"))
+
+  /** DuckDB oracle for [[clusterSizeHistogram]]: the q39 recursive
+    * min-label CTE, folded to the size histogram. */
+  def clusterSizeHistogramOracleSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents),
+       |p AS (SELECT a_id, b_id FROM (
+       | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+       | WHERE jac >= $threshold),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION SELECT b_id, a_id FROM p),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+       |szs AS (SELECT label, count(*) AS sz FROM lab GROUP BY label)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs
+       |FROM szs GROUP BY sz""".stripMargin
+
   /** Sign-LSH-bucketed variant of the same operator (the path when no
     * coarse cells exist): candidates share a random-hyperplane bucket. */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,

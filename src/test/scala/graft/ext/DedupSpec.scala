@@ -179,6 +179,26 @@ class DedupSpec extends SparkSpec {
     survivors.unpersist(); pairs.unpersist()
   }
 
+  test("cluster size histogram conserves paired docs and cluster counts") {
+    val pairs = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
+    val members = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id"))).distinct().count()
+    val clusters = Dedup.clusterLabels(
+      pairs.select(col("a_id"), col("b_id"))).select("label")
+      .distinct().count()
+    val hist = Dedup.clusterSizeHistogram(spark, sfDir).cache()
+    // every cluster has >= 2 members (only paired docs enter)
+    assert(hist.filter(col("cluster_size") < 2).count() == 0)
+    // docs and clusters are conserved across the histogram
+    assert(hist.agg(sum("n_docs")).head.getLong(0) == members)
+    assert(hist.agg(sum("n_clusters")).head.getLong(0) == clusters)
+    // n_docs = cluster_size * n_clusters per row
+    assert(hist.filter(
+      col("n_docs") =!= col("cluster_size") * col("n_clusters"))
+      .count() == 0)
+    hist.unpersist()
+  }
+
   test("jaccardPairsCached returns the same persisted frame per (session, dir, threshold)") {
     val a = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
     val b = Dedup.jaccardPairsCached(spark, sfDir, 0.8)

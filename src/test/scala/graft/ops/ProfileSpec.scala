@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** One-pass unpivot profiler: exactness against per-column aggregates,
+  * single-scan plan shape. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile equals per-column aggregates, incl. null handling") {
+    val df = Seq(
+      (1.0, Some(2.0)), (3.0, None), (1.0, Some(5.0)), (7.0, Some(2.0)))
+      .toDF("a", "b")
+    val out = Profile.numericProfile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("a") == ((4L, 4L, 3L, 1.0, 7.0)))
+    assert(out("b") == ((4L, 3L, 2L, 2.0, 5.0)))
+  }
+
+  test("one row per profiled column on the corpus table") {
+    val out = Profile.lineitemProfile(spark, sfDir).collect()
+    assert(out.length == 4)
+    assert(out.map(_.getString(0)).toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+  }
+
+  test("the plan scans the table once with a pruned schema") {
+    val plan = Profile.lineitemProfile(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      "profiling N columns must not scan the table N times")
+    // column pruning reaches the scan: only the profiled columns read
+    assert(plan.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_tax:double>"))
+  }
+
+  test("empty column list is rejected") {
+    intercept[IllegalArgumentException] {
+      Profile.numericProfile(Seq((1.0, 2.0)).toDF("a", "b"), Seq.empty)
+    }
+  }
+}
