@@ -274,6 +274,9 @@ object SparkEntry {
       ext.Dedup.clusterSizeHistogram(s, d)),
     // one-pass column profiling via stack/unpivot (Expand, single scan)
     "q94_profile" -> ops.Profile.lineitemProfile _,
+    // real image resize (decode → bilinear 8x8 → exact pixel sums)
+    "q95_image_resize" -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.resizeSummary(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -791,5 +794,6 @@ object SparkEntry {
     "q92_dup_pagerank" -> ext.PageRank.dupPagerankOracleSql(),
     "q93_cluster_sizes" -> ext.Dedup.clusterSizeHistogramOracleSql(),
     "q94_profile" -> ops.Profile.lineitemProfileOracleSql,
+    "q95_image_resize" -> ext.Multimodal.resizeSummaryOracleSql(),
   )
 }

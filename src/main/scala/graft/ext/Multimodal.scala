@@ -165,6 +165,71 @@ object Multimodal {
            sum(when(element_at(col("feature"), 1) === 1.0, 1L)
              .otherwise(0L)).as("n_f0"))
 
+  /** Real image RESIZE (the preprocessing step between decode and a
+    * vision encoder): decode the payload, scale to a fixed target grid
+    * with `Graphics2D.drawImage` under bilinear interpolation, and emit
+    * the resized image's exact integer pixel sum. Runs headless — no
+    * display needed for `BufferedImage` rendering.
+    *
+    * The gate is analytically verifiable precisely BECAUSE resampling a
+    * CONSTANT image is interpolation-invariant: bilinear (or any convex
+    * interpolation) of equal pixels returns that pixel, so a solid-gray
+    * source must resize to gray·W'·H' exactly — any resample defect
+    * (channel order, row stride, off-by-one sampling window reading
+    * zeros) breaks the sum. Metadata columns are ignored; the gray
+    * reaches the sum only through encode → decode → resize → re-read.
+    *
+    * Scale: typed mapPartitions (same justification as the codecs —
+    * imperative per-payload work with no relational shape); payloads
+    * stay on executors, one small aggregate leaves. */
+  def resizeSummary(spark: SparkSession, dir: String,
+                    targetW: Int = 8, targetH: Int = 8): DataFrame = {
+    import spark.implicits._
+    val resized = mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null)
+          throw new IllegalArgumentException("payload is not a decodable image")
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        try {
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g2.dispose()
+        var sum = 0L
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            val rgb = out.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                    (rgb & 0xFF)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        (r.media_id, r.format, sum)
+      }
+    }.toDF("media_id", "format", "px_sum")
+    resized.groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("px_sum")).as("sum_resized_gray"))
+  }
+
+  /** Oracle for [[resizeSummary]]: gray·(targetW·targetH) per image,
+    * analytically from doc_id. */
+  def resizeSummaryOracleSql(targetW: Int = 8, targetH: Int = 8): String =
+    s"""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+       |            WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+       |  count(*) AS n,
+       |  CAST(sum((doc_id % 256) * ${targetW * targetH}) AS BIGINT)
+       |    AS sum_resized_gray
+       |FROM documents GROUP BY 1""".stripMargin
+
   // ---- audio: real WAV encode→decode via javax.sound (JDK-native) ---
 
   /** An audio row: opaque WAV payload + typed metadata. */

@@ -110,4 +110,49 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(rows == expected)
   }
+
+  test("resize: solid images resize to gray * target area, per format") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.resizeSummary(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.groupBy(Multimodal.Codec.formatFor).map {
+      case (f, gs) =>
+        f -> (gs.length.toLong,
+              gs.map(Multimodal.Codec.grayFor(_).toLong * 64).sum)
+    }
+    assert(out == expected)
+  }
+
+  test("resize actually resamples: a bicolor image lands strictly between") {
+    // not exercised by the solid corpus: a half-black/half-white source
+    // must produce a resized sum strictly inside (0, 255 * area), and
+    // identical across repeated runs (bilinear is deterministic)
+    val w = 12; val h = 6
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    })
+    def resizedSum(): Long = {
+      val out = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      try {
+        g2.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, 8, 8, null)
+      } finally g2.dispose()
+      (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val rgb = out.getRGB(x, y)
+        ((((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3)
+          .toLong
+      }).sum
+    }
+    val s1 = resizedSum()
+    assert(s1 > 0 && s1 < 255L * 64)
+    assert(s1 == resizedSum())
+  }
 }
