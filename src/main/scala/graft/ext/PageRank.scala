@@ -35,7 +35,12 @@ object PageRank {
     val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // every iteration's plan reads the degree-annotated edge table —
+    // persist it once instead of re-deriving union+aggregate+join per
+    // iteration (the materialize-the-shared-stage pattern; |edges| =
+    // 2·|pairs|, far below corpus size)
     val edges = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("id"), lit(Scale).as("rank"))
     for (_ <- 1 to iters) {
       ranks = edges.join(ranks, edges("src") === ranks("id"))
