@@ -277,6 +277,10 @@ object SparkEntry {
     // real image resize (decode → bilinear 8x8 → exact pixel sums)
     "q95_image_resize" -> ((s: SparkSession, d: String) =>
       ext.Multimodal.resizeSummary(s, d)),
+    // CHAINED stateful streaming: dedup -> windowed agg in one query
+    // (append mode; windows emit exactly once at the watermark)
+    "q96_stream_dedup_hourly" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.dedupHourlyAvailableNow(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -795,5 +799,6 @@ object SparkEntry {
     "q93_cluster_sizes" -> ext.Dedup.clusterSizeHistogramOracleSql(),
     "q94_profile" -> ops.Profile.lineitemProfileOracleSql,
     "q95_image_resize" -> ext.Multimodal.resizeSummaryOracleSql(),
+    "q96_stream_dedup_hourly" -> streaming.Streams.dedupHourlyOracleSql(),
   )
 }

@@ -123,7 +123,8 @@ object Streams {
   // ---- bounded (AvailableNow) runs for the driver gate --------------
 
   private def runBounded(df: DataFrame, mode: OutputMode,
-                         statePartitions: Int = 4): DataFrame = {
+                         statePartitions: Int = 4,
+                         noDataBatch: Boolean = false): DataFrame = {
     // tuning knob for gate/probe runs: -Dgraft.stream.statePartitions=N
     // overrides every bounded run's state partition count; malformed or
     // non-positive values fall back to the default instead of throwing
@@ -145,9 +146,11 @@ object Streams {
     // Bounded-run cost is almost all per-micro-batch machinery, so spend
     // fewer batches and fewer state partitions:
     //   - no-data micro-batches exist to advance the watermark for
-    //     append-mode emission; these gate runs use Complete/Update
-    //     modes where the final data batch already emits everything, so
-    //     the trailing empty batch is pure overhead — skip it.
+    //     append-mode emission; gate runs in Complete/Update modes emit
+    //     everything in the final data batch, so the trailing empty
+    //     batch is pure overhead — skip it (noDataBatch = false). The
+    //     chained-stateful append gate NEEDS it: its windows only emit
+    //     once the watermark passes them, which takes the extra batch.
     //   - each shuffle partition is a state-store instance with its own
     //     load/commit lifecycle per batch; the bounded verification data
     //     does not need 32 of them, but it DOES need more than one: a
@@ -163,7 +166,8 @@ object Streams {
     val prevNoData =
       conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     val prevParts = conf.getOption("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+             noDataBatch.toString)
     conf.set("spark.sql.shuffle.partitions", parts.toString)
     val q =
       try {
@@ -259,6 +263,39 @@ object Streams {
   def funnelJoinAvailableNow(spark: SparkSession, dir: String): DataFrame =
     runBounded(funnelJoin(readEventsStream(spark, dir)),
                OutputMode.Append())
+
+  /** CHAINED stateful pipeline — streaming dedup feeding a windowed
+    * aggregation in one query (the exactly-once-ingest + hourly-rollup
+    * shape every event pipeline runs; Spark supports stateful-operator
+    * chaining in append mode since 3.4): the redelivered stream is
+    * deduped by event_id, then hourly-aggregated; each window emits
+    * exactly once, when the watermark passes its end. The bounded run
+    * keeps the trailing no-data micro-batch (it advances the watermark
+    * to max(ts) − delay), so the emitted set is every window with
+    * `end <= max(ts) − delay` — deterministic, and the oracle applies
+    * the same cutoff to the batch aggregation. State: dedup ids + open
+    * windows, both watermark-bounded. */
+  def dedupHourlyAvailableNow(spark: SparkSession, dir: String,
+                              watermark: String = "2 hours"): DataFrame = {
+    val ev = readEventsStream(spark, dir)
+    val agg = dedupStream(ev.union(ev), watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("h"),
+              col("event_type"), col("n"), col("sum_value"))
+    runBounded(agg, OutputMode.Append(), noDataBatch = true)
+  }
+
+  /** Oracle for [[dedupHourlyAvailableNow]]: the batch hourly rollup,
+    * restricted to the windows append mode has emitted (end at or
+    * before the final watermark). */
+  def dedupHourlyOracleSql(watermarkHours: Int = 2): String =
+    s"""SELECT date_trunc('hour', ts) AS h, event_type,
+       |  count(*) AS n, round(sum(value), 2) AS sum_value
+       |FROM events
+       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+       |      <= (SELECT max(ts) - INTERVAL $watermarkHours HOUR FROM events)
+       |GROUP BY 1, 2""".stripMargin
 
   /** Bounded gate run of the streaming dedup: the events stream unioned
     * with itself simulates an at-least-once source redelivering every

@@ -138,6 +138,21 @@ class StreamsSpec extends SparkSpec {
            batch.exceptAll(streamed).isEmpty)
   }
 
+  test("chained dedup→hourly agg equals the batch rollup up to the watermark") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.dedupHourlyAvailableNow(spark, sfDir)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val cutoff = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+      .minusHours(2)
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .filter(col("h") + expr("INTERVAL 1 HOUR") <= lit(cutoff))
+    assert(streamed.count() > 0, "append windows must have emitted")
+    assert(streamed.exceptAll(batch).isEmpty &&
+           batch.exceptAll(streamed).isEmpty)
+  }
+
   test("bounded stream-static enrichment equals the batch join") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.enrichedSegmentAvailableNow(spark, sfDir)
