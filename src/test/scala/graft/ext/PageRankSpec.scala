@@ -48,6 +48,15 @@ class PageRankSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("iteration plan is equi-join + aggregate — no cartesian, no NLJ") {
+    import spark.implicits._
+    val plan = PageRank.dupPagerank(
+        Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("corpus gate output covers exactly the paired docs") {
     val pairs = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
     val out = PageRank.dupPagerank(spark, sfDir)

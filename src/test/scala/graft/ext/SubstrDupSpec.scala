@@ -46,6 +46,13 @@ class SubstrDupSpec extends SparkSpec {
     assert(out(2L)._4 == 12)
   }
 
+  test("plan joins on the gram hash — no cartesian, no nested loop") {
+    val plan = SubstrDup.substrDupStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("corpus output is internally consistent") {
     val out = SubstrDup.substrDupStats(spark, sfDir).cache()
     assert(out.count() > 0)
