@@ -281,6 +281,8 @@ object SparkEntry {
     // (append mode; windows emit exactly once at the watermark)
     "q96_stream_dedup_hourly" -> ((s: SparkSession, d: String) =>
       streaming.Streams.dedupHourlyAvailableNow(s, d)),
+    // CDC MERGE: whole-row upsert/delete changeset applied to a snapshot
+    "q97_cdc_merge" -> ops.Cdc.customerMerge _,
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -800,5 +802,6 @@ object SparkEntry {
     "q94_profile" -> ops.Profile.lineitemProfileOracleSql,
     "q95_image_resize" -> ext.Multimodal.resizeSummaryOracleSql(),
     "q96_stream_dedup_hourly" -> streaming.Streams.dedupHourlyOracleSql(),
+    "q97_cdc_merge" -> ops.Cdc.customerMergeOracleSql,
   )
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Change-data-capture MERGE: apply a changeset of whole-row upserts and
+  * deletes to a snapshot — the lakehouse staple (`MERGE INTO` semantics
+  * with whole-row replacement), which open-source Spark only ships inside
+  * table formats; here it is a plain two-operator composition any sink
+  * can use.
+  *
+  * result = (snapshot ANTI-JOIN change keys) UNION (upsert rows):
+  * one key-shuffled anti-join plus a union — rows untouched by the
+  * changeset never move, upserts replace matched rows and insert
+  * unmatched ones, deletes simply vanish. At 100 TB the snapshot side is
+  * the big one and the changeset the small one, so the anti-join
+  * broadcasts (or bucket-joins) the change keys; cost is one pass over
+  * the snapshot regardless of changeset composition — the CDC-apply
+  * plan every compaction job runs. */
+object Cdc {
+
+  /** Apply `changes` to `snapshot`. `changes` must carry the snapshot's
+    * columns plus an `op` column ∈ {"upsert", "delete"}; an upsert
+    * replaces the whole row for its key (or inserts it), a delete
+    * removes the key. Later wins within a changeset is NOT resolved here
+    * — feed one change per key (the compacted-changelog contract). */
+  def merge(snapshot: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val changeKeys = changes.select(col(key))
+    val upserts = changes.filter(col("op") === "upsert").drop("op")
+    snapshot.join(changeKeys, Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
+
+  /** Gate entry: a deterministic changeset over `customer` — updates
+    * (+100 balance) for custkey % 7 = 0, deletes for custkey % 11 = 3,
+    * inserts (key + 1000000) for custkey % 13 = 5 — applied via
+    * [[merge]]. Every rule is arithmetic on the key, so the oracle
+    * reconstructs the exact post-merge table. */
+  def customerMerge(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+              round(col("c_acctbal"), 2).as("bal"))
+    val updates = snap.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"),
+              round(col("bal") + 100.0, 2).as("bal"),
+              lit("upsert").as("op"))
+    val deletes = snap.filter(col("c_custkey") % 11 === 3)
+      .select(col("c_custkey"), col("c_name"), col("bal"),
+              lit("delete").as("op"))
+    val inserts = snap.filter(col("c_custkey") % 13 === 5)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              concat(lit("new_"), col("c_name")).as("c_name"),
+              lit(0.0).as("bal"), lit("upsert").as("op"))
+    merge(snap, updates.unionByName(deletes).unionByName(inserts),
+          "c_custkey")
+  }
+
+  val customerMergeOracleSql: String =
+    """WITH snap AS (
+      |  SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+      |  FROM customer)
+      |SELECT c_custkey, c_name,
+      |  CASE WHEN c_custkey % 7 = 0 THEN round(bal + 100.0, 2)
+      |       ELSE bal END AS bal
+      |FROM snap
+      |WHERE NOT (c_custkey % 11 = 3 AND c_custkey % 7 <> 0)
+      |UNION ALL
+      |SELECT c_custkey + 1000000, 'new_' || c_name, 0.0
+      |FROM snap WHERE c_custkey % 13 = 5""".stripMargin
+}
