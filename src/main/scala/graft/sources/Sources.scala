@@ -91,4 +91,32 @@ object Sources {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(tableName)
   }
+
+  /** Compact a parquet directory to approximately `targetFileBytes` per
+    * output file — the small-files maintenance job every streaming or
+    * incremental-append sink needs (a 100 TB table accreting thousands
+    * of tiny files per hour degrades listing, open(), and scan
+    * vectorization long before it degrades storage).
+    *
+    * The output file count is sized from the INPUT's on-disk bytes
+    * (already-compressed parquet — a far better predictor of output
+    * size than in-memory row estimates), then the data is rewritten
+    * through one round-robin repartition: uniform file sizes, one
+    * shuffle, no driver-side data movement. Returns the file count. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "target file size must be positive")
+    val inputBytes = {
+      val fs = new java.io.File(inPath)
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
+      sz(fs)
+    }
+    val nFiles = math.max(1,
+      math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
 }

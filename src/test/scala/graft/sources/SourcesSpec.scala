@@ -62,6 +62,45 @@ class SourcesSpec extends SparkSpec {
     assert(scan.count() == 2)
   }
 
+  test("compaction collapses a fragmented table to the sized file count") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    try {
+      // fragment: 64 tiny files
+      spark.range(0, 10000).toDF("id")
+        .repartition(64)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$base/frag")
+      val fragFiles = new java.io.File(s"$base/frag").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(fragFiles == 64)
+      // compact with a target well above the total input size → 1 file
+      val n = Sources.compactParquet(spark, s"$base/frag", s"$base/out",
+        targetFileBytes = 1L << 30)
+      assert(n == 1)
+      val outFiles = new java.io.File(s"$base/out").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(outFiles == 1)
+      // rows survive exactly
+      assert(spark.read.parquet(s"$base/out").count() == 10000)
+      // a small target produces proportionally more files
+      val tot = {
+        def sz(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
+        sz(new java.io.File(s"$base/frag"))
+      }
+      val n2 = Sources.compactParquet(spark, s"$base/frag", s"$base/out2",
+        targetFileBytes = math.max(1, tot / 4))
+      assert(n2 >= 4)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("bucketed table joins bucket-to-bucket without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bkt_l")
     spark.sql("DROP TABLE IF EXISTS bkt_r")
