@@ -80,6 +80,46 @@ class HashShinglesSpec extends SparkSpec {
     }
   }
 
+  test("md5 parity holds on generated word lists (property)") {
+    // the md5 kernels are the oracle-reproducibility contract for the
+    // minhash/simhash/winnow gates — fuzz it beyond the fixed corpus:
+    // random word shapes incl. empty strings, unicode, repeats
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genWord = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(10)),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("déjà", "näive", "文字", "a b", "-"),
+      1 -> Gen.const("dup"))
+    val docsGen = Gen.listOfN(
+      120, Gen.chooseNum(0, 9).flatMap(n => Gen.listOfN(n, genWord)))
+    val rows = docsGen.pureApply(Gen.Parameters.default, Seed(7L))
+      .map(ws => Tuple1(ws.toArray))
+    val df = rows.toDF("words")
+    val got = df.select(
+      HashShingles.md5Shingles(col("words"), 3).as("mine3"),
+      expr("""CASE WHEN size(words) < 3 THEN array()
+             |ELSE array_sort(array_distinct(transform(
+             |  sequence(1, size(words) - 2),
+             |  i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))),
+             |                 1, 15), 16, 10) AS LONG)))) END"""
+        .stripMargin).as("oracle3"),
+      HashShingles.md5WordHashes(col("words")).as("mine1"),
+      col("words"))
+      .withColumn("o_hi", expr(
+        "transform(words, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) AS LONG))"))
+      .withColumn("o_lo", expr(
+        "transform(words, w -> cast(conv(substring(md5(w), 9, 8), 16, 10) AS LONG))"))
+      .withColumn("m_hi", expr("transform(mine1, h -> shiftrightunsigned(h, 32))"))
+      .withColumn("m_lo", expr("transform(mine1, h -> h & 4294967295L)"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](6) == r.getSeq[Long](4)) // m_hi == o_hi
+      assert(r.getSeq[Long](7) == r.getSeq[Long](5)) // m_lo == o_lo
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
     val pairs = Seq(
       (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),
