@@ -46,6 +46,7 @@ object Bench {
         ext.Similarity.clearMemos()
         ext.Quantize.clearMemos()
         ext.Winnow.clearMemos()
+        ext.PageRank.clearMemos()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
@@ -61,12 +62,39 @@ object Bench {
     val results = names.map { case (name, _) =>
       name -> samples.map(_(name)).min
     }.toMap
+    // Fixed round-5 comparison set: the total alone moves every round as
+    // gates are added, so cross-round perf tracking pins this subtotal
+    // (the 63 queries benched since r5) as the like-for-like number.
+    val shared63 = Set(
+      "q01_filter_project", "q03_inner_join", "q04_left_join",
+      "q05_groupby_agg", "q07_global_agg", "q10_expr_semantics",
+      "q11_topk", "q12_distinct", "q13_setops", "q15_star_join",
+      "q16_sqlfront_join_group", "q17_sqlfront_corr_subq",
+      "q18_sqlfront_theta_subq", "q19_sqlfront_on_subq", "q20_text_stats",
+      "q21_lang_id", "q22_fingerprint", "q23_token_count",
+      "q24_dedup_exact", "q25_dedup_fingerprint", "q26_dedup_minhash",
+      "q29_emb_neardup", "q31_knn_lsh", "q33_sessionize",
+      "q34_multimodal", "q37_knn_ivf", "q38_json_props",
+      "q39_dedup_clusters", "q41_mix_sample", "q42_stream_enrich",
+      "q43_mix_rates", "q44_top_terms", "q45_quality_filter",
+      "q46_stream_funnel", "q47_asof_join", "q48_salted_join",
+      "q54_percentile", "q55_tfidf", "q56_repetition",
+      "q57_contamination", "q58_chunking", "q59_pii_redact",
+      "q60_bloom_join", "q61_range_join", "q62_token_spectrum",
+      "q63_clean_corpus", "q65_semi_join", "q68_stream_dedup",
+      "q69_bpe_pairs", "q71_distinct_agg", "q73_temp_rates",
+      "q74_reservoir", "q75_dup_ngrams", "q76_moment_stats", "q77_bm25",
+      "q79_dml_update", "q80_insert_select", "q83_winnowing",
+      "q84_gram_novelty", "q85_pq_codes", "q86_winnow_matches",
+      "q87_corpus_card", "q88_hourly_anomalies")
+    val sharedSub = results.collect {
+      case (n, v) if shared63(n) => v }.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val peaks = storagePeaks.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","storage_peak_bytes":$peaks,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63_subtotal":$sharedSub,"storage_peak_bytes":$peaks,"queries":$qs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt log prefixes — also write the JSON to a
     // file so machine consumers don't have to scrape the build log
     println(json)

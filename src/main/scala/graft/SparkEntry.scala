@@ -251,8 +251,10 @@ object SparkEntry {
     // MOSS cross-doc matching: pairs sharing winnowed fingerprints
     "q86_winnow_matches" -> ((s: SparkSession, d: String) =>
       ext.Winnow.matches(s, d)),
-    // product quantization (PQ m=4 k=16): trained codebooks, map-side
-    // encode; rows-only (codes depend on trained centroids — PqSpec
+    // product quantization (PQ m=4 k=16): deterministically trained
+    // codebooks (sorted bounded sample, first-K init), map-side encode;
+    // oracle-gated — the trained books embed as literals in the dumped
+    // SQL and the encode replays bit-exactly (PqSpec additionally
     // asserts determinism, bounds, and reconstruction-error dominance)
     "q85_pq_codes" -> ((s: SparkSession, d: String) =>
       ext.Quantize.pqCodes(s, d)),
@@ -283,6 +285,10 @@ object SparkEntry {
       streaming.Streams.dedupHourlyAvailableNow(s, d)),
     // CDC MERGE: whole-row upsert/delete changeset applied to a snapshot
     "q97_cdc_merge" -> ops.Cdc.customerMerge _,
+    // parquet compaction certified lossless: rewrite orders through the
+    // sized small-files compactor, then content-hash the REWRITTEN files
+    // (count + key sum + md5-fingerprint sum) against the original table
+    "q98_compaction" -> sources.Sources.compactionGate _,
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -466,9 +472,7 @@ object SparkEntry {
         |  WHERE token <> ''
         |  GROUP BY source, token)
         |WHERE rnk <= 5""".stripMargin,
-    // ---- extensions (q37 is the one remaining rows-only gate: its
-    //      IVF centroids are trained by distributed float aggregation,
-    //      so the oracle cannot re-derive them from static SQL) ----
+    // ---- extensions ----
     // q26/q27: md5-based hashing makes the minhash/simhash pipelines
     // exactly SQL-reproducible (the winnowing trick on integer domains)
     "q26_dedup_minhash" -> ext.Dedup.minhashLshOracleSql(),
@@ -476,6 +480,14 @@ object SparkEntry {
     // q31: the LSH hyperplanes are fixed-seed constants — embedded as
     // literals; bucket signs replayed bit-exactly via list_reduce
     "q31_knn_lsh" -> ext.Similarity.lshTopKOracleSql(),
+    // q37/q85: trained model constants (IVF centroids / PQ codebooks)
+    // are DETERMINISTIC functions of the table (decimal-accumulated or
+    // driver-side sorted-sample training), captured from the run that
+    // Verify just executed and embedded as literals; every discrete
+    // decision (cell assignment, probe choice, argmin code) replays
+    // bit-exactly in DuckDB
+    "q37_knn_ivf" -> ext.Similarity.ivfTopKOracleSql(),
+    "q85_pq_codes" -> ext.Quantize.pqCodesOracleSql,
     // q34: the media payloads are real PNG/GIF/BMP bytes generated
     // deterministically from doc_id (solid gray doc_id % 256, size
     // derived from doc_id), and the gate sums the DECODED values — so
@@ -803,5 +815,6 @@ object SparkEntry {
     "q95_image_resize" -> ext.Multimodal.resizeSummaryOracleSql(),
     "q96_stream_dedup_hourly" -> streaming.Streams.dedupHourlyOracleSql(),
     "q97_cdc_merge" -> ops.Cdc.customerMergeOracleSql,
+    "q98_compaction" -> sources.Sources.compactionGateOracleSql,
   )
 }

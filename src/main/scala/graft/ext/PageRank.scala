@@ -28,6 +28,22 @@ object PageRank {
   private val Scale = 1000000000L           // 1e9: rank fixed-point scale
   private val Base = 150000000L             // 0.15 · Scale
 
+  /** Every persisted edge table handed to an iteration loop, so repeated
+    * calls in one JVM (bench passes, correctness run) can't accumulate
+    * dead cached blocks: the harness drains this between passes, same
+    * contract as Dedup.clearMemos. */
+  private val persistedEdges =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every edge table persisted by prior dupPagerank calls. */
+  def clearMemos(): Unit = {
+    var df = persistedEdges.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      df = persistedEdges.poll()
+    }
+  }
+
   /** Integer PageRank over an undirected (a_id, b_id) pair set. Output:
     * (doc_id, rank) for every doc appearing in a pair. */
   def dupPagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
@@ -41,6 +57,7 @@ object PageRank {
     // 2·|pairs|, far below corpus size)
     val edges = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedEdges.add(edges)
     var ranks = deg.select(col("src").as("id"), lit(Scale).as("rank"))
     for (_ <- 1 to iters) {
       ranks = edges.join(ranks, edges("src") === ranks("id"))
@@ -62,9 +79,13 @@ object PageRank {
     * unrolled — same integer floor divisions, necessarily identical. */
   def dupPagerankOracleSql(iters: Int = 3): String = {
     val iterCtes = (1 to iters).map { i =>
+      // CAST: DuckDB's sum(BIGINT) widens to HUGEINT, which pandas
+      // materializes as float64 and the driver hash then differs from
+      // Spark's int64 even though every value is equal — pin the dtype
       s"""r$i AS (
          |  SELECT e.dst AS id,
-         |    $Base + 85 * sum(r${i - 1}.rank // deg.deg) // 100 AS rank
+         |    CAST($Base + 85 * sum(r${i - 1}.rank // deg.deg) // 100
+         |         AS BIGINT) AS rank
          |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
          |         JOIN deg ON deg.id = e.src
          |  GROUP BY e.dst)""".stripMargin

@@ -138,6 +138,14 @@ object Quantize {
 
   def clearMemos(): Unit = bookCache.clear()
 
+  /** Codebooks of the most recent [[pqCodes]] call, kept so the oracle
+    * generator (dumped by Verify AFTER the queries ran, over the same
+    * data) can embed them as SQL literals — the q31 literal-embedding
+    * technique. Training is fully deterministic (sorted bounded sample,
+    * first-K init, lowest-index tie-breaks), so these are a reproducible
+    * function of the table, not run-local state. */
+  @volatile private var lastBooks: Array[Array[Array[Double]]] = null
+
   /** PQ encode: per vector, the M argmin-distance codes plus the total
     * squared reconstruction error. Encoding is a single map-side
     * projection (argmin over literal codebooks — codegen'd, no shuffle,
@@ -159,7 +167,71 @@ object Quantize {
       if (k._1.sparkContext.isStopped) bookCache.remove(k)
     }
     val books = bookCache.getOrElseUpdate((spark, dir), pqTrain(embs, dim))
+    lastBooks = books
     pqCodesDf(embs, dim, books)
+  }
+
+  /** DuckDB oracle for [[pqCodes]]: the trained codebooks are embedded
+    * as literal lists (Java's shortest-round-trip double formatting
+    * parses back to identical bits — the q31 technique), and the encode
+    * is replayed BIT-EXACTLY: per (vector, subspace, code) the squared
+    * distance is the same sequential left-to-right double accumulation
+    * as the engine's `aggregate(zip_with(...), 0.0, +)` fold (the
+    * prepended 0.0 mirrors the fold's init), argmin ties break to the
+    * lowest code exactly like `array_position(d, array_min(d))`, and
+    * `sq_err` is the same left-associated 4-term sum. Training itself
+    * is deterministic (see [[pqTrain]]), so the literals are a pure
+    * function of the table. */
+  def pqCodesOracleSql: String = {
+    val books = lastBooks
+    if (books == null)
+      // loud, syntactically-valid failure: compared output can never
+      // match, so a dump taken without running q85 fails visibly
+      // instead of throwing during the JSON dump
+      "SELECT 'q85 oracle requires pqCodes to run first' AS err"
+    else {
+      val sub = 64 / PqM
+      // '<digits>'::DOUBLE (VARCHAR cast), NOT a bare numeric literal:
+      // DuckDB 1.0.0's numeric-literal path misrounds ~10% of
+      // shortest-round-trip doubles by 1 ULP (measured over 40k random
+      // values), while its VARCHAR→DOUBLE cast is correctly rounded
+      // (0/40k) — only the string path reproduces the trained bits
+      val bookRows = (for {
+        m <- 0 until PqM
+        k <- books(m).indices
+      } yield s"($m, $k, [${books(m)(k).map(v => s"'$v'::DOUBLE").mkString(", ")}])")
+        .mkString(",\n    ")
+      val codeCols = (0 until PqM)
+        .map(m => s"max(CASE WHEN m = $m THEN k END) AS c$m").mkString(",\n    ")
+      val distCols = (0 until PqM)
+        .map(m => s"max(CASE WHEN m = $m THEN dist END) AS d$m").mkString(",\n    ")
+      val outCodes = (0 until PqM)
+        .map(m => s"CAST(c$m AS INTEGER) AS code_$m").mkString(",\n  ")
+      val errSum = (1 until PqM).foldLeft("d0")((acc, m) => s"($acc + d$m)")
+      s"""WITH books(m, k, c) AS (VALUES
+         |    $bookRows),
+         |d AS (
+         |  SELECT e.vec_id, b.m, b.k,
+         |    list_reduce([0.0] || [
+         |      (CAST(e.embedding[b.m * $sub + j] AS DOUBLE) - b.c[j]) *
+         |      (CAST(e.embedding[b.m * $sub + j] AS DOUBLE) - b.c[j])
+         |      for j in range(1, ${sub + 1})], (a, t) -> a + t) AS dist
+         |  FROM embeddings e, books b),
+         |w AS (
+         |  SELECT vec_id, m, k, dist,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |                       ORDER BY dist, k) AS rn
+         |  FROM d),
+         |p AS (
+         |  SELECT vec_id,
+         |    $codeCols,
+         |    $distCols
+         |  FROM w WHERE rn = 1 GROUP BY vec_id)
+         |SELECT vec_id,
+         |  $outCodes,
+         |  $errSum AS sq_err
+         |FROM p""".stripMargin
+    }
   }
 
   private[ext] def pqCodesDf(embeddings: DataFrame, dim: Int,

@@ -135,6 +135,15 @@ object Similarity {
     * L2-normalized cell mean, repeat `iters` times. Empty cells keep
     * their previous centroid (deterministic — no reseeding).
     *
+    * DETERMINISTIC despite distributed training: the per-cell element
+    * sums accumulate in DECIMAL (exact, order-independent — the q76
+    * fixed-point trick), so partial-aggregation order can never perturb
+    * the centroids; the single decimal→double rounding per element is
+    * a deterministic function of the data. That makes the trained
+    * centroids reproducible, which is what lets the q37 oracle embed
+    * them as literals. The 1e-18 quantization is far below any k-means
+    * assignment margin.
+    *
     * Scale: per iteration, one map-side cell assignment plus one shuffle
     * of (cell, pos, value) skinny rows; only the K x dim per-cell sums
     * reach the driver. `sampleMod > 1` trains on a deterministic
@@ -152,12 +161,12 @@ object Similarity {
       val stats = withIvfCells(train, col("ne"), cents)
         .select(col("cell"), posexplode(col("ne")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("s"))
+        .agg(sum(col("v").cast("decimal(30,18)")).as("s"))
         .collect()
       val next = cents.map(_.clone())
       stats.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
         val vec = new Array[Double](cents(cell).length)
-        rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
+        rows.foreach(r => vec(r.getInt(1)) = r.getDecimal(2).doubleValue())
         val norm = math.sqrt(vec.map(x => x * x).sum)
         if (norm > 0) next(cell) = vec.map(_ / norm)
       }
@@ -231,11 +240,19 @@ object Similarity {
     centroidCache.getOrElseUpdate((spark, dir, k), trainCentroids(corpus, k))
   }
 
+  /** Centroids of the most recent [[ivfTopK]] call — the oracle dump
+    * (written by Verify after the queries ran) embeds them as literals,
+    * same contract as Quantize.lastBooks. Training is deterministic
+    * (decimal accumulation, see [[trainCentroids]]), so these are a
+    * reproducible function of the table. */
+  @volatile private var lastCents: Array[Array[Double]] = null
+
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
               k: Int = 10, numCells: Int = 24, nProbe: Int = 4,
               nAssign: Int = 3): DataFrame = {
     val corpus = Tables.load(spark, dir, "embeddings")
     val cents = trainedCentroidsCached(spark, corpus, dir, numCells)
+    lastCents = cents
     val corpusCells = withIvfCellsMulti(corpus, col("embedding"), cents, nAssign)
       .select(col("vec_id").as("nid"), l2normalize(col("embedding")).as("ne"),
               col("cell"))
@@ -276,10 +293,15 @@ object Similarity {
     * ranking uses `list_cosine_similarity` like the q30 oracle (engines
     * agree to ~1e-8; top-k gaps are ~1e-4, so ranks cannot flip). */
   def lshTopKOracleSql(nQueries: Int = 5, k: Int = 10): String = {
+    // quoted-string double literals: DuckDB's VARCHAR→DOUBLE cast is
+    // correctly rounded while its bare numeric-literal parse drifts by
+    // 1 ULP on ~10% of values (see ivfTopKOracleSql) — the sign margins
+    // absorbed that drift here, but bit-exact is bit-exact
     val planeRows = (for {
       t <- 0 until NumTables
       i <- 0 until PlanesPerTable
-    } yield s"($t, ${1L << i}, [${tablePlanes(t)(i).mkString(", ")}])")
+    } yield s"($t, ${1L << i}, " +
+        s"[${tablePlanes(t)(i).map(v => s"'$v'::DOUBLE").mkString(", ")}])")
       .mkString(",\n    ")
     val dotp =
       s"list_reduce([CAST(e.embedding[j] AS DOUBLE) * pl.p[j] " +
@@ -310,6 +332,82 @@ object Similarity {
        |            JOIN embeddings n ON n.vec_id = cand.nid)
        |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k"""
       .stripMargin
+  }
+
+  /** DuckDB oracle for [[ivfTopK]]: the trained centroids (reproducible —
+    * decimal-accumulated training, see [[trainCentroids]]) are embedded
+    * as literal lists, and every DISCRETE decision of the engine's plan
+    * is replayed BIT-EXACTLY so the candidate set cannot drift:
+    * L2-normalization and centroid dots are the same sequential
+    * left-to-right double folds as the VectorOps kernels (`[0.0] ||`
+    * mirrors the fold init; Java's shortest-round-trip double formatting
+    * parses back to identical bits), corpus cells are the top-nAssign
+    * dots with ties to the lower index (`row_number ORDER BY d DESC,
+    * idx` ≡ the engine's array_remove peel — exact-value ties between
+    * distinct centroids do not occur on continuous data), query probes
+    * the top-nProbe the same way. Only the final candidate RANKING uses
+    * `list_cosine_similarity` (the q30/q31 argument: engines agree to
+    * ~1e-8, top-k sim gaps are ~1e-4, so ranks cannot flip). */
+  def ivfTopKOracleSql(nQueries: Int = 5, k: Int = 10, nProbe: Int = 4,
+                       nAssign: Int = 3): String = {
+    val cents = lastCents
+    if (cents == null)
+      "SELECT 'q37 oracle requires ivfTopK to run first' AS err"
+    else {
+      // '<digits>'::DOUBLE (VARCHAR cast), NOT a bare numeric literal:
+      // DuckDB 1.0.0's numeric-literal parse misrounds ~10% of
+      // shortest-round-trip doubles by 1 ULP; its VARCHAR→DOUBLE cast
+      // is correctly rounded (measured, see Quantize.pqCodesOracleSql)
+      val centRows = cents.zipWithIndex
+        .map { case (c, i) =>
+          s"($i, [${c.map(v => s"'$v'::DOUBLE").mkString(", ")}])" }
+        .mkString(",\n    ")
+      s"""WITH cents(idx, c) AS (VALUES
+         |    $centRows),
+         |nrm AS (
+         |  SELECT vec_id,
+         |    sqrt(list_reduce([0.0] ||
+         |      [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+         |       for i in range(1, ${Dim + 1})], (a, t) -> a + t)) AS nm
+         |  FROM embeddings),
+         |nn AS (
+         |  SELECT e.vec_id,
+         |    [CAST(e.embedding[j] AS DOUBLE) / n.nm
+         |     for j in range(1, ${Dim + 1})] AS ne
+         |  FROM embeddings e JOIN nrm n USING (vec_id)),
+         |d AS (
+         |  SELECT n.vec_id, c.idx,
+         |    list_reduce([0.0] || [n.ne[j] * c.c[j]
+         |      for j in range(1, ${Dim + 1})], (a, t) -> a + t) AS d
+         |  FROM nn n, cents c),
+         |ca AS (
+         |  SELECT vec_id AS nid, idx AS cell FROM (
+         |    SELECT vec_id, idx,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, idx) AS rn
+         |    FROM d) t
+         |  WHERE rn <= $nAssign),
+         |qp AS (
+         |  SELECT vec_id AS qid, idx AS cell FROM (
+         |    SELECT vec_id, idx,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, idx) AS rn
+         |    FROM d WHERE vec_id < $nQueries) t
+         |  WHERE rn <= $nProbe),
+         |cand AS (
+         |  SELECT DISTINCT qp.qid, ca.nid
+         |  FROM qp JOIN ca ON ca.cell = qp.cell
+         |  WHERE ca.nid <> qp.qid),
+         |r AS (
+         |  SELECT cand.qid, cand.nid,
+         |    row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+         |               cand.nid) AS rnk
+         |  FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+         |            JOIN embeddings n ON n.vec_id = cand.nid)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM r
+         |WHERE rnk <= $k""".stripMargin
+    }
   }
 
   /** LSH ANN top-k over L hash tables with 1-bit multi-probe.

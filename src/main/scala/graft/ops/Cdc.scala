@@ -34,13 +34,18 @@ object Cdc {
 
   /** Gate entry: a deterministic changeset over `customer` — updates
     * (+100 balance) for custkey % 7 = 0, deletes for custkey % 11 = 3,
-    * inserts (key + 1000000) for custkey % 13 = 5 — applied via
+    * inserts (key + max(c_custkey)) for custkey % 13 = 5 — applied via
     * [[merge]]. Every rule is arithmetic on the key, so the oracle
-    * reconstructs the exact post-merge table. */
+    * reconstructs the exact post-merge table. Insert keys offset by the
+    * table's own max key (a broadcast 1-row aggregate, no driver
+    * action), so they can never collide with a live key at ANY scale
+    * factor — a fixed offset would collide once the table outgrows it
+    * and the merge would silently drop the original row. */
   def customerMerge(spark: SparkSession, dir: String): DataFrame = {
     val snap = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"),
               round(col("c_acctbal"), 2).as("bal"))
+    val maxKey = snap.agg(max(col("c_custkey")).as("maxk"))
     val updates = snap.filter(col("c_custkey") % 7 === 0)
       .select(col("c_custkey"), col("c_name"),
               round(col("bal") + 100.0, 2).as("bal"),
@@ -49,7 +54,8 @@ object Cdc {
       .select(col("c_custkey"), col("c_name"), col("bal"),
               lit("delete").as("op"))
     val inserts = snap.filter(col("c_custkey") % 13 === 5)
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+      .crossJoin(broadcast(maxKey))
+      .select((col("c_custkey") + col("maxk")).as("c_custkey"),
               concat(lit("new_"), col("c_name")).as("c_name"),
               lit(0.0).as("bal"), lit("upsert").as("op"))
     merge(snap, updates.unionByName(deletes).unionByName(inserts),
@@ -66,6 +72,7 @@ object Cdc {
       |FROM snap
       |WHERE NOT (c_custkey % 11 = 3 AND c_custkey % 7 <> 0)
       |UNION ALL
-      |SELECT c_custkey + 1000000, 'new_' || c_name, 0.0
+      |SELECT c_custkey + (SELECT max(c_custkey) FROM snap),
+      |  'new_' || c_name, 0.0
       |FROM snap WHERE c_custkey % 13 = 5""".stripMargin
 }

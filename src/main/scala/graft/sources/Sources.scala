@@ -106,11 +106,21 @@ object Sources {
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0, "target file size must be positive")
+    // size the input through Hadoop's FileSystem, not java.io.File: the
+    // path may live on HDFS/S3A (the 100 TB deployment), and the local
+    // recursion counted _SUCCESS/.crc metadata into the estimate
     val inputBytes = {
-      val fs = new java.io.File(inPath)
-      def sz(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
-      sz(fs)
+      val p = new org.apache.hadoop.fs.Path(inPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(p), s"compactParquet: input path does not exist: $inPath")
+      val it = fs.listFiles(p, true)
+      var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+      }
+      require(bytes > 0, s"compactParquet: no parquet files under $inPath")
+      bytes
     }
     val nFiles = math.max(1,
       math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
@@ -119,4 +129,57 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     nFiles
   }
+
+  /** Oracle gate for [[compactParquet]]: compact the `orders` table into
+    * a scratch directory, read the REWRITTEN files back, and reduce them
+    * to an order-independent content summary — row count, key sum, and a
+    * sum of per-row md5 fingerprints over every column. A lossless
+    * rewrite reproduces the original table's summary exactly (the oracle
+    * computes the same three aggregates over the ORIGINAL parquet), so
+    * any row dropped, duplicated, or altered by the compaction flips at
+    * least one aggregate. Same certification shape as the q79/q80 DML
+    * gates, pointed at the maintenance path.
+    *
+    * The per-row fingerprint canonicalizes each column to an integer or
+    * exact string first (cents via round(x*100), seconds via
+    * date_format) so both engines hash identical bytes; fingerprints are
+    * folded mod 1e9+7 before summing, so the sum stays far inside int64
+    * at any gate scale. */
+  def compactionGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_compact_gate_" + Integer.toHexString(dir.hashCode)).getPath
+    compactParquet(spark, s"$dir/orders.parquet", out,
+                   targetFileBytes = 1L * 1024 * 1024)
+    val canonical = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+      col("o_orderpriority"))
+    spark.read.parquet(out).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey")).as("sum_key"),
+      sum(conv(substring(md5(canonical), 1, 15), 16, 10).cast("long")
+            % 1000000007L).as("sum_md5"))
+  }
+
+  /** DuckDB oracle for [[compactionGate]]: the same three aggregates
+    * over the ORIGINAL `orders` parquet — equality certifies the rewrite
+    * is lossless. md5 hex is parsed to an integer with the 15-hex-char
+    * (60-bit) fold; sums are CAST back to BIGINT because DuckDB widens
+    * sum(BIGINT) to HUGEINT (the q92 dtype lesson). */
+  val compactionGateOracleSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(
+      |    list_reduce([CAST(strpos('0123456789abcdef', substr(
+      |        md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+      |            o_orderstatus || '|' ||
+      |            CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR || '|' ||
+      |            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+      |            o_orderpriority),
+      |        p, 1)) - 1 AS BIGINT) for p in range(1, 16)],
+      |      (a, b) -> a * 16 + b) % 1000000007) AS BIGINT) AS sum_md5
+      |FROM orders""".stripMargin
 }

@@ -274,7 +274,15 @@ object Streams {
     * to max(ts) − delay), so the emitted set is every window with
     * `end <= max(ts) − delay` — deterministic, and the oracle applies
     * the same cutoff to the batch aggregation. State: dedup ids + open
-    * windows, both watermark-bounded. */
+    * windows, both watermark-bounded.
+    *
+    * `round(sum(value), 2)` is TIE-FREE here, not merely close: `value`
+    * is 2-decimal money (verified: zero off-grid values at every SF),
+    * so the true sum is 0.01-granular and never lands at a .005
+    * rounding boundary; the ~1e-10 double accumulation error cannot
+    * flip the rounding under any summation order in either engine —
+    * same argument as the q32/q35/q36 rollups (see the verify skill's
+    * rounding note). */
   def dedupHourlyAvailableNow(spark: SparkSession, dir: String,
                               watermark: String = "2 hours"): DataFrame = {
     val ev = readEventsStream(spark, dir)

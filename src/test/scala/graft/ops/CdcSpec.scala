@@ -42,6 +42,23 @@ class CdcSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("corpus gate anti-join BROADCASTS the change keys — snapshot " +
+       "shuffles zero times") {
+    val plan = Cdc.customerMerge(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the scaladoc's scale claim, plan-asserted like RangeJoinSpec: the
+    // anti side must be a broadcast hash join (change keys to the
+    // executors), never a sort-merge join (which would shuffle the
+    // 100 TB snapshot on key)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+           s"anti join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"snapshot got shuffled:\n$plan")
+    // (the insert branch's 1-row max-key broadcast legitimately appears
+    // as a broadcast nested-loop CROSS join — only a cartesian of real
+    // tables is forbidden)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("corpus gate conserves rows: snapshot - deletes + inserts") {
     val base = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"))

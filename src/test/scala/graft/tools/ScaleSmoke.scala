@@ -112,6 +112,7 @@ object ScaleSmoke {
       graft.ext.Similarity.clearMemos()
       graft.ext.Quantize.clearMemos()
       graft.ext.Winnow.clearMemos()
+      graft.ext.PageRank.clearMemos()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -52,6 +52,12 @@ def main(sf_dir, out_dir):
         bad = []
         for c in s.columns:
             a, b = s[c], d[c]
+            # dtype drift (e.g. DuckDB HUGEINT -> pandas float64 vs Spark
+            # int64) hashes differently in the driver even when every value
+            # is equal — fail it here so it never reaches the driver
+            if a.dtype.kind != b.dtype.kind:
+                bad.append(f"{c}(dtype drift: spark={a.dtype} duck={b.dtype})")
+                continue
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 a = a.astype(float); b = b.astype(float)
                 eq = (a.isna() & b.isna()) | (a == b)
