@@ -50,6 +50,54 @@ object Multimodal {
     // encode/decode; in-memory streams don't need it
     javax.imageio.ImageIO.setUseCache(false)
 
+    /** Gradient ramp base for the resize gate. Capped at 64 so the
+      * steepest pixel stays in range: 63 + 2·15 + 4·9 = 129 < 256. */
+    def gradBaseFor(id: Long): Int = (id % 64).toInt
+
+    /** Deterministic GRADIENT image for `id`: gray(x, y) = base + 2x + 4y
+      * in the id's format. The even per-axis steps make every bilinear
+      * sample an exact dyadic value (see [[Multimodal.bilinearGraySum]]),
+      * so the resized pixel sum has a closed form a SQL oracle can
+      * compute. Distinct colors ≤ 130, so GIF palettizes losslessly.
+      *
+      * GIF goes through an explicit writer with progressive mode
+      * DISABLED: the JDK's GIF round trip permutes the rows of every
+      * height-4 non-constant image when left at the interlace default
+      * (observed on all 13 h=4 gradient shapes; solid images mask the
+      * bug because row permutation is invisible on them). */
+    def encodeGradient(id: Long): Array[Byte] = {
+      val w = widthFor(id); val h = heightFor(id); val b = gradBaseFor(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = b + 2 * x + 4 * y
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (formatFor(id) == "gif") {
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val wr = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        try {
+          wr.setOutput(ios)
+          val p = wr.getDefaultWriteParam
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        } finally { wr.dispose(); ios.close() }
+      } else {
+        val ok = javax.imageio.ImageIO.write(img, formatFor(id), bos)
+        if (!ok) throw new IllegalStateException(
+          s"no ImageIO writer for ${formatFor(id)}")
+      }
+      bos.toByteArray
+    }
+
     /** Encode the deterministic image for `id` in its format: solid
       * gray `grayFor(id)`, widthFor × heightFor. */
     def encode(id: Long): Array[Byte] = {
@@ -165,19 +213,86 @@ object Multimodal {
            sum(when(element_at(col("feature"), 1) === 1.0, 1L)
              .otherwise(0L)).as("n_f0"))
 
-  /** Real image RESIZE (the preprocessing step between decode and a
-    * vision encoder): decode the payload, scale to a fixed target grid
-    * with `Graphics2D.drawImage` under bilinear interpolation, and emit
-    * the resized image's exact integer pixel sum. Runs headless — no
-    * display needed for `BufferedImage` rendering.
+  /** Gradient twin of [[mediaTable]]: payload = real encoded gradient
+    * image bytes (gray = base + 2x + 4y). Feeds the resize gate, whose
+    * oracle needs a NON-constant source to see interpolation weights. */
+  def gradientMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          MediaRow(id, Codec.encodeGradient(id), Codec.formatFor(id),
+                   Codec.widthFor(id), Codec.heightFor(id))
+        }
+      }
+      .toDF()
+  }
+
+  /** Fully-specified bilinear gray resample: half-pixel-center source
+    * mapping `sx = (2·tx + 1)·w / (2·tw) − 1/2`, clamp-to-edge, round
+    * half-up. Luminance is the integer (r+g+b)/3 per source pixel.
     *
-    * The gate is analytically verifiable precisely BECAUSE resampling a
-    * CONSTANT image is interpolation-invariant: bilinear (or any convex
-    * interpolation) of equal pixels returns that pixel, so a solid-gray
-    * source must resize to gray·W'·H' exactly — any resample defect
-    * (channel order, row stride, off-by-one sampling window reading
-    * zeros) breaks the sum. Metadata columns are ignored; the gray
-    * reaches the sum only through encode → decode → resize → re-read.
+    * Unlike `Graphics2D.drawImage` (whose scaler is implementation-
+    * defined), every step here is pinned, so an oracle can replay it.
+    * For power-of-two targets (tw = th = 8) every sample coordinate is
+    * a dyadic rational ((2t+1)·w/16 − 1/2), hence every weight and
+    * product is EXACT in binary floating point — the resample is
+    * bit-deterministic across JVMs and engines. */
+  def bilinearGraySum(img: java.awt.image.BufferedImage,
+                      tw: Int, th: Int): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val lum = new Array[Int](w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        lum(i) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                  (rgb & 0xFF)) / 3
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    var sum = 0L
+    var ty = 0
+    while (ty < th) {
+      val sy = (2 * ty + 1) * h / (2.0 * th) - 0.5
+      val cy = math.min(math.max(sy, 0.0), h - 1.0)
+      val y0 = cy.toInt; val y1 = math.min(y0 + 1, h - 1)
+      val fy = cy - y0
+      var tx = 0
+      while (tx < tw) {
+        val sx = (2 * tx + 1) * w / (2.0 * tw) - 0.5
+        val cx = math.min(math.max(sx, 0.0), w - 1.0)
+        val x0 = cx.toInt; val x1 = math.min(x0 + 1, w - 1)
+        val fx = cx - x0
+        val top = (1 - fx) * lum(y0 * w + x0) + fx * lum(y0 * w + x1)
+        val bot = (1 - fx) * lum(y1 * w + x0) + fx * lum(y1 * w + x1)
+        sum += math.floor((1 - fy) * top + fy * bot + 0.5).toLong
+        tx += 1
+      }
+      ty += 1
+    }
+    sum
+  }
+
+  /** Real image RESIZE (the preprocessing step between decode and a
+    * vision encoder): decode the gradient payload, resample to a fixed
+    * 8×8 grid with [[bilinearGraySum]], and emit the resized image's
+    * exact integer pixel sum.
+    *
+    * The oracle is closed-form BECAUSE bilinear interpolation of an
+    * affine ramp is exact: interpolating gray = base + 2x + 4y at
+    * clamped source coordinates (cx, cy) yields exactly
+    * base + 2·cx + 4·cy (interpolation of the identity function with
+    * clamp-to-edge is clamp itself), and with tw = th = 8 every value
+    * is dyadic, so both engines floor(v + 1/2) the same bits. A
+    * nearest-neighbor kernel diverges on 35 of the 91 (w, h) source
+    * shapes — the oracle distinguishes resampling kernels, not just
+    * plumbing (round-6 verdict item 6). Constant-image invariance is
+    * the base term (weights summing to 1), covered by the same sum.
     *
     * Scale: typed mapPartitions (same justification as the codecs —
     * imperative per-payload work with no relational shape); payloads
@@ -185,50 +300,50 @@ object Multimodal {
   def resizeSummary(spark: SparkSession, dir: String,
                     targetW: Int = 8, targetH: Int = 8): DataFrame = {
     import spark.implicits._
-    val resized = mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
-      rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.payload))
-        if (img == null)
-          throw new IllegalArgumentException("payload is not a decodable image")
-        val out = new java.awt.image.BufferedImage(
-          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g2 = out.createGraphics()
-        try {
-          g2.setRenderingHint(
-            java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g2.drawImage(img, 0, 0, targetW, targetH, null)
-        } finally g2.dispose()
-        var sum = 0L
-        var y = 0
-        while (y < targetH) {
-          var x = 0
-          while (x < targetW) {
-            val rgb = out.getRGB(x, y)
-            sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
-                    (rgb & 0xFF)) / 3
-            x += 1
-          }
-          y += 1
+    val resized = gradientMediaTable(spark, dir).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null)
+            throw new IllegalArgumentException(
+              "payload is not a decodable image")
+          (r.media_id, r.format, bilinearGraySum(img, targetW, targetH))
         }
-        (r.media_id, r.format, sum)
-      }
-    }.toDF("media_id", "format", "px_sum")
+      }.toDF("media_id", "format", "px_sum")
     resized.groupBy(col("format"))
       .agg(count(lit(1)).as("n"),
            sum(col("px_sum")).as("sum_resized_gray"))
   }
 
-  /** Oracle for [[resizeSummary]]: gray·(targetW·targetH) per image,
-    * analytically from doc_id. */
+  /** Oracle for [[resizeSummary]]: replays the resample analytically —
+    * per (doc, tx, ty), value = floor(base + 2·clamp(sx) + 4·clamp(sy)
+    * + 1/2) with the same dyadic coordinates, summed per format. All
+    * arithmetic is exact in doubles (denominators divide 16), so the
+    * DuckDB sum is bit-identical to the Spark-side kernel. */
   def resizeSummaryOracleSql(targetW: Int = 8, targetH: Int = 8): String =
-    s"""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
-       |            WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
-       |  count(*) AS n,
-       |  CAST(sum((doc_id % 256) * ${targetW * targetH}) AS BIGINT)
-       |    AS sum_resized_gray
-       |FROM documents GROUP BY 1""".stripMargin
+    s"""WITH t AS (SELECT unnest(generate_series(0, ${targetW - 1})) AS i),
+       |u AS (SELECT unnest(generate_series(0, ${targetH - 1})) AS i),
+       |d AS (SELECT doc_id,
+       |        CAST(doc_id % 64 AS BIGINT) AS base,
+       |        CAST(doc_id % 13 AS BIGINT) + 4 AS w,
+       |        CAST(doc_id % 7 AS BIGINT) + 4 AS h,
+       |        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+       |             WHEN 1 THEN 'gif' ELSE 'bmp' END AS format
+       |      FROM documents),
+       |px AS (SELECT d.format, d.doc_id,
+       |         CAST(floor(d.base
+       |           + 2 * least(greatest(
+       |               (2*gx.i + 1) * d.w / ${2.0 * targetW} - 0.5, 0),
+       |               d.w - 1)
+       |           + 4 * least(greatest(
+       |               (2*gy.i + 1) * d.h / ${2.0 * targetH} - 0.5, 0),
+       |               d.h - 1)
+       |           + 0.5) AS BIGINT) AS v
+       |       FROM d, t gx, u gy)
+       |SELECT format, count(DISTINCT doc_id) AS n,
+       |       CAST(sum(v) AS BIGINT) AS sum_resized_gray
+       |FROM px GROUP BY 1""".stripMargin
 
   // ---- audio: real WAV encode→decode via javax.sound (JDK-native) ---
 

@@ -111,48 +111,107 @@ class MultimodalSpec extends SparkSpec {
     assert(rows == expected)
   }
 
-  test("resize: solid images resize to gray * target area, per format") {
-    import org.apache.spark.sql.functions._
+  /** The oracle's closed form, in Scala: bilinear of an affine ramp is
+    * the ramp at the clamped sample coordinate. */
+  private def gradientClosedForm(base: Int, w: Int, h: Int,
+                                 tw: Int = 8, th: Int = 8): Long = {
+    var sum = 0L
+    for (ty <- 0 until th; tx <- 0 until tw) {
+      val sx = (2 * tx + 1) * w / (2.0 * tw) - 0.5
+      val sy = (2 * ty + 1) * h / (2.0 * th) - 0.5
+      val cx = math.min(math.max(sx, 0.0), w - 1.0)
+      val cy = math.min(math.max(sy, 0.0), h - 1.0)
+      sum += math.floor(base + 2 * cx + 4 * cy + 0.5).toLong
+    }
+    sum
+  }
+
+  private def solidImage(w: Int, h: Int, g: Int) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)))
+    img
+  }
+
+  test("resize gate equals the per-doc closed form, per format") {
     val out = Multimodal.resizeSummary(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val ids = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).collect().map(_.getLong(0))
-    val expected = ids.groupBy(Multimodal.Codec.formatFor).map {
-      case (f, gs) =>
-        f -> (gs.length.toLong,
-              gs.map(Multimodal.Codec.grayFor(_).toLong * 64).sum)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val C = Multimodal.Codec
+    val expected = ids.groupBy(C.formatFor).map { case (f, gs) =>
+      f -> (gs.length.toLong,
+            gs.map(id => gradientClosedForm(
+              C.gradBaseFor(id), C.widthFor(id), C.heightFor(id))).sum)
     }
     assert(out == expected)
   }
 
+  test("bilinear kernel: constant images are interpolation-invariant") {
+    for (w <- Seq(4, 11, 16); h <- Seq(4, 7, 10); g <- Seq(0, 130, 255))
+      assert(Multimodal.bilinearGraySum(solidImage(w, h, g), 8, 8)
+        == g.toLong * 64)
+  }
+
+  test("gradient encode->decode is lossless in every format") {
+    // covers GIF palettization: the ramp has <= 130 distinct colors
+    for (id <- Seq(0L, 1L, 2L, 63L, 64L, 100L, 255L)) {
+      val C = Multimodal.Codec
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(C.encodeGradient(id)))
+      val b = C.gradBaseFor(id)
+      for (y <- 0 until C.heightFor(id); x <- 0 until C.widthFor(id))
+        assert((img.getRGB(x, y) & 0xFF) == b + 2 * x + 4 * y,
+               s"id=$id px($x,$y)")
+    }
+  }
+
+  test("kernel distinguishes bilinear from nearest-neighbor on ramps") {
+    // nearest-neighbor resample of the same gradients; must diverge on
+    // some source shapes (measured: 35 of 91), so the closed-form gate
+    // fails any NN kernel
+    def nnSum(base: Int, w: Int, h: Int): Long = {
+      var sum = 0L
+      for (ty <- 0 until 8; tx <- 0 until 8) {
+        val sx = (2 * tx + 1) * w / 16.0 - 0.5
+        val sy = (2 * ty + 1) * h / 16.0 - 0.5
+        val px = math.min(math.max(math.floor(sx + 0.5).toInt, 0), w - 1)
+        val py = math.min(math.max(math.floor(sy + 0.5).toInt, 0), h - 1)
+        sum += base + 2 * px + 4 * py
+      }
+      sum
+    }
+    val diverging = for {
+      w <- 4 to 16; h <- 4 to 10
+      if nnSum(0, w, h) != gradientClosedForm(0, w, h)
+    } yield (w, h)
+    assert(diverging.size == 35)
+  }
+
+  test("kernel matches closed form on every gradient shape") {
+    val C = Multimodal.Codec
+    for (id <- 0L until 91L) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(C.encodeGradient(id)))
+      assert(Multimodal.bilinearGraySum(img, 8, 8) ==
+        gradientClosedForm(C.gradBaseFor(id), C.widthFor(id),
+                           C.heightFor(id)), s"id=$id")
+    }
+  }
+
   test("resize actually resamples: a bicolor image lands strictly between") {
-    // not exercised by the solid corpus: a half-black/half-white source
-    // must produce a resized sum strictly inside (0, 255 * area), and
-    // identical across repeated runs (bilinear is deterministic)
+    // a half-black/half-white source must produce a resized sum strictly
+    // inside (0, 255 * area), identical across repeated runs
     val w = 12; val h = 6
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     (0 until h).foreach(y => (0 until w).foreach { x =>
       img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
     })
-    def resizedSum(): Long = {
-      val out = new java.awt.image.BufferedImage(
-        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g2 = out.createGraphics()
-      try {
-        g2.setRenderingHint(
-          java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g2.drawImage(img, 0, 0, 8, 8, null)
-      } finally g2.dispose()
-      (for (y <- 0 until 8; x <- 0 until 8) yield {
-        val rgb = out.getRGB(x, y)
-        ((((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3)
-          .toLong
-      }).sum
-    }
-    val s1 = resizedSum()
+    val s1 = Multimodal.bilinearGraySum(img, 8, 8)
     assert(s1 > 0 && s1 < 255L * 64)
-    assert(s1 == resizedSum())
+    assert(s1 == Multimodal.bilinearGraySum(img, 8, 8))
   }
 }

@@ -4,10 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Diagnostic main: time the bounded streaming gate runs phase by phase
   * (start→first batch→termination) and dump each batch's durationMs so
-  * the bounded-run overhead is attributable, not guessed. */
+  * the bounded-run overhead is attributable, not guessed.
+  *
+  * args: [sfDir] [gate1,gate2,...] [statePartitions] [reps]
+  * Gates: hourly sessionize funnel enrich dedup deduphourly.
+  * Each `sbt Test/runMain` invocation is one cold JVM — the bench
+  * methodology — with the same sf0.001 machinery warm-up Bench does. */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val gates = if (args.length > 1) args(1).split(",").toSeq
+                else Seq("hourly", "sessionize", "funnel", "enrich")
+    args.drop(2).headOption.filter(_.nonEmpty).foreach { p =>
+      sys.props("graft.stream.statePartitions") = p
+      println(s"[probe] statePartitions=$p")
+    }
+    val reps = args.drop(3).headOption.flatMap(_.toIntOption).getOrElse(2)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -15,7 +27,8 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm
+    // warm the streaming machinery only (state store, file source, JIT)
+    // on the smallest dataset — same as Bench
     graft.streaming.Streams.hourlyAggAvailableNow(
       spark, "/root/testdata/sf0.001").count()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -27,7 +40,7 @@ object StreamProbe {
           s"durations=${e.progress.durationMs} rows=${e.progress.numInputRows}")
     }
     spark.streams.addListener(listener)
-    for (name <- Seq("hourly", "sessionize", "funnel", "enrich"); _ <- 1 to 2) {
+    for (name <- gates; rep <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = name match {
         case "hourly" =>
@@ -36,10 +49,14 @@ object StreamProbe {
           graft.streaming.Streams.sessionCountsAvailableNow(spark, sfDir).count()
         case "funnel" =>
           graft.streaming.Streams.funnelJoinAvailableNow(spark, sfDir).count()
+        case "dedup" =>
+          graft.streaming.Streams.dedupAvailableNow(spark, sfDir).count()
+        case "deduphourly" =>
+          graft.streaming.Streams.dedupHourlyAvailableNow(spark, sfDir).count()
         case _ =>
           graft.streaming.Streams.enrichedSegmentAvailableNow(spark, sfDir).count()
       }
-      println(f"[probe] $name total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      println(f"[probe] $name rep$rep total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
   }
