@@ -289,6 +289,10 @@ object SparkEntry {
     // sized small-files compactor, then content-hash the REWRITTEN files
     // (count + key sum + md5-fingerprint sum) against the original table
     "q98_compaction" -> sources.Sources.compactionGate _,
+    // Z-order layout: Morton bit-interleave key (the multi-dim
+    // clustering behind Delta/Iceberg Z-ORDER) summed per returnflag —
+    // an order-independent checksum of every interleaved bit
+    "q99_zorder" -> sources.ZOrder.zorderGate _,
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -816,5 +820,6 @@ object SparkEntry {
     "q96_stream_dedup_hourly" -> streaming.Streams.dedupHourlyOracleSql(),
     "q97_cdc_merge" -> ops.Cdc.customerMergeOracleSql,
     "q98_compaction" -> sources.Sources.compactionGateOracleSql,
+    "q99_zorder" -> sources.ZOrder.zorderGateOracleSql,
   )
 }

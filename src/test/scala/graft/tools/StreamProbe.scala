@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   *
   * args: [sfDir] [gate1,gate2,...] [statePartitions] [reps]
   * Gates: hourly sessionize funnel enrich dedup deduphourly.
+  * statePartitions may be a single value or a `:`-separated cycle
+  * (e.g. `2:4:8`) applied per rep WITHIN one JVM — host-contention
+  * windows hit whole JVMs, so cross-JVM partition comparisons confound;
+  * in-JVM alternation isolates the knob.
   * Each `sbt Test/runMain` invocation is one cold JVM — the bench
   * methodology — with the same sf0.001 machinery warm-up Bench does. */
 object StreamProbe {
@@ -15,10 +19,9 @@ object StreamProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val gates = if (args.length > 1) args(1).split(",").toSeq
                 else Seq("hourly", "sessionize", "funnel", "enrich")
-    args.drop(2).headOption.filter(_.nonEmpty).foreach { p =>
-      sys.props("graft.stream.statePartitions") = p
-      println(s"[probe] statePartitions=$p")
-    }
+    val partsCycle: Seq[String] =
+      args.drop(2).headOption.filter(_.nonEmpty)
+        .map(_.split(":").toSeq).getOrElse(Seq.empty)
     val reps = args.drop(3).headOption.flatMap(_.toIntOption).getOrElse(2)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -41,6 +44,13 @@ object StreamProbe {
     }
     spark.streams.addListener(listener)
     for (name <- gates; rep <- 1 to reps) {
+      val parts =
+        if (partsCycle.isEmpty) "default"
+        else {
+          val p = partsCycle((rep - 1) % partsCycle.size)
+          sys.props("graft.stream.statePartitions") = p
+          p
+        }
       val t0 = System.nanoTime()
       val n = name match {
         case "hourly" =>
@@ -56,7 +66,7 @@ object StreamProbe {
         case _ =>
           graft.streaming.Streams.enrichedSegmentAvailableNow(spark, sfDir).count()
       }
-      println(f"[probe] $name rep$rep total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      println(f"[probe] $name rep$rep parts=$parts total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
   }
