@@ -24,31 +24,44 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Morton key of two non-negative integer columns: bit i of `a` lands
-    * at even position 2i, bit i of `b` at odd position 2i+1, for the low
-    * `bits` bits of each. Callers bin or rank-scale wider domains into
-    * `bits` first ([[zorderWrite]] guards against silent truncation). */
-  def mortonKey2(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val al = a.cast("long"); val bl = b.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  /** Morton key of N non-negative integer columns: bit i of column j
+    * lands at interleaved position i·N + j, for the low `bits` bits of
+    * each. N·bits must fit a signed 64-bit key. Callers bin or
+    * rank-scale wider domains into `bits` first ([[zorderWrite]] guards
+    * against silent truncation, or scales for you with autoScale). */
+  def mortonKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"need at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n cols x $bits bits = ${n * bits} key bits; must be in [1, 63]")
+    val longs = cols.map(_.cast("long"))
+    (for {
+      i <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ bitwiseOR _)
   }
+
+  /** Two-column Morton key (bit i of `a` at even position 2i, of `b` at
+    * odd 2i+1) — the common case of [[mortonKeyN]]. */
+  def mortonKey2(a: Column, b: Column, bits: Int = 16): Column =
+    mortonKeyN(Seq(a, b), bits)
 
   /** Z-order maintenance rewrite: read `inPath`, sort by the Morton key
     * of (`colA`, `colB`), and write parquet files sized like
     * [[Sources.compactParquet]] (input bytes / target). `orderBy` on the
     * key range-partitions into `nFiles` sorted spans, so each output
     * file covers one contiguous Z-curve segment — a bounded rectangle in
-    * (colA, colB) space. Fails fast if either column exceeds `bits`
-    * (truncated keys would silently destroy locality) or is negative.
-    * Returns the file count. */
+    * (colA, colB) space. By default fails fast if either column exceeds
+    * `bits` (truncated keys would silently destroy locality) or is
+    * negative; with `autoScale` each column is linearly binned from its
+    * observed [min, max] onto [0, 2^bits) instead — binning is
+    * layout-only (the data is untouched), so double-precision bin edges
+    * are fine at any domain width. Returns the file count. */
   def zorderWrite(spark: SparkSession, inPath: String, outPath: String,
                   colA: String, colB: String, bits: Int = 16,
-                  targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+                  targetFileBytes: Long = 128L * 1024 * 1024,
+                  autoScale: Boolean = false): Int = {
     require(targetFileBytes > 0, "target file size must be positive")
     val inputBytes = {
       val p = new org.apache.hadoop.fs.Path(inPath)
@@ -71,13 +84,26 @@ object ZOrder {
       df.agg(max(col(colA)).cast("long"), max(col(colB)).cast("long"),
              min(col(colA)).cast("long"), min(col(colB)).cast("long"))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    require(minA >= 0 && minB >= 0,
-      s"zorderWrite: negative keys ($colA min $minA, $colB min $minB)")
-    require(maxA < limit && maxB < limit,
-      s"zorderWrite: keys exceed $bits bits ($colA max $maxA, $colB max " +
-        s"$maxB >= $limit); bin or rank-scale the columns first")
-    df.repartitionByRange(nFiles, mortonKey2(col(colA), col(colB), bits))
-      .sortWithinPartitions(mortonKey2(col(colA), col(colB), bits))
+    def bin(c: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else least(lit(limit - 1), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo.toDouble)) /
+          lit((hi - lo).toDouble) * lit((limit - 1).toDouble))
+          .cast("long")))
+    val (ka, kb) =
+      if (autoScale) (bin(colA, minA, maxA), bin(colB, minB, maxB))
+      else {
+        require(minA >= 0 && minB >= 0,
+          s"zorderWrite: negative keys ($colA min $minA, $colB min $minB)")
+        require(maxA < limit && maxB < limit,
+          s"zorderWrite: keys exceed $bits bits ($colA max $maxA, " +
+            s"$colB max $maxB >= $limit); bin or rank-scale the columns " +
+            "first, or pass autoScale = true")
+        (col(colA), col(colB))
+      }
+    val key = mortonKey2(ka, kb, bits)
+    df.repartitionByRange(nFiles, key)
+      .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     nFiles
   }

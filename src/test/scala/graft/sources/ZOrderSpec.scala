@@ -33,6 +33,59 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("mortonKeyN interleaves three columns round-robin") {
+    // reference: bit i of column j lands at position i*3 + j
+    def morton3(a: Long, b: Long, c: Long, bits: Int): Long = {
+      var out = 0L
+      for (i <- 0 until bits)
+        out |= (((a >> i) & 1L) << (3 * i)) |
+               (((b >> i) & 1L) << (3 * i + 1)) |
+               (((c >> i) & 1L) << (3 * i + 2))
+      out
+    }
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(100)(_ =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong,
+       rnd.nextInt(1024).toLong))
+    val got = rows.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        ZOrder.mortonKeyN(Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (a, b, c, z) =>
+      assert(z == morton3(a, b, c, 10), s"($a, $b, $c)")
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.mortonKeyN(Seq(col("a"), col("b"), col("c")), 22) // 66 bits
+    }
+  }
+
+  test("autoScale bins wide domains onto the bit budget, keeping locality") {
+    val tmp = Files.createTempDirectory("graft_zorder_scale").toString
+    // domain far beyond 2^6: multiples of 1e9 on one axis, 1e6 on the
+    // other — same 64x64 grid shape after binning
+    val grid = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a * 1000000000L, b * 1000000L)).toDF("a", "b")
+    grid.coalesce(1).write.parquet(s"$tmp/in")
+    val inBytes = new java.io.File(s"$tmp/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = ZOrder.zorderWrite(spark, s"$tmp/in", s"$tmp/z", "a", "b",
+      bits = 6, targetFileBytes = math.max(1L, inBytes / 16),
+      autoScale = true)
+    assert(n >= 8)
+    val spans = new java.io.File(s"$tmp/z").listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        spark.read.parquet(f.getAbsolutePath)
+          .agg(max(col("a")) - min(col("a")),
+               max(col("b")) - min(col("b")))
+          .as[(Long, Long)].collect()(0)
+      }
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    // both dims bounded at <= half their (scaled-up) domain span
+    assert(avg(spans.map(_._1)) <= 32.0 * 1000000000L)
+    assert(avg(spans.map(_._2)) <= 32.0 * 1000000L)
+    assert(spark.read.parquet(s"$tmp/z").count() == 64 * 64)
+  }
+
   test("morton key is monotone in each argument's high bits") {
     // sanity on curve shape: doubling a high bit of either input moves
     // the key by the corresponding interleaved amount
