@@ -293,6 +293,10 @@ object SparkEntry {
     // clustering behind Delta/Iceberg Z-ORDER) summed per returnflag —
     // an order-independent checksum of every interleaved bit
     "q99_zorder" -> sources.ZOrder.zorderGate _,
+    // deterministic corpus shuffle + sharding: seeded md5-hash order,
+    // per-shard position numbering, order-sensitive checksum
+    "q100_shuffle_shards" -> ((s: SparkSession, d: String) =>
+      ext.Splits.shuffleShards(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -821,5 +825,6 @@ object SparkEntry {
     "q97_cdc_merge" -> ops.Cdc.customerMergeOracleSql,
     "q98_compaction" -> sources.Sources.compactionGateOracleSql,
     "q99_zorder" -> sources.ZOrder.zorderGateOracleSql,
+    "q100_shuffle_shards" -> ext.Splits.shuffleShardsOracleSql(),
   )
 }

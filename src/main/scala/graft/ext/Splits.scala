@@ -42,6 +42,75 @@ object Splits {
        |       ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** Deterministic global shuffle + sharding — the delivery step of a
+    * training pipeline: order the corpus by a seeded hash (reproducible,
+    * uncorrelated with crawl/source order), assign each doc to one of
+    * `nShards` shards, and number its position within the shard. The
+    * gate emits per-shard counts plus an order-sensitive checksum
+    * (`sum(pos · (doc_id % 1000))`), so any wrong shard assignment OR
+    * any wrong within-shard position flips a value — the oracle replays
+    * the md5-derived key exactly (15-hex-char fold, the q81/q98 trick)
+    * and recomputes positions with SQL `row_number`.
+    *
+    * Scale: one shuffle keyed on shard; within-shard numbering is a
+    * sorted streaming window (sort spills, row_number never materializes
+    * the partition). Production shard counts keep shards executor-sized
+    * (100 TB / 100k shards = 1 GB), which also bounds the window sort;
+    * parallelism equals the shard count. */
+  def shuffleShards(spark: SparkSession, dir: String, nShards: Int = 8,
+                    seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + seed))), 1, 15),
+      16, 10).cast("long")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), key.as("k"))
+      .withColumn("shard", col("k") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id")))
+        .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("pos") * (col("doc_id") % 1000)).as("order_chk"))
+  }
+
+  def shuffleShardsOracleSql(nShards: Int = 8,
+                             seed: String = "graft"): String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    list_reduce([CAST(strpos('0123456789abcdef', substr(
+       |        md5(CAST(doc_id AS VARCHAR) || ':$seed'), p, 1)) - 1
+       |      AS BIGINT) for p in range(1, 16)],
+       |      (a, b) -> a * 16 + b) AS k
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, k % $nShards AS shard,
+       |    row_number() OVER (PARTITION BY k % $nShards
+       |                       ORDER BY k, doc_id) AS pos
+       |  FROM k)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(pos * (doc_id % 1000)) AS BIGINT) AS order_chk
+       |FROM p GROUP BY 1""".stripMargin
+
+  /** Materialize the shuffled shards: one directory per shard
+    * (`shard=N/`), rows within each shard's files in shuffle-key order.
+    * `repartitionByRange` on the shard column makes partitions and
+    * shards coincide (each output file covers one shard), and the
+    * within-partition sort is the per-shard delivery order. */
+  def writeShards(spark: SparkSession, dir: String, outPath: String,
+                  nShards: Int = 8, seed: String = "graft"): Unit = {
+    val key = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + seed))), 1, 15),
+      16, 10).cast("long")
+    Tables.load(spark, dir, "documents")
+      .withColumn("k", key)
+      .withColumn("shard", col("k") % nShards)
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("k"), col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(outPath)
+  }
+
   /** Incremental dedup: treat sources src0–src9 as the EXISTING corpus
     * and src10+ as the NEW batch; a new doc survives iff its normalized
     * fingerprint (1) is the batch's canonical copy (min doc_id) and

@@ -61,6 +61,49 @@ class SplitsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("shuffle shards: total, deterministic, and position-exact") {
+    val out = Splits.shuffleShards(spark, sfDir).cache()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // every doc lands in exactly one shard
+    assert(out.agg(sum("n")).head.getLong(0) == nDocs)
+    assert(out.count() == 8)
+    // deterministic on re-run
+    val again = Splits.shuffleShards(spark, sfDir)
+    assert(out.collect().toSet == again.collect().toSet)
+    // a different seed reshuffles: per-shard checksums change even if
+    // counts stay similar
+    val other = Splits.shuffleShards(spark, sfDir, seed = "other")
+    assert(out.collect().map(_.getLong(2)).toSet !=
+           other.collect().map(_.getLong(2)).toSet)
+    out.unpersist()
+  }
+
+  test("writeShards delivers one dir per shard, sorted by shuffle key") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    Splits.writeShards(spark, sfDir, tmp, nShards = 4)
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // within a shard, file order is ascending shuffle-key order
+    import org.apache.spark.sql.functions.{col, conv, concat, lit,
+      md5, substring}
+    val key = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":graft"))), 1, 15), 16, 10).cast("long")
+    val files = new java.io.File(s"$tmp/shard=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.getAbsolutePath).select(key)
+        .collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted),
+        s"rows in ${f.getName} must be key-sorted")
+    }
+    // shards partition the corpus
+    assert(spark.read.parquet(tmp).count() ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+  }
+
   test("incremental dedup drops corpus-known and batch-dup fingerprints") {
     val kept = Splits.incrementalDedup(spark, sfDir).cache()
     // every kept fp is unique in the output (canonical copy only)
