@@ -297,6 +297,10 @@ object SparkEntry {
     // per-shard position numbering, order-sensitive checksum
     "q100_shuffle_shards" -> ((s: SparkSession, d: String) =>
       ext.Splits.shuffleShards(s, d)),
+    // quality-ranked cluster survivor: keep the fullest copy (most
+    // tokens, tie to smallest id) per near-dup cluster
+    "q101_best_of_cluster" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.bestOfClusters(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -826,5 +830,6 @@ object SparkEntry {
     "q98_compaction" -> sources.Sources.compactionGateOracleSql,
     "q99_zorder" -> sources.ZOrder.zorderGateOracleSql,
     "q100_shuffle_shards" -> ext.Splits.shuffleShardsOracleSql(),
+    "q101_best_of_cluster" -> ext.Dedup.bestOfClustersOracleSql(),
   )
 }

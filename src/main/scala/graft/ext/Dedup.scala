@@ -503,6 +503,73 @@ object Dedup {
        |  CAST(sum(sz) AS BIGINT) AS n_docs
        |FROM szs GROUP BY sz""".stripMargin
 
+  /** Quality-ranked cluster survivor — the production dedup policy:
+    * within each near-dup cluster keep the FULLEST copy (most word
+    * tokens; ties to the smallest doc_id), not the smallest id.
+    * [[dedupedCorpusExact]] is the canonical-id variant; this one is
+    * what pipelines actually ship when duplicates differ by truncation.
+    * Output: one row per multi-doc cluster with its size, the kept doc,
+    * and its token count — all integers, so the DuckDB oracle (the q93
+    * recursive closure joined to the q20 token expression, argmax via
+    * row_number) matches exactly.
+    *
+    * Scale: reuses the shared pair-set persist + label-prop loop; the
+    * argmax is a struct-max aggregate (map-side combined, one shuffle
+    * keyed by cluster label — cluster count ≪ corpus). */
+  def bestOfClusters(spark: SparkSession, dir: String,
+                     threshold: Double = 0.8): DataFrame = {
+    val labels = clusterLabels(jaccardPairsCached(spark, dir, threshold)
+      .select(col("a_id"), col("b_id")))
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '([A-Za-z0-9]+)', 1))")
+          .cast("long").as("n_tokens"))
+    labels.join(toks, labels("id") === toks("doc_id"))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+           max(struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster"), col("n_docs"),
+              (-col("m.nid")).as("keep_id"),
+              col("m.n_tokens").as("best_tokens"))
+  }
+
+  /** DuckDB oracle for [[bestOfClusters]]: q93's recursive min-label
+    * closure over the exact pair set, joined to q20's token count,
+    * survivor chosen by `row_number` with the same (tokens desc, id asc)
+    * order. */
+  def bestOfClustersOracleSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents),
+       |p AS (SELECT a_id, b_id FROM (
+       | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+       | WHERE jac >= $threshold),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION SELECT b_id, a_id FROM p),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+       |t AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+       |    AS n_tokens
+       | FROM documents),
+       |j AS (SELECT lab.label AS cluster, lab.id AS doc_id, t.n_tokens,
+       |        row_number() OVER (PARTITION BY lab.label
+       |          ORDER BY t.n_tokens DESC, lab.id ASC) AS rk
+       |      FROM lab JOIN t ON t.doc_id = lab.id)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+       |  CAST(max(n_tokens) AS BIGINT) AS best_tokens
+       |FROM j GROUP BY 1""".stripMargin
+
   /** Sign-LSH-bucketed variant of the same operator (the path when no
     * coarse cells exist): candidates share a random-hyperplane bucket. */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,

@@ -199,6 +199,40 @@ class DedupSpec extends SparkSpec {
     hist.unpersist()
   }
 
+  test("bestOfClusters keeps the fullest copy, ties to smallest id") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.bestOfClusters(spark, sfDir).cache()
+    // covers the same clusters as the canonical-survivor variant
+    val labels = Dedup.clusterLabels(
+      Dedup.jaccardPairsCached(spark, sfDir, 0.8)
+        .select(col("a_id"), col("b_id"))).cache()
+    val nClusters = labels.select("label").distinct().count()
+    assert(out.count() == nClusters)
+    // every cluster is multi-doc by construction
+    assert(out.filter(col("n_docs") < 2).count() == 0)
+    // the keeper belongs to its cluster and carries the cluster max
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '([A-Za-z0-9]+)', 1))")
+          .cast("long").as("n_tokens"))
+    val joined = out
+      .join(labels, out("keep_id") === labels("id"))
+      .join(toks, col("keep_id") === toks("doc_id"))
+    assert(joined.filter(col("cluster") =!= col("label")).count() == 0)
+    assert(joined.filter(col("n_tokens") =!= col("best_tokens"))
+      .count() == 0)
+    // tie-break check: no cluster member with the same token count has
+    // a smaller id than the keeper
+    val members = labels.join(toks, labels("id") === toks("doc_id"))
+      .select(col("label"), col("id"), col("n_tokens"))
+    val better = members.join(out, col("label") === out("cluster"))
+      .filter(col("n_tokens") > col("best_tokens") ||
+        (col("n_tokens") === col("best_tokens") &&
+         col("id") < col("keep_id")))
+    assert(better.count() == 0)
+    labels.unpersist(); out.unpersist()
+  }
+
   test("jaccardPairsCached returns the same persisted frame per (session, dir, threshold)") {
     val a = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
     val b = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
