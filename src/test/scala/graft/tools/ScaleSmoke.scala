@@ -37,7 +37,8 @@ object ScaleSmoke {
     "q81_hash_split", "q82_incremental_dedup", "q83_winnowing",
     "q84_gram_novelty", "q85_pq_codes", "q86_winnow_matches",
     "q89_substr_dup", "q90_split_leakage", "q92_dup_pagerank",
-    "q93_cluster_sizes", "q95_image_resize")
+    "q93_cluster_sizes", "q95_image_resize", "q100_shuffle_shards",
+    "q101_best_of_cluster")
 
   def generate(spark: SparkSession): Unit = {
     // events.ts is parquet TIMESTAMP(NANOS); read the nanos as plain
