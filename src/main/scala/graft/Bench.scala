@@ -30,7 +30,13 @@ object Bench {
     // block (DataFrame persists, memoized pair tables, RDD persists from
     // the label-propagation loop) is dropped, so later passes honestly
     // recompute each operator rather than reading pass-1 caches.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // numeric gate order, not string order: "q101" < "q28" as strings,
+    // which would move the cold shared-pair-set cost from q28 (a
+    // shared63 member) onto q101 and silently deflate the cross-round
+    // subtotal — run q1..qN in id order so cost attribution is stable
+    val names = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
+      ("""\d+""".r.findFirstIn(n).map(_.toInt).getOrElse(0), n)
+    }
     val reps = 3
     // Storage-memory high-water per pass: cached blocks (operator memos,
     // shared pair sets, streaming state) compete for the storage pool,
