@@ -301,6 +301,11 @@ object SparkEntry {
     // tokens, tie to smallest id) per near-dup cluster
     "q101_best_of_cluster" -> ((s: SparkSession, d: String) =>
       ext.Dedup.bestOfClusters(s, d)),
+    // dup-graph structure audit: exact triangle + wedge census (global
+    // clustering coefficient = 3*tri/wedges; low values flag chained
+    // false merges)
+    "q102_dup_triangles" -> ((s: SparkSession, d: String) =>
+      ext.PageRank.dupTriangles(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -831,5 +836,6 @@ object SparkEntry {
     "q99_zorder" -> sources.ZOrder.zorderGateOracleSql,
     "q100_shuffle_shards" -> ext.Splits.shuffleShardsOracleSql(),
     "q101_best_of_cluster" -> ext.Dedup.bestOfClustersOracleSql(),
+    "q102_dup_triangles" -> ext.PageRank.dupTrianglesOracleSql(),
   )
 }

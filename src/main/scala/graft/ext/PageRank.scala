@@ -75,6 +75,66 @@ object PageRank {
   def dupPagerank(spark: SparkSession, dir: String): DataFrame =
     dupPagerank(Dedup.jaccardPairsCached(spark, dir, 0.8))
 
+  /** Triangle + wedge census of the dup graph — the structure audit
+    * next to [[dupPagerank]]'s ranking: triangles count closed
+    * 3-cliques, wedges count length-2 paths, and 3·tri/wedges is the
+    * global clustering coefficient (near-dup components should be
+    * near-cliques — a low coefficient flags chained false merges, the
+    * classic LSH-transitivity failure). Output: one row of exact
+    * integers.
+    *
+    * Scale: the standard ordered-adjacency formulation — triangles are
+    * counted only as a < b < c, so each is found exactly once; two
+    * joins over the (small) pair set, both keyed on doc ids; wedges are
+    * one degree aggregate. Everything is bounded by the pair set, never
+    * the corpus. */
+  def dupTriangles(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a_id"), col("b_id"))
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e2.a_id") === col("e1.b_id"))
+      .join(p.as("e3"),
+        col("e3.a_id") === col("e1.a_id") &&
+        col("e3.b_id") === col("e2.b_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = p.select(col("a_id").as("id"))
+      .union(p.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(
+      sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+    tri.crossJoin(wedges)
+  }
+
+  /** Gate entry: triangle census over the shared exact pair set. */
+  def dupTriangles(spark: SparkSession, dir: String): DataFrame =
+    dupTriangles(Dedup.jaccardPairsCached(spark, dir, 0.8))
+
+  /** DuckDB oracle for [[dupTriangles]]: same pair CTE, ordered
+    * triangle join, degree-choose-2 wedges. */
+  def dupTrianglesOracleSql(threshold: Double = 0.8): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents),
+       |p AS (SELECT a_id, b_id FROM (
+       | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+       | WHERE jac >= $threshold),
+       |tri AS (SELECT count(*) AS n_triangles
+       |        FROM p e1
+       |        JOIN p e2 ON e2.a_id = e1.b_id
+       |        JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+       |deg AS (SELECT id, count(*) AS d FROM (
+       |          SELECT a_id AS id FROM p
+       |          UNION ALL SELECT b_id FROM p) u GROUP BY id),
+       |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+       |      FROM deg)
+       |SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles, w.n_wedges
+       |FROM tri, w""".stripMargin
+
   /** DuckDB oracle: the q28/q39 exact-pair CTE, then the iterations
     * unrolled — same integer floor divisions, necessarily identical. */
   def dupPagerankOracleSql(iters: Int = 3): String = {

@@ -65,4 +65,31 @@ class PageRankSpec extends SparkSpec {
     assert(out.count() == nodes)
     assert(out.filter(col("rank") <= 0).count() == 0)
   }
+
+  private def census(pairs: Seq[(Long, Long)]): (Long, Long) = {
+    val r = PageRank.dupTriangles(pairs.toDF("a_id", "b_id")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("triangle census on known graphs") {
+    // a single triangle: 1 closed, 3 wedges (one per corner)
+    assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == (1L, 3L))
+    // a path of length 2: no triangle, one wedge at the middle node
+    assert(census(Seq((1L, 2L), (2L, 3L))) == (0L, 1L))
+    // K4: C(4,3)=4 triangles; every vertex has degree 3 -> 4*3=12 wedges
+    assert(census(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+                      (2L, 3L), (2L, 4L), (3L, 4L))) == (4L, 12L))
+    // a star: no triangles, C(3,2)=3 wedges at the hub
+    assert(census(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == (0L, 3L))
+  }
+
+  test("triangle census consistency on the corpus pair set") {
+    val (tri, wed) = {
+      val r = PageRank.dupTriangles(spark, sfDir).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // every triangle closes three wedges; the bound is structural
+    assert(3 * tri <= wed, s"3*$tri > $wed")
+    assert(tri >= 0 && wed >= 0)
+  }
 }
