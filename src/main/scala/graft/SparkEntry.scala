@@ -306,6 +306,10 @@ object SparkEntry {
     // false merges)
     "q102_dup_triangles" -> ((s: SparkSession, d: String) =>
       ext.PageRank.dupTriangles(s, d)),
+    // asymmetric (containment) near-dup: quotes/excerpts/boilerplate
+    // wrappers that symmetric Jaccard misses
+    "q103_containment" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.containmentPairsCached(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -837,5 +841,6 @@ object SparkEntry {
     "q100_shuffle_shards" -> ext.Splits.shuffleShardsOracleSql(),
     "q101_best_of_cluster" -> ext.Dedup.bestOfClustersOracleSql(),
     "q102_dup_triangles" -> ext.PageRank.dupTrianglesOracleSql(),
+    "q103_containment" -> ext.Dedup.containmentPairsOracleSql(),
   )
 }

@@ -151,11 +151,13 @@ object Dedup {
     * harness hook: lets a measurement pass start from the same no-cache
     * state a fresh session would). */
   def clearMemos(): Unit = {
-    (pairsCache.values ++ exactPairsCache.values).foreach { df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
-    }
+    (pairsCache.values ++ exactPairsCache.values ++ containCache.values)
+      .foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
     pairsCache.clear()
     exactPairsCache.clear()
+    containCache.clear()
   }
 
   def minhashLshCached(spark: SparkSession, dir: String,
@@ -308,6 +310,90 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
   }
+
+  /** Containment near-dup pairs — the ASYMMETRIC duplication symmetric
+    * Jaccard misses: a short doc whose word set sits almost entirely
+    * inside a longer one (quotes, excerpts, boilerplate wrappers) can
+    * have C = |A∩B| / min(|A|,|B|) ≈ 1 while jac = |A∩B|/|A∪B| stays far
+    * below any dedup threshold. At the gate threshold the corpus has
+    * ~1.9k qualifying pairs invisible to q28's jac ≥ 0.8.
+    *
+    * Prefix filtering adapts: the bound applies to the SMALLER (possibly
+    * contained) side only — C ≥ t forces the smaller set to share a
+    * token inside its first m − ⌈t·m⌉ + 1 rarest tokens — while the
+    * containing side is unbounded, so candidates join every doc's rarity
+    * prefix against ALL tokens of same-source docs. Still token-keyed,
+    * never all-pairs: prefixes hold each doc's RAREST tokens, so the
+    * all-tokens side contributes df(rare token) ≈ true-match volume.
+    * There is deliberately no size-ratio prefilter — a tiny doc
+    * contained in a huge one is exactly the signal. Exact merge
+    * intersect verifies; int/int → double division is bit-deterministic
+    * (same argument as [[jaccardPairs]]). */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+              graft.functions.HashShingles.shingles(
+                split(TextAnalysis.normalized(col("text")), " "), 1).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = docs.select(col("doc_id"), col("source"), col("n"),
+                           explode(col("ws")).as("token"))
+    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("token"))
+    val prefixes = toks.join(dfreq, "token")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <=
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col("doc_id"), col("source"), col("token"))
+    val cand = prefixes.as("l").join(
+        toks.select(col("doc_id"), col("source"), col("token")).as("r"),
+        col("l.source") === col("r.source") &&
+        col("l.token") === col("r.token") &&
+        col("l.doc_id") =!= col("r.doc_id"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("a_id"),
+              greatest(col("l.doc_id"), col("r.doc_id")).as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"),
+                        col("ws").as("wa"), col("n").as("na")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"),
+                        col("ws").as("wb"), col("n").as("nb")), "b_id")
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("wa"), col("wb")))
+      .withColumn("cont", col("inter").cast("double") /
+        least(col("na"), col("nb")))
+      .filter(col("cont") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cont"))
+  }
+
+  private val containCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Double), DataFrame]()
+  def containmentPairsCached(spark: SparkSession, dir: String,
+                             threshold: Double = 0.9): DataFrame = {
+    sweepStopped(containCache)
+    containCache.getOrElseUpdate((spark, dir, threshold),
+      containmentPairs(spark, dir, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** DuckDB oracle for [[containmentPairs]]: brute-force same-source
+    * containment over the normalized word sets. */
+  def containmentPairsOracleSql(threshold: Double = 0.9): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents)
+       |SELECT a_id, b_id, cont FROM (
+       | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |    least(len(l.ws), len(r.ws)) AS cont
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+       |WHERE cont >= $threshold""".stripMargin
 
   /** Embedding-cosine near-dup pairs, IVF-style: candidates only within
     * the same coarse cell (here the `label` column stands in for a

@@ -233,6 +233,35 @@ class DedupSpec extends SparkSpec {
     labels.unpersist(); out.unpersist()
   }
 
+  test("containment pairs equal brute force; strictly supersets jaccard") {
+    import org.apache.spark.sql.functions._
+    val t = 0.9
+    val got = Dedup.containmentPairs(spark, sfDir, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over same-source pairs
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " "))
+          .as("ws"))
+    val brute = d.as("l").join(d.as("r"),
+        col("l.source") === col("r.source") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        (size(array_intersect(col("l.ws"), col("r.ws"))).cast("double") /
+          least(size(col("l.ws")), size(col("r.ws")))).as("c"))
+      .filter(col("c") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"got ${got.size} brute ${brute.size}")
+    // cont >= jac always, so jaccard pairs at the same threshold are a
+    // subset — and the corpus must contain asymmetric pairs jaccard
+    // misses (non-vacuity of the new semantic)
+    val jac = Dedup.jaccardPairs(spark, sfDir, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(got))
+    assert(got.size > jac.size, "expected containment-only pairs")
+  }
+
   test("jaccardPairsCached returns the same persisted frame per (session, dir, threshold)") {
     val a = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
     val b = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
