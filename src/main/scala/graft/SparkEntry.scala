@@ -310,6 +310,10 @@ object SparkEntry {
     // wrappers that symmetric Jaccard misses
     "q103_containment" -> ((s: SparkSession, d: String) =>
       ext.Dedup.containmentPairsCached(s, d)),
+    // sketch-side containment estimation over the LSH candidate set
+    // (all-integer numerator/denominator, one double division)
+    "q104_containment_est" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.containmentEstimate(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -842,5 +846,6 @@ object SparkEntry {
     "q101_best_of_cluster" -> ext.Dedup.bestOfClustersOracleSql(),
     "q102_dup_triangles" -> ext.PageRank.dupTrianglesOracleSql(),
     "q103_containment" -> ext.Dedup.containmentPairsOracleSql(),
+    "q104_containment_est" -> ext.Dedup.containmentEstimateOracleSql(),
   )
 }

@@ -126,6 +126,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Sketch-estimated CONTAINMENT over the LSH candidate set — the
+    * sub-output-cost path beside [[containmentPairs]]'s exact join, the
+    * way [[minhashLsh]] sits beside [[jaccardPairs]]: from m matched
+    * signature components (ĵ = m/32) and the inclusion identity
+    * I = ĵ·(|A|+|B|)/(1+ĵ), the containment estimate reduces to
+    *
+    *   Ĉ = m·(|A|+|B|) / ((32+m)·min(|A|,|B|))
+    *
+    * — an all-integer numerator and denominator with ONE double
+    * division, so the estimate is bit-deterministic across engines and
+    * the DuckDB oracle replays it exactly (the int/int→double argument
+    * from [[jaccardPairs]]). Candidates come from the jaccard-tuned
+    * banding, so recall targets jaccard-similar pairs — the exact q103
+    * operator is the recall-1 path for low-jaccard containment; this
+    * gate certifies the sketch arithmetic a 100 TB pipeline would run
+    * before any exact verify. Output: every candidate pair with its
+    * matched-component count and estimate. */
+  def containmentEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signatures(sh)
+    candidatePairs(sh)
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("siga")),
+            "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sigb")),
+            "b_id")
+      .join(sh.select(col("doc_id").as("a_id"),
+                      size(col("shingles")).cast("long").as("na")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"),
+                      size(col("shingles")).cast("long").as("nb")), "b_id")
+      .withColumn("m", expr(
+        "size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b))")
+        .cast("long"))
+      .select(col("a_id"), col("b_id"), col("m"),
+        ((col("m") * (col("na") + col("nb"))).cast("double") /
+          ((lit(32L) + col("m")) * least(col("na"), col("nb"))))
+          .as("est_cont"))
+  }
+
   /** Per-(dir, threshold) memo of the minhash-LSH pair set, persisted.
     * The pair table is the shared input of the near-dup family (pair
     * listing, clustering, deduped corpus): computing it once and
@@ -739,6 +778,50 @@ object Dedup {
        |  FROM cand JOIN sh la ON la.doc_id = cand.a_id
        |            JOIN sh lb ON lb.doc_id = cand.b_id) v
        |WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** DuckDB oracle for [[containmentEstimate]]: the q26 signature +
+    * banding CTEs, then the matched-component count via a filtered list
+    * comprehension and the same all-integer estimate with one double
+    * division. */
+  def containmentEstimateOracleSql(): String = {
+    val sigExprs = perms.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * (h % ${graft.functions.MinHashSig.P}) + $b) % ${graft.functions.MinHashSig.P}))"
+    }.mkString(",\n      ")
+    s"""WITH $wsCte,
+       |gh0 AS (
+       |  SELECT doc_id, unnest([substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15)
+       |                         for i in range(1, len(w) - 1)]) AS hx
+       |  FROM ws WHERE len(w) >= 3),
+       |gh AS (
+       |  SELECT DISTINCT doc_id, ${hexToLong("hx", 1, 16)} AS h
+       |  FROM gh0),
+       |sh AS (SELECT doc_id, list(h) AS hs FROM gh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, [
+       |      $sigExprs] AS s
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b, s[4*b+1:4*b+4] AS bk
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |  FROM bands l JOIN bands r
+       |    ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT cand.a_id, cand.b_id,
+       |    CAST(len([i for i in range(1, 33)
+       |              if sa.s[i] = sb.s[i]]) AS BIGINT) AS m,
+       |    CAST(len(ha.hs) AS BIGINT) AS na,
+       |    CAST(len(hb.hs) AS BIGINT) AS nb
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.a_id
+       |  JOIN sig sb ON sb.doc_id = cand.b_id
+       |  JOIN sh ha ON ha.doc_id = cand.a_id
+       |  JOIN sh hb ON hb.doc_id = cand.b_id)
+       |SELECT a_id, b_id, m,
+       |  CAST(m * (na + nb) AS DOUBLE) / ((32 + m) * least(na, nb))
+       |    AS est_cont
+       |FROM est""".stripMargin
   }
 
   /** Exact DuckDB replica of the simhash pipeline's OUTPUT: per-word

@@ -262,6 +262,25 @@ class DedupSpec extends SparkSpec {
     assert(got.size > jac.size, "expected containment-only pairs")
   }
 
+  test("containment estimate: deterministic, bounded, tracks the sketch") {
+    import org.apache.spark.sql.functions._
+    val est = Dedup.containmentEstimate(spark, sfDir).cache()
+    assert(est.count() > 0)
+    // m in [0, 32]; banding guarantees every candidate shares a full
+    // band = 4 equal components
+    assert(est.filter(col("m") < 4 || col("m") > 32).count() == 0)
+    // estimate formula identity: est = m*(na+nb)/((32+m)*min) implies
+    // est >= m/32 always (since (na+nb)/min >= 2 > (32+m)/32 for m<=32)
+    assert(est.filter(col("est_cont") < col("m") / lit(32.0)).count() == 0)
+    // deterministic across runs
+    val again = Dedup.containmentEstimate(spark, sfDir)
+    assert(est.collect().toSet == again.collect().toSet)
+    // identical signatures (m = 32) estimate containment >= 1
+    assert(est.filter(col("m") === 32 && col("est_cont") < 1.0)
+      .count() == 0)
+    est.unpersist()
+  }
+
   test("jaccardPairsCached returns the same persisted frame per (session, dir, threshold)") {
     val a = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
     val b = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
