@@ -38,7 +38,8 @@ object ScaleSmoke {
     "q84_gram_novelty", "q85_pq_codes", "q86_winnow_matches",
     "q89_substr_dup", "q90_split_leakage", "q92_dup_pagerank",
     "q93_cluster_sizes", "q95_image_resize", "q100_shuffle_shards",
-    "q101_best_of_cluster", "q102_dup_triangles", "q103_containment")
+    "q101_best_of_cluster", "q102_dup_triangles", "q103_containment",
+    "q104_containment_est")
 
   def generate(spark: SparkSession): Unit = {
     // events.ts is parquet TIMESTAMP(NANOS); read the nanos as plain
