@@ -313,7 +313,7 @@ object SparkEntry {
     // sketch-side containment estimation over the LSH candidate set
     // (all-integer numerator/denominator, one double division)
     "q104_containment_est" -> ((s: SparkSession, d: String) =>
-      ext.Dedup.containmentEstimate(s, d)),
+      ext.Dedup.containmentEstimateCached(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */

@@ -165,6 +165,20 @@ object Dedup {
           .as("est_cont"))
   }
 
+  /** Memoized [[containmentEstimate]] — the q26/q103 pattern: one
+    * computation + persist per (session, dir), drained by
+    * [[clearMemos]], so repeated gate runs in a long-lived session
+    * never accumulate dead shingle-table persists. */
+  private val containEstCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Double), DataFrame]()
+  def containmentEstimateCached(spark: SparkSession,
+                                dir: String): DataFrame = {
+    sweepStopped(containEstCache)
+    containEstCache.getOrElseUpdate((spark, dir, 0.0),
+      containmentEstimate(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Per-(dir, threshold) memo of the minhash-LSH pair set, persisted.
     * The pair table is the shared input of the near-dup family (pair
     * listing, clustering, deduped corpus): computing it once and
@@ -190,13 +204,14 @@ object Dedup {
     * harness hook: lets a measurement pass start from the same no-cache
     * state a fresh session would). */
   def clearMemos(): Unit = {
-    (pairsCache.values ++ exactPairsCache.values ++ containCache.values)
-      .foreach { df =>
+    (pairsCache.values ++ exactPairsCache.values ++ containCache.values ++
+      containEstCache.values).foreach { df =>
         try df.unpersist(blocking = false) catch { case _: Throwable => () }
       }
     pairsCache.clear()
     exactPairsCache.clear()
     containCache.clear()
+    containEstCache.clear()
   }
 
   def minhashLshCached(spark: SparkSession, dir: String,
@@ -298,8 +313,16 @@ object Dedup {
     * table is one extra token-keyed shuffle. Same-source and length
     * filters run on the candidates before the exact merge intersect.
     * Division is int/int → double: bit-deterministic. */
-  def jaccardPairs(spark: SparkSession, dir: String,
-                   threshold: Double = 0.5): DataFrame = {
+  /** Shared front of the prefix-filter family (q28 jaccard, q103
+    * containment): per-doc sorted word-hash sets (persisted — feeds
+    * both candidate sides and the verify joins), the exploded token
+    * table, and the ascending-df rarity prefixes with bound
+    * p = n − ⌈t·n⌉ + 1. One implementation so a tuning change (hash
+    * basis, rarity order, the ceil bound) can never make the two
+    * operators disagree on candidate generation. */
+  private def prefixedTokens(spark: SparkSession, dir: String,
+                             threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // Word sets as sorted distinct xxhash64s (64-bit: collision-free in
     // practice, so |A∩B| over hashes equals |A∩B| over the words) — the
@@ -310,12 +333,6 @@ object Dedup {
                 split(TextAnalysis.normalized(col("text")), " "), 1).as("ws"))
       .withColumn("n", size(col("ws")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length p = n − ⌈t·n⌉ + 1 over the global (df, token) order;
-    // emit (source, token, doc) per prefix token. The candidate key is
-    // the COMPOSITE (source, token): the query only asks for same-source
-    // pairs, so folding source into the key is exact, splits every token
-    // bucket across sources, and keeps the join scale-safe even when one
-    // source is huge (prefix tokens prune within it).
     val toks = docs.select(col("doc_id"), col("source"), col("n"),
                            explode(col("ws")).as("token"))
     val dfreq = toks.groupBy(col("token"))
@@ -327,6 +344,18 @@ object Dedup {
       .filter(col("__rn") <=
         (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
       .select(col("doc_id"), col("source"), col("token"))
+    (docs, toks, prefixes)
+  }
+
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    // prefix length p = n − ⌈t·n⌉ + 1 over the global (df, token) order;
+    // emit (source, token, doc) per prefix token. The candidate key is
+    // the COMPOSITE (source, token): the query only asks for same-source
+    // pairs, so folding source into the key is exact, splits every token
+    // bucket across sources, and keeps the join scale-safe even when one
+    // source is huge (prefix tokens prune within it).
+    val (docs, _, prefixes) = prefixedTokens(spark, dir, threshold)
     val cand = prefixes.as("l").join(prefixes.as("r"),
         col("l.source") === col("r.source") &&
         col("l.token") === col("r.token") &&
@@ -370,23 +399,7 @@ object Dedup {
     * (same argument as [[jaccardPairs]]). */
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-              graft.functions.HashShingles.shingles(
-                split(TextAnalysis.normalized(col("text")), " "), 1).as("ws"))
-      .withColumn("n", size(col("ws")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks = docs.select(col("doc_id"), col("source"), col("n"),
-                           explode(col("ws")).as("token"))
-    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    val byRarity = Window.partitionBy(col("doc_id"))
-      .orderBy(col("__df"), col("token"))
-    val prefixes = toks.join(dfreq, "token")
-      .withColumn("__rn", row_number().over(byRarity))
-      .filter(col("__rn") <=
-        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
-      .select(col("doc_id"), col("source"), col("token"))
+    val (docs, toks, prefixes) = prefixedTokens(spark, dir, threshold)
     val cand = prefixes.as("l").join(
         toks.select(col("doc_id"), col("source"), col("token")).as("r"),
         col("l.source") === col("r.source") &&
@@ -743,15 +756,16 @@ object Dedup {
     s"list_reduce([CAST(strpos('0123456789abcdef', substr($col, p, 1)) - 1" +
       s" AS BIGINT) for p in range($from, $until)], (a, b) -> a * 16 + b)"
 
-  /** Exact DuckDB replica of the minhash-LSH pipeline: md5-top-60-bit
-    * 3-gram shingles, the same 32 fixed permutations, 8x4 banding on raw
-    * signature slices, exact-jaccard verification. Every stage mirrors
-    * the Spark operators value-for-value, so the gate hash-matches. */
-  def minhashLshOracleSql(threshold: Double = 0.5): String = {
+  /** Shared CTE chain of the minhash oracles (q26, q104): normalized
+    * words → md5 3-gram shingle hashes → per-doc shingle lists (`sh`) →
+    * 32-permutation signatures (`sig`) → 8×4 band keys → distinct
+    * banded candidates (`cand`). One builder so a change to the
+    * signature/banding replay can never make the two oracles diverge. */
+  private def minhashCtes: String = {
     val sigExprs = perms.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * (h % ${graft.functions.MinHashSig.P}) + $b) % ${graft.functions.MinHashSig.P}))"
     }.mkString(",\n      ")
-    s"""WITH $wsCte,
+    s"""$wsCte,
        |gh0 AS (
        |  SELECT doc_id, unnest([substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15)
        |                         for i in range(1, len(w) - 1)]) AS hx
@@ -769,7 +783,15 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
        |  FROM bands l JOIN bands r
-       |    ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id)
+       |    ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  /** Exact DuckDB replica of the minhash-LSH pipeline: md5-top-60-bit
+    * 3-gram shingles, the same 32 fixed permutations, 8x4 banding on raw
+    * signature slices, exact-jaccard verification. Every stage mirrors
+    * the Spark operators value-for-value, so the gate hash-matches. */
+  def minhashLshOracleSql(threshold: Double = 0.5): String = {
+    s"""WITH $minhashCtes
        |SELECT a_id, b_id, jaccard FROM (
        |  SELECT a_id, b_id,
        |    CAST(len(list_intersect(la.hs, lb.hs)) AS DOUBLE) /
@@ -785,28 +807,7 @@ object Dedup {
     * comprehension and the same all-integer estimate with one double
     * division. */
   def containmentEstimateOracleSql(): String = {
-    val sigExprs = perms.map { case (a, b) =>
-      s"list_min(list_transform(hs, h -> ($a * (h % ${graft.functions.MinHashSig.P}) + $b) % ${graft.functions.MinHashSig.P}))"
-    }.mkString(",\n      ")
-    s"""WITH $wsCte,
-       |gh0 AS (
-       |  SELECT doc_id, unnest([substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15)
-       |                         for i in range(1, len(w) - 1)]) AS hx
-       |  FROM ws WHERE len(w) >= 3),
-       |gh AS (
-       |  SELECT DISTINCT doc_id, ${hexToLong("hx", 1, 16)} AS h
-       |  FROM gh0),
-       |sh AS (SELECT doc_id, list(h) AS hs FROM gh GROUP BY doc_id),
-       |sig AS (SELECT doc_id, [
-       |      $sigExprs] AS s
-       |  FROM sh),
-       |bands AS (
-       |  SELECT doc_id, b, s[4*b+1:4*b+4] AS bk
-       |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-       |  FROM bands l JOIN bands r
-       |    ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
+    s"""WITH $minhashCtes,
        |est AS (
        |  SELECT cand.a_id, cand.b_id,
        |    CAST(len([i for i in range(1, 33)

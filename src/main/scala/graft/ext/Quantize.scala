@@ -138,13 +138,17 @@ object Quantize {
 
   def clearMemos(): Unit = bookCache.clear()
 
-  /** Codebooks of the most recent [[pqCodes]] call, kept so the oracle
+  /** Cache key of the most recent [[pqCodes]] call, so the oracle
     * generator (dumped by Verify AFTER the queries ran, over the same
-    * data) can embed them as SQL literals — the q31 literal-embedding
-    * technique. Training is fully deterministic (sorted bounded sample,
-    * first-K init, lowest-index tie-breaks), so these are a reproducible
-    * function of the table, not run-local state. */
-  @volatile private var lastBooks: Array[Array[Array[Double]]] = null
+    * data) reads the codebooks from the AUTHORITATIVE per-(session,
+    * dir) `bookCache` entry and embeds them as SQL literals — the q31
+    * literal-embedding technique. Last-call-wins is inherent in the
+    * dir-less oracle contract; sourcing through the keyed cache avoids
+    * a second bare copy of the trained arrays. Training is fully
+    * deterministic (sorted bounded sample, first-K init, lowest-index
+    * tie-breaks), so the literals are a reproducible function of the
+    * table, not run-local state. */
+  @volatile private var lastBookKey: (SparkSession, String) = null
 
   /** PQ encode: per vector, the M argmin-distance codes plus the total
     * squared reconstruction error. Encoding is a single map-side
@@ -167,7 +171,7 @@ object Quantize {
       if (k._1.sparkContext.isStopped) bookCache.remove(k)
     }
     val books = bookCache.getOrElseUpdate((spark, dir), pqTrain(embs, dim))
-    lastBooks = books
+    lastBookKey = (spark, dir)
     pqCodesDf(embs, dim, books)
   }
 
@@ -183,7 +187,7 @@ object Quantize {
     * is deterministic (see [[pqTrain]]), so the literals are a pure
     * function of the table. */
   def pqCodesOracleSql: String = {
-    val books = lastBooks
+    val books = Option(lastBookKey).flatMap(bookCache.get).orNull
     if (books == null)
       // loud, syntactically-valid failure: compared output can never
       // match, so a dump taken without running q85 fails visibly

@@ -240,19 +240,24 @@ object Similarity {
     centroidCache.getOrElseUpdate((spark, dir, k), trainCentroids(corpus, k))
   }
 
-  /** Centroids of the most recent [[ivfTopK]] call — the oracle dump
-    * (written by Verify after the queries ran) embeds them as literals,
-    * same contract as Quantize.lastBooks. Training is deterministic
-    * (decimal accumulation, see [[trainCentroids]]), so these are a
-    * reproducible function of the table. */
-  @volatile private var lastCents: Array[Array[Double]] = null
+  /** Cache key of the most recent [[ivfTopK]] call — the oracle dump
+    * (written by Verify after the queries ran) reads the trained
+    * centroids from the AUTHORITATIVE per-(session, dir, k)
+    * `centroidCache` entry under this key and embeds them as literals
+    * (same contract as Quantize). Last-call-wins is inherent in the
+    * dir-less oracle contract; sourcing through the keyed cache keeps
+    * the literals consistent with the run that populated them instead
+    * of a second bare copy of the arrays. Training is deterministic
+    * (decimal accumulation, see [[trainCentroids]]), so the literals
+    * are a reproducible function of the table. */
+  @volatile private var lastIvfKey: (SparkSession, String, Int) = null
 
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
               k: Int = 10, numCells: Int = 24, nProbe: Int = 4,
               nAssign: Int = 3): DataFrame = {
     val corpus = Tables.load(spark, dir, "embeddings")
     val cents = trainedCentroidsCached(spark, corpus, dir, numCells)
-    lastCents = cents
+    lastIvfKey = (spark, dir, numCells)
     val corpusCells = withIvfCellsMulti(corpus, col("embedding"), cents, nAssign)
       .select(col("vec_id").as("nid"), l2normalize(col("embedding")).as("ne"),
               col("cell"))
@@ -350,7 +355,7 @@ object Similarity {
     * ~1e-8, top-k sim gaps are ~1e-4, so ranks cannot flip). */
   def ivfTopKOracleSql(nQueries: Int = 5, k: Int = 10, nProbe: Int = 4,
                        nAssign: Int = 3): String = {
-    val cents = lastCents
+    val cents = Option(lastIvfKey).flatMap(centroidCache.get).orNull
     if (cents == null)
       "SELECT 'q37 oracle requires ivfTopK to run first' AS err"
     else {

@@ -103,25 +103,32 @@ object Sources {
     * size than in-memory row estimates), then the data is rewritten
     * through one round-robin repartition: uniform file sizes, one
     * shuffle, no driver-side data movement. Returns the file count. */
+  /** Parquet byte size of `path`, through Hadoop's FileSystem (not
+    * java.io.File: the path may live on HDFS/S3A — the 100 TB
+    * deployment — and local recursion would count _SUCCESS/.crc
+    * metadata into the estimate). Shared by every sized rewrite
+    * ([[compactParquet]], [[ZOrder.zorderWrite]]) so the sizing rule
+    * can never silently diverge between them. */
+  private[sources] def parquetInputBytes(spark: SparkSession,
+                                         path: String,
+                                         caller: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$caller: input path does not exist: $path")
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    require(bytes > 0, s"$caller: no parquet files under $path")
+    bytes
+  }
+
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0, "target file size must be positive")
-    // size the input through Hadoop's FileSystem, not java.io.File: the
-    // path may live on HDFS/S3A (the 100 TB deployment), and the local
-    // recursion counted _SUCCESS/.crc metadata into the estimate
-    val inputBytes = {
-      val p = new org.apache.hadoop.fs.Path(inPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.exists(p), s"compactParquet: input path does not exist: $inPath")
-      val it = fs.listFiles(p, true)
-      var bytes = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
-      }
-      require(bytes > 0, s"compactParquet: no parquet files under $inPath")
-      bytes
-    }
+    val inputBytes = parquetInputBytes(spark, inPath, "compactParquet")
     val nFiles = math.max(1,
       math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inPath)

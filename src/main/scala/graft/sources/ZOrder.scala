@@ -63,19 +63,7 @@ object ZOrder {
                   targetFileBytes: Long = 128L * 1024 * 1024,
                   autoScale: Boolean = false): Int = {
     require(targetFileBytes > 0, "target file size must be positive")
-    val inputBytes = {
-      val p = new org.apache.hadoop.fs.Path(inPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.exists(p), s"zorderWrite: input path does not exist: $inPath")
-      val it = fs.listFiles(p, true)
-      var bytes = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
-      }
-      require(bytes > 0, s"zorderWrite: no parquet files under $inPath")
-      bytes
-    }
+    val inputBytes = Sources.parquetInputBytes(spark, inPath, "zorderWrite")
     val nFiles = math.max(1,
       math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inPath)
