@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Testdata schema canary (round-7 lesson: a driver-side regeneration
+    // changed events.ts NANOS→MICROS and 12 gates silently clocked
+    // time-to-exception). A drift is shouted here AND recorded in the
+    // JSON artifact so the timings can't masquerade as healthy.
+    val canaryDiff: Option[String] =
+      try { Tables.assertSchemas(spark, sfDir); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${e.getMessage}")
+        Some(e.getMessage)
+      }
     // Warm up the JVM/codegen/file-listing paths once so the first timed
     // query isn't charged ~10 s of JIT + Spark bootstrap.
     try {
@@ -99,8 +109,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val peaks = storagePeaks.mkString("[", ",", "]")
+    val canaryJson = canaryDiff.fold("\"ok\"")(d =>
+      "\"DRIFT: " + d.replaceAll("[\"\\\\\\n]", " ").take(400) + "\"")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63_subtotal":$sharedSub,"storage_peak_bytes":$peaks,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63_subtotal":$sharedSub,"storage_peak_bytes":$peaks,"schema_canary":$canaryJson,"queries":$qs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt log prefixes — also write the JSON to a
     // file so machine consumers don't have to scrape the build log
     println(json)

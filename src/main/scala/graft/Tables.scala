@@ -29,19 +29,37 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long (legacy conf) and
-    * truncate to microseconds — the same ns→µs truncation DuckDB applies,
-    * so oracle comparisons agree. */
+  /** The driver has shipped `events.ts` in two physical units across
+    * rounds: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects;
+    * the legacy conf reads it as a raw nanos long) and TIMESTAMP(MICROS)
+    * (Spark-native — inferred as TIMESTAMP_NTZ since the file is not
+    * UTC-adjusted). Branch on the type Spark actually inferred so either
+    * unit loads; both converge to `timestamp_ntz`, the naive form DuckDB
+    * compares against under the UTC session. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
-    // timestamp_micros yields TIMESTAMP_LTZ; cast to NTZ under the UTC
-    // session so written outputs compare naive-to-naive with DuckDB.
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))
-        .cast("timestamp_ntz"))
+    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an events frame's `ts` to `timestamp_ntz` regardless of
+    * the unit it arrived in. Exposed for the dual-unit fixture spec. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    val ts = df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) under the legacy nanosAsLong conf: truncate
+      // ns→µs — the same truncation DuckDB applies, so oracles agree.
+      case LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      // TIMESTAMP(MICROS), not UTC-adjusted → already NTZ; pass through.
+      case TimestampNTZType => df.col("ts")
+      // UTC-adjusted micros (LTZ): same instant as NTZ under the UTC
+      // session — a plain cast.
+      case TimestampType => df.col("ts").cast("timestamp_ntz")
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — testdata contract changed?")
+    }
+    df.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
@@ -55,4 +73,41 @@ object Tables {
     * View names match the DuckDB oracle's table names. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Pinned testdata contract: the DDL each table must present AFTER
+    * loading (post ts-normalization for events). The driver regenerated
+    * the testdata mid-project once (events.ts NANOS→MICROS) and the only
+    * symptom was 16 silently-absent correctness gates; this canary turns
+    * the next contract change into a one-line named diff before any gate
+    * runs. Refresh the pins with `Test/runMain graft.tools.PrintSchemas`
+    * after an intentional regeneration. */
+  val expectedDdl: Map[String, String] = Map(
+    "region" -> "r_regionkey INT,r_name STRING",
+    "nation" -> "n_nationkey INT,n_name STRING,n_regionkey INT",
+    "customer" -> "c_custkey BIGINT,c_name STRING,c_nationkey INT,c_acctbal DOUBLE,c_mktsegment STRING",
+    "supplier" -> "s_suppkey BIGINT,s_name STRING,s_nationkey INT,s_acctbal DOUBLE",
+    "part" -> "p_partkey BIGINT,p_name STRING,p_brand STRING,p_type STRING,p_size INT,p_retailprice DOUBLE",
+    "orders" -> "o_orderkey BIGINT,o_custkey BIGINT,o_orderstatus STRING,o_totalprice DOUBLE,o_orderdate TIMESTAMP_NTZ,o_orderpriority STRING",
+    "lineitem" -> "l_orderkey BIGINT,l_partkey BIGINT,l_suppkey BIGINT,l_linenumber INT,l_quantity DOUBLE,l_extendedprice DOUBLE,l_discount DOUBLE,l_tax DOUBLE,l_returnflag STRING,l_linestatus STRING,l_shipdate TIMESTAMP_NTZ",
+    "events" -> "event_id BIGINT,ts TIMESTAMP_NTZ,user_id BIGINT,event_type STRING,value DOUBLE,props STRING",
+    "documents" -> "doc_id BIGINT,text STRING,lang STRING,source STRING,n_chars BIGINT",
+    "embeddings" -> "vec_id BIGINT,embedding ARRAY<FLOAT>,label INT")
+
+  /** Fail loudly — naming every table, column set, and both DDLs — if the
+    * testdata under `dir` no longer matches [[expectedDdl]]. Called at the
+    * top of Verify and Bench so a contract drift is diagnosed in one line
+    * instead of as a pile of per-gate exceptions. */
+  def assertSchemas(spark: SparkSession, dir: String): Unit = {
+    val diffs = names.flatMap { n =>
+      val actual =
+        try load(spark, dir, n).schema.toDDL
+        catch { case e: Throwable => s"<load failed: ${e.getMessage}>" }
+      if (actual != expectedDdl(n))
+        Some(s"$n:\n  expected [${expectedDdl(n)}]\n  actual   [$actual]")
+      else None
+    }
+    if (diffs.nonEmpty) throw new IllegalStateException(
+      "TESTDATA SCHEMA CANARY — contract drift detected:\n" +
+        diffs.mkString("\n"))
+  }
 }

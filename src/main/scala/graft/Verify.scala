@@ -2,7 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure visibility (round-7 lesson): a gate that throws must not just
+  * vanish from the artifact set — every exception is collected into
+  * `_failures.json` (gate → message) beside oracle_sql.json, and the run
+  * ends with a loud `VERIFY FAILED k/N` line. The testdata schema canary
+  * runs first so a driver-side data-contract change is diagnosed as one
+  * named diff instead of a pile of per-gate exceptions. */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — the optional name list
@@ -18,19 +25,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    try Tables.assertSchemas(spark, sfDir)
+    catch { case e: Throwable =>
+      // keep going — gates not touching the drifted table may still pass,
+      // but the drift itself must dominate the logs and the artifact
+      System.err.println(s"[verify] ${e.getMessage}")
+      failures += "_schema_canary" -> e.getMessage
+    }
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
+    def q(s: String): String = "\"" + Option(s).getOrElse("null").flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
@@ -39,9 +55,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def obj(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      obj(SparkEntry.oracleSql))
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), obj(failures))
+    val gateFailures = failures.size - (if (failures.contains("_schema_canary")) 1 else 0)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"VERIFY FAILED ${gateFailures}/${selected.size} gates" +
+          (if (failures.contains("_schema_canary")) " + SCHEMA CANARY" else "") +
+          s" — see $outDir/_failures.json")
+    else
+      println(s"VERIFY OK ${selected.size}/${selected.size} gates dumped")
     spark.stop()
   }
 }

@@ -24,11 +24,14 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw events schema as stored (ts = TIMESTAMP(NANOS) read as long —
-    * see [[graft.Tables]] loadEvents for the same nanos handling). */
-  private val rawSchema = StructType(Seq(
+  /** Stream-source schema for the events directory. A file-source stream
+    * needs a user-declared schema, and the physical unit of `ts` has
+    * changed across driver rounds (TIMESTAMP(NANOS) → TIMESTAMP(MICROS);
+    * see [[graft.Tables]] loadEvents) — so declare `ts` with the type a
+    * one-time batch footer probe reports rather than hard-coding a unit. */
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -40,16 +43,27 @@ object Streams {
   def readEventsStream(spark: SparkSession, dir: String,
                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r = spark.readStream.schema(rawSchema)
+    // one cheap footer read decides the ts unit for the whole stream
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val r = spark.readStream.schema(rawSchema(tsType))
       // the file source needs a directory path; events is a single file
       // in the driver testdata layout, so scan the dir with a glob filter
       .option("pathGlobFilter", "events.parquet")
     val r2 = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString))
     // watermarks require TIMESTAMP (LTZ) — keep event time LTZ on the
-    // stream (UTC session), convert to NTZ only at output edges
-    r2.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // stream (UTC session, so NTZ↔LTZ is the identity on wall clocks),
+    // convert to NTZ only at output edges
+    val raw = r2.parquet(dir)
+    val tsLtz = tsType match {
+      case LongType         => timestamp_micros(expr("ts div 1000")) // nanos
+      case TimestampNTZType => col("ts").cast("timestamp")
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — testdata contract changed?")
+    }
+    raw.withColumn("ts", tsLtz)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
