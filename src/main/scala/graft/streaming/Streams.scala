@@ -104,7 +104,20 @@ object Streams {
     * State per user is three longs — bounded regardless of event volume.
     * (The session-closing variant with EventTimeTimeout emits finished
     * sessions instead; cumulative counts keep the driver-gate comparison
-    * against the batch oracle exact.) */
+    * against the batch oracle exact.)
+    *
+    * ORDERING CONTRACT (single-batch / per-batch-ordered delivery): events
+    * are sorted by (ts, event_id) WITHIN each micro-batch only — state
+    * carries no reorder buffer, so an event older than `lastTs` arriving
+    * in a LATER batch would be gap-measured against the running max and
+    * could merge two true sessions. The driver gate is exact because the
+    * static events table is one file delivered in one AvailableNow batch.
+    * Production use with `maxFilesPerTrigger` (or any source that splits
+    * a user's events across batches out of event-time order) needs the
+    * buffering variant: hold events younger than the watermark in state
+    * and fold them only when the watermark passes, which trades this
+    * version's three-longs state for a watermark-bounded buffer. The
+    * assumption is also recorded in DEVIATIONS.md. */
   def sessionCounts(events: DataFrame): Dataset[SessionCounts] = {
     val spark = events.sparkSession
     import spark.implicits._
