@@ -314,6 +314,15 @@ object SparkEntry {
     // (all-integer numerator/denominator, one double division)
     "q104_containment_est" -> ((s: SparkSession, d: String) =>
       ext.Dedup.containmentEstimateCached(s, d)),
+    // native session_window sessionization (merge-on-overlap inside the
+    // aggregation operator — no per-user history sort), batch form
+    "q105_session_window" -> ((s: SparkSession, d: String) =>
+      ext.Events.sessionWindowStats(s, d)),
+    // streaming twin: multi-batch-safe sessionization — session windows
+    // merge in the state store across micro-batches; append emits each
+    // session once, when the watermark closes it
+    "q106_stream_session_window" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.sessionWindowAvailableNow(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -847,5 +856,8 @@ object SparkEntry {
     "q102_dup_triangles" -> ext.PageRank.dupTrianglesOracleSql(),
     "q103_containment" -> ext.Dedup.containmentPairsOracleSql(),
     "q104_containment_est" -> ext.Dedup.containmentEstimateOracleSql(),
+    "q105_session_window" -> ext.Events.sessionWindowOracleSql,
+    "q106_stream_session_window" ->
+      streaming.Streams.sessionWindowOracleSql(),
   )
 }

@@ -88,6 +88,58 @@ object Events {
            sum(col("new_session")).as("n_sessions"))
   }
 
+  /** Per-user session statistics via Spark's NATIVE `session_window`
+    * (gap-merged event-time windows, the built-in Catalyst operator
+    * behind streaming sessionization) rather than the lag()-based
+    * gaps-and-islands of [[sessionize]] — both shapes exist because at
+    * scale they trade differently: session_window is one hash shuffle on
+    * (user_id, merged-window) with the merge done inside the aggregation
+    * operator (no per-partition full sort of the user's history), while
+    * the lag() form needs the window sort but yields per-event session
+    * ids for downstream joins. Semantics note: session_window merges
+    * TOUCHING windows — a gap of exactly the session gap still merges
+    * (next event at prev.ts + 30 min extends the session), so the
+    * split condition is strictly `> 30 min`, identical to q33's lag()
+    * form. Pinned by SessionWindowSpec's exact-gap case (which caught
+    * the `>=` formulation as wrong — the driver data has no exact-gap
+    * pairs, so only the synthetic case distinguishes them).
+    *
+    * Scale: one shuffle on user_id; state per open window is O(1); no
+    * driver-side anything. The same expression runs unchanged under
+    * `readStream` (see streaming.Streams.sessionWindowAvailableNow). */
+  def sessionWindowStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      // session_window needs LTZ event time; UTC session makes the
+      // NTZ→LTZ hop the identity on wall clocks
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+              col("session_window.start").cast("timestamp_ntz").as("s_start"),
+              col("session_window.end").cast("timestamp_ntz").as("s_end"),
+              col("n_events"), col("sum_value"))
+
+  /** Oracle for [[sessionWindowStats]]: gaps-and-islands with the
+    * session_window semantics (new session at gap > 30 min — touching
+    * windows merge; window end = last event + gap). */
+  def sessionWindowOracleSql: String =
+    """SELECT user_id, min(ts) AS s_start,
+      | max(ts) + INTERVAL 30 MINUTE AS s_end,
+      | CAST(count(*) AS BIGINT) AS n_events,
+      | round(sum(value), 2) AS sum_value
+      |FROM (SELECT user_id, ts, value,
+      |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      | FROM (SELECT user_id, ts, event_id, value,
+      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) IS NULL
+      |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id)) > 1800.0 THEN 1
+      |        ELSE 0 END AS new_s
+      |  FROM events) t) s
+      |GROUP BY user_id, sid""".stripMargin
+
   /** Hourly anomaly detection: hours whose event count sits more than
     * `sigma` sample standard deviations from the per-type mean — the
     * monitoring query an event pipeline alerts on. Engine-exact by

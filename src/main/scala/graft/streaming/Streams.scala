@@ -41,15 +41,16 @@ object Streams {
     * appearing under `dir` become micro-batches; `maxFilesPerTrigger`
     * bounds batch size in production (None = all available per batch). */
   def readEventsStream(spark: SparkSession, dir: String,
-                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                       maxFilesPerTrigger: Option[Int] = None,
+                       glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // one cheap footer read decides the ts unit for the whole stream
-    val tsType = spark.read.parquet(s"$dir/events.parquet")
+    val tsType = spark.read.option("pathGlobFilter", glob).parquet(dir)
       .schema("ts").dataType
     val r = spark.readStream.schema(rawSchema(tsType))
       // the file source needs a directory path; events is a single file
       // in the driver testdata layout, so scan the dir with a glob filter
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
     val r2 = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString))
     // watermarks require TIMESTAMP (LTZ) — keep event time LTZ on the
@@ -320,6 +321,60 @@ object Streams {
               col("event_type"), col("n"), col("sum_value"))
     runBounded(agg, OutputMode.Append(), noDataBatch = true)
   }
+
+  /** MULTI-BATCH-SAFE streaming sessionization via Spark's native
+    * `session_window` — the idiomatic answer to the ordering contract
+    * documented on [[sessionCounts]]: the session-window aggregation
+    * operator keeps open windows in the state store and MERGES any
+    * window an arriving event overlaps, regardless of which micro-batch
+    * the event arrives in or in what order — cross-batch disorder is
+    * handled up to the watermark delay, with no hand-rolled buffer.
+    * Append mode emits a session exactly once, when the watermark
+    * passes its end (end = last event + gap, so no later event can
+    * extend it). State per user = open windows only — watermark-bounded.
+    *
+    * The bounded gate run keeps the trailing no-data micro-batch to
+    * advance the watermark to max(ts) − delay; the emitted set is every
+    * session with `end < max(ts) − delay`, and the oracle applies the
+    * same cutoff to the batch gaps-and-islands answer (same pattern as
+    * [[dedupHourlyAvailableNow]]'s oracle). */
+  def sessionWindowAvailableNow(spark: SparkSession, dir: String,
+                                watermark: String = "2 hours",
+                                maxFilesPerTrigger: Option[Int] = None,
+                                glob: String = "events.parquet"): DataFrame = {
+    val agg = readEventsStream(spark, dir, maxFilesPerTrigger, glob)
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+              col("session_window.start").cast("timestamp_ntz").as("s_start"),
+              col("session_window.end").cast("timestamp_ntz").as("s_end"),
+              col("n_events"), col("sum_value"))
+    runBounded(agg, OutputMode.Append(), noDataBatch = true)
+  }
+
+  /** Oracle for [[sessionWindowAvailableNow]]: the batch session_window
+    * answer (gap > 30 min starts a session; end = last + gap)
+    * restricted to sessions the append-mode watermark has closed. */
+  def sessionWindowOracleSql(watermarkHours: Int = 2): String =
+    s"""SELECT user_id, min(ts) AS s_start,
+       | max(ts) + INTERVAL 30 MINUTE AS s_end,
+       | CAST(count(*) AS BIGINT) AS n_events,
+       | round(sum(value), 2) AS sum_value
+       |FROM (SELECT user_id, ts, value,
+       |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+       | FROM (SELECT user_id, ts, event_id, value,
+       |   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+       |                           ORDER BY ts, event_id) IS NULL
+       |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+       |             ORDER BY ts, event_id)) > 1800.0 THEN 1
+       |        ELSE 0 END AS new_s
+       |  FROM events) t) s
+       |GROUP BY user_id, sid
+       |HAVING max(ts) + INTERVAL 30 MINUTE
+       |       < (SELECT max(ts) - INTERVAL $watermarkHours HOUR FROM events)""".stripMargin
 
   /** Oracle for [[dedupHourlyAvailableNow]]: the batch hourly rollup,
     * restricted to the windows append mode has emitted (end at or
