@@ -323,6 +323,15 @@ object SparkEntry {
     // session once, when the watermark closes it
     "q106_stream_session_window" -> ((s: SparkSession, d: String) =>
       streaming.Streams.sessionWindowAvailableNow(s, d)),
+    // IVF-PQ with asymmetric distance computation: coarse-quantizer
+    // candidate pruning + code-table scoring — candidates' raw vectors
+    // never touched at query time (the FAISS IVFx,PQy layout)
+    "q107_ivfpq_adc" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.ivfPqTopK(s, d)),
+    // two-stage search: ADC shortlist re-ranked with exact distances on
+    // the raw vectors — full-vector reads bounded by queries x rerank
+    "q108_ivfpq_rerank" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.ivfPqRerankTopK(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -859,5 +868,7 @@ object SparkEntry {
     "q105_session_window" -> ext.Events.sessionWindowOracleSql,
     "q106_stream_session_window" ->
       streaming.Streams.sessionWindowOracleSql(),
+    "q107_ivfpq_adc" -> ext.Similarity.ivfPqOracleSql(),
+    "q108_ivfpq_rerank" -> ext.Similarity.ivfPqRerankOracleSql(),
   )
 }

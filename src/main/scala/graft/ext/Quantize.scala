@@ -166,14 +166,28 @@ object Quantize {
     * int per subspace is also the shape a PQ index stores. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    val dim = 64
+    pqCodesDf(embs, 64, trainedBooksCached(spark, embs, dir))
+  }
+
+  /** Per-(session, dir) cached codebooks (train-once index-build
+    * pattern); shared with the IVF-PQ ADC search in [[Similarity]]. */
+  private[ext] def trainedBooksCached(
+      spark: SparkSession, embs: DataFrame,
+      dir: String): Array[Array[Array[Double]]] = {
     bookCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) bookCache.remove(k)
     }
-    val books = bookCache.getOrElseUpdate((spark, dir), pqTrain(embs, dim))
+    val books = bookCache.getOrElseUpdate((spark, dir), pqTrain(embs, 64))
     lastBookKey = (spark, dir)
-    pqCodesDf(embs, dim, books)
+    books
   }
+
+  /** The PQ hyperparameters and the trained-books cache entry for an
+    * oracle generator outside this object (IVF-PQ). */
+  private[ext] def pqShape: (Int, Int) = (PqM, PqK)
+  private[ext] def booksFor(spark: SparkSession,
+                            dir: String): Option[Array[Array[Array[Double]]]] =
+    bookCache.get((spark, dir))
 
   /** DuckDB oracle for [[pqCodes]]: the trained codebooks are embedded
     * as literal lists (Java's shortest-round-trip double formatting
@@ -238,16 +252,32 @@ object Quantize {
     }
   }
 
-  private[ext] def pqCodesDf(embeddings: DataFrame, dim: Int,
-      books: Array[Array[Array[Double]]]): DataFrame = {
+  /** Per-subspace distance tables over an `embedding` column: for each
+    * of the M subspaces, an array of the squared distances to all K
+    * codebook entries — the building block for both the encode (argmin)
+    * and the query side of ADC search (the table is the "distance
+    * table" of Jégou et al.'s asymmetric distance computation). */
+  private[ext] def pqDistTables(books: Array[Array[Array[Double]]],
+                                dim: Int): Seq[Column] = {
     val sub = dim / PqM
-    val parts = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       val subCol = slice(col("embedding"), m * sub + 1, sub)
-      val dists = array(books(m).indices.map(k =>
-        sqDist(subCol, books(m)(k))): _*)
+      array(books(m).indices.map(k => sqDist(subCol, books(m)(k))): _*)
+    }
+  }
+
+  /** The per-subspace (argmin code, min distance) column pairs — the
+    * encode as reusable expressions over an `embedding` column. */
+  private[ext] def pqCodeCols(books: Array[Array[Array[Double]]],
+                              dim: Int): Seq[(Column, Column)] =
+    pqDistTables(books, dim).map { dists =>
       ((array_position(dists, array_min(dists)) - 1).cast("int"),
        array_min(dists))
     }
+
+  private[ext] def pqCodesDf(embeddings: DataFrame, dim: Int,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val parts = pqCodeCols(books, dim)
     embeddings.select(
       col("vec_id") +:
       parts.zipWithIndex.map { case ((c, _), m) => c.as(s"code_$m") } :+
