@@ -332,6 +332,15 @@ object SparkEntry {
     // the raw vectors — full-vector reads bounded by queries x rerank
     "q108_ivfpq_rerank" -> ((s: SparkSession, d: String) =>
       ext.Similarity.ivfPqRerankTopK(s, d)),
+    // HyperLogLog distinct-count sketch (256 registers, md5 domain) —
+    // every register and the integer-scaled harmonic denominator are
+    // oracle-replayed; estimate sits next to the exact count
+    "q109_hll_distinct" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.hllDistinctUsers(s, d)),
+    // count-min sketch heavy hitters: fixed 4x512 counter table, point
+    // queries on the true top-20 tokens; est >= true by construction
+    "q110_cms_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.cmsTopTokens(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -870,5 +879,7 @@ object SparkEntry {
       streaming.Streams.sessionWindowOracleSql(),
     "q107_ivfpq_adc" -> ext.Similarity.ivfPqOracleSql(),
     "q108_ivfpq_rerank" -> ext.Similarity.ivfPqRerankOracleSql(),
+    "q109_hll_distinct" -> ext.Sketches.hllOracleSql,
+    "q110_cms_heavy_hitters" -> ext.Sketches.cmsOracleSql(),
   )
 }
