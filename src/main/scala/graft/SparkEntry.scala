@@ -341,6 +341,14 @@ object SparkEntry {
     // queries on the true top-20 tokens; est >= true by construction
     "q110_cms_heavy_hitters" -> ((s: SparkSession, d: String) =>
       ext.Sketches.cmsTopTokens(s, d)),
+    // staleness-bounded as-of join (feature-store tolerance semantics):
+    // a match older than 1 hour is nulled, exact integer-micros test
+    "q111_asof_tolerance" -> ((s: SparkSession, d: String) =>
+      ops.AsOf.purchasesWithRecentClick(s, d)),
+    // stride-scheduled weighted curriculum order over sources — the
+    // deterministic no-RNG mixture schedule, first 100 slots
+    "q112_mix_order" -> ((s: SparkSession, d: String) =>
+      ext.Sampling.mixtureOrder(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -881,5 +889,25 @@ object SparkEntry {
     "q108_ivfpq_rerank" -> ext.Similarity.ivfPqRerankOracleSql(),
     "q109_hll_distinct" -> ext.Sketches.hllOracleSql,
     "q110_cms_heavy_hitters" -> ext.Sketches.cmsOracleSql(),
+    "q111_asof_tolerance" ->
+      """SELECT purchase_id, user_id,
+        |  CASE WHEN last_click_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(last_click_ts) <= 3600000000
+        |       THEN last_click_id END AS recent_click_id
+        |FROM (
+        |  SELECT event_id AS purchase_id, user_id, side, ts,
+        |    last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
+        |    last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts
+        |  FROM (SELECT user_id, ts, event_id, 1 AS side,
+        |               CAST(NULL AS BIGINT) AS click_id,
+        |               CAST(NULL AS TIMESTAMP) AS click_ts
+        |        FROM events WHERE event_type = 'purchase'
+        |        UNION ALL
+        |        SELECT user_id, ts, event_id, 0, event_id, ts
+        |        FROM events WHERE event_type = 'click') u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |) WHERE side = 1""".stripMargin,
+    "q112_mix_order" -> ext.Sampling.mixtureOrderOracleSql(),
   )
 }

@@ -142,4 +142,56 @@ object Sampling {
        |      AS rnk
        |  FROM documents)
        |WHERE rnk <= $k""".stripMargin
+
+  /** Deterministic weighted-interleave curriculum order — STRIDE
+    * SCHEDULING (Waldspurger & Weihl, OSDI 1994) applied to corpus
+    * mixing: each source s gets weight w_s; its r-th document (in a
+    * seeded md5 order, so "r-th" is reproducible and crawl-order-free)
+    * is assigned virtual time r / w_s, and the global training order is
+    * ascending virtual time. Over any prefix of the schedule, source
+    * shares converge to w_s / Σw — the "sample sources proportionally
+    * to weights, deterministically, with no RNG state" every mixture
+    * training loop wants (cf. the data-mixture schedules in LLM
+    * pretraining reports).
+    *
+    * Weight policy here (a stand-in, like mixtureSample's): source
+    * "srcN" gets weight N % 3 + 1 ∈ {1,2,3}. vtime = r / w is one IEEE
+    * division of an exact int by a small exact int — deterministic in
+    * both engines; ties (r=2,w=2 vs r=1,w=1) break on (source, doc_id).
+    *
+    * Scale: the per-source md5 rank is one keyed shuffle; the gate
+    * emits the first `k` schedule slots via TakeOrdered (no global
+    * sort). A full materialization would `repartitionByRange` on vtime
+    * + sortWithinPartitions — the q100 sharding shape — instead of the
+    * final limit; the window over the k-row result is driver-scale by
+    * construction. */
+  def mixtureOrder(spark: SparkSession, dir: String,
+                   k: Int = 100): DataFrame = {
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val weight = expr("CAST(substring(source, 4) AS INT) % 3 + 1")
+      .cast("double")
+    val slots = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("r", row_number().over(wSrc))
+      .withColumn("vtime", col("r").cast("double") / weight)
+      .orderBy(col("vtime"), col("source"), col("doc_id"))
+      .limit(k)
+    val wPos = Window.orderBy(col("vtime"), col("source"), col("doc_id"))
+    slots.withColumn("pos", row_number().over(wPos).cast("long"))
+      .select(col("pos"), col("doc_id"), col("source"), col("vtime"))
+  }
+
+  def mixtureOrderOracleSql(k: Int = 100): String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY vtime, source, doc_id)
+       |       AS BIGINT) AS pos,
+       |  doc_id, source, vtime
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS DOUBLE)
+       |      / (CAST(substr(source, 4) AS INT) % 3 + 1) AS vtime
+       |  FROM documents)
+       |ORDER BY vtime, source, doc_id
+       |LIMIT $k""".stripMargin
 }

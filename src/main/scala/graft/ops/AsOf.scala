@@ -49,6 +49,29 @@ object AsOf {
       .drop((("__side" +: valueCols.map(c => s"__v_$c")).toIndexedSeq): _*)
   }
 
+  /** Tolerance (staleness-bounded) as-of join — the feature-store
+    * variant: a match older than `toleranceSec` is as useless as no
+    * match (a "last click" from last month must not enrich today's
+    * purchase), so the matched value is nulled when the as-of row is
+    * staler than the bound. Same single-shuffle union-window plan as
+    * [[asofJoin]] with one extra ride-along column (the as-of TIME);
+    * the staleness test is exact integer microsecond arithmetic. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        time: String, tiebreak: String,
+                        valueCols: Seq[String],
+                        toleranceSec: Long): DataFrame = {
+    val rWithT = right.withColumn("__rt", col(time))
+    val joined = asofJoin(left, rWithT, key, time, tiebreak,
+                          valueCols :+ "__rt")
+    val fresh = unix_micros(col(time).cast("timestamp")) -
+      unix_micros(col("asof___rt").cast("timestamp")) <=
+      lit(toleranceSec * 1000000L)
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(col("asof___rt").isNotNull && fresh, col(s"asof_$c")))
+    }.drop("asof___rt")
+  }
+
   /** Gate shape: every purchase event annotated with the same user's
     * most recent click event id at or before the purchase time. */
   def purchasesWithLastClick(spark: SparkSession, dir: String): DataFrame = {
@@ -61,5 +84,21 @@ object AsOf {
              Seq("event_id"))
       .select(col("event_id").as("purchase_id"), col("user_id"),
               col("asof_event_id").as("last_click_id"))
+  }
+
+  /** Tolerance gate shape: the q47 enrichment with a 1-hour staleness
+    * bound — clicks older than an hour before the purchase no longer
+    * match (NULL instead). */
+  def purchasesWithRecentClick(spark: SparkSession, dir: String,
+                               toleranceSec: Long = 3600L): DataFrame = {
+    val events = graft.Tables.load(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asofJoinTolerance(purchases, clicks, "user_id", "ts", "event_id",
+                      Seq("event_id"), toleranceSec)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("asof_event_id").as("recent_click_id"))
   }
 }

@@ -37,6 +37,29 @@ class AsOfSpec extends SparkSpec {
     assert(out == Map(10L -> Some(900L), 11L -> None))
   }
 
+  test("tolerance variant nulls matches staler than the bound") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2026-01-01 12:00:00"), 10L),
+                   (2L, ts("2026-01-01 12:00:00"), 11L))
+      .toDF("k", "t", "id")
+    val right = Seq((1L, ts("2026-01-01 11:30:00"), 900L), // 30 min old
+                    (2L, ts("2026-01-01 10:59:59"), 901L)) // 1h 1s old
+      .toDF("k", "t", "id")
+    val out = AsOf.asofJoinTolerance(left, right, "k", "t", "id",
+                                     Seq("id"), toleranceSec = 3600L)
+      .select($"id", $"asof_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(10L -> Some(900L), 11L -> None))
+    // boundary: EXACTLY the tolerance is still fresh (<=)
+    val rightEdge = Seq((1L, ts("2026-01-01 11:00:00"), 902L))
+      .toDF("k", "t", "id")
+    val edge = AsOf.asofJoinTolerance(left, rightEdge, "k", "t", "id",
+                                      Seq("id"), toleranceSec = 3600L)
+      .select($"id", $"asof_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(edge(10L) == Some(902L))
+  }
+
   test("gate shape equals a brute-force range join on real events") {
     val got = AsOf.purchasesWithLastClick(spark, sfDir)
     val ev = graft.Tables.load(spark, sfDir, "events")
