@@ -349,6 +349,11 @@ object SparkEntry {
     // deterministic no-RNG mixture schedule, first 100 slots
     "q112_mix_order" -> ((s: SparkSession, d: String) =>
       ext.Sampling.mixtureOrder(s, d)),
+    // alternating-star connected components (O(log n) rounds, diameter-
+    // proof) over the exact dup pair set — q39's clustering contract,
+    // provable-convergence algorithm
+    "q113_cc_altstar" -> ((s: SparkSession, d: String) =>
+      ext.ConnectedComponents.exactPairComponents(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -909,5 +914,7 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |) WHERE side = 1""".stripMargin,
     "q112_mix_order" -> ext.Sampling.mixtureOrderOracleSql(),
+    "q113_cc_altstar" ->
+      ext.ConnectedComponents.exactPairComponentsOracleSql(),
   )
 }
