@@ -354,6 +354,14 @@ object SparkEntry {
     // provable-convergence algorithm
     "q113_cc_altstar" -> ((s: SparkSession, d: String) =>
       ext.ConnectedComponents.exactPairComponents(s, d)),
+    // positional-postings phrase retrieval: top corpus bigram, then
+    // docs containing it as a phrase via the two terms' postings only
+    "q114_phrase_search" -> ((s: SparkSession, d: String) =>
+      ext.Search.topPhraseSearch(s, d)),
+    // Johnson–Lindenstrauss 64->16 projection with per-vector
+    // norm-preservation audit (the distortion distribution IS the output)
+    "q115_jl_projection" -> ((s: SparkSession, d: String) =>
+      ext.Projection.jlNormAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -916,5 +924,7 @@ object SparkEntry {
     "q112_mix_order" -> ext.Sampling.mixtureOrderOracleSql(),
     "q113_cc_altstar" ->
       ext.ConnectedComponents.exactPairComponentsOracleSql(),
+    "q114_phrase_search" -> ext.Search.topPhraseSearchOracleSql,
+    "q115_jl_projection" -> ext.Projection.jlNormAuditOracleSql,
   )
 }

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Positional inverted-index operations — the IR side of a corpus
+  * engine: a phrase query is the intersection of the phrase terms'
+  * positional postings (doc, position) with a +1 position offset, the
+  * classic two-term phrase plan every search engine runs. BM25 (q77)
+  * scores single terms; this adds the position-aware retrieval layer.
+  *
+  * Scale: the postings for ONE term are df(term) rows — the retrieval
+  * join touches only the phrase terms' postings (keyed on doc_id),
+  * never the corpus; the index itself (token, doc, pos) is the
+  * tokenize explode every text operator here already pays. The
+  * top-bigram discovery step is an index-build-time statistic (one
+  * (gram) shuffle with map-side combine), not a per-query cost. */
+object Search {
+
+  /** Positional token stream: (doc_id, pos, token), 1-based positions
+    * (matches the oracle's generate_series subscripts). */
+  private def positional(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              posexplode(split(TextAnalysis.normalized(col("text")), " "))
+                .as(Seq("pos0", "token")))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+
+  /** Gate: find the corpus's most frequent bigram (count desc, gram
+    * asc — deterministic), then retrieve every document containing it
+    * as a PHRASE via positional-postings intersection. Output one row
+    * per matching doc: (doc_id, gram, n_hits). */
+  def topPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = positional(spark, dir)
+    val adjacent = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") === col("a.pos") + 1)
+    val top1 = adjacent
+      .select(col("a.token").as("w1"), col("b.token").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+      .select(col("w1"), col("w2"))
+    // retrieval: only the two phrase terms' postings are touched
+    val p1 = toks.join(broadcast(top1), col("token") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+    val p2 = toks.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+                         col("token").as("t2"))
+    p1.join(p2, col("doc_id") === col("d2") &&
+                col("pos2") === col("pos") + 1 &&
+                col("t2") === col("w2"))
+      .groupBy(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("gram"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("gram"), col("n_hits"))
+  }
+
+  def topPhraseSearchOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, ws[i] AS token, i AS pos
+      |  FROM (SELECT doc_id, string_split(trim(regexp_replace(
+      |          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |          ' +', ' ', 'g')), ' ') AS ws
+      |        FROM documents),
+      |    unnest(generate_series(1, len(ws))) AS s(i)
+      |  WHERE ws[i] <> ''),
+      |adj AS (
+      |  SELECT a.doc_id, a.token AS w1, b.token AS w2
+      |  FROM toks a JOIN toks b
+      |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      |top1 AS (
+      |  SELECT w1, w2 FROM adj GROUP BY w1, w2
+      |  ORDER BY count(*) DESC, w1, w2 LIMIT 1)
+      |SELECT a.doc_id, t.w1 || ' ' || t.w2 AS gram,
+      |  count(*) AS n_hits
+      |FROM adj a JOIN top1 t ON a.w1 = t.w1 AND a.w2 = t.w2
+      |GROUP BY a.doc_id, t.w1, t.w2""".stripMargin
+}
