@@ -39,12 +39,18 @@ object ScaleSmoke {
     "q89_substr_dup", "q90_split_leakage", "q92_dup_pagerank",
     "q93_cluster_sizes", "q95_image_resize", "q100_shuffle_shards",
     "q101_best_of_cluster", "q102_dup_triangles", "q103_containment",
-    "q104_containment_est")
+    "q104_containment_est",
+    // round-8 additions
+    "q105_session_window", "q107_ivfpq_adc", "q108_ivfpq_rerank",
+    "q109_hll_distinct", "q110_cms_heavy_hitters", "q112_mix_order",
+    "q113_cc_altstar", "q114_phrase_search", "q115_jl_projection")
 
   def generate(spark: SparkSession): Unit = {
-    // events.ts is parquet TIMESTAMP(NANOS); read the nanos as plain
-    // longs (same as Tables.loadEvents) — the replica keeps ts as INT64
-    // nanos, which `ts div 1000` downstream handles identically
+    // events.ts unit has changed across driver rounds (nanos → micros);
+    // the legacy conf makes a nanos file read as long (which the
+    // replica then stores as long), a micros file reads as timestamp —
+    // Tables.loadEvents type-branches on either, so the replica is
+    // valid whichever unit the source had
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reps = explode(array((0 until 10).map(lit): _*)).as("rep")
 
@@ -119,8 +125,12 @@ object ScaleSmoke {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // optional gate-name filter: Test/runMain graft.tools.ScaleSmoke q107 q113
+    val selected =
+      if (args.isEmpty) Families
+      else Families.filter(f => args.exists(f.startsWith))
     println(f"[scale] ${"query"}%-22s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s ${"rows1x"}%8s ${"rows10x"}%9s")
-    for (name <- Families) {
+    for (name <- selected) {
       time(name, Base)                     // warms JIT/codegen paths
       coldStart()
       val (t1, r1) = time(name, Base)      // cold-data warm-code 1x
