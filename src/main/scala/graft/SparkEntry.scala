@@ -362,6 +362,10 @@ object SparkEntry {
     // norm-preservation audit (the distortion distribution IS the output)
     "q115_jl_projection" -> ((s: SparkSession, d: String) =>
       ext.Projection.jlNormAudit(s, d)),
+    // stream-stream LEFT OUTER funnel: matched pairs + null-padded
+    // clicks decided by the watermark (drop-off analysis)
+    "q116_stream_funnel_outer" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.funnelLeftOuterAvailableNow(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -926,5 +930,7 @@ object SparkEntry {
       ext.ConnectedComponents.exactPairComponentsOracleSql(),
     "q114_phrase_search" -> ext.Search.topPhraseSearchOracleSql,
     "q115_jl_projection" -> ext.Projection.jlNormAuditOracleSql,
+    "q116_stream_funnel_outer" ->
+      streaming.Streams.funnelLeftOuterOracleSql(),
   )
 }

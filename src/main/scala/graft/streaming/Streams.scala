@@ -292,6 +292,70 @@ object Streams {
     runBounded(funnelJoin(readEventsStream(spark, dir)),
                OutputMode.Append())
 
+  /** Stream-stream LEFT OUTER funnel — the drop-off analysis the inner
+    * join (q46) cannot express: every click, matched to the same
+    * user's purchases within the following hour OR emitted null-padded
+    * once the watermark proves no future purchase can match (a
+    * purchase must satisfy `purchase_ts <= click_ts + 1h`, so a click
+    * is decided when `click_ts + 1h < watermark`). Matched pairs emit
+    * as both sides arrive; unmatched clicks emit exactly once, at
+    * watermark passage — Spark's outer stream-stream join semantics,
+    * state bounded to one watermark horizon per side. */
+  def funnelLeftOuter(events: DataFrame,
+                      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+              col("purchase_id"))
+  }
+
+  /** Bounded gate run: append mode with the trailing no-data batch so
+    * the final watermark (max(ts) − delay) decides every decidable
+    * click; the oracle emits matched pairs plus null-padded clicks
+    * whose match window closed before that watermark. */
+  def funnelLeftOuterAvailableNow(spark: SparkSession,
+                                  dir: String): DataFrame =
+    runBounded(funnelLeftOuter(readEventsStream(spark, dir)),
+               OutputMode.Append(), noDataBatch = true)
+
+  /** Oracle for [[funnelLeftOuterAvailableNow]]. The decisive subtlety
+    * (found empirically, 2-row diff at sf0.01): each side's watermark
+    * operator sits AFTER its event-type filter, so the query's global
+    * watermark is min(max click ts, max purchase ts) − delay — NOT the
+    * whole-table max − delay (clicks closing between the two were
+    * wrongly "decidable" under the naive cutoff). */
+  def funnelLeftOuterOracleSql(watermarkHours: Int = 2): String =
+    s"""WITH clk AS (SELECT user_id, ts AS cts, event_id AS click_id
+       |  FROM events WHERE event_type = 'click'),
+       |pur AS (SELECT user_id, ts AS pts, event_id AS purchase_id
+       |  FROM events WHERE event_type = 'purchase'),
+       |wm AS (SELECT least((SELECT max(cts) FROM clk),
+       |                    (SELECT max(pts) FROM pur))
+       |         - INTERVAL $watermarkHours HOUR AS w),
+       |matched AS (
+       |  SELECT c.user_id, c.click_id, p.purchase_id
+       |  FROM clk c JOIN pur p ON p.user_id = c.user_id
+       |    AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR),
+       |unmatched AS (
+       |  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+       |  FROM clk c, wm
+       |  WHERE c.cts + INTERVAL 1 HOUR < wm.w
+       |    AND NOT EXISTS (SELECT 1 FROM pur p
+       |      WHERE p.user_id = c.user_id
+       |        AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR))
+       |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin
+
   /** CHAINED stateful pipeline — streaming dedup feeding a windowed
     * aggregation in one query (the exactly-once-ingest + hourly-rollup
     * shape every event pipeline runs; Spark supports stateful-operator

@@ -167,4 +167,39 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty &&
            batch.exceptAll(streamed).isEmpty)
   }
+
+  test("left-outer funnel: unmatched click emits null-padded at watermark") {
+    val input = MemoryStream[RawEvent]
+    val out = Streams.funnelLeftOuter(toEventsDF(input),
+                                      watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel_outer_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        RawEvent(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0, ""),
+        RawEvent(2, ts("2026-01-01 10:30:00"), 1, "purchase", 2.0, ""),
+        RawEvent(3, ts("2026-01-01 10:05:00"), 2, "click", 1.0, ""))
+      q.processAllAvailable()
+      // advance BOTH side watermarks (each side's operator sits after
+      // its type filter, so each needs its own late event) far past
+      // click 3's decision point (11:05 + 30m)
+      input.addData(
+        RawEvent(4, ts("2026-01-01 14:00:00"), 9, "click", 1.0, ""),
+        RawEvent(5, ts("2026-01-01 14:00:00"), 9, "purchase", 1.0, ""))
+      q.processAllAvailable()
+      // one more batch so the eviction-triggered outer rows flush
+      input.addData(
+        RawEvent(6, ts("2026-01-01 14:30:00"), 9, "click", 1.0, ""))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_outer_test")
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+                   if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+      assert(rows.contains((1L, 1L, Some(2L))), s"matched pair missing: $rows")
+      assert(rows.contains((2L, 3L, None)),
+        s"unmatched click not null-emitted: $rows")
+    } finally q.stop()
+  }
 }
