@@ -34,12 +34,17 @@ object Search {
     * per matching doc: (doc_id, gram, n_hits). */
   def topPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
     val toks = positional(spark, dir)
-    val adjacent = toks.as("a").join(toks.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-        col("b.pos") === col("a.pos") + 1)
-    val top1 = adjacent
-      .select(col("a.token").as("w1"), col("b.token").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    // bigram stream via lead() over (doc, pos) — one keyed shuffle+sort,
+    // measurably cheaper than the positional self-join at 10x (the
+    // retrieval below still uses the postings intersection: that is the
+    // per-QUERY plan, this is the index-build statistic)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val top1 = toks
+      .withColumn("w2", lead(col("token"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("token").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
       .select(col("w1"), col("w2"))
     // retrieval: only the two phrase terms' postings are touched
