@@ -366,6 +366,15 @@ object SparkEntry {
     // clicks decided by the watermark (drop-off analysis)
     "q116_stream_funnel_outer" -> ((s: SparkSession, d: String) =>
       streaming.Streams.funnelLeftOuterAvailableNow(s, d)),
+    // ANN quality audit: per-query recall@k of the IVF index vs the
+    // exact brute-force top-k (the gate before an approximate index
+    // takes traffic)
+    "q117_ann_recall" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.ivfRecall(s, d)),
+    // CCNet-style LM quality filter: add-one bigram model trained on
+    // the 'en' slice, per-doc negative log-likelihood under it
+    "q118_bigram_lm" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.bigramLmScore(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -932,5 +941,7 @@ object SparkEntry {
     "q115_jl_projection" -> ext.Projection.jlNormAuditOracleSql,
     "q116_stream_funnel_outer" ->
       streaming.Streams.funnelLeftOuterOracleSql(),
+    "q117_ann_recall" -> ext.Similarity.ivfRecallOracleSql(),
+    "q118_bigram_lm" -> ext.TextAnalysis.bigramLmScoreOracleSql(),
   )
 }

@@ -704,4 +704,58 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk"))
   }
+
+  // ---- ANN quality audit (recall@k) ---------------------------------
+
+  /** Recall@k of the IVF index against the exact brute-force top-k —
+    * the quality gate every production ANN deployment runs before (and
+    * continuously after) switching traffic to the approximate index.
+    *
+    * Per query: |IVF top-k ∩ brute top-k| / k. The expensive parts are
+    * the two searches themselves (each already scale-audited: the brute
+    * pass is one corpus scan against a broadcast query batch, the IVF
+    * pass probes nProbe cells); the audit join runs on the two bounded
+    * (nQueries × k)-row result sets, so it adds nothing at scale. On a
+    * real 100 TB corpus the brute side runs over a fixed query SAMPLE —
+    * which is exactly what the bounded `nQueries` query batch is.
+    *
+    * Output: (qid, hits, recall), recall rounded to 4 decimals. */
+  def ivfRecall(spark: SparkSession, dir: String,
+                nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val brute = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("qid"), col("nid"))
+    val approx = ivfTopK(spark, dir, nQueries, k)
+      .select(col("qid").as("aqid"), col("nid").as("anid"))
+    brute
+      .join(approx, col("qid") === col("aqid") && col("nid") === col("anid"),
+            "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(col("anid")).as("hits"),
+           round(count(col("anid")) / lit(k.toDouble), 4).as("recall"))
+      .select(col("qid"), col("hits"), col("recall"))
+  }
+
+  /** Oracle for [[ivfRecall]]: composes the q30 brute-force SQL with the
+    * full q37 IVF replay (literal centroids — requires ivfTopK to have
+    * run, same contract as [[ivfTopKOracleSql]]) and recomputes the
+    * intersection in DuckDB. */
+  def ivfRecallOracleSql(nQueries: Int = 5, k: Int = 10): String = {
+    val ivf = ivfTopKOracleSql(nQueries, k)
+    s"""WITH brute AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+       |                 e.vec_id) AS rnk
+       |    FROM embeddings q, embeddings e
+       |    WHERE q.vec_id < $nQueries AND e.vec_id != q.vec_id) t
+       |  WHERE rnk <= $k),
+       |ivf AS (SELECT iv.qid AS aqid, iv.nid AS anid FROM (
+       |$ivf
+       |) iv)
+       |SELECT b.qid, count(i.anid) AS hits,
+       |  round(count(i.anid) / $k.0, 4) AS recall
+       |FROM brute b LEFT JOIN ivf i ON i.aqid = b.qid AND i.anid = b.nid
+       |GROUP BY b.qid""".stripMargin
+  }
 }

@@ -499,4 +499,92 @@ object TextAnalysis {
        |    AS rnk
        |FROM agg
        |ORDER BY n_occ DESC, pair LIMIT $k""".stripMargin
+
+  // ---- Bigram language-model quality scoring ------------------------
+
+  /** Reference-corpus LM perplexity filter — the CCNet quality signal
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020): train a language model
+    * on a trusted slice of the corpus, score every document by its
+    * negative log-likelihood under that model, and keep the fluent
+    * (low-NLL) tail. Here the model is an add-one-smoothed bigram LM
+    * trained on the `trainLang` documents; NLL is the per-bigram
+    * average of −ln P(w2 | w1) with
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), where c(w1·) is the
+    * bigram-history count and V the training vocabulary size.
+    *
+    * Scale shape (100 TB read): the token/bigram explodes are linear
+    * map-side work; the two model tables are VOCABULARY-bounded
+    * aggregations (not data-bounded — they stop growing once the
+    * vocabulary saturates); scoring is a pair of shuffle joins keyed on
+    * the bigram / history token, exactly how a distributed KenLM-style
+    * scorer shards its model; V travels as a broadcast 1-row frame. No
+    * driver-side state at any size.
+    *
+    * Output: (doc_id, n_bigrams, nll) for every document with ≥1
+    * bigram; nll rounded to 4 decimals (ln kernels across engines agree
+    * to ~1 ULP; averages over ≥1 bigram keep 4-decimal stability — same
+    * rounding contract as the cosine gates). */
+  def bigramLmScore(spark: SparkSession, dir: String,
+                    trainLang: String = "en"): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+              filter(split(normalized(col("text")), " "),
+                     t => t =!= "").as("ts"))
+    // map-side bigram list; guard small docs (sequence(0,-1) would
+    // count DOWN in Spark, not return empty)
+    val bigrams = expr(
+      """CASE WHEN size(ts) >= 2 THEN
+        |  transform(sequence(0, size(ts) - 2),
+        |    i -> struct(ts[i] AS w1, ts[i + 1] AS w2))
+        |ELSE array() END""".stripMargin)
+    val bi = toks
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("lang"),
+              col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bi.filter(col("lang") === trainLang)
+    val bigramCounts = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val historyCounts = train.groupBy(col("w1").as("hw"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = toks.filter(col("lang") === trainLang)
+      .select(explode(col("ts")).as("tk"))
+      .agg(countDistinct(col("tk")).as("v"))
+    bi
+      .join(bigramCounts, Seq("w1", "w2"), "left_outer")
+      .join(historyCounts, col("w1") === col("hw"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+                            (coalesce(col("c1"), lit(0L)) + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("lp")), 4).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"))
+  }
+
+  def bigramLmScoreOracleSql(trainLang: String = "en"): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+       |      t -> t <> '') AS ts
+       |  FROM documents),
+       |bi0 AS (
+       |  SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i FROM tok),
+       |bi AS (
+       |  SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2 FROM bi0),
+       |train AS (SELECT w1, w2 FROM bi WHERE lang = '$trainLang'),
+       |bc AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+       |hc AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tk) AS vs FROM
+       |  (SELECT unnest(ts) AS tk FROM tok WHERE lang = '$trainLang') t),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    ln((coalesce(bc.c2, 0) + 1.0) / (coalesce(hc.c1, 0) + v.vs))
+       |      AS lp
+       |  FROM bi b
+       |  LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+       |  LEFT JOIN hc ON hc.w1 = b.w1
+       |  CROSS JOIN v)
+       |SELECT doc_id, count(*) AS n_bigrams, round(-avg(lp), 4) AS nll
+       |FROM sc GROUP BY doc_id""".stripMargin
 }

@@ -147,4 +147,20 @@ class SimilaritySpec extends SparkSpec {
     assert(all.exceptAll(bf).isEmpty && bf.exceptAll(all).isEmpty)
     out.unpersist()
   }
+
+  test("ivfRecall matches a driver-side intersect of brute and IVF sets") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(spark, sfDir))
+    val ivf = pairs(Similarity.ivfTopK(spark, sfDir))
+    val expected = bf.groupBy(_._1)
+      .map { case (q, s) => q -> s.count(ivf.contains).toLong }
+    val got = Similarity.ivfRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.view.mapValues(_._1).toMap == expected)
+    // recall = hits / k, one row per query, bounded in [0, 1]
+    assert(got.size == 5)
+    assert(got.values.forall { case (h, r) => r == h / 10.0 && r >= 0 && r <= 1 })
+  }
 }

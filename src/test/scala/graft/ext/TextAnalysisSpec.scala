@@ -115,4 +115,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == 0.0 && out(2L) == 0.0, "identical docs share all grams")
     assert(out(3L) == 1.0, "disjoint vocabulary is fully novel")
   }
+
+  test("bigramLmScore: hand-computed add-one NLL on a controlled corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("lmfix").toString
+    Seq(
+      (1L, "A b, a B!", "en", "s", 9L),   // normalizes to "a b a b"
+      (2L, "a a", "en", "s", 3L),
+      (3L, "c b", "zh", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // train (en): bigrams (a,b):2 (b,a):1 (a,a):1; histories a:3 b:1; V=2
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      1L -> (3L, r4(-(2 * math.log(3 / 5.0) + math.log(2 / 3.0)) / 3)),
+      2L -> (1L, r4(-math.log(2 / 5.0))),   // (a,a): (1+1)/(3+2)
+      3L -> (1L, r4(-math.log(1 / 2.0))))   // unseen history: (0+1)/(0+2)
+    val got = TextAnalysis.bigramLmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected)
+  }
 }
