@@ -375,6 +375,14 @@ object SparkEntry {
     // the 'en' slice, per-doc negative log-likelihood under it
     "q118_bigram_lm" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.bigramLmScore(s, d)),
+    // content-defined chunking (rsync/FastCDC family): rolling-hash cut
+    // points, chunk-md5 dedup, per-doc duplicated-span ratio
+    "q119_cdc_chunks" -> ((s: SparkSession, d: String) =>
+      ext.CdcChunk.chunkDedupStats(s, d)),
+    // mixture-design audit: exact 3-gram Jaccard between every source
+    // pair (corpus-level overlap that never concentrates in one doc pair)
+    "q120_source_overlap" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.sourceGramJaccard(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -943,5 +951,7 @@ object SparkEntry {
       streaming.Streams.funnelLeftOuterOracleSql(),
     "q117_ann_recall" -> ext.Similarity.ivfRecallOracleSql(),
     "q118_bigram_lm" -> ext.TextAnalysis.bigramLmScoreOracleSql(),
+    "q119_cdc_chunks" -> ext.CdcChunk.chunkDedupStatsOracleSql(),
+    "q120_source_overlap" -> ext.Dedup.sourceGramJaccardOracleSql(),
   )
 }

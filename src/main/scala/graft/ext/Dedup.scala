@@ -870,4 +870,74 @@ object Dedup {
       .groupBy(col("source_lo"), col("source_hi"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  // ---- cross-source corpus overlap matrix ---------------------------
+
+  /** EXACT word-n-gram Jaccard between every pair of sources — the
+    * mixture-design audit: before weighting sources into a training mix,
+    * measure how much content they share (two crawls of the same sites
+    * would otherwise be double-weighted). Where [[sourceOverlap]] counts
+    * near-dup DOC pairs across sources, this measures corpus-level SET
+    * overlap — it sees diffuse sharing (boilerplate, common passages)
+    * that never concentrates into any single near-dup pair.
+    *
+    * Scale shape: one explode to distinct (source, gram) — the gram
+    * vocabulary is content-bounded, not corpus-size-bounded; the
+    * intersection is a self-join keyed on the gram, whose fan-out per
+    * gram is capped by (#sources choose 2) — 190 here, NEVER documents²
+    * (the #sources dimension of a corpus is bounded in the real world
+    * exactly like the TPC-H `nation` table). Sizes are one bounded
+    * aggregation; the final join is on the 190-row pair table.
+    *
+    * Output: (source_a, source_b, n_inter, jaccard[4dp]) for pairs with
+    * at least one shared gram; integer-exact except the final ratio
+    * (int/int division, identical bits across engines). */
+  def sourceGramJaccard(spark: SparkSession, dir: String,
+                        n: Int = 3): DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+              explode(graft.functions.StringNGrams.ngrams(
+                split(TextAnalysis.normalized(col("text")), " "), n))
+                .as("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    grams.as("a")
+      .join(grams.as("b"),
+            col("a.gram") === col("b.gram") &&
+              col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+                                   col("sz").as("za"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+                                   col("sz").as("zb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+              round(col("n_inter") / (col("za") + col("zb") - col("n_inter")),
+                    4).as("jaccard"))
+  }
+
+  def sourceGramJaccardOracleSql(n: Int = 3): String =
+    s"""WITH w AS (
+       |  SELECT source, string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source,
+       |    unnest([array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], ' ')
+       |            for i in range(1, len(ws) - ${n - 2})]) AS gram
+       |  FROM w),
+       |sz AS (SELECT source, count(*) AS z FROM g GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         count(*) AS n_inter
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_inter,
+       |  round(CAST(n_inter AS DOUBLE) / (za.z + zb.z - n_inter), 4)
+       |    AS jaccard
+       |FROM inter
+       |JOIN sz za ON za.source = inter.source_a
+       |JOIN sz zb ON zb.source = inter.source_b""".stripMargin
 }

@@ -324,4 +324,31 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").limit(3).collect().map(_.toString).toSeq
     assert(sig1 == sig2)
   }
+
+  test("sourceGramJaccard equals a driver-side set recompute") {
+    import org.apache.spark.sql.functions._
+    // independent gram construction: interpreted HOF slice/concat_ws
+    // (the formulation StringNGrams documents equivalence with)
+    val per = graft.Tables.load(spark, sfDir, "documents")
+      .withColumn("ws", split(TextAnalysis.normalized(col("text")), " "))
+      .select(col("source"), expr(
+        """CASE WHEN size(ws) >= 3 THEN
+          |  transform(sequence(1, size(ws) - 2),
+          |    i -> concat_ws(' ', slice(ws, i, 3)))
+          |ELSE array() END""".stripMargin).as("gs"))
+      .collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.flatMap(_.getSeq[String](1)).toSet).toMap
+    val expected = (for {
+      a <- per.keys; b <- per.keys if a < b
+      i = (per(a) intersect per(b)).size if i > 0
+    } yield (a, b) -> (i.toLong,
+      BigDecimal(i.toDouble / (per(a).size + per(b).size - i))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    val got = Dedup.sourceGramJaccard(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
