@@ -43,7 +43,9 @@ object ScaleSmoke {
     // round-8 additions
     "q105_session_window", "q107_ivfpq_adc", "q108_ivfpq_rerank",
     "q109_hll_distinct", "q110_cms_heavy_hitters", "q112_mix_order",
-    "q113_cc_altstar", "q114_phrase_search", "q115_jl_projection")
+    "q113_cc_altstar", "q114_phrase_search", "q115_jl_projection",
+    "q117_ann_recall", "q118_bigram_lm", "q119_cdc_chunks",
+    "q120_source_overlap")
 
   def generate(spark: SparkSession): Unit = {
     // events.ts unit has changed across driver rounds (nanos → micros);
