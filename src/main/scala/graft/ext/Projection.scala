@@ -31,7 +31,7 @@ object Projection {
   }
 
   private def dot(a: Column, lits: Array[Double]): Column =
-    graft.functions.VectorOps.dot(a, array(lits.map(lit): _*))
+    graft.functions.VectorOps.dot(a, typedlit(lits))
 
   def jlNormAudit(spark: SparkSession, dir: String): DataFrame = {
     val e = col("embedding")

@@ -73,7 +73,7 @@ object Quantize {
     * entry, as one codegen'd expression tree. */
   private def sqDist(sub: Column, cent: Array[Double]): Column =
     aggregate(
-      zip_with(sub, array(cent.map(c => lit(c)): _*),
+      zip_with(sub, typedlit(cent),
                (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, d) => acc + d)
 

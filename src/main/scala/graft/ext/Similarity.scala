@@ -77,7 +77,7 @@ object Similarity {
     * array literals. */
   def withBuckets(df: DataFrame, emb: Column): DataFrame = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit): _*)
+      val planeArr = typedlit(p)
       val d = dot(emb, planeArr)
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
@@ -113,7 +113,7 @@ object Similarity {
   /** Sign-pattern bucket of `emb` in hash table `t` (codegen'd dots). */
   private def tableBucket(emb: Column, t: Int): Column =
     tablePlanes(t).zipWithIndex.map { case (p, i) =>
-      when(dot(emb, array(p.map(lit): _*)) >= 0, lit(1L << i))
+      when(dot(emb, typedlit(p)) >= 0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -180,7 +180,7 @@ object Similarity {
   private[ext] def withIvfCells(df: DataFrame, emb: Column,
                                 cents: Array[Array[Double]]): DataFrame = {
     val dots = array(cents.map(c =>
-      dot(l2normalize(emb), array(c.map(lit): _*))): _*)
+      dot(l2normalize(emb), typedlit(c))): _*)
     df.withColumn("__d", dots)
       .withColumn("cell",
         expr("array_position(__d, array_max(__d))").cast("int") - 1)
@@ -197,7 +197,7 @@ object Similarity {
                                      cents: Array[Array[Double]],
                                      nAssign: Int): DataFrame = {
     val dots = array(cents.map(c =>
-      dot(l2normalize(emb), array(c.map(lit): _*))): _*)
+      dot(l2normalize(emb), typedlit(c))): _*)
     // peel off the top-n maxima: cells_i = argmax of __d with the
     // previous maxima removed (continuous dots — value ties negligible)
     val cellCols = (1 to nAssign).map { i =>
@@ -264,7 +264,7 @@ object Similarity {
     // per query: dots to every centroid, take the nProbe best cells.
     // (HOF sort is interpreted but runs on the bounded query batch only.)
     val qDots = array(cents.map(c =>
-      dot(l2normalize(col("embedding")), array(c.map(lit): _*))): _*)
+      dot(l2normalize(col("embedding")), typedlit(c))): _*)
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), l2normalize(col("embedding")).as("qe"),
               qDots.as("__d"))
@@ -336,7 +336,7 @@ object Similarity {
     // query side: nProbe best cells (same HOF as ivfTopK) + the ADC
     // distance tables dt_m[k] = ||q_sub_m - codebook[m][k]||²
     val qDots = array(cents.map(c =>
-      dot(l2normalize(col("embedding")), array(c.map(lit): _*))): _*)
+      dot(l2normalize(col("embedding")), typedlit(c))): _*)
     val dts = Quantize.pqDistTables(books, Dim)
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid") +: qDots.as("__d") +:
