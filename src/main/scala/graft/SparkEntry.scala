@@ -383,6 +383,10 @@ object SparkEntry {
     // pair (corpus-level overlap that never concentrates in one doc pair)
     "q120_source_overlap" -> ((s: SparkSession, d: String) =>
       ext.Dedup.sourceGramJaccard(s, d)),
+    // streaming minhash-LSH near-dup: dedup-against-index at ingest
+    // time; per-bucket state is ONE long (the earliest doc id)
+    "q121_stream_minhash" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.minhashDedupAvailableNow(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -953,5 +957,6 @@ object SparkEntry {
     "q118_bigram_lm" -> ext.TextAnalysis.bigramLmScoreOracleSql(),
     "q119_cdc_chunks" -> ext.CdcChunk.chunkDedupStatsOracleSql(),
     "q120_source_overlap" -> ext.Dedup.sourceGramJaccardOracleSql(),
+    "q121_stream_minhash" -> ext.Dedup.streamingLshDedupOracleSql(),
   )
 }

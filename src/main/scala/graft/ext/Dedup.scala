@@ -62,7 +62,14 @@ object Dedup {
     * oracle-checkable instead of rows-only. Same trick as the winnowing
     * gates (q83/q86), applied to an integer domain. */
   private[ext] def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    shingledOf(Tables.load(spark, dir, "documents"))
+
+  /** Same per-row transform over any (doc_id, text) frame — including a
+    * STREAMING one (every stage is stateless row-local expression work,
+    * so the minhash front end composes into Structured Streaming
+    * unchanged; see [[graft.streaming.Streams.minhashDedupStream]]). */
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
               split(TextAnalysis.normalized(col("text")), " ").as("words"))
       .select(col("doc_id"),
@@ -73,10 +80,20 @@ object Dedup {
     * map-side by the codegen'd [[graft.functions.MinHashSig]] — no row
     * explosion, no shuffle (the explode → 32-way min-aggregate it
     * replaces shuffled |docs| x |shingles| rows). */
-  private[ext] def signatures(sh: DataFrame): DataFrame =
+  private[graft] def signatures(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(
         col("shingles"), perms.map(_._1), perms.map(_._2)).as("sig"))
+
+  /** The 8 per-band keys of a signature column as an array of structs
+    * (band index + the band's 4 raw signature values) — the exact band
+    * key [[candidatePairs]] joins on, exposed for the streaming twin. */
+  private[graft] def bandStructs(sig: Column): Column =
+    array((0 until NumPerms / BandRows).map { bIdx =>
+      val cols = (0 until BandRows).map(r =>
+        element_at(sig, bIdx * BandRows + r + 1).as(s"s$r"))
+      struct(lit(bIdx).as("band") +: cols: _*)
+    }: _*)
 
   /** Candidate pairs via banding: 8 bands of 4 signature rows; docs
     * sharing a band's full 4-value slice become candidates. Shuffle key
@@ -88,13 +105,8 @@ object Dedup {
     * way. */
   private[ext] def candidatePairs(sh: DataFrame): DataFrame = {
     val sig = signatures(sh)
-    val bandCols = (0 until NumPerms / BandRows).map { bIdx =>
-      val cols = (0 until BandRows).map(r =>
-        element_at(col("sig"), bIdx * BandRows + r + 1).as(s"s$r"))
-      struct(lit(bIdx).as("band") +: cols: _*)
-    }
     val bands = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bk"))
+        explode(bandStructs(col("sig"))).as("bk"))
     bands.as("l").join(bands.as("r"),
         col("l.bk") === col("r.bk") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -801,6 +813,21 @@ object Dedup {
        |            JOIN sh lb ON lb.doc_id = cand.b_id) v
        |WHERE jaccard >= $threshold""".stripMargin
   }
+
+  /** DuckDB oracle for the STREAMING minhash-LSH dedup
+    * ([[graft.streaming.Streams.minhashDedupAvailableNow]]): with
+    * id-ordered arrival, every doc in a band bucket except the bucket
+    * minimum reports that minimum as its earlier duplicate — which is
+    * exactly the bucket-min join below. Reuses the q26 signature +
+    * banding CTEs verbatim, so the streaming path is pinned to the
+    * batch pipeline's hashes value-for-value. */
+  def streamingLshDedupOracleSql(): String =
+    s"""WITH $minhashCtes
+       |SELECT CAST(d.b AS INT) AS band, m.a_id, d.doc_id AS b_id
+       |FROM bands d
+       |JOIN (SELECT b, bk, min(doc_id) AS a_id
+       |      FROM bands GROUP BY b, bk) m
+       |  ON m.b = d.b AND m.bk = d.bk AND d.doc_id > m.a_id""".stripMargin
 
   /** DuckDB oracle for [[containmentEstimate]]: the q26 signature +
     * banding CTEs, then the matched-component count via a filtered list

@@ -478,4 +478,83 @@ object Streams {
       .agg(max(col("n_events")).as("n_events"),
            max(col("n_sessions")).as("n_sessions"))
   }
+
+  // ---- streaming minhash-LSH near-dup (dedup-against-index) ---------
+
+  case class BandDoc(band: Int, s0: Long, s1: Long, s2: Long, s3: Long,
+                     doc_id: Long)
+  case class DupHit(band: Int, a_id: Long, b_id: Long)
+  case class BucketMin(minId: Long)
+
+  /** File-source stream over a documents parquet directory (the
+    * document-ingest firehose; schema per TESTDATA.md). */
+  def readDocumentsStream(spark: SparkSession, dir: String,
+                          glob: String = "documents.parquet"): DataFrame =
+    spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+
+  /** STREAMING minhash-LSH near-duplicate detection — dedup-against-
+    * index, the shape a production ingest pipeline actually runs (batch
+    * LSH re-pairs the whole corpus; an ingest stream must answer "is
+    * this NEW doc a near-dup of anything already indexed?" at arrival
+    * time). The stateless minhash front end (normalize → 3-gram md5
+    * shingles → 32-perm signature → 8×4 banding) is literally the batch
+    * q26 operator's code (`Dedup.shingledOf`/`signatures`/
+    * `bandStructs`); the index is keyed state per (band, band-key):
+    * ONE long (the smallest doc_id seen) — bounded regardless of corpus
+    * size, the same growth law as the batch LSH bucket table. A doc
+    * emits one [[DupHit]] per band whose bucket already holds an
+    * earlier doc.
+    *
+    * ORDERING CONTRACT (same as [[sessionCounts]], recorded in
+    * DEVIATIONS.md): rows are sorted by doc_id within each micro-batch;
+    * with id-ordered delivery (the gate's single AvailableNow batch)
+    * every hit reports the bucket's GLOBAL minimum, which is what the
+    * batch oracle computes. Out-of-order cross-batch arrival keeps
+    * correctness ("a_id is SOME earlier bucket member") but can report
+    * a non-minimal earlier doc. */
+  def minhashDedupStream(docs: DataFrame): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ext.Dedup.signatures(graft.ext.Dedup.shingledOf(docs))
+      .select(col("doc_id"),
+              explode(graft.ext.Dedup.bandStructs(col("sig"))).as("bk"))
+      .select(col("bk.band").as("band"),
+              col("bk.s0").as("s0"), col("bk.s1").as("s1"),
+              col("bk.s2").as("s2"), col("bk.s3").as("s3"),
+              col("doc_id"))
+      .as[BandDoc]
+      .groupByKey(d => (d.band, d.s0, d.s1, d.s2, d.s3))
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateBucket)
+  }
+
+  private def updateBucket(
+      key: (Int, Long, Long, Long, Long), docs: Iterator[BandDoc],
+      state: GroupState[BucketMin]): Iterator[DupHit] = {
+    val sorted = docs.toArray.sortBy(_.doc_id)
+    if (sorted.isEmpty) return Iterator.empty
+    var minId = state.getOption.map(_.minId).getOrElse(Long.MaxValue)
+    val out = Seq.newBuilder[DupHit]
+    sorted.foreach { d =>
+      if (d.doc_id > minId) out += DupHit(key._1, minId, d.doc_id)
+      else minId = d.doc_id
+    }
+    state.update(BucketMin(minId))
+    out.result().iterator
+  }
+
+  /** Static documents dir streamed through [[minhashDedupStream]]; with
+    * the single-batch id-ordered delivery the result equals the batch
+    * bucket-min join ([[graft.ext.Dedup.streamingLshDedupOracleSql]]). */
+  def minhashDedupAvailableNow(spark: SparkSession, dir: String): DataFrame =
+    runBounded(minhashDedupStream(readDocumentsStream(spark, dir)).toDF(),
+               OutputMode.Update())
+      .select(col("band"), col("a_id"), col("b_id"))
 }

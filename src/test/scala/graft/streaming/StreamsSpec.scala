@@ -202,4 +202,53 @@ class StreamsSpec extends SparkSpec {
         s"unmatched click not null-emitted: $rows")
     } finally q.stop()
   }
+
+  test("streaming minhash dedup equals the batch bucket-min join (single batch)") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val bands = graft.ext.Dedup.signatures(graft.ext.Dedup.shingledOf(docs))
+      .select(col("doc_id"),
+              explode(graft.ext.Dedup.bandStructs(col("sig"))).as("bk"))
+    val mins = bands.groupBy(col("bk")).agg(min(col("doc_id")).as("a_id"))
+    val expected = bands.join(mins, "bk")
+      .filter(col("doc_id") > col("a_id"))
+      .select(col("bk.band").as("band"), col("a_id"),
+              col("doc_id").as("b_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = Streams.minhashDedupAvailableNow(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "sf0.001 must contain near-dup docs")
+  }
+
+  case class RawDoc(doc_id: Long, text: String, lang: String,
+                    source: String, n_chars: Long)
+
+  test("streaming minhash dedup across batches: a_id always arrived earlier") {
+    val input = MemoryStream[RawDoc]
+    val out = Streams.minhashDedupStream(input.toDF()).toDF()
+    val q = out.writeStream.format("memory").queryName("mh_dedup_test")
+      .outputMode("update").start()
+    try {
+      val t = "the quick brown fox jumps over the lazy dog again and again"
+      // batch 1: docs 10 and 20 (identical text -> same buckets)
+      input.addData(RawDoc(10, t, "en", "s", t.length.toLong),
+                    RawDoc(20, t, "en", "s", t.length.toLong))
+      q.processAllAvailable()
+      // batch 2: doc 5 (smaller id, same text) arrives LATE, plus 30
+      input.addData(RawDoc(5, t, "en", "s", t.length.toLong),
+                    RawDoc(30, t, "en", "s", t.length.toLong))
+      q.processAllAvailable()
+      val hits = spark.table("mh_dedup_test")
+        .select("band", "a_id", "b_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      // batch 1: 20 dups against 10 in all 8 bands
+      assert((0 until 8).forall(b => hits.contains((b, 10L, 20L))))
+      // late smaller id emits nothing (it becomes the new bucket min)...
+      assert(!hits.exists(_._3 == 5L))
+      // ...and 30 (sorted after 5 within its batch) pairs with 5 — every
+      // a_id arrived no later than its b_id, the documented contract
+      assert((0 until 8).forall(b => hits.contains((b, 5L, 30L))))
+      assert(!hits.exists(h => h._3 == 30L && h._2 == 10L))
+    } finally q.stop()
+  }
 }
