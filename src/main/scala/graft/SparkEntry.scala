@@ -387,6 +387,10 @@ object SparkEntry {
     // time; per-bucket state is ONE long (the earliest doc id)
     "q121_stream_minhash" -> ((s: SparkSession, d: String) =>
       streaming.Streams.minhashDedupAvailableNow(s, d)),
+    // tokenizer-vocab coverage: per-source OOV rate under the corpus
+    // top-1000 frequency-cut vocabulary (broadcast membership join)
+    "q122_vocab_coverage" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.vocabCoverage(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -958,5 +962,6 @@ object SparkEntry {
     "q119_cdc_chunks" -> ext.CdcChunk.chunkDedupStatsOracleSql(),
     "q120_source_overlap" -> ext.Dedup.sourceGramJaccardOracleSql(),
     "q121_stream_minhash" -> ext.Dedup.streamingLshDedupOracleSql(),
+    "q122_vocab_coverage" -> ext.TextAnalysis.vocabCoverageOracleSql(),
   )
 }

@@ -561,6 +561,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("nll"))
   }
 
+  /** Tokenizer-vocabulary coverage audit: fix the vocabulary to the
+    * corpus's top-`vocabSize` word tokens (count desc, token asc — the
+    * deterministic frequency-cut every subword tokenizer starts from)
+    * and report each source's out-of-vocabulary token rate. High OOV
+    * for a source means the tokenizer will fragment its text into long
+    * byte-fallback sequences — the audit run before freezing a
+    * tokenizer on a new mixture.
+    *
+    * Scale shape: one token explode (linear, map-side); the count table
+    * is vocabulary-bounded; the top-N cut is a TakeOrdered over that
+    * bounded table; the membership join BROADCASTS the N-row vocab
+    * against the token stream (never shuffles the corpus); final rollup
+    * is a #sources-bounded aggregation. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+                    vocabSize: Int = 1000): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+              explode(filter(split(normalized(col("text")), " "),
+                             t => t =!= "")).as("tk"))
+    val vocab = toks.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tk")).limit(vocabSize)
+      .select(col("tk"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("tk"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+              round(col("n_oov") / col("n_tokens"), 4).as("oov_rate"))
+  }
+
+  def vocabCoverageOracleSql(vocabSize: Int = 1000): String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split(trim(regexp_replace(
+       |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |      ' +', ' ', 'g')), ' '), t -> t <> '')) AS tk
+       |  FROM documents),
+       |c AS (SELECT tk, count(*) AS n FROM tok GROUP BY tk),
+       |v AS (SELECT tk AS vtk FROM c ORDER BY n DESC, tk LIMIT $vocabSize)
+       |SELECT source, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN vtk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  round(CAST(sum(CASE WHEN vtk IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 4) AS oov_rate
+       |FROM tok LEFT JOIN v ON vtk = tk
+       |GROUP BY source""".stripMargin
+
   def bigramLmScoreOracleSql(trainLang: String = "en"): String =
     s"""WITH tok AS (
        |  SELECT doc_id, lang,

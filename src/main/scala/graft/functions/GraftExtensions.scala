@@ -99,5 +99,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "normalize_text(s)")
         NormalizeText.Normalize(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("cdc_boundaries"),
+      info("cdc_boundaries",
+        "cdc_boundaries(s, w, divisor) - content-defined chunk cut points " +
+          "(rolling Karp-Rabin hash, 1-based end positions)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cdc_boundaries(s, w, divisor)")
+        CdcBoundaries(args.head, intArg(args(1), "w"),
+                      intArg(args(2), "divisor"))
+      }))
   }
 }

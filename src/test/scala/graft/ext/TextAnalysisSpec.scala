@@ -116,6 +116,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == 1.0, "disjoint vocabulary is fully novel")
   }
 
+  test("vocabCoverage: hand-computed OOV rates; vocab join broadcasts") {
+    val dir = java.nio.file.Files.createTempDirectory("vocfix").toString
+    Seq(
+      (1L, "a a b c", "en", "A", 7L),
+      (2L, "a d", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // counts: a:3 b:1 c:1 d:1 -> top-2 (n desc, tk asc) = {a, b}
+    val out = TextAnalysis.vocabCoverage(spark, dir, vocabSize = 2)
+    val got = out.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+                                   r.getDouble(3))).toMap
+    assert(got == Map("A" -> (4L, 1L, 0.25), "B" -> (2L, 1L, 0.5)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab membership must broadcast, not shuffle:\n$plan")
+  }
+
   test("bigramLmScore: hand-computed add-one NLL on a controlled corpus") {
     val dir = java.nio.file.Files.createTempDirectory("lmfix").toString
     Seq(

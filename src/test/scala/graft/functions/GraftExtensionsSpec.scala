@@ -42,6 +42,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(0) == "hello world 123")
   }
 
+  test("cdc_boundaries works in SQL and agrees with the Column builder") {
+    registered
+    val s = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"
+    val sqlOut = spark.sql(
+      s"SELECT cdc_boundaries('$s', 8, 4) AS b").head().getSeq[Int](0)
+    val builderOut = CdcBoundaries
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), 8, 4)
+      .toIntArray().toSeq
+    assert(sqlOut == builderOut)
+    assert(sqlOut.nonEmpty, "divisor 4 must cut a 52-char string")
+  }
+
   test("vec_dot / vec_l2norm agree with the Column builders") {
     registered
     val r = spark.sql(
