@@ -391,6 +391,10 @@ object SparkEntry {
     // top-1000 frequency-cut vocabulary (broadcast membership join)
     "q122_vocab_coverage" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.vocabCoverage(s, d)),
+    // optimizer-grade join-size estimation: AMS count-sketch signed
+    // inner product vs the exact lineitem x orders join count
+    "q123_join_cardinality" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.amsJoinSizeEstimate(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -963,5 +967,6 @@ object SparkEntry {
     "q120_source_overlap" -> ext.Dedup.sourceGramJaccardOracleSql(),
     "q121_stream_minhash" -> ext.Dedup.streamingLshDedupOracleSql(),
     "q122_vocab_coverage" -> ext.TextAnalysis.vocabCoverageOracleSql(),
+    "q123_join_cardinality" -> ext.Sketches.amsJoinSizeOracleSql(),
   )
 }

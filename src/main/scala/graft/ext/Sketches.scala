@@ -184,6 +184,109 @@ object Sketches {
       .select(col("token"), col("n_true"), col("n_est"))
   }
 
+  // ---- AMS (count-sketch) join-cardinality estimation ---------------
+
+  private val AmsD = 5   // odd — the median row is an actual estimate
+  private val AmsW = 512
+
+  /** Join-size estimation from two COUNT SKETCHES — the AMS
+    * inner-product estimator (Alon–Matias–Szegedy, STOC 1996; Charikar
+    * et al.'s count-sketch form) a cost-based optimizer uses to size
+    * |R ⋈ S| WITHOUT running the join. Each side folds its key stream
+    * into a d×w table of SIGNED counts (cell[j][b] = Σ s_j(key) over
+    * keys hashing to b); per row j, ⟨cR[j], cS[j]⟩ is an UNBIASED
+    * estimate of the join size (sign cross-terms cancel in
+    * expectation — unlike the count-MIN inner product, whose
+    * nonnegative collision terms add N_R·N_S/w systematic
+    * overcount: measured 2.8× on this very join, which is why this
+    * operator uses signs); the estimate is the MEDIAN over the d rows,
+    * with std ≈ √(F₂(R)·F₂(S)/w).
+    *
+    * Scale shape: each sketch is one (row, bucket)-keyed shuffle onto
+    * a fixed 5×512 table, mergeable by ADDITION across 1000 executors;
+    * combining the two sketches is bounded-size work. The exact count
+    * (the gate's ground-truth column) is the real join — the thing the
+    * estimator exists to avoid at 100 TB.
+    *
+    * Determinism: bucket and sign both derive from one md5 per
+    * (row, key) — integer arithmetic end to end; the median of 5
+    * integer row-estimates is an array sort + pick. Output: one row
+    * (exact_rows, est_rows, rel_err[4dp]) for lineitem ⋈ orders on the
+    * order key; rel_err is the only division (int/int → double,
+    * identical bits across engines; may be negative — the estimator is
+    * unbiased, not one-sided). */
+  def amsJoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    def sketch(keys: DataFrame): DataFrame = {
+      val withHashes = (0 until AmsD).foldLeft(keys) { (df, j) =>
+        df.withColumn(s"h$j", h60(concat(lit(s"$j:"), col("key"))))
+      }
+      withHashes
+        .select(posexplode(array((0 until AmsD).map { j =>
+          struct(pmod(col(s"h$j"), lit(AmsW.toLong)).as("bucket"),
+                 when(expr(s"(h$j div $AmsW) % 2") === 0, lit(1L))
+                   .otherwise(lit(-1L)).as("sign"))
+        }: _*)).as(Seq("j", "bs")))
+        .groupBy(col("j"), col("bs.bucket").as("bucket"))
+        .agg(sum(col("bs.sign")).as("cell"))
+    }
+    val lk = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("key"))
+    val ok = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").cast("string").as("key"))
+    val est = sketch(lk).select(col("j"), col("bucket"), col("cell").as("ca"))
+      .join(sketch(ok).select(col("j"), col("bucket"), col("cell").as("cb")),
+            Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("ca") * col("cb")).as("ipj"))
+      .agg(element_at(sort_array(collect_list(col("ipj"))),
+                      AmsD / 2 + 1).as("est_rows"))
+    val exact = lk.join(ok, "key").agg(count(lit(1)).as("exact_rows"))
+    exact.crossJoin(est)
+      .select(col("exact_rows"), col("est_rows"),
+              round((col("est_rows") - col("exact_rows")) /
+                    col("exact_rows"), 4).as("rel_err"))
+  }
+
+  /** DuckDB oracle for [[amsJoinSizeEstimate]] — same md5-derived
+    * buckets and signs on the stringified keys, HUGEINT sums cast back
+    * to BIGINT (the driver-hash dtype rule), median as an ordered-list
+    * pick (no quantile interpolation). */
+  def amsJoinSizeOracleSql(): String = {
+    val h = (j: Int) =>
+      s"""list_reduce([CAST(strpos('0123456789abcdef',
+         |      substr(md5('$j:' || key), p, 1)) - 1 AS BIGINT)
+         |    for p in range(1, 16)], (a, b) -> a * 16 + b)""".stripMargin
+    def hashRows(src: String) = (0 until AmsD)
+      .map(j => s"""SELECT $j AS j, ${h(j)} % $AmsW AS bucket,
+                   |    CASE WHEN (${h(j)} // $AmsW) % 2 = 0
+                   |         THEN 1 ELSE -1 END AS sign
+                   |  FROM $src""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem),
+       |ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders),
+       |ha AS (
+       |  ${hashRows("lk")}),
+       |hb AS (
+       |  ${hashRows("ok")}),
+       |ca AS (SELECT j, bucket, CAST(sum(sign) AS BIGINT) AS cell
+       |       FROM ha GROUP BY 1, 2),
+       |cb AS (SELECT j, bucket, CAST(sum(sign) AS BIGINT) AS cell
+       |       FROM hb GROUP BY 1, 2),
+       |ip AS (
+       |  SELECT a.j, CAST(sum(a.cell * b.cell) AS BIGINT) AS ipj
+       |  FROM ca a JOIN cb b ON a.j = b.j AND a.bucket = b.bucket
+       |  GROUP BY a.j),
+       |est AS (SELECT list(ipj ORDER BY ipj)[${AmsD / 2 + 1}] AS est_rows
+       |        FROM ip),
+       |ex AS (
+       |  SELECT count(*) AS exact_rows
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT exact_rows, est_rows,
+       |  round((CAST(est_rows AS DOUBLE) - exact_rows) / exact_rows, 4)
+       |    AS rel_err
+       |FROM ex, est""".stripMargin
+  }
+
   /** DuckDB oracle for [[cmsTopTokens]] — same tokenization as the
     * text-family oracles, same salted md5 buckets, integer throughout. */
   def cmsOracleSql(k: Int = 20): String = {

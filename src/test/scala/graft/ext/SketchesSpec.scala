@@ -73,4 +73,21 @@ class SketchesSpec extends SparkSpec {
     assert(counters.count() == 20,
       s"point-query output must be bounded (corpus had $cells tokens)")
   }
+
+  test("AMS join-size estimate: unbiased signed sketch tracks the exact count") {
+    val row = Sketches.amsJoinSizeEstimate(spark, sfDir).head()
+    val (exact, est, relErr) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // the real join at sf0.001 (every lineitem has an order)
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    assert(exact == li.count(), "orderkey join is 1:N — exact = |lineitem|")
+    assert(relErr == BigDecimal((est - exact).toDouble / exact)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // std ~ sqrt(F2(R) F2(S) / w): a few percent here; allow wide margin
+    assert(math.abs(relErr) < 0.5,
+      s"estimate off by ${relErr}x — sketch broken?")
+    // deterministic: same sketch, same estimate
+    val again = Sketches.amsJoinSizeEstimate(spark, sfDir).head()
+    assert(again.getLong(1) == est)
+  }
 }
