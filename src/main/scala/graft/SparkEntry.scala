@@ -395,6 +395,10 @@ object SparkEntry {
     // inner product vs the exact lineitem x orders join count
     "q123_join_cardinality" -> ((s: SparkSession, d: String) =>
       ext.Sketches.amsJoinSizeEstimate(s, d)),
+    // real multi-frame video container (animated GIF via ImageIO):
+    // stride frame-sampling reads only the sampled frame indices
+    "q124_video_frames" -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.videoFrameStats(s, d).toDF()),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -968,5 +972,6 @@ object SparkEntry {
     "q121_stream_minhash" -> ext.Dedup.streamingLshDedupOracleSql(),
     "q122_vocab_coverage" -> ext.TextAnalysis.vocabCoverageOracleSql(),
     "q123_join_cardinality" -> ext.Sketches.amsJoinSizeOracleSql(),
+    "q124_video_frames" -> ext.Multimodal.videoFrameStatsOracleSql(),
   )
 }

@@ -453,6 +453,132 @@ object Multimodal {
     }
   }
 
+  // ---- video: real multi-frame container (animated GIF) -------------
+
+  /** A video row: opaque multi-frame payload + typed metadata. */
+  case class VideoRow(media_id: Long, payload: Array[Byte], n_frames: Int,
+                      width: Int, height: Int)
+  case class VideoFrameStats(media_id: Long, n_frames: Long,
+                             n_sampled: Long, sum_gray: Long)
+
+  /** Real JDK multi-frame codec: animated GIF via ImageIO's sequence
+    * writer/reader. Frames are solid gray `(id % 64 + 17·f) % 256` at
+    * the id's width×height — deterministic, so every decoded value has
+    * a closed form the SQL oracle recomputes from doc_id. Frame
+    * sampling reads ONLY the sampled indices through the ImageReader
+    * (`read(i)`) — the point of a real container format: seek to a
+    * frame without materializing the rest. */
+  object VideoCodec {
+    def nFramesFor(id: Long): Int = (id % 5).toInt + 2
+    def grayFor(id: Long, f: Int): Int = ((id % 64).toInt + 17 * f) % 256
+
+    def encode(id: Long): Array[Byte] = {
+      val w = Codec.widthFor(id); val h = Codec.heightFor(id)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val wr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      try {
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFramesFor(id)) {
+          val g = grayFor(id, f)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val p = wr.getDefaultWriteParam
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+          f += 1
+        }
+        wr.endWriteSequence()
+      } finally { wr.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Decode frame count + every `stride`-th frame's integer mean
+      * gray, reading only the sampled frames. */
+    def decodeSampled(payload: Array[Byte], stride: Int): (Int, Seq[Int]) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) throw new IllegalArgumentException(
+        "no ImageIO reader recognizes the payload")
+      val rd = readers.next()
+      try {
+        rd.setInput(iis)
+        val n = rd.getNumImages(true)
+        val grays = (0 until n by stride).map { i =>
+          val img = rd.read(i)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          (sum / (img.getWidth.toLong * img.getHeight)).toInt
+        }
+        (n, grays)
+      } finally { rd.dispose(); iis.close() }
+    }
+  }
+
+  /** Video table keyed by `documents.doc_id`: payload = real animated
+    * GIF bytes, encoded on executors. */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          VideoRow(id, VideoCodec.encode(id), VideoCodec.nFramesFor(id),
+                   Codec.widthFor(id), Codec.heightFor(id))
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame-sample stats per clip (every `stride`-th frame): decoded
+    * frame count, sampled count, and the integer sum of sampled frames'
+    * mean grays — all recomputed from the DECODED container, metadata
+    * ignored, so the gate exercises the real multi-frame round trip.
+    * Integer-exact end to end (no float rounding anywhere). */
+  def videoFrameStats(spark: SparkSession, dir: String,
+                      stride: Int = 2): Dataset[VideoFrameStats] = {
+    import spark.implicits._
+    videoTable(spark, dir).as[VideoRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (n, grays) = VideoCodec.decodeSampled(r.payload, stride)
+        VideoFrameStats(r.media_id, n.toLong, grays.length.toLong,
+                        grays.map(_.toLong).sum)
+      }
+    }
+  }
+
+  /** DuckDB oracle for the video gate: frame count, sampled count, and
+    * sampled-gray sum all have closed forms in doc_id. */
+  def videoFrameStatsOracleSql(stride: Int = 2): String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(doc_id % 5 + 2 AS BIGINT) AS n_frames,
+       |  CAST(count(*) AS BIGINT) AS n_sampled,
+       |  CAST(sum((doc_id % 64 + 17 * f) % 256) AS BIGINT) AS sum_gray
+       |FROM (SELECT doc_id,
+       |        unnest(range(0, doc_id % 5 + 2, $stride)) AS f
+       |      FROM documents)
+       |GROUP BY doc_id""".stripMargin
+
   /** DuckDB oracle for q70: recompute each clip's decoded stats from
     * the generating formula — any header, sample-width, endianness, or
     * signedness defect in the real encode→decode round trip breaks the

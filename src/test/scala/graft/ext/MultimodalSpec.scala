@@ -214,4 +214,32 @@ class MultimodalSpec extends SparkSpec {
     assert(s1 > 0 && s1 < 255L * 64)
     assert(s1 == Multimodal.bilinearGraySum(img, 8, 8))
   }
+
+  test("animated GIF round trip: frame count and per-frame grays exact") {
+    import Multimodal.VideoCodec
+    for (id <- Seq(0L, 7L, 123L, 255L, 999L)) {
+      val payload = VideoCodec.encode(id)
+      // stride 1: every frame decoded
+      val (n, grays) = VideoCodec.decodeSampled(payload, 1)
+      assert(n == VideoCodec.nFramesFor(id), s"id=$id frame count")
+      assert(grays == (0 until n).map(f => VideoCodec.grayFor(id, f)),
+        s"id=$id decoded frame grays")
+      // stride 2: only sampled indices
+      val (_, sampled) = VideoCodec.decodeSampled(payload, 2)
+      assert(sampled == (0 until n by 2).map(f => VideoCodec.grayFor(id, f)))
+    }
+  }
+
+  test("videoFrameStats equals the closed form on sf0.001") {
+    val got = Multimodal.videoFrameStats(spark, sfDir).collect()
+      .map(s => s.media_id -> ((s.n_frames, s.n_sampled, s.sum_gray))).toMap
+    assert(got.size == 500)
+    got.foreach { case (id, (n, ns, sg)) =>
+      val exp = (0 until Multimodal.VideoCodec.nFramesFor(id) by 2)
+      assert(n == Multimodal.VideoCodec.nFramesFor(id).toLong)
+      assert(ns == exp.length.toLong)
+      assert(sg == exp.map(f =>
+        Multimodal.VideoCodec.grayFor(id, f).toLong).sum, s"id=$id")
+    }
+  }
 }
