@@ -399,6 +399,10 @@ object SparkEntry {
     // stride frame-sampling reads only the sampled frame indices
     "q124_video_frames" -> ((s: SparkSession, d: String) =>
       ext.Multimodal.videoFrameStats(s, d).toDF()),
+    // capstone export manifest: quality filter -> dedup -> packing ->
+    // per-source totals + order-sensitive layout checksum
+    "q125_export_manifest" -> ((s: SparkSession, d: String) =>
+      ext.Pipeline.exportManifest(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -973,5 +977,6 @@ object SparkEntry {
     "q122_vocab_coverage" -> ext.TextAnalysis.vocabCoverageOracleSql(),
     "q123_join_cardinality" -> ext.Sketches.amsJoinSizeOracleSql(),
     "q124_video_frames" -> ext.Multimodal.videoFrameStatsOracleSql(),
+    "q125_export_manifest" -> ext.Pipeline.exportManifestOracleSql(),
   )
 }

@@ -74,9 +74,11 @@ object Pipeline {
       | FROM documents) t
       |GROUP BY source""".stripMargin
 
-  def cleanCorpus(spark: SparkSession, dir: String,
-                  threshold: Double = 0.8,
-                  seqLen: Int = 32, stride: Int = 16): DataFrame = {
+  /** Surviving doc_ids after the quality filter + exact-jaccard dedup
+    * (cluster minimum kept) — the shared front of [[cleanCorpus]] and
+    * [[exportManifest]]. */
+  private[ext] def survivingDocs(spark: SparkSession, dir: String,
+                                 threshold: Double = 0.8): DataFrame = {
     val kept = TextAnalysis.qualityFilter(spark, dir).select("doc_id")
     val pairs = Dedup.jaccardPairsCached(spark, dir, threshold)
       .join(kept.withColumnRenamed("doc_id", "a_id"), Seq("a_id"),
@@ -85,24 +87,54 @@ object Pipeline {
             "left_semi")
       .select(col("a_id"), col("b_id"))
     val labels = Dedup.clusterLabels(pairs)
-    val surviving = kept
+    kept
       .join(labels, kept("doc_id") === labels("id"), "left_outer")
       .select(col("doc_id"),
               coalesce(col("label"), col("doc_id")).as("cluster"))
       .filter(col("doc_id") === col("cluster"))
       .select("doc_id")
-    Chunking.chunksOf(
-      Tables.load(spark, dir, "documents").join(surviving, Seq("doc_id"),
-        "left_semi"),
-      seqLen, stride)
   }
 
-  /** DuckDB oracle: the composition of the q45/q28/q39/q58 oracle
-    * fragments over the same tables. */
-  def cleanCorpusOracleSql(threshold: Double = 0.8,
-                           seqLen: Int = 32, stride: Int = 16): String =
-    s"""WITH RECURSIVE
-       |stats AS (SELECT doc_id,
+  def cleanCorpus(spark: SparkSession, dir: String,
+                  threshold: Double = 0.8,
+                  seqLen: Int = 32, stride: Int = 16): DataFrame =
+    Chunking.chunksOf(
+      Tables.load(spark, dir, "documents")
+        .join(survivingDocs(spark, dir, threshold), Seq("doc_id"),
+              "left_semi"),
+      seqLen, stride)
+
+  /** END-TO-END training-data export manifest — the capstone
+    * composition a pipeline team actually ships: quality filter →
+    * exact near-dup removal (cluster min kept) → deterministic
+    * sequence packing of the survivors → one manifest row per source
+    * with doc/token/pack totals and an ORDER-SENSITIVE layout checksum
+    * (Σ start_off · (doc_id mod 1000)) that pins every document's
+    * global token offset. A wrong filter, a lost dup, or a
+    * perturbed packing order each break a different column.
+    *
+    * Scale: strictly the composition of its audited parts — the q45
+    * filter scan, the q28 prefix-filter pair join, the q39
+    * co-partitioned label-prop, the q64 hierarchical prefix sum. The
+    * manifest itself is a #sources-bounded aggregation. */
+  def exportManifest(spark: SparkSession, dir: String,
+                     threshold: Double = 0.8,
+                     seqLen: Int = 256): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .join(survivingDocs(spark, dir, threshold), Seq("doc_id"),
+            "left_semi")
+    Packing.packedDocsOf(docs, seqLen)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("total_tokens"),
+           (max(col("pack_last")) + 1).as("n_packs"),
+           sum(col("start_off") * (col("doc_id") % 1000)).as("layout_chk"))
+  }
+
+  /** The survivor CTE prefix (quality filter → pair join → recursive
+    * closure → cluster-min keep) shared by the q63 and q125 oracles. */
+  private def survivorCtes(threshold: Double): String =
+    s"""stats AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
        |    AS n_tokens,
        |  CAST(len(regexp_extract_all(lower(text),
@@ -134,7 +166,14 @@ object Pipeline {
        |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
        |surv AS (SELECT k.doc_id FROM kept k
        |  LEFT JOIN lab ON k.doc_id = lab.id
-       |  WHERE k.doc_id = coalesce(lab.label, k.doc_id)),
+       |  WHERE k.doc_id = coalesce(lab.label, k.doc_id))""".stripMargin
+
+  /** DuckDB oracle: the composition of the q45/q28/q39/q58 oracle
+    * fragments over the same tables. */
+  def cleanCorpusOracleSql(threshold: Double = 0.8,
+                           seqLen: Int = 32, stride: Int = 16): String =
+    s"""WITH RECURSIVE
+       |${survivorCtes(threshold)},
        |toks AS (
        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
@@ -156,4 +195,33 @@ object Pipeline {
        |FROM (SELECT doc_id, ts, l,
        |        unnest(generate_series(0, nc - 1)) AS i
        |      FROM n)""".stripMargin
+
+  /** DuckDB oracle for [[exportManifest]]: the survivor CTEs + the q64
+    * plain-window prefix sum + the per-source manifest rollup. */
+  def exportManifestOracleSql(threshold: Double = 0.8,
+                              seqLen: Int = 256): String =
+    s"""WITH RECURSIVE
+       |${survivorCtes(threshold)},
+       |ptoks AS (
+       |  SELECT doc_id, source,
+       |    string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |      AS ts
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)),
+       |pn AS (
+       |  SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_toks
+       |  FROM ptoks WHERE len(ts) > 0 AND ts[1] <> ''),
+       |poff AS (
+       |  SELECT doc_id, source, n_toks,
+       |    CAST(coalesce(sum(n_toks) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_off
+       |  FROM pn)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(max((start_off + n_toks - 1) // $seqLen) + 1 AS BIGINT)
+       |    AS n_packs,
+       |  CAST(sum(start_off * (doc_id % 1000)) AS BIGINT) AS layout_chk
+       |FROM poff GROUP BY source""".stripMargin
 }

@@ -77,4 +77,27 @@ class PipelineSpec extends SparkSpec {
       "every doc has at least one token in the synthetic corpus")
     card.unpersist()
   }
+
+  test("exportManifest: consistent with survivors and packing bounds") {
+    val m = Pipeline.exportManifest(spark, sfDir).cache()
+    // per-source doc counts must equal the survivor set's
+    val surv = Pipeline.survivingDocs(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+      .groupBy("source").count()
+    val mismatch = m.join(surv, "source")
+      .filter(col("n_docs") =!= col("count"))
+    assert(mismatch.count() == 0, "manifest doc counts != survivors")
+    // packing bound: seqLen*(n_packs-1) < total_tokens <= seqLen*n_packs
+    assert(m.filter(col("total_tokens") > col("n_packs") * 256).count() == 0)
+    assert(m.filter(col("total_tokens") <= (col("n_packs") - 1) * 256)
+      .count() == 0)
+    // order-sensitive checksum is deterministic across runs
+    val chk1 = m.select("source", "layout_chk").collect()
+      .map(_.toString).sorted.toSeq
+    val chk2 = Pipeline.exportManifest(spark, sfDir)
+      .select("source", "layout_chk").collect()
+      .map(_.toString).sorted.toSeq
+    assert(chk1 == chk2)
+    m.unpersist()
+  }
 }
