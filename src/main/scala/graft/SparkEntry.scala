@@ -403,6 +403,10 @@ object SparkEntry {
     // per-source totals + order-sensitive layout checksum
     "q125_export_manifest" -> ((s: SparkSession, d: String) =>
       ext.Pipeline.exportManifest(s, d)),
+    // length-staged curriculum deciles via a DISTRIBUTED global rank
+    // (per-length bases + intra-length row_number, no single-task window)
+    "q126_length_curriculum" -> ((s: SparkSession, d: String) =>
+      ext.Sampling.lengthCurriculum(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -978,5 +982,6 @@ object SparkEntry {
     "q123_join_cardinality" -> ext.Sketches.amsJoinSizeOracleSql(),
     "q124_video_frames" -> ext.Multimodal.videoFrameStatsOracleSql(),
     "q125_export_manifest" -> ext.Pipeline.exportManifestOracleSql(),
+    "q126_length_curriculum" -> ext.Sampling.lengthCurriculumOracleSql(),
   )
 }

@@ -194,4 +194,69 @@ object Sampling {
        |  FROM documents)
        |ORDER BY vtime, source, doc_id
        |LIMIT $k""".stripMargin
+
+  // ---- length-staged curriculum binning -----------------------------
+
+  /** Length-curriculum deciles — the binning behind length-staged
+    * training schedules (short-to-long curricula): rank every document
+    * globally by (token count, doc_id) and cut the ranking into
+    * `buckets` equal-rank bins via `bucket = ⌊buckets·(rank−1)/n⌋`
+    * (an explicit closed form rather than `ntile`, whose
+    * remainder-distribution rule differs between engines' docs — the
+    * formula is unambiguous and replayed verbatim by the oracle).
+    *
+    * A global `row_number()` window is the single-task scalability trap
+    * (q64's scaladoc); the rank here is computed DISTRIBUTED, the same
+    * hierarchical discipline as Packing's prefix sum:
+    *   1. per-length counts → running bases over the DISTINCT-lengths
+    *      table (bounded by the length domain, not the corpus);
+    *   2. intra-length `row_number` partitioned by the length value;
+    *   3. rank = base + intra. Corpus total rides along as a broadcast
+    *      1-row frame.
+    *
+    * Output: (bucket, n_docs, min_tokens, max_tokens, total_tokens) —
+    * integer-exact. */
+  def lengthCurriculum(spark: SparkSession, dir: String,
+                       buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              expr("size(regexp_extract_all(text, '([A-Za-z0-9]+)', 1))")
+                .cast("long").as("n_tokens"))
+    val bases = nTok.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      .withColumn("base", coalesce(
+        sum(col("c")).over(Window.orderBy(col("n_tokens"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tokens").as("bt"), col("base"))
+    val intra = nTok.withColumn("intra", row_number().over(
+      Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))).cast("long"))
+    val total = nTok.agg(count(lit(1)).as("n"))
+    intra.join(bases, col("n_tokens") === col("bt"))
+      .crossJoin(broadcast(total))
+      .withColumn("rk", col("base") + col("intra"))
+      .withColumn("bucket", expr(s"($buckets * (rk - 1)) div n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_tokens")).as("min_tokens"),
+           max(col("n_tokens")).as("max_tokens"),
+           sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  def lengthCurriculumOracleSql(buckets: Int = 10): String =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens, doc_id) AS rk,
+       |    count(*) OVER () AS n
+       |  FROM n)
+       |SELECT ($buckets * (rk - 1)) // n AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM r GROUP BY 1""".stripMargin
 }

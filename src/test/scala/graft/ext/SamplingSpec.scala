@@ -86,4 +86,30 @@ class SamplingSpec extends SparkSpec {
       Sampling.reservoirSample(spark, sfDir, k = 0)
     }
   }
+
+  test("lengthCurriculum: distributed rank equals the plain-window bins") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.lengthCurriculum(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+                                  r.getLong(3), r.getLong(4)))).toMap
+    // reference: the naive single-window formulation of the same formula
+    val nTok = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+              expr("size(regexp_extract_all(text, '([A-Za-z0-9]+)', 1))")
+                .cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+    val n = nTok.count()
+    val expected = nTok.withColumn("bucket", expr(s"(10 * (rk - 1)) div $n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("n_tokens"), max("n_tokens"),
+           sum("n_tokens"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+                                  r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    assert(got.size == 10)
+    // bins are monotone: decile d's max <= decile d+1's min
+    (0L to 8L).foreach(d => assert(got(d)._3 <= got(d + 1)._2))
+  }
 }
