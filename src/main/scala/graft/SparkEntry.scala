@@ -407,6 +407,9 @@ object SparkEntry {
     // (per-length bases + intra-length row_number, no single-task window)
     "q126_length_curriculum" -> ((s: SparkSession, d: String) =>
       ext.Sampling.lengthCurriculum(s, d)),
+    // ANALYZE-style column stats (rows/NDV/min/max), one pass per table
+    "q127_table_stats" -> ((s: SparkSession, d: String) =>
+      ops.TableStats.columnStats(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -983,5 +986,6 @@ object SparkEntry {
     "q124_video_frames" -> ext.Multimodal.videoFrameStatsOracleSql(),
     "q125_export_manifest" -> ext.Pipeline.exportManifestOracleSql(),
     "q126_length_curriculum" -> ext.Sampling.lengthCurriculumOracleSql(),
+    "q127_table_stats" -> ops.TableStats.columnStatsOracleSql(),
   )
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ANALYZE-style column statistics — the stats collection a cost-based
+  * optimizer feeds on (row counts, NDVs, min/max per column; what
+  * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` produces and the
+  * q123 sketch estimator complements). One pass per table computes every
+  * column's stats in a single wide aggregate (the scan reads each column
+  * once — no per-column rescans), then `stack` unpivots to the long
+  * (tbl, col, stats) catalog shape.
+  *
+  * NDV here is EXACT (count distinct — oracle-checkable); at 100 TB a
+  * stats job swaps in the HLL register path (q109) per column, same
+  * plan shape, one pass. */
+object TableStats {
+  private val specs: Seq[(String, Seq[String])] = Seq(
+    ("lineitem", Seq("l_orderkey", "l_partkey", "l_quantity",
+                     "l_extendedprice")),
+    ("orders", Seq("o_orderkey", "o_custkey", "o_totalprice")))
+
+  def columnStats(spark: SparkSession, dir: String): DataFrame =
+    specs.map { case (t, cols) =>
+      val df = Tables.load(spark, dir, t)
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+      val stackArgs = cols
+        .map(c => s"'$c', ndv_$c, min_$c, max_$c").mkString(", ")
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(lit(t).as("tbl"), col("n_rows"),
+                expr(s"stack(${cols.size}, $stackArgs)")
+                  .as(Seq("col_name", "ndv", "min_v", "max_v")))
+        .select(col("tbl"), col("col_name"), col("n_rows"), col("ndv"),
+                col("min_v"), col("max_v"))
+    }.reduce(_ unionByName _)
+
+  def columnStatsOracleSql(): String =
+    specs.flatMap { case (t, cols) =>
+      cols.map(c =>
+        s"""SELECT '$t' AS tbl, '$c' AS col_name,
+           |  count(*) AS n_rows, count(DISTINCT $c) AS ndv,
+           |  CAST(min($c) AS DOUBLE) AS min_v,
+           |  CAST(max($c) AS DOUBLE) AS max_v
+           |FROM $t""".stripMargin)
+    }.mkString("\nUNION ALL\n")
+}
