@@ -410,6 +410,10 @@ object SparkEntry {
     // ANALYZE-style column stats (rows/NDV/min/max), one pass per table
     "q127_table_stats" -> ((s: SparkSession, d: String) =>
       ops.TableStats.columnStats(s, d)),
+    // streaming HLL distinct-users sketch: bounded (type x 256) state,
+    // arrival-order-invariant register maxima
+    "q128_stream_hll" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.hllDistinctAvailableNow(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -987,5 +991,6 @@ object SparkEntry {
     "q125_export_manifest" -> ext.Pipeline.exportManifestOracleSql(),
     "q126_length_curriculum" -> ext.Sampling.lengthCurriculumOracleSql(),
     "q127_table_stats" -> ops.TableStats.columnStatsOracleSql(),
+    "q128_stream_hll" -> ext.Sketches.hllStreamOracleSql,
   )
 }

@@ -65,18 +65,25 @@ object Sketches {
     * overshoot next to `n_zero_regs`, the input to any downstream
     * linear-counting correction — ln() is kept out of the oracle-gated
     * output because libm last-ulp behavior differs across engines). */
-  private[ext] def hllSketchDf(df: DataFrame, group: Column,
-                               key: Column): DataFrame = {
+  /** Stateless per-row register projection: (g, idx, rho). Works on a
+    * STREAMING frame unchanged (pure expression work) — the front of
+    * both the batch sketch and the streaming twin. */
+  private[graft] def registerRhoRows(df: DataFrame, group: Column,
+                                     key: Column): DataFrame = {
     val h = h60(key.cast("string"))
-    val registers = df
-      .select(group.as("g"),
+    df.select(group.as("g"),
               shiftright(h, WBits).cast("int").as("idx"),
               h.bitwiseAND(lit((1L << WBits) - 1)).as("w"))
       .withColumn("rho",
         when(col("w") === 0L, lit(WBits + 1))
           .otherwise(lit(WBits + 1) - length(bin(col("w")))))
-      .groupBy(col("g"), col("idx"))
-      .agg(max(col("rho")).as("r"))
+      .select(col("g"), col("idx"), col("rho"))
+  }
+
+  /** Fold a (g, idx, r) register table (≤ m rows per group) to the
+    * estimate row — bounded work, the per-refresh step of a streaming
+    * consumer. */
+  private[graft] def foldRegisters(registers: DataFrame): DataFrame =
     registers
       .withColumn("term",
         expr("CAST(power(2.0, 53 - r) AS BIGINT)"))
@@ -89,7 +96,13 @@ object Sketches {
               (lit(HllM.toLong) - col("n_set")).as("n_zero_regs"))
       .withColumn("est",
         lit(HllNumerator) / col("denom_scaled").cast("double"))
-  }
+
+  private[ext] def hllSketchDf(df: DataFrame, group: Column,
+                               key: Column): DataFrame =
+    foldRegisters(
+      registerRhoRows(df, group, key)
+        .groupBy(col("g"), col("idx"))
+        .agg(max(col("rho")).as("r")))
 
   def hllDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
@@ -139,6 +152,44 @@ object Sketches {
        |    CAST(sk.set_sum + ($HllM - sk.n_set) * ${1L << 53} AS DOUBLE)
        |    AS est
        |FROM sk JOIN ex USING (event_type)""".stripMargin
+
+  /** Oracle for the STREAMING HLL twin
+    * ([[graft.streaming.Streams.hllDistinctAvailableNow]]): the q109
+    * SQL minus the exact-count audit column (exact distinct is the one
+    * thing a streaming monitor does NOT compute — that is the sketch's
+    * reason to exist). Register maxima are arrival-order-invariant, so
+    * the batch replay equals any streaming delivery. */
+  def hllStreamOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, user_id,
+       |    list_reduce([CAST(strpos('0123456789abcdef',
+       |        substr(md5(CAST(user_id AS VARCHAR)), p, 1)) - 1 AS BIGINT)
+       |      for p in range(1, 16)], (a, b) -> a * 16 + b) AS hv
+       |  FROM events),
+       |reg AS (
+       |  SELECT event_type,
+       |    hv // ${1L << WBits} AS idx,
+       |    hv % ${1L << WBits} AS w
+       |  FROM h),
+       |rr AS (
+       |  SELECT event_type, idx,
+       |    max(CASE WHEN w = 0 THEN ${WBits + 1}
+       |             ELSE ${WBits + 1} - length(bin(w)) END) AS r
+       |  FROM reg GROUP BY event_type, idx),
+       |sk AS (
+       |  SELECT event_type,
+       |    count(*) AS n_set,
+       |    CAST(sum(CAST(power(2.0, 53 - r) AS BIGINT)) AS BIGINT) AS set_sum
+       |  FROM rr GROUP BY event_type)
+       |SELECT event_type,
+       |  CAST(n_set AS BIGINT) AS n_set,
+       |  CAST($HllM - n_set AS BIGINT) AS n_zero_regs,
+       |  CAST(set_sum + ($HllM - n_set) * ${1L << 53} AS BIGINT)
+       |    AS denom_scaled,
+       |  '$HllNumerator'::DOUBLE /
+       |    CAST(set_sum + ($HllM - n_set) * ${1L << 53} AS DOUBLE)
+       |    AS est
+       |FROM sk""".stripMargin
 
   // ---- Count-min sketch (d=4 rows, w=512 columns) -------------------
 

@@ -557,4 +557,31 @@ object Streams {
     runBounded(minhashDedupStream(readDocumentsStream(spark, dir)).toDF(),
                OutputMode.Update())
       .select(col("band"), col("a_id"), col("b_id"))
+
+  // ---- streaming HLL distinct-count sketch --------------------------
+
+  /** STREAMING HyperLogLog distinct-users-per-event-type — the
+    * dashboard counter that makes exact streaming `count(DISTINCT)`
+    * unnecessary (Spark rejects it in streaming for good reason:
+    * unbounded state). The stateless register projection is the batch
+    * q109 code (`Sketches.registerRhoRows`); the STREAM holds one
+    * `max(rho)` aggregation keyed on (type, register) — state is
+    * bounded at m=256 longs per event type FOREVER, regardless of
+    * stream volume, and register maxima are arrival-order-invariant,
+    * so any delivery order yields the batch answer (no ordering
+    * contract needed, unlike q36/q121). The final fold of ≤256
+    * registers to the estimate is the consumer's bounded per-refresh
+    * step, computed here on the bounded run's output. */
+  def hllDistinctAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val registers = graft.ext.Sketches
+      .registerRhoRows(readEventsStream(spark, dir),
+                       col("event_type"), col("user_id"))
+      .groupBy(col("g"), col("idx"))
+      .agg(max(col("rho")).as("r"))
+    graft.ext.Sketches.foldRegisters(
+        runBounded(registers, OutputMode.Complete()))
+      .withColumnRenamed("g", "event_type")
+      .select(col("event_type"), col("n_set"), col("n_zero_regs"),
+              col("denom_scaled"), col("est"))
+  }
 }

@@ -251,4 +251,34 @@ class StreamsSpec extends SparkSpec {
       assert(!hits.exists(h => h._3 == 30L && h._2 == 10L))
     } finally q.stop()
   }
+
+  test("streaming HLL registers are arrival-order invariant") {
+    val input = MemoryStream[RawEvent]
+    val registers = graft.ext.Sketches
+      .registerRhoRows(toEventsDF(input), col("event_type"), col("user_id"))
+      .groupBy(col("g"), col("idx"))
+      .agg(max(col("rho")).as("r"))
+    val q = registers.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      val t0 = ts("2026-01-01 10:00:00")
+      def ev(id: Long, u: Long) = RawEvent(id, t0, u, "click", 1.0, "")
+      // later users arrive FIRST, then the earlier block — reversed order
+      input.addData((100L to 199L).map(u => ev(u, u)): _*)
+      q.processAllAvailable()
+      input.addData((1L to 99L).map(u => ev(u + 1000, u)): _*)
+      q.processAllAvailable()
+      val streamed = graft.ext.Sketches
+        .foldRegisters(spark.table("hll_regs")).collect()
+        .map(_.toString).sorted.toSeq
+      val batch = graft.ext.Sketches
+        .foldRegisters(graft.ext.Sketches
+          .registerRhoRows(
+            (1L to 199L).map(u => (u, "click")).toDF("user_id", "event_type"),
+            col("event_type"), col("user_id"))
+          .groupBy(col("g"), col("idx")).agg(max(col("rho")).as("r")))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
