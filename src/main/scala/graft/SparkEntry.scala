@@ -414,6 +414,10 @@ object SparkEntry {
     // arrival-order-invariant register maxima
     "q128_stream_hll" -> ((s: SparkSession, d: String) =>
       streaming.Streams.hllDistinctAvailableNow(s, d)),
+    // feature-hashing vectorizer (the hashing trick): fitted-state-free
+    // fixed-width text vectors in one map-side pass; integer-exact audit
+    "q129_feature_hashing" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.hashedVectorProfile(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -992,5 +996,6 @@ object SparkEntry {
     "q126_length_curriculum" -> ext.Sampling.lengthCurriculumOracleSql(),
     "q127_table_stats" -> ops.TableStats.columnStatsOracleSql(),
     "q128_stream_hll" -> ext.Sketches.hllStreamOracleSql,
+    "q129_feature_hashing" -> ext.TextAnalysis.hashedVectorProfileOracleSql(),
   )
 }

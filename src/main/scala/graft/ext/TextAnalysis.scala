@@ -561,6 +561,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("nll"))
   }
 
+  /** Feature-hashing ("hashing trick") vectorizer — Weinberger et al.,
+    * "Feature Hashing for Large Scale Multitask Learning", ICML 2009:
+    * each word token lands in dimension `md5(w) mod dim` with sign
+    * `±1` from the next hash bit; the doc's vector is the signed count
+    * sum. No vocabulary pass, no fitted state, fixed dimensionality —
+    * the map-side-only vectorizer that turns 100 TB of text into
+    * fixed-width numeric columns in a single scan (sign cancellation
+    * keeps inner products unbiased estimates of token-count inner
+    * products — the AMS/q123 argument applied per document).
+    *
+    * The vector is INTEGER-valued, so the gate emits exact integers:
+    * (doc_id, n_tokens, nnz, l2sq, chk) with
+    * l2sq = Σ v_d², chk = Σ d·v_d (position-sensitive — a permuted
+    * vector fails). Oracle replays the md5 bucket/sign arithmetic
+    * verbatim. */
+  def hashedVectorProfile(spark: SparkSession, dir: String,
+                          dim: Int = 64): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              explode(filter(split(normalized(col("text")), " "),
+                             t => t =!= "")).as("tk"))
+      .withColumn("h",
+        conv(substring(md5(col("tk")), 1, 15), 16, 10).cast("long"))
+      .withColumn("d", pmod(col("h"), lit(dim.toLong)))
+      .withColumn("sgn", when(expr(s"(h div $dim) % 2") === 0, lit(1L))
+        .otherwise(lit(-1L)))
+      .groupBy(col("doc_id"), col("d"))
+      .agg(sum(col("sgn")).as("v"), count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+           sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("nnz"),
+           sum(col("v") * col("v")).as("l2sq"),
+           sum(col("d") * col("v")).as("chk"))
+
+  def hashedVectorProfileOracleSql(dim: Int = 64): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(trim(regexp_replace(
+       |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |      ' +', ' ', 'g')), ' '), t -> t <> '')) AS tk
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce([CAST(strpos('0123456789abcdef',
+       |        substr(md5(tk), p, 1)) - 1 AS BIGINT)
+       |      for p in range(1, 16)], (a, b) -> a * 16 + b) AS hv
+       |  FROM tok),
+       |dims AS (
+       |  SELECT doc_id, hv % $dim AS d,
+       |    CASE WHEN (hv // $dim) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM h),
+       |v AS (
+       |  SELECT doc_id, d, CAST(sum(sgn) AS BIGINT) AS v,
+       |    count(*) AS cnt
+       |  FROM dims GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+       |  CAST(sum(v * v) AS BIGINT) AS l2sq,
+       |  CAST(sum(d * v) AS BIGINT) AS chk
+       |FROM v GROUP BY doc_id""".stripMargin
+
   /** Tokenizer-vocabulary coverage audit: fix the vocabulary to the
     * corpus's top-`vocabSize` word tokens (count desc, token asc — the
     * deterministic frequency-cut every subword tokenizer starts from)

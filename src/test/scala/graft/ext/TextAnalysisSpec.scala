@@ -134,6 +134,41 @@ class TextAnalysisSpec extends SparkSpec {
       s"vocab membership must broadcast, not shuffle:\n$plan")
   }
 
+  test("hashedVectorProfile: driver-side md5 recompute + parity invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("fhfix").toString
+    val docs = Seq((1L, "alpha beta alpha", "en", "s", 16L),
+                   (2L, "gamma delta", "en", "s", 11L),
+                   (3L, "Alpha, BETA!", "en", "s", 12L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def profile(words: Seq[String]): (Long, Long, Long, Long) = {
+      val byDim = words.map(h60).map(h =>
+        (h % 64, if ((h / 64) % 2 == 0) 1L else -1L))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (words.size.toLong, byDim.values.count(_ != 0).toLong,
+       byDim.values.map(v => v * v).sum,
+       byDim.map { case (d, v) => d * v }.sum)
+    }
+    val expected = Map(
+      1L -> profile(Seq("alpha", "beta", "alpha")),
+      2L -> profile(Seq("gamma", "delta")),
+      3L -> profile(Seq("alpha", "beta")))
+    val got = TextAnalysis.hashedVectorProfile(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // parity: each v_d ≡ cnt_d (mod 2) ⟹ l2sq ≡ n_tokens (mod 2) —
+    // check it holds on the real corpus too
+    val real = TextAnalysis.hashedVectorProfile(spark, sfDir)
+    assert(real.filter(expr("pmod(l2sq, 2) != pmod(n_tokens, 2)"))
+      .count() == 0)
+  }
+
   test("bigramLmScore: hand-computed add-one NLL on a controlled corpus") {
     val dir = java.nio.file.Files.createTempDirectory("lmfix").toString
     Seq(
