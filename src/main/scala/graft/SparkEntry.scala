@@ -418,6 +418,10 @@ object SparkEntry {
     // fixed-width text vectors in one map-side pass; integer-exact audit
     "q129_feature_hashing" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.hashedVectorProfile(s, d)),
+    // typed Aggregator surface: bounded map-side top-k partials instead
+    // of the full sort+window — same result, k rows shuffled per partition
+    "q130_topk_aggregator" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.topTermsAggregated(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -997,5 +1001,18 @@ object SparkEntry {
     "q127_table_stats" -> ops.TableStats.columnStatsOracleSql(),
     "q128_stream_hll" -> ext.Sketches.hllStreamOracleSql,
     "q129_feature_hashing" -> ext.TextAnalysis.hashedVectorProfileOracleSql(),
+    "q130_topk_aggregator" ->
+      """SELECT source, token, n, rnk FROM (
+        |  SELECT source, token, count(*) AS n,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY count(*) DESC, token) AS rnk
+        |  FROM (SELECT source, unnest(string_split(
+        |          trim(regexp_replace(regexp_replace(lower(text),
+        |            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |          AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY source, token)
+        |WHERE rnk <= 5""".stripMargin,
   )
 }

@@ -561,6 +561,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("nll"))
   }
 
+  /** Per-source top-k terms via the typed bounded-top-k AGGREGATOR
+    * ([[graft.functions.TopKByCount]]) — the execution-strategy twin of
+    * [[topTerms]]: same result set, but computed as one aggregation
+    * whose map-side partials are k-bounded buffers, instead of the
+    * window formulation that shuffles and sorts every (source, token)
+    * count row before discarding all but k. Same deterministic
+    * (count desc, token asc) order, so the q44 oracle SQL verifies both
+    * strategies. */
+  def topTermsAggregated(spark: SparkSession, dir: String,
+                         k: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+              explode(split(normalized(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"), col("token"), col("n"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKByCount(k).toColumn.name("top"))
+      .toDF("source", "top")
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("source"), col("t._1").as("token"), col("t._2").as("n"),
+              (col("i") + 1).cast("long").as("rnk"))
+  }
+
   /** Feature-hashing ("hashing trick") vectorizer — Weinberger et al.,
     * "Feature Hashing for Large Scale Multitask Learning", ICML 2009:
     * each word token lands in dimension `md5(w) mod dim` with sign

@@ -134,6 +134,20 @@ class TextAnalysisSpec extends SparkSpec {
       s"vocab membership must broadcast, not shuffle:\n$plan")
   }
 
+  test("topTermsAggregated equals the window formulation; partial agg plan") {
+    val agg = TextAnalysis.topTermsAggregated(spark, sfDir)
+    val win = TextAnalysis.topTerms(spark, sfDir)
+      .select("source", "token", "n", "rnk")
+    val a = agg.collect().map(_.toString).sorted.toSeq
+    val w = win.collect().map(_.toString).sorted.toSeq
+    assert(a == w)
+    // the aggregator path runs as an aggregate with map-side partials,
+    // not a window sort
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") ||
+           plan.contains("SortAggregate"), plan)
+  }
+
   test("hashedVectorProfile: driver-side md5 recompute + parity invariant") {
     val dir = java.nio.file.Files.createTempDirectory("fhfix").toString
     val docs = Seq((1L, "alpha beta alpha", "en", "s", 16L),
