@@ -422,6 +422,10 @@ object SparkEntry {
     // of the full sort+window — same result, k rows shuffled per partition
     "q130_topk_aggregator" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.topTermsAggregated(s, d)),
+    // format interop: JSONL/CSV/ORC write -> schema-enforced read-back,
+    // certified lossless by the same md5 content summary per format
+    "q131_format_roundtrip" -> ((s: SparkSession, d: String) =>
+      sources.Sources.formatRoundTripGate(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1014,5 +1018,6 @@ object SparkEntry {
         |  WHERE token <> ''
         |  GROUP BY source, token)
         |WHERE rnk <= 5""".stripMargin,
+    "q131_format_roundtrip" -> sources.Sources.formatRoundTripOracleSql(),
   )
 }

@@ -22,11 +22,18 @@ import org.apache.spark.sql.types.StructType
 object Sources {
 
   /** CSV with explicit schema. `header=true` skips the header row but
-    * names still come from the schema (deterministic under concat). */
+    * names still come from the schema (deterministic under concat).
+    * Whitespace is PRESERVED: Spark's CSV defaults silently trim
+    * leading/trailing spaces inside quoted fields on read (and write) —
+    * lossy for text payloads; this reader turns that off (still
+    * overridable via `options`). */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               header: Boolean = true,
               options: Map[String, String] = Map.empty): DataFrame =
-    spark.read.options(options).option("header", header.toString)
+    spark.read
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .options(options).option("header", header.toString)
       .schema(schema).csv(path)
 
   /** JSON-lines with explicit schema: one JSON object per line (the only
@@ -58,6 +65,64 @@ object Sources {
         .toIndexedSeq: _*)
     }
   }
+
+  /** Format-interop certification gate: write the `documents` table out
+    * as JSONL, CSV, and ORC, read each back through this module's
+    * schema-enforced readers, and reduce every copy to the same
+    * order-independent content summary (row count, key sum, folded
+    * per-row md5 over all columns — the q98 compaction certification
+    * shape). Text columns carry arbitrary punctuation, so this is the
+    * real test of each format's quoting/escaping round trip; a single
+    * mangled character in one format flips that format's `sum_md5`.
+    * All three reads stay schema-declared and splittable (no
+    * `multiLine`, no inference pass — the only JSON/CSV layouts with a
+    * place at 100 TB). */
+  def formatRoundTripGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = graft.Tables.load(spark, dir, "documents")
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_fmt_gate_" + Integer.toHexString(dir.hashCode)).getPath
+    src.write.mode(SaveMode.Overwrite).json(s"$base/jsonl")
+    src.write.mode(SaveMode.Overwrite)
+      // the writer trims by default too — disable for a lossless trip
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("header", "true").csv(s"$base/csv")
+    src.write.mode(SaveMode.Overwrite).orc(s"$base/orc")
+    val schema = src.schema
+    val canonical = concat_ws("|", col("doc_id"), col("text"),
+                              col("lang"), col("source"), col("n_chars"))
+    Seq(
+      "csv"   -> readCsv(spark, s"$base/csv", schema),
+      "jsonl" -> readJsonLines(spark, s"$base/jsonl", schema),
+      "orc"   -> readOrc(spark, s"$base/orc", Some(schema)))
+      .map { case (fmt, df) =>
+        df.agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("sum_key"),
+            sum(conv(substring(md5(canonical), 1, 15), 16, 10).cast("long")
+                  % 1000000007L).as("sum_md5"))
+          .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_key"),
+                  col("sum_md5"))
+      }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle for [[formatRoundTripGate]]: the same summary over
+    * the ORIGINAL parquet, replicated per format — equality certifies
+    * all three round trips lossless. */
+  def formatRoundTripOracleSql(): String =
+    """WITH s AS (
+      |  SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_key,
+      |    CAST(sum(list_reduce([CAST(strpos('0123456789abcdef',
+      |        substr(md5(CAST(doc_id AS VARCHAR) || '|' || text || '|' ||
+      |                   lang || '|' || source || '|' ||
+      |                   CAST(n_chars AS VARCHAR)), p, 1)) - 1 AS BIGINT)
+      |      for p in range(1, 16)], (a, b) -> a * 16 + b) % 1000000007)
+      |      AS BIGINT) AS sum_md5
+      |  FROM documents)
+      |SELECT t.fmt, s.n_rows, s.sum_key, s.sum_md5
+      |FROM s, (VALUES ('csv'), ('jsonl'), ('orc')) t(fmt)""".stripMargin
 
   /** Whole-text documents: one row per file (doc_id = file path). For
     * corpus ingestion where documents arrive as individual files. */

@@ -37,15 +37,27 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Resolve a table's stream source path: the driver testdata ships
+    * `<name>.parquet` as a single FILE inside `dir`, while any
+    * Spark-written layout (production, the 10× smoke replica) has it as
+    * a DIRECTORY of part files — stream from inside the directory in
+    * that case, since `pathGlobFilter` matches leaf file names only. */
+  private def streamSource(dir: String, name: String): (String, String) = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    if (f.isDirectory) (f.getPath, "*.parquet") else (dir, s"$name.parquet")
+  }
+
   /** File-source stream over an events parquet directory. New files
     * appearing under `dir` become micro-batches; `maxFilesPerTrigger`
     * bounds batch size in production (None = all available per batch). */
   def readEventsStream(spark: SparkSession, dir: String,
                        maxFilesPerTrigger: Option[Int] = None,
-                       glob: String = "events.parquet"): DataFrame = {
+                       globOverride: Option[String] = None): DataFrame = {
+    val (path, glob) =
+      globOverride.map((dir, _)).getOrElse(streamSource(dir, "events"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // one cheap footer read decides the ts unit for the whole stream
-    val tsType = spark.read.option("pathGlobFilter", glob).parquet(dir)
+    val tsType = spark.read.option("pathGlobFilter", glob).parquet(path)
       .schema("ts").dataType
     val r = spark.readStream.schema(rawSchema(tsType))
       // the file source needs a directory path; events is a single file
@@ -56,7 +68,7 @@ object Streams {
     // watermarks require TIMESTAMP (LTZ) — keep event time LTZ on the
     // stream (UTC session, so NTZ↔LTZ is the identity on wall clocks),
     // convert to NTZ only at output edges
-    val raw = r2.parquet(dir)
+    val raw = r2.parquet(path)
     val tsLtz = tsType match {
       case LongType         => timestamp_micros(expr("ts div 1000")) // nanos
       case TimestampNTZType => col("ts").cast("timestamp")
@@ -405,8 +417,9 @@ object Streams {
   def sessionWindowAvailableNow(spark: SparkSession, dir: String,
                                 watermark: String = "2 hours",
                                 maxFilesPerTrigger: Option[Int] = None,
-                                glob: String = "events.parquet"): DataFrame = {
-    val agg = readEventsStream(spark, dir, maxFilesPerTrigger, glob)
+                                globOverride: Option[String] = None)
+      : DataFrame = {
+    val agg = readEventsStream(spark, dir, maxFilesPerTrigger, globOverride)
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
@@ -488,8 +501,8 @@ object Streams {
 
   /** File-source stream over a documents parquet directory (the
     * document-ingest firehose; schema per TESTDATA.md). */
-  def readDocumentsStream(spark: SparkSession, dir: String,
-                          glob: String = "documents.parquet"): DataFrame =
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val (path, glob) = streamSource(dir, "documents")
     spark.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType),
@@ -497,7 +510,8 @@ object Streams {
         StructField("source", StringType),
         StructField("n_chars", LongType))))
       .option("pathGlobFilter", glob)
-      .parquet(dir)
+      .parquet(path)
+  }
 
   /** STREAMING minhash-LSH near-duplicate detection — dedup-against-
     * index, the shape a production ingest pipeline actually runs (batch

@@ -20,6 +20,38 @@ class SourcesSpec extends SparkSpec {
   private def sample = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
     .toDF("id", "k", "v")
 
+  test("formatRoundTripGate: all three formats report the parquet truth") {
+    val out = Sources.formatRoundTripGate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+                                    r.getLong(3)))).toMap
+    assert(out.keySet == Set("csv", "jsonl", "orc"))
+    assert(out.values.toSet.size == 1,
+      s"formats disagree on the content summary: $out")
+    assert(out("csv")._1 == 500)
+  }
+
+  test("csv/jsonl survive adversarial text (quotes, commas, backslashes)") {
+    val nasty = Seq(
+      (1L, """comma, "quoted", back\slash""", "en", "s", 1L),
+      (2L, "pipe|pipe and 'single' \t tab", "zh", "s", 2L),
+      (3L, "trailing space  ", "de", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = s"$tmp/nasty"
+    nasty.write.mode("overwrite")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("header", "true").csv(s"$base/csv")
+    nasty.write.mode("overwrite").json(s"$base/jsonl")
+    val sch = nasty.schema
+    val c = Sources.readCsv(spark, s"$base/csv", sch).collect()
+      .map(_.toString).sorted.toSeq
+    val j = Sources.readJsonLines(spark, s"$base/jsonl", sch).collect()
+      .map(_.toString).sorted.toSeq
+    val orig = nasty.collect().map(_.toString).sorted.toSeq
+    assert(c == orig, "csv mangled adversarial text")
+    assert(j == orig, "jsonl mangled adversarial text")
+  }
+
   test("csv round-trip with explicit schema") {
     val p = s"$tmp/csv"
     sample.write.option("header", "true").csv(p)

@@ -82,7 +82,7 @@ class SessionWindowSpec extends SparkSpec {
       }
       val multi = Streams.sessionWindowAvailableNow(
         spark, tmp.toString, maxFilesPerTrigger = Some(1),
-        glob = "chunk*.parquet")
+        globOverride = Some("chunk*.parquet"))
       assert(canon(multi) == canon(closedBatchSessions))
     } finally {
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())

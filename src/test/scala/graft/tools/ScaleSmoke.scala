@@ -45,7 +45,12 @@ object ScaleSmoke {
     "q109_hll_distinct", "q110_cms_heavy_hitters", "q112_mix_order",
     "q113_cc_altstar", "q114_phrase_search", "q115_jl_projection",
     "q117_ann_recall", "q118_bigram_lm", "q119_cdc_chunks",
-    "q120_source_overlap")
+    "q120_source_overlap",
+    // round-8 late additions (q123/q127 excluded: they read the
+    // lineitem/orders tables the replica does not generate)
+    "q121_stream_minhash", "q122_vocab_coverage", "q124_video_frames",
+    "q125_export_manifest", "q126_length_curriculum", "q128_stream_hll",
+    "q129_feature_hashing", "q130_topk_aggregator")
 
   def generate(spark: SparkSession): Unit = {
     // events.ts unit has changed across driver rounds (nanos → micros);
