@@ -426,6 +426,13 @@ object SparkEntry {
     // certified lossless by the same md5 content summary per format
     "q131_format_roundtrip" -> ((s: SparkSession, d: String) =>
       sources.Sources.formatRoundTripGate(s, d)),
+    // exact equi-width price histogram, integer cents end to end
+    "q132_histogram" -> ((s: SparkSession, d: String) =>
+      ops.TableStats.priceHistogram(s, d)),
+    // TPC-H Q8-style market share: fact-fact join + broadcast dim +
+    // conditional decimal aggregation, one pass
+    "q133_market_share" -> ((s: SparkSession, d: String) =>
+      ops.RefQueries.q133MarketShare(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1019,5 +1026,7 @@ object SparkEntry {
         |  GROUP BY source, token)
         |WHERE rnk <= 5""".stripMargin,
     "q131_format_roundtrip" -> sources.Sources.formatRoundTripOracleSql(),
+    "q132_histogram" -> ops.TableStats.priceHistogramOracleSql(),
+    "q133_market_share" -> ops.RefQueries.q133MarketShareOracleSql(),
   )
 }

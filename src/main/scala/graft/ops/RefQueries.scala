@@ -312,4 +312,51 @@ object RefQueries {
       .select(coalesce(col("ck"), col("sk")).as("nationkey"),
               col("n_cust"), col("n_supp"))
   }
+
+  /** TPC-H Q8-style market share: per order-year, the revenue share of
+    * one nation's suppliers in total revenue. The analytic shape a BI
+    * layer runs constantly — fact⋈fact on the order key (both sides
+    * shuffle-partitioned on it), dimension side BROADCAST (supplier is
+    * keys-only here; nation-bounded), conditional aggregation instead
+    * of a second scan for the numerator. Revenue is exact: the 2dec×2dec
+    * product is cast to DECIMAL(18,4) (the q01 rule), sums stay decimal
+    * (order-independent), and the only floating steps are the final
+    * per-group casts and one division — 4dp-rounded, engine-identical. */
+  def q133MarketShare(spark: SparkSession, dir: String,
+                      nationKey: Int = 1): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+              expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+                .as("rev"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val natRev = sum(when(col("s_nationkey") === nationKey, col("rev"))
+      .otherwise(expr("CAST(0 AS DECIMAL(18,4))")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("yr"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("total_rev"),
+           round(natRev.cast("double"), 2).as("nation_rev"),
+           round(natRev.cast("double") / sum(col("rev")).cast("double"), 4)
+             .as("share"))
+  }
+
+  def q133MarketShareOracleSql(nationKey: Int = 1): String =
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       |  round(CAST(sum(rev) AS DOUBLE), 2) AS total_rev,
+       |  round(CAST(sum(CASE WHEN s_nationkey = $nationKey THEN rev
+       |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE),
+       |        2) AS nation_rev,
+       |  round(CAST(sum(CASE WHEN s_nationkey = $nationKey THEN rev
+       |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       |        / CAST(sum(rev) AS DOUBLE), 4) AS share
+       |FROM (SELECT l_orderkey, l_suppkey,
+       |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+       |          AS rev
+       |      FROM lineitem) l
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY 1""".stripMargin
 }

@@ -38,6 +38,43 @@ object TableStats {
                 col("min_v"), col("max_v"))
     }.reduce(_ unionByName _)
 
+  /** Exact equi-width histogram of `l_extendedprice` — the distribution
+    * statistic beside [[columnStats]]'s min/max (what a CBO's range
+    * estimates and a data-quality dashboard both read). Computed
+    * INTEGER-EXACTLY in cents: money is a 2-decimal grid, so
+    * `round(v·100)` is exact, bucket = (cents − min) div width with an
+    * integer width — no float boundary can disagree between engines by
+    * an ulp. Two passes: a bounded (min, max) agg broadcast as one row,
+    * then one map-side bucket assignment + a `nBuckets`-bounded count
+    * aggregation. */
+  def priceHistogram(spark: SparkSession, dir: String,
+                     nBuckets: Int = 16): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val li = Tables.load(spark, dir, "lineitem").select(cents.as("c"))
+    val bounds = li.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("w", expr(s"(cmax - cmin + $nBuckets) div $nBuckets"))
+      .withColumn("bucket", expr("(c - cmin) div w"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("cmin") + col("bucket") * col("w")).as("lo_cents"),
+           min(col("cmin") + (col("bucket") + 1) * col("w") - 1)
+             .as("hi_cents"))
+  }
+
+  def priceHistogramOracleSql(nBuckets: Int = 16): String =
+    s"""WITH c AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+       |  FROM lineitem),
+       |b AS (SELECT min(c) AS cmin, max(c) AS cmax FROM c),
+       |w AS (SELECT cmin, cmax,
+       |        (cmax - cmin + $nBuckets) // $nBuckets AS w FROM b)
+       |SELECT (c - cmin) // w AS bucket, count(*) AS n,
+       |  CAST(min(cmin + ((c - cmin) // w) * w) AS BIGINT) AS lo_cents,
+       |  CAST(min(cmin + (((c - cmin) // w) + 1) * w - 1) AS BIGINT)
+       |    AS hi_cents
+       |FROM c, w GROUP BY 1""".stripMargin
+
   def columnStatsOracleSql(): String =
     specs.flatMap { case (t, cols) =>
       cols.map(c =>

@@ -27,6 +27,28 @@ class TableStatsSpec extends SparkSpec {
     got.values.foreach { case (_, _, mn, mx) => assert(mn <= mx) }
   }
 
+  test("priceHistogram: counts sum to the table, buckets tile the range") {
+    val h = TableStats.priceHistogram(spark, sfDir).cache()
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    assert(h.agg(sum("n")).head.getLong(0) == li.count())
+    val rows = h.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.forall { case (b, n, lo, hi) => n > 0 && lo <= hi && b < 16 })
+    // buckets are disjoint and ordered
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    // every value falls inside its bucket's bounds
+    val joined = li.select(round(col("l_extendedprice") * 100)
+        .cast("long").as("c"))
+      .crossJoin(h.select(min("lo_cents").as("gmin"), max("hi_cents")
+        .as("gmax")))
+      .filter(col("c") < col("gmin") || col("c") > col("gmax"))
+    assert(joined.count() == 0)
+    h.unpersist()
+  }
+
   test("stats scan reads only the profiled columns (pruned ReadSchema)") {
     val plan = TableStats.columnStats(spark, sfDir)
       .queryExecution.executedPlan.toString
