@@ -74,6 +74,22 @@ class SketchesSpec extends SparkSpec {
       s"point-query output must be bounded (corpus had $cells tokens)")
   }
 
+  test("HLL merge: register-max of two halves equals the full sketch") {
+    // the mergeability claim the 100 TB story rests on: 1000 executors
+    // sketch independently and combine by register max
+    val all = (1 to 8000).map(i => ("a", i))
+    val (h1, h2) = all.splitAt(all.size / 2)
+    def regs(rows: Seq[(String, Int)]) = Sketches
+      .registerRhoRows(rows.toDF("g", "k"), col("g"), col("k"))
+      .groupBy(col("g"), col("idx")).agg(max(col("rho")).as("r"))
+    val merged = regs(h1).unionByName(regs(h2))
+      .groupBy(col("g"), col("idx")).agg(max(col("r")).as("r"))
+    val full = regs(all)
+    val a = Sketches.foldRegisters(merged).collect().map(_.toString).sorted
+    val b = Sketches.foldRegisters(full).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("AMS join-size estimate: unbiased signed sketch tracks the exact count") {
     val row = Sketches.amsJoinSizeEstimate(spark, sfDir).head()
     val (exact, est, relErr) =
