@@ -267,19 +267,22 @@ object Sketches {
     * identical bits across engines; may be negative — the estimator is
     * unbiased, not one-sided). */
   def amsJoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
-    def sketch(keys: DataFrame): DataFrame = {
-      val withHashes = (0 until AmsD).foldLeft(keys) { (df, j) =>
-        df.withColumn(s"h$j", h60(concat(lit(s"$j:"), col("key"))))
-      }
-      withHashes
+    // ONE md5 per row; the d rows' buckets and signs come from DISJOINT
+    // bit fields of the 60-bit hash (w = 512 = 2^9 → 9 bits per bucket,
+    // rows 0..4 use bits [9j, 9j+9), signs bits 45..49 — 50 of 60 bits).
+    // Disjoint fields of one md5 behave as independent hashes, and the
+    // hashing cost drops 5×: md5 dominated this gate's profile (it was
+    // the slowest in the 133-gate bench before this change).
+    def sketch(keys: DataFrame): DataFrame =
+      keys
+        .withColumn("h", h60(col("key")))
         .select(posexplode(array((0 until AmsD).map { j =>
-          struct(pmod(col(s"h$j"), lit(AmsW.toLong)).as("bucket"),
-                 when(expr(s"(h$j div $AmsW) % 2") === 0, lit(1L))
+          struct(expr(s"(h div ${1L << (9 * j)}) % $AmsW").as("bucket"),
+                 when(expr(s"(h div ${1L << (45 + j)}) % 2") === 0, lit(1L))
                    .otherwise(lit(-1L)).as("sign"))
         }: _*)).as(Seq("j", "bs")))
         .groupBy(col("j"), col("bs.bucket").as("bucket"))
         .agg(sum(col("bs.sign")).as("cell"))
-    }
     val lk = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").cast("string").as("key"))
     val ok = Tables.load(spark, dir, "orders")
@@ -303,18 +306,21 @@ object Sketches {
     * to BIGINT (the driver-hash dtype rule), median as an ordered-list
     * pick (no quantile interpolation). */
   def amsJoinSizeOracleSql(): String = {
-    val h = (j: Int) =>
-      s"""list_reduce([CAST(strpos('0123456789abcdef',
-         |      substr(md5('$j:' || key), p, 1)) - 1 AS BIGINT)
-         |    for p in range(1, 16)], (a, b) -> a * 16 + b)""".stripMargin
     def hashRows(src: String) = (0 until AmsD)
-      .map(j => s"""SELECT $j AS j, ${h(j)} % $AmsW AS bucket,
-                   |    CASE WHEN (${h(j)} // $AmsW) % 2 = 0
+      .map(j => s"""SELECT $j AS j, (h // ${1L << (9 * j)}) % $AmsW AS bucket,
+                   |    CASE WHEN (h // ${1L << (45 + j)}) % 2 = 0
                    |         THEN 1 ELSE -1 END AS sign
                    |  FROM $src""".stripMargin)
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem),
-       |ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders),
+    def h60(src: String, keyExpr: String) =
+      s"""SELECT list_reduce([CAST(strpos('0123456789abcdef',
+         |      substr(md5(CAST($keyExpr AS VARCHAR)), p, 1)) - 1 AS BIGINT)
+         |    for p in range(1, 16)], (a, b) -> a * 16 + b) AS h
+         |  FROM $src""".stripMargin
+    s"""WITH lk AS (
+       |  ${h60("lineitem", "l_orderkey")}),
+       |ok AS (
+       |  ${h60("orders", "o_orderkey")}),
        |ha AS (
        |  ${hashRows("lk")}),
        |hb AS (
