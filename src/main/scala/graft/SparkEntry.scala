@@ -433,6 +433,10 @@ object SparkEntry {
     // conditional decimal aggregation, one pass
     "q133_market_share" -> ((s: SparkSession, d: String) =>
       ops.RefQueries.q133MarketShare(s, d)),
+    // full TPC-H Q1 pricing summary: one scan, eight aggregates,
+    // exact-decimal products
+    "q134_pricing_summary" -> ((s: SparkSession, d: String) =>
+      ops.RefQueries.q134PricingSummary(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1028,5 +1032,6 @@ object SparkEntry {
     "q131_format_roundtrip" -> sources.Sources.formatRoundTripOracleSql(),
     "q132_histogram" -> ops.TableStats.priceHistogramOracleSql(),
     "q133_market_share" -> ops.RefQueries.q133MarketShareOracleSql(),
+    "q134_pricing_summary" -> ops.RefQueries.q134PricingSummaryOracleSql(),
   )
 }

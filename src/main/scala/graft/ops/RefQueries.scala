@@ -343,6 +343,50 @@ object RefQueries {
              .as("share"))
   }
 
+  /** The full TPC-H Q1 pricing summary — all eight aggregates per
+    * (returnflag, linestatus), the canonical scan-heavy OLAP rollup
+    * (one pass, no join, map-side partials; at 100 TB this is purely
+    * scan-bound and the plan is one WholeStageCodegen span into a
+    * 4-group aggregate). Exact-decimal discipline per the verify
+    * rules: 2-factor products at DECIMAL(18,4), the 3-factor charge at
+    * DECIMAL(18,6); averages divide exact decimal sums in double and
+    * round to 4 — engine-identical. */
+  def q134PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .withColumn("disc_price",
+        expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"))
+      .withColumn("charge",
+        expr("CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))" +
+             " * (1 + l_tax) AS DECIMAL(18,6))"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("disc_price")).cast("double"), 2).as("sum_disc_price"),
+        round(sum(col("charge")).cast("double"), 2).as("sum_charge"),
+        round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
+        round(sum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  def q134PricingSummaryOracleSql(): String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+      |  round(CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4)) * (1 + l_tax) AS DECIMAL(18,6)))
+      |    AS DOUBLE), 2) AS sum_charge,
+      |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+      |  round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+      |  round(sum(l_discount) / count(*), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   def q133MarketShareOracleSql(nationKey: Int = 1): String =
     s"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
        |  round(CAST(sum(rev) AS DOUBLE), 2) AS total_rev,

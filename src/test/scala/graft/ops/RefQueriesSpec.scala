@@ -191,4 +191,20 @@ class RefQueriesSpec extends SparkSpec {
       s"want all three regions: leftOnly=$leftOnly both=$both rightOnly=$rightOnly")
     assert(rows.forall(!_.isNullAt(0)), "coalesced key is never null")
   }
+
+  test("pricing summary: scan-bound plan, filter pushed, no join") {
+    val q = RefQueries.q134PricingSummary(spark, sfDir)
+    // grouping sanity: 6 (returnflag, linestatus) combos in this corpus
+    // (collect on q ITSELF so ITS queryExecution is the one AQE finalizes
+    // — count() spawns a separate execution)
+    assert(q.collect().length == 6)
+    // executedPlan is final only after the action (AQE)
+    val plan = q.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n)" prefixes in the compact plan string
+    assert(plan.contains("*(1) HashAggregate") ||
+           plan.contains("*(1) Filter"), s"aggregate must codegen:\n$plan")
+    assert(!plan.contains("Join"), "Q1 is a single-table rollup")
+    assert(plan.contains("PushedFilters") &&
+           plan.contains("l_shipdate"), s"shipdate filter must reach the scan:\n$plan")
+  }
 }
