@@ -437,6 +437,13 @@ object SparkEntry {
     // exact-decimal products
     "q134_pricing_summary" -> ((s: SparkSession, d: String) =>
       ops.RefQueries.q134PricingSummary(s, d)),
+    // fasttext-classifier-shaped model inference: fixed-weight logistic
+    // quality score over the engine's own text statistics, pure codegen
+    "q135_quality_classifier" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.qualityClassifier(s, d)),
+    // join-key skew diagnosis: per-key count distribution summary
+    "q136_skew_profile" -> ((s: SparkSession, d: String) =>
+      ops.Skew.keySkewProfile(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1033,5 +1040,8 @@ object SparkEntry {
     "q132_histogram" -> ops.TableStats.priceHistogramOracleSql(),
     "q133_market_share" -> ops.RefQueries.q133MarketShareOracleSql(),
     "q134_pricing_summary" -> ops.RefQueries.q134PricingSummaryOracleSql(),
+    "q135_quality_classifier" ->
+      ext.TextAnalysis.qualityClassifierOracleSql(),
+    "q136_skew_profile" -> ops.Skew.keySkewProfileOracleSql(),
   )
 }

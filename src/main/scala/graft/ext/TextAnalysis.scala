@@ -589,6 +589,66 @@ object TextAnalysis {
               (col("i") + 1).cast("long").as("rnk"))
   }
 
+  /** Fixed-weight logistic quality classifier — model INFERENCE at
+    * corpus scale, the fasttext-classifier-shaped step of a data
+    * pipeline (score every document with a trained model; training
+    * happens offline — here the weights are fixed literals, which is
+    * exactly how a broadcast model looks to the scoring pass). Features
+    * are the engine's own q20 statistics (token count, stopword ratio,
+    * mean word length), standardized with fixed constants;
+    * score = σ(w·x + b), computed entirely in codegen'd built-ins — no
+    * UDF, so the scoring pass fuses into the scan's codegen stage.
+    *
+    * Determinism: one exp() per row (libm last-ulp differences sit at
+    * ~1e-16 relative; scores are 4dp-rounded — the cosine-gate rounding
+    * contract). Output: (doc_id, score, keep). */
+  def qualityClassifier(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val toks = filter(split(normalized(col("text")), " "), t => t =!= "")
+    val nTok = size(toks).cast("double")
+    val nStop = expr(s"size(regexp_extract_all(lower(text), " +
+      "'\\\\b(the|a|an|and|of|to|in|is|it|for)\\\\b', 1))").cast("double")
+    val meanWordLen =
+      when(nTok > 0, expr("length(regexp_replace(text, '[^A-Za-z0-9]', ''))")
+        .cast("double") / nTok).otherwise(lit(0.0))
+    // fixed "trained" weights over standardized features
+    val z = lit(-0.25) +
+      lit(0.8) * ((nTok - lit(120.0)) / lit(80.0)) +
+      lit(1.5) * ((when(nTok > 0, nStop / nTok).otherwise(lit(0.0)) -
+                   lit(0.12)) / lit(0.08)) * lit(0.3) +
+      lit(-0.6) * ((meanWordLen - lit(5.0)) / lit(2.0))
+    val score = lit(1.0) / (lit(1.0) + exp(-z))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), round(score, 4).as("score"),
+              (score >= threshold).cast("int").as("keep"))
+  }
+
+  def qualityClassifierOracleSql(threshold: Double = 0.5): String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(trim(regexp_replace(
+       |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |      ' +', ' ', 'g')), ' '), t -> t <> '')) AS DOUBLE) AS n_tok,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS DOUBLE)
+       |      AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+       |      AS DOUBLE) AS n_alnum
+       |  FROM documents),
+       |z AS (
+       |  SELECT doc_id,
+       |    -0.25
+       |    + 0.8 * ((n_tok - 120.0) / 80.0)
+       |    + 1.5 * ((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END
+       |              - 0.12) / 0.08) * 0.3
+       |    + -0.6 * (((CASE WHEN n_tok > 0 THEN n_alnum / n_tok
+       |                ELSE 0.0 END) - 5.0) / 2.0) AS z
+       |  FROM f)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+       |  CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= $threshold
+       |       THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM z""".stripMargin
+
   /** Feature-hashing ("hashing trick") vectorizer — Weinberger et al.,
     * "Feature Hashing for Large Scale Multitask Learning", ICML 2009:
     * each word token lands in dimension `md5(w) mod dim` with sign

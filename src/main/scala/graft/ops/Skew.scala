@@ -58,4 +58,38 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_" + valueCol))
   }
+
+  /** Join-key skew profile — the DIAGNOSIS that decides when the salted
+    * operators above (or AQE skew-join) are worth their overhead: the
+    * per-key row-count distribution of the big join/group keys, reduced
+    * to (distinct keys, max, p50, p99, mean). `max_n / mean_n` is the
+    * skew ratio a planner alarm triggers on. One (key)-keyed count per
+    * profiled column, then a bounded aggregation over the per-key
+    * counts; exact interpolated percentiles (both engines use the R-7
+    * definition). */
+  def keySkewProfile(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    Seq(("lineitem", "l_orderkey"), ("events", "user_id"))
+      .map { case (t, k) =>
+        graft.Tables.load(spark, dir, t)
+          .groupBy(col(k)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_keys"), max(col("n")).as("max_n"),
+               round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+               round(expr("percentile(n, 0.99)"), 4).as("p99_n"),
+               round(avg(col("n")), 4).as("mean_n"))
+          .select(lit(t).as("tbl"), lit(k).as("key_col"), col("n_keys"),
+                  col("max_n"), col("p50_n"), col("p99_n"), col("mean_n"))
+      }.reduce(_ unionByName _)
+
+  def keySkewProfileOracleSql(): String =
+    Seq(("lineitem", "l_orderkey"), ("events", "user_id"))
+      .map { case (t, k) =>
+        s"""SELECT '$t' AS tbl, '$k' AS key_col,
+           |  count(*) AS n_keys, CAST(max(n) AS BIGINT) AS max_n,
+           |  round(quantile_cont(n, 0.5), 4) AS p50_n,
+           |  round(quantile_cont(n, 0.99), 4) AS p99_n,
+           |  round(avg(n), 4) AS mean_n
+           |FROM (SELECT $k, count(*) AS n FROM $t GROUP BY 1) c"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
 }

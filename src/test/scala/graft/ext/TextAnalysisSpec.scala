@@ -134,6 +134,23 @@ class TextAnalysisSpec extends SparkSpec {
       s"vocab membership must broadcast, not shuffle:\n$plan")
   }
 
+  test("qualityClassifier: proper sigmoid scores, keep consistent, no UDF") {
+    val out = TextAnalysis.qualityClassifier(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (s, k) = (r.getDouble(1), r.getInt(2))
+      assert(s > 0.0 && s < 1.0, s"score $s outside (0,1)")
+      assert(k == (if (s >= 0.5) 1 else 0))
+    }
+    assert(rows.map(_.getInt(2)).toSet.size == 2,
+      "threshold must separate the corpus (both classes present)")
+    // inference is pure expression work — nothing interpreted per row
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEval") && !plan.contains("MapPartitions"),
+      s"classifier must not leave codegen:\n$plan")
+  }
+
   test("topTermsAggregated equals the window formulation; partial agg plan") {
     val agg = TextAnalysis.topTermsAggregated(spark, sfDir)
     val win = TextAnalysis.topTerms(spark, sfDir)

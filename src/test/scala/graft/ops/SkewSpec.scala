@@ -53,4 +53,19 @@ class SkewSpec extends SparkSpec {
     val s2 = Skew.saltedJoin(orders, customer, "o_custkey", 7).count()
     assert(s1 == s2)
   }
+
+  test("keySkewProfile matches a driver-side distribution recompute") {
+    import org.apache.spark.sql.functions._
+    val got = Skew.keySkewProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(6)))).toMap
+    val counts = graft.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey").count().collect().map(_.getLong(1))
+    assert(got("lineitem")._1 == counts.length.toLong)
+    assert(got("lineitem")._2 == counts.max)
+    val mean = BigDecimal(counts.sum.toDouble / counts.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("lineitem")._3 == mean)
+    assert(got.contains("events"))
+  }
 }
