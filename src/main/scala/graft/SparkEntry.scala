@@ -444,6 +444,10 @@ object SparkEntry {
     // join-key skew diagnosis: per-key count distribution summary
     "q136_skew_profile" -> ((s: SparkSession, d: String) =>
       ops.Skew.keySkewProfile(s, d)),
+    // sliding-window distinct (rolling 7-day active users): dedup to
+    // (day,user) pairs, band-join the bounded day spine, never 7x|events|
+    "q137_rolling_wau" -> ((s: SparkSession, d: String) =>
+      ext.Events.rollingWau(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1043,5 +1047,6 @@ object SparkEntry {
     "q135_quality_classifier" ->
       ext.TextAnalysis.qualityClassifierOracleSql(),
     "q136_skew_profile" -> ops.Skew.keySkewProfileOracleSql(),
+    "q137_rolling_wau" -> ext.Events.rollingWauOracleSql(),
   )
 }

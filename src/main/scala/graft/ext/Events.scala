@@ -232,4 +232,37 @@ object Events {
       |                      THEN ud.user_id END) AS ret_7
       |FROM ud JOIN c USING (user_id)
       |GROUP BY cohort_day""".stripMargin
+
+  /** Rolling 7-day active users (WAU per day) — SLIDING-WINDOW DISTINCT,
+    * the aggregation windowed counts can't express (distinct doesn't
+    * decompose over overlapping windows the way sums do). Computed the
+    * way a warehouse should: dedup to (day, user) pairs first — the
+    * only corpus-sized step, one shuffle — then join the BOUNDED
+    * distinct-days spine (broadcast) with a 7-day band condition, so
+    * each (day, user) pair fans out to ≤7 target days, and count
+    * distinct per target day. At 100 TB the fan-out is 7×|daily-active
+    * pairs|, never 7×|events|. Output: (d, wau), integer-exact. */
+  def rollingWau(spark: SparkSession, dir: String,
+                 windowDays: Int = 7): DataFrame = {
+    val du = Tables.load(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val days = du.select(col("d").as("td")).distinct()
+    du.join(broadcast(days),
+        col("d") <= col("td") &&
+        col("d") >= col("td") - expr(s"INTERVAL ${windowDays - 1} DAYS"))
+      .groupBy(col("td"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("td").as("d"), col("wau"))
+  }
+
+  def rollingWauOracleSql(windowDays: Int = 7): String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+       |days AS (SELECT DISTINCT d AS td FROM du)
+       |SELECT td AS d, count(DISTINCT user_id) AS wau
+       |FROM du JOIN days
+       |  ON du.d <= days.td
+       | AND du.d >= days.td - INTERVAL ${windowDays - 1} DAY
+       |GROUP BY td""".stripMargin
 }

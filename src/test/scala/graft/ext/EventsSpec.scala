@@ -119,4 +119,26 @@ class EventsSpec extends SparkSpec {
     assert(out.agg(sum("ret_1")).head.getLong(0) > 0)
     out.unpersist()
   }
+
+  test("rollingWau equals a driver-side trailing-window recompute") {
+    def day(x: Any): java.time.LocalDate = x match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+      case d: java.time.LocalDateTime => d.toLocalDate
+    }
+    val pairs = graft.Tables.load(spark, sfDir, "events")
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct().collect()
+      .map(r => day(r.get(0)) -> r.getLong(1))
+    val byDay = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val expected = byDay.keys.map { d =>
+      d -> (0 until 7).flatMap(i => byDay.getOrElse(d.minusDays(i), Set()))
+        .toSet.size.toLong
+    }.toMap
+    val got = Events.rollingWau(spark, sfDir).collect()
+      .map(r => day(r.get(0)) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // WAU >= any single day's DAU inside its window
+    assert(got.forall { case (d, w) => w >= byDay(d).size })
+  }
 }
