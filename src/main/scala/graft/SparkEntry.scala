@@ -448,6 +448,26 @@ object SparkEntry {
     // (day,user) pairs, band-join the bounded day spine, never 7x|events|
     "q137_rolling_wau" -> ((s: SparkSession, d: String) =>
       ext.Events.rollingWau(s, d)),
+    // dataset-version diff: fingerprint-first full-outer snapshot audit
+    "q138_snapshot_diff" -> ((s: SparkSession, d: String) =>
+      ext.Versioning.snapshotDiff(s, d)),
+    // inverted-index build: df/tf + capped posting-list head per term
+    "q139_posting_lists" -> ((s: SparkSession, d: String) =>
+      ext.Search.postingLists(s, d)),
+    // TPC-H Q3-style top-10 shipping priority: semi-filtered fact join,
+    // exact-decimal deterministic ranking, TakeOrdered top-k
+    "q140_shipping_priority" -> ((s: SparkSession, d: String) =>
+      ops.RefQueries.q140ShippingPriority(s, d)),
+    // semantic mixture audit: cosine matrix between per-label embedding
+    // centroids, decimal-exact end to end
+    "q141_centroid_similarity" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.labelCentroidSimilarity(s, d)),
+    // two-sample KS drift statistic, exact cross-multiplied integers
+    "q142_ks_drift" -> ((s: SparkSession, d: String) =>
+      ext.Drift.ksDrift(s, d)),
+    // behavioral path analysis: top consecutive event-type trigrams
+    "q143_journey_trigrams" -> ((s: SparkSession, d: String) =>
+      ext.Events.journeyTrigrams(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1048,5 +1068,13 @@ object SparkEntry {
       ext.TextAnalysis.qualityClassifierOracleSql(),
     "q136_skew_profile" -> ops.Skew.keySkewProfileOracleSql(),
     "q137_rolling_wau" -> ext.Events.rollingWauOracleSql(),
+    "q138_snapshot_diff" -> ext.Versioning.snapshotDiffOracleSql(),
+    "q139_posting_lists" -> ext.Search.postingListsOracleSql(),
+    "q140_shipping_priority" ->
+      ops.RefQueries.q140ShippingPriorityOracleSql(),
+    "q141_centroid_similarity" ->
+      ext.Similarity.labelCentroidSimilarityOracleSql(),
+    "q142_ks_drift" -> ext.Drift.ksDriftOracleSql(),
+    "q143_journey_trigrams" -> ext.Events.journeyTrigramsOracleSql(),
   )
 }

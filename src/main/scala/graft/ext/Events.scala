@@ -265,4 +265,43 @@ object Events {
        |  ON du.d <= days.td
        | AND du.d >= days.td - INTERVAL ${windowDays - 1} DAY
        |GROUP BY td""".stripMargin
+
+  /** Top user-journey trigrams — the behavioral path-analysis staple:
+    * each user's events ordered by (ts, event_id) form a sequence of
+    * event types; emit the `topK` most frequent consecutive type
+    * trigrams (count desc, path asc — deterministic). One user-keyed
+    * shuffle+sort produces every trigram via two `lead()`s (the q114
+    * lead-over-self-join lesson); the trigram count table is bounded at
+    * |types|³ rows, and the final top-k is a TakeOrdered. At 100 TB the
+    * only corpus-sized cost is the per-user sort — the same shape as
+    * sessionization, partitioned by user so it scales out. */
+  def journeyTrigrams(spark: SparkSession, dir: String,
+                      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+                 .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
+
+  def journeyTrigramsOracleSql(topK: Int = 20): String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS t1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS t2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS t3
+       |  FROM events)
+       |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+       |FROM seq WHERE t3 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT $topK""".stripMargin
 }

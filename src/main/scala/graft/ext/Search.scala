@@ -80,4 +80,48 @@ object Search {
       |  count(*) AS n_hits
       |FROM adj a JOIN top1 t ON a.w1 = t.w1 AND a.w2 = t.w2
       |GROUP BY a.doc_id, t.w1, t.w2""".stripMargin
+
+  /** Inverted-index build — one row per vocabulary term with its
+    * document frequency, total term frequency, and the HEAD of its
+    * posting list (first `cap` doc_ids, ascending) rendered as a
+    * comma-joined string so the gate hash covers the actual postings.
+    *
+    * Scale: the canonical index-build plan — one (token, doc) shuffle
+    * with map-side combine folds per-doc term frequencies, then one
+    * token-keyed shuffle folds the term rows. The emitted posting HEAD
+    * is capped at `cap` ids (a stop-word's full posting list is
+    * corpus-sized; production writes full postings sharded by term and
+    * this gate certifies the build, not the storage). Output is
+    * vocabulary-bounded, not corpus-bounded. */
+  def postingLists(spark: SparkSession, dir: String,
+                   cap: Int = 10): DataFrame = {
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              explode(split(TextAnalysis.normalized(col("text")), " "))
+                .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+           sum(col("tf")).as("n_total"),
+           concat_ws(",",
+             transform(slice(sort_array(collect_list(col("doc_id"))),
+                             1, cap),
+                       _.cast("string"))).as("postings_head"))
+  }
+
+  def postingListsOracleSql(cap: Int = 10): String =
+    s"""WITH per_doc AS (
+       |  SELECT token, doc_id, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(regexp_replace(
+       |          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |          ' +', ' ', 'g')), ' ')) AS token
+       |        FROM documents) t
+       |  WHERE token <> ''
+       |  GROUP BY token, doc_id)
+       |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS n_total,
+       |  array_to_string(list_sort(list(doc_id))[1:$cap], ',')
+       |    AS postings_head
+       |FROM per_doc GROUP BY token""".stripMargin
 }

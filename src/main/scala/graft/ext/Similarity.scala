@@ -758,4 +758,62 @@ object Similarity {
        |FROM brute b LEFT JOIN ivf i ON i.aqid = b.qid AND i.anid = b.nid
        |GROUP BY b.qid""".stripMargin
   }
+
+  /** Semantic cluster-similarity matrix — cosine between the per-label
+    * embedding CENTROIDS, the corpus-mixture audit ("how close are the
+    * topic clusters / sources in embedding space?"). Cosine is
+    * scale-invariant, so the centroids never divide by the count: the
+    * per-dimension DECIMAL sums ARE the centroid directions (exact,
+    * order-independent — the q37 training discipline), each rounded to
+    * double exactly once; dot products and norms then re-accumulate in
+    * DECIMAL so the pairwise matrix is bit-deterministic.
+    *
+    * Scale: one posexplode shuffle folds the corpus to labels × dims
+    * rows (map-side combine; the ONLY corpus-sized step); the pair
+    * matrix is labels² — driver-trivial, joined on the dim key. */
+  def labelCentroidSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val el = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast("decimal(30,18)")).cast("double").as("x"))
+    val norms = el.groupBy(col("label"))
+      .agg(sum((col("x") * col("x")).cast("decimal(38,12)")).as("nsq"))
+    val a = el.select(col("label").as("la"), col("pos").as("pa"),
+                      col("x").as("xa"))
+    val b = el.select(col("label").as("lb"), col("pos").as("pb"),
+                      col("x").as("xb"))
+    a.join(b, col("pa") === col("pb") && col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum((col("xa") * col("xb")).cast("decimal(38,12)")).as("dot"))
+      .join(broadcast(norms.withColumnRenamed("label", "la")
+              .withColumnRenamed("nsq", "na")), Seq("la"))
+      .join(broadcast(norms.withColumnRenamed("label", "lb")
+              .withColumnRenamed("nsq", "nb")), Seq("lb"))
+      .select(col("la"), col("lb"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          4).as("cos"))
+  }
+
+  def labelCentroidSimilarityOracleSql(): String =
+    """WITH el AS (
+      |  SELECT label, i AS pos,
+      |    CAST(sum(CAST(embedding[i] AS DECIMAL(30,18))) AS DOUBLE) AS x
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
+      |  GROUP BY label, i),
+      |norms AS (
+      |  SELECT label, sum(CAST(x * x AS DECIMAL(38,12))) AS nsq
+      |  FROM el GROUP BY label),
+      |dots AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |    sum(CAST(a.x * b.x AS DECIMAL(38,12))) AS dot
+      |  FROM el a JOIN el b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY a.label, b.label)
+      |SELECT la, lb,
+      |  round(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 4)
+      |    AS cos
+      |FROM dots
+      |JOIN norms na ON na.label = la
+      |JOIN norms nb ON nb.label = lb""".stripMargin
 }

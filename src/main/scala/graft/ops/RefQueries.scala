@@ -403,4 +403,56 @@ object RefQueries {
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q3-style shipping priority — top-10 highest-revenue orders
+    * placed before a date but not yet fully shipped by it, for one
+    * market segment. The canonical 3-table fact join + top-k: the
+    * segment filter reduces customer to a join-key set BEFORE the join
+    * (semi-shaped), revenue sums at exact DECIMAL so the top-10 ranking
+    * is bit-deterministic (ties broken by orderkey), and the final
+    * top-k is a TakeOrdered — no full global sort ever materializes.
+    * At 100 TB: lineitem joins orders on the co-partitionable orderkey,
+    * the customer side broadcasts after its segment filter, and the
+    * top-10 folds per-partition heaps on the driver. */
+  def q140ShippingPriority(spark: SparkSession, dir: String,
+                           segment: String = "BUILDING",
+                           date: String = "1998-01-01"): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(date))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+              col("o_orderpriority"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(date))
+      .select(col("l_orderkey"),
+              expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+                .as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"),
+            "left_semi")
+      .groupBy(col("o_orderkey"), col("o_orderdate"),
+               col("o_orderpriority"))
+      .agg(sum(col("rev")).as("rev_exact"))
+      .orderBy(col("rev_exact").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority"),
+              round(col("rev_exact").cast("double"), 2).as("revenue"))
+  }
+
+  def q140ShippingPriorityOracleSql(segment: String = "BUILDING",
+                                    date: String = "1998-01-01"): String =
+    s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+       |  round(CAST(sum(rev) AS DOUBLE), 2) AS revenue
+       |FROM (SELECT l_orderkey,
+       |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+       |          AS rev
+       |      FROM lineitem WHERE l_shipdate > TIMESTAMP '$date') l
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderdate < TIMESTAMP '$date'
+       |  AND o_custkey IN (SELECT c_custkey FROM customer
+       |                    WHERE c_mktsegment = '$segment')
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY sum(rev) DESC, o_orderkey LIMIT 10""".stripMargin
 }

@@ -141,4 +141,22 @@ class EventsSpec extends SparkSpec {
     // WAU >= any single day's DAU inside its window
     assert(got.forall { case (d, w) => w >= byDay(d).size })
   }
+
+  test("journey trigrams: mass conservation and deterministic top-k") {
+    val rows = Events.journeyTrigrams(spark, sfDir, topK = 20).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // every path is three >-joined known types
+    rows.foreach(r => assert(r.getString(0).split(">").length == 3))
+    // descending counts with path tiebreak
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (n, p) => (-n, p) }))
+    // total trigram mass (over ALL paths, not just top-k) = sum over
+    // users of max(0, n_events - 2)
+    val all = Events.journeyTrigrams(spark, sfDir, topK = Int.MaxValue)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val perUser = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => math.max(0L, r.getLong(1) - 2)).sum
+    assert(all == perUser, s"$all != $perUser")
+  }
 }

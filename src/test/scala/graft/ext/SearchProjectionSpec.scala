@@ -43,4 +43,26 @@ class SearchProjectionSpec extends SparkSpec {
       .map(_.getDouble(3))
     assert(again.toSeq == ratios.toSeq)
   }
+
+  test("posting lists: df/tf conservation and sorted capped heads") {
+    val idx = Search.postingLists(spark, sfDir, cap = 10).collect()
+    assert(idx.nonEmpty)
+    // token mass conservation: sum of per-term totals == corpus tokens
+    val totalTf = idx.map(_.getLong(2)).sum
+    val corpusTokens = Tables.load(spark, sfDir, "documents")
+      .select(size(filter(
+        split(TextAnalysis.normalized(col("text")), " "),
+        t => t =!= "")))
+      .collect().map(_.getInt(0).toLong).sum
+    assert(totalTf == corpusTokens, s"$totalTf != $corpusTokens")
+    idx.foreach { r =>
+      val df = r.getLong(1)
+      val head = r.getString(3).split(",").filter(_.nonEmpty).map(_.toLong)
+      assert(head.length == math.min(df, 10L),
+        s"head holds min(df, cap) ids for ${r.getString(0)}")
+      assert(head.sameElements(head.sorted), "postings ascend")
+      assert(df >= head.length && r.getLong(2) >= df,
+        "tf >= df >= |head|")
+    }
+  }
 }

@@ -163,4 +163,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == 5)
     assert(got.values.forall { case (h, r) => r == h / 10.0 && r >= 0 && r <= 1 })
   }
+
+  test("label-centroid cosine matrix: full upper triangle, bounded, deterministic") {
+    val rows = Similarity.labelCentroidSimilarity(spark, sfDir).collect()
+    val labels = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("label").distinct().count().toInt
+    assert(rows.length == labels * (labels - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1), "upper triangle only")
+      val c = r.getDouble(2)
+      assert(c >= -1.0001 && c <= 1.0001, s"cosine out of range: $c")
+    }
+    val again = Similarity.labelCentroidSimilarity(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(again == rows.map(_.toString).sorted.toSeq, "bit-deterministic")
+  }
 }

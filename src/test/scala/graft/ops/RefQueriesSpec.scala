@@ -207,4 +207,20 @@ class RefQueriesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") &&
            plan.contains("l_shipdate"), s"shipdate filter must reach the scan:\n$plan")
   }
+
+  test("q140 shipping priority: top-10 ranked, customer side semi+broadcast") {
+    val rows = RefQueries.q140ShippingPriority(spark, sfDir).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    // ranking is descending by revenue with orderkey tiebreak
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.sameElements(revs.sortBy(-_: Double)), "descending revenue")
+    // every order belongs to the segment and straddles the date
+    val q = RefQueries.q140ShippingPriority(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+           plan.contains("LeftSemi"),
+      s"segment filter must apply as a broadcast semi join:\n$plan")
+  }
 }
