@@ -468,6 +468,15 @@ object SparkEntry {
     // behavioral path analysis: top consecutive event-type trigrams
     "q143_journey_trigrams" -> ((s: SparkSession, d: String) =>
       ext.Events.journeyTrigrams(s, d)),
+    // blocked edit-distance entity resolution over the distinct name space
+    "q144_fuzzy_match" -> ((s: SparkSession, d: String) =>
+      ext.Fuzzy.fuzzyNameMatch(s, d)),
+    // right-to-be-forgotten: broadcast anti-join deletion + reconciled audit
+    "q145_forget_users" -> ((s: SparkSession, d: String) =>
+      ext.Compliance.forgetUsersGate(s, d)),
+    // crawl-economics curve: per-ingest-batch exact-dup fraction
+    "q146_dup_curve" -> ((s: SparkSession, d: String) =>
+      ext.Versioning.dupDiscoveryCurve(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1076,5 +1085,8 @@ object SparkEntry {
       ext.Similarity.labelCentroidSimilarityOracleSql(),
     "q142_ks_drift" -> ext.Drift.ksDriftOracleSql(),
     "q143_journey_trigrams" -> ext.Events.journeyTrigramsOracleSql(),
+    "q144_fuzzy_match" -> ext.Fuzzy.fuzzyNameMatchOracleSql(),
+    "q145_forget_users" -> ext.Compliance.forgetUsersGateOracleSql(),
+    "q146_dup_curve" -> ext.Versioning.dupDiscoveryCurveOracleSql(),
   )
 }

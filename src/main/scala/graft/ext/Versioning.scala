@@ -85,4 +85,46 @@ object Versioning {
       |SELECT source, status, count(*) AS n_docs,
       |  CAST(sum(id % 9973) AS BIGINT) AS id_checksum
       |FROM diff GROUP BY source, status""".stripMargin
+
+  /** Duplicate-discovery curve — the crawl-economics audit: as the
+    * corpus grows (doc_id order ≈ ingest order), what fraction of each
+    * ingest batch is an exact duplicate of anything EARLIER? A rising
+    * curve says the crawl is exhausting its sources (diminishing novel
+    * content) — the signal that decides when to stop collecting.
+    *
+    * A doc is a duplicate iff a smaller doc_id shares its normalized
+    * fingerprint; batches are `batchSize`-wide doc_id ranges. Scale:
+    * one fingerprint shuffle to min-per-fp (map-side combine), one
+    * co-keyed join back, one bounded batch rollup — the q24 exact-dedup
+    * cost with a curve on top. */
+  def dupDiscoveryCurve(spark: SparkSession, dir: String,
+                        batchSize: Int = 50): DataFrame = {
+    val fps = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              md5(TextAnalysis.normalized(col("text"))).as("fp"))
+    val firsts = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
+    fps.join(firsts, "fp")
+      .select((col("doc_id") / batchSize).cast("long").as("batch"),
+              when(col("doc_id") > col("first_id"), 1L).otherwise(0L)
+                .as("is_dup"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"),
+           round(sum(col("is_dup")) / count(lit(1)).cast("double"), 4)
+             .as("dup_rate"))
+  }
+
+  def dupDiscoveryCurveOracleSql(batchSize: Int = 50): String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |flags AS (
+       |  SELECT doc_id // $batchSize AS batch,
+       |    CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY fp)
+       |         THEN 1 ELSE 0 END AS is_dup
+       |  FROM fps)
+       |SELECT batch, count(*) AS n_docs,
+       |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       |  round(sum(is_dup) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+       |FROM flags GROUP BY batch""".stripMargin
 }
