@@ -477,6 +477,16 @@ object SparkEntry {
     // crawl-economics curve: per-ingest-batch exact-dup fraction
     "q146_dup_curve" -> ((s: SparkSession, d: String) =>
       ext.Versioning.dupDiscoveryCurve(s, d)),
+    // sessionized funnel conversion by customer segment (3-layer compose)
+    "q147_segment_conversion" -> ((s: SparkSession, d: String) =>
+      ext.Events.segmentConversion(s, d)),
+    // incremental materialized-view maintenance: merge(old, delta) ≡ full
+    "q148_incremental_view" -> ((s: SparkSession, d: String) =>
+      ops.Incremental.incrementalHourlyGate(s, d)),
+    // bucketed co-located join: zero-exchange fact-fact join, certified
+    // lossless against the raw-parquet join
+    "q149_bucketed_join" -> ((s: SparkSession, d: String) =>
+      sources.Bucketing.bucketedJoinGate(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1088,5 +1098,9 @@ object SparkEntry {
     "q144_fuzzy_match" -> ext.Fuzzy.fuzzyNameMatchOracleSql(),
     "q145_forget_users" -> ext.Compliance.forgetUsersGateOracleSql(),
     "q146_dup_curve" -> ext.Versioning.dupDiscoveryCurveOracleSql(),
+    "q147_segment_conversion" -> ext.Events.segmentConversionOracleSql(),
+    "q148_incremental_view" ->
+      ops.Incremental.incrementalHourlyGateOracleSql(),
+    "q149_bucketed_join" -> sources.Bucketing.bucketedJoinGateOracleSql(),
   )
 }

@@ -293,6 +293,81 @@ object Events {
       .limit(topK)
   }
 
+  /** Session conversion by customer segment — the product-analytics
+    * rollup that composes three engine layers: gaps-and-islands
+    * sessionization (q33's 30-min rule, with per-event session ids),
+    * per-session funnel logic (converted = the session's first click
+    * is followed, inclusively, by a purchase), and broadcast dimension
+    * enrichment (segment from customer). Output per segment: sessions
+    * with ≥1 click, converted sessions, conversion rate.
+    *
+    * Scale: one user-keyed sort for session ids (the sessionize
+    * shape), one (user, session) rollup with map-side combine, one
+    * broadcast join to the bounded customer-key side, bounded output.
+    * The funnel condition needs only two per-session aggregates (first
+    * click ts, last purchase ts) — no per-pair join like q46. */
+  def segmentConversion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1L)
+          .when(col("ts").cast("timestamp").cast("double") -
+                  col("prev_ts").cast("timestamp").cast("double") > 1800.0,
+                1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perSession = sess.groupBy(col("user_id"), col("sid"))
+      .agg(min(when(col("event_type") === "click", col("ts")))
+             .as("first_click"),
+           max(when(col("event_type") === "purchase", col("ts")))
+             .as("last_purchase"))
+      .filter(col("first_click").isNotNull)
+      .withColumn("converted",
+        when(col("last_purchase").isNotNull &&
+             col("last_purchase") >= col("first_click"), 1L).otherwise(0L))
+    val segments = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    perSession.join(broadcast(segments),
+                    col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_click_sessions"),
+           sum(col("converted")).as("n_converted"))
+      .withColumn("conversion_rate",
+        round(col("n_converted") / col("n_click_sessions").cast("double"),
+              4))
+  }
+
+  def segmentConversionOracleSql(): String =
+    """WITH sess AS (
+      |  SELECT user_id, ts, event_type,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM (SELECT user_id, ts, event_id, event_type,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) IS NULL
+      |             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+      |                  ORDER BY ts, event_id)) > 1800.0 THEN 1
+      |           ELSE 0 END AS new_s
+      |    FROM events) t),
+      |per_session AS (
+      |  SELECT user_id, sid,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+      |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      |  FROM sess GROUP BY user_id, sid
+      |  HAVING min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL)
+      |SELECT c_mktsegment, count(*) AS n_click_sessions,
+      |  CAST(sum(CASE WHEN last_purchase IS NOT NULL
+      |                 AND last_purchase >= first_click THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_converted,
+      |  round(sum(CASE WHEN last_purchase IS NOT NULL
+      |                  AND last_purchase >= first_click THEN 1 ELSE 0 END)
+      |        / CAST(count(*) AS DOUBLE), 4) AS conversion_rate
+      |FROM per_session JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   def journeyTrigramsOracleSql(topK: Int = 20): String =
     s"""WITH seq AS (
        |  SELECT event_type AS t1,

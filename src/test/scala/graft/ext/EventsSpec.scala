@@ -159,4 +159,46 @@ class EventsSpec extends SparkSpec {
       .map(r => math.max(0L, r.getLong(1) - 2)).sum
     assert(all == perUser, s"$all != $perUser")
   }
+
+  test("segment conversion: driver-side sessionized funnel recompute") {
+    val got = Events.segmentConversion(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute: sessions by 30-min gaps, converted = first click
+    // followed (inclusively) by a purchase, joined to segment
+    val seg = graft.Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evs = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").cast("double"),
+              col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    val expect = scala.collection.mutable.Map[String, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    evs.groupBy(_._1).foreach { case (user, rows) =>
+      seg.get(user).foreach { s =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        var sessions = List.newBuilder[Seq[(Long, Double, Long, String)]]
+        var cur = List.newBuilder[(Long, Double, Long, String)]
+        var prev = Double.NaN
+        sorted.foreach { e =>
+          if (!prev.isNaN && e._2 - prev > 1800.0) {
+            sessions += cur.result(); cur = List.newBuilder
+          }
+          cur += e; prev = e._2
+        }
+        sessions += cur.result()
+        sessions.result().foreach { sess =>
+          val clicks = sess.filter(_._4 == "click").map(_._2)
+          if (clicks.nonEmpty) {
+            val fc = clicks.min
+            val conv = sess.exists(e => e._4 == "purchase" && e._2 >= fc)
+            val (a, b) = expect(s)
+            expect(s) = (a + 1, b + (if (conv) 1L else 0L))
+          }
+        }
+      }
+    }
+    assert(got == expect.toMap)
+  }
 }
