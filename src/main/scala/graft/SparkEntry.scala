@@ -487,6 +487,15 @@ object SparkEntry {
     // lossless against the raw-parquet join
     "q149_bucketed_join" -> ((s: SparkSession, d: String) =>
       sources.Bucketing.bucketedJoinGate(s, d)),
+    // time-series forward fill over the bounded hour x type spine
+    "q150_gap_fill" -> ((s: SparkSession, d: String) =>
+      ext.Events.gapFillHourly(s, d)),
+    // cumulative distinct-user reach curve (exact growth metric)
+    "q151_cumulative_reach" -> ((s: SparkSession, d: String) =>
+      ext.Events.cumulativeReach(s, d)),
+    // per-source token-concentration Gini, integer-exact rank formula
+    "q152_source_gini" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.sourceGini(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1102,5 +1111,8 @@ object SparkEntry {
     "q148_incremental_view" ->
       ops.Incremental.incrementalHourlyGateOracleSql(),
     "q149_bucketed_join" -> sources.Bucketing.bucketedJoinGateOracleSql(),
+    "q150_gap_fill" -> ext.Events.gapFillHourlyOracleSql(),
+    "q151_cumulative_reach" -> ext.Events.cumulativeReachOracleSql(),
+    "q152_source_gini" -> ext.TextAnalysis.sourceGiniOracleSql(),
   )
 }

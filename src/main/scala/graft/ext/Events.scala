@@ -368,6 +368,91 @@ object Events {
       |FROM per_session JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Time-series gap fill (forward fill) — the telemetry-reporting
+    * staple: the hourly rollup joined against a complete hour × type
+    * spine, with missing cells carrying the last present hour's value
+    * forward. Leading gaps (before a type's first observation) stay
+    * NULL — there is nothing to carry.
+    *
+    * Scale: the spine is hours × types (bounded, generated from a
+    * 1-row min/max aggregate — never from the corpus); the only
+    * corpus-sized step is the hourly rollup itself; the fill window
+    * partitions by type over the bounded spine. DECIMAL sums so the
+    * carried value is the exact one. */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"))
+    val bounds = agg.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val hours = bounds.select(
+      explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR")))
+        .as("h"))
+    val types = agg.select(col("event_type")).distinct()
+    val spine = hours.crossJoin(broadcast(types))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+              when(col("sv").isNull, 1L).otherwise(0L).as("is_gap"),
+              round(last(col("sv"), ignoreNulls = true).over(w)
+                      .cast("double"), 2).as("sum_value_filled"))
+  }
+
+  def gapFillHourlyOracleSql(): String =
+    """WITH agg AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS mn, max(h) AS mx FROM agg),
+      |hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+      |            AS h FROM b),
+      |spine AS (SELECT h, event_type
+      |          FROM hours CROSS JOIN (SELECT DISTINCT event_type
+      |                                 FROM agg) t),
+      |j AS (SELECT s.h, s.event_type, a.sv
+      |      FROM spine s LEFT JOIN agg a
+      |        ON a.h = s.h AND a.event_type = s.event_type)
+      |SELECT h, event_type,
+      |  CAST(CASE WHEN sv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+      |  round(CAST(last_value(sv IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY h
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS sum_value_filled
+      |FROM j""".stripMargin
+
+  /** Cumulative-reach curve — per activity day: users active for the
+    * FIRST time that day, and total distinct users reached so far (the
+    * growth metric exact streaming can't give without unbounded
+    * distinct state). Exact and cheap: distinct users fold to one
+    * first-day row each (min-per-user, map-side combine), the curve is
+    * a window cumsum over the bounded day table. */
+  def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.load(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val firstDay = du.groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("new_users"))
+    val days = du.select(col("d")).distinct()
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firstDay, col("d") === col("fd"), "left")
+      .select(col("d"), coalesce(col("new_users"), lit(0L))
+                .as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
+  def cumulativeReachOracleSql(): String =
+    """WITH du AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+      |fd AS (
+      |  SELECT fd, count(*) AS new_users FROM (
+      |    SELECT user_id, min(d) AS fd FROM du GROUP BY user_id) t
+      |  GROUP BY fd),
+      |days AS (SELECT DISTINCT d FROM du)
+      |SELECT d, coalesce(new_users, 0) AS new_users,
+      |  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY d
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM days LEFT JOIN fd ON d = fd""".stripMargin
+
   def journeyTrigramsOracleSql(topK: Int = 20): String =
     s"""WITH seq AS (
        |  SELECT event_type AS t1,

