@@ -496,6 +496,15 @@ object SparkEntry {
     // per-source token-concentration Gini, integer-exact rank formula
     "q152_source_gini" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.sourceGini(s, d)),
+    // lambda handoff: streaming partial merged with batch partial == full
+    "q153_lambda_handoff" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.lambdaHourlyAvailableNow(s, d)),
+    // day-partitioned rewrite + statically pruned 7-day scan
+    "q154_partition_pruning" -> ((s: SparkSession, d: String) =>
+      sources.PartitionedLayout.prunedScanGate(s, d)),
+    // mergeable histogram quantile sketch + exact error-bound audit
+    "q155_quantile_sketch" -> ((s: SparkSession, d: String) =>
+      ext.Sketches.histogramQuantiles(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1114,5 +1123,10 @@ object SparkEntry {
     "q150_gap_fill" -> ext.Events.gapFillHourlyOracleSql(),
     "q151_cumulative_reach" -> ext.Events.cumulativeReachOracleSql(),
     "q152_source_gini" -> ext.TextAnalysis.sourceGiniOracleSql(),
+    "q153_lambda_handoff" ->
+      ops.Incremental.incrementalHourlyGateOracleSql(),
+    "q154_partition_pruning" ->
+      sources.PartitionedLayout.prunedScanGateOracleSql(),
+    "q155_quantile_sketch" -> ext.Sketches.histogramQuantilesOracleSql(),
   )
 }

@@ -376,4 +376,118 @@ object Sketches {
        |FROM q JOIN counters c ON c.j = q.j AND c.bucket = q.bucket
        |GROUP BY q.token""".stripMargin
   }
+
+  // ---- mergeable equi-width histogram quantile sketch ---------------
+
+  /** Histogram quantile sketch WITH its exact error audit — the
+    * mergeable-quantiles answer next to HLL (distinct) and CMS (heavy
+    * hitters): per event type, a `bins`-cell equi-width histogram over
+    * the cents domain (integer binning — bin edges, widths, and counts
+    * are all exact and engine-identical), quantile ESTIMATES read off
+    * the cumulative histogram (lower edge of the rank's bin), and the
+    * EXACT rank statistic computed alongside so the gate certifies the
+    * sketch's error bound `|exact − est| < bin_width` per quantile.
+    *
+    * Scale: the histogram is the sketch — one (type, bin) groupBy with
+    * map-side combine, mergeable across partitions/batches/days by
+    * construction (bin counts add). The exact audit is the expensive
+    * sort path (per-type rank window), run at gate scale to certify
+    * the bound; production keeps only the histogram. Integer ranks:
+    * rank(q) = ⌈q·n⌉ via `(pct·n + 99) div 100` — no float quantile
+    * conventions to disagree on. */
+  def histogramQuantiles(spark: SparkSession, dir: String,
+                         bins: Int = 1000): DataFrame = {
+    val cents = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("c"),
+              col("event_id"))
+    val bounds = cents.groupBy(col("event_type"))
+      .agg(min(col("c")).as("minc"), max(col("c")).as("maxc"),
+           count(lit(1)).as("n"))
+      .withColumn("w", (col("maxc") - col("minc") + lit(bins.toLong))
+                         .divide(lit(bins.toLong)).cast("long"))
+    val binned = cents.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bin", ((col("c") - col("minc")) / col("w"))
+                           .cast("long"))
+    val hist = binned.groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("bc"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+                     .unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("bc")).over(wcum))
+    val qs = spark.range(1).select(
+      explode(array(lit(50), lit(90), lit(99))).as("pct"))
+    val targets = bounds.crossJoin(qs)
+      .withColumn("r", (col("pct") * col("n") + 99) / 100)
+      .withColumn("r", col("r").cast("long"))
+    val est = targets.join(cum, Seq("event_type"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("event_type"), col("pct"), col("r"), col("n"),
+               col("minc"), col("w"))
+      .agg(min(col("bin")).as("ebin"))
+      .withColumn("est", (col("minc") + col("ebin") * col("w"))
+                           .cast("double") / 100.0)
+    val wrank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))
+    val exact = binned
+      .withColumn("rk", row_number().over(wrank).cast("long"))
+      .select(col("event_type").as("et2"), col("rk"),
+              (col("c").cast("double") / 100.0).as("exact"))
+    est.join(exact, col("event_type") === col("et2") &&
+                    col("rk") === col("r"))
+      .select(col("event_type"), col("pct").cast("long").as("pct"),
+              col("n"), col("est"), col("exact"),
+              round(abs(col("exact") - col("est")), 2).as("abs_err"),
+              (col("w").cast("double") / 100.0).as("bin_width"))
+  }
+
+  def histogramQuantilesOracleSql(bins: Int = 1000): String =
+    s"""WITH cents AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+       |    event_id
+       |  FROM events),
+       |bounds AS (
+       |  SELECT event_type, min(c) AS minc, max(c) AS maxc,
+       |    count(*) AS n,
+       |    (max(c) - min(c) + $bins) // $bins AS w
+       |  FROM cents GROUP BY event_type),
+       |binned AS (
+       |  SELECT c.event_type, c.c, c.event_id, b.minc, b.w, b.n,
+       |    (c.c - b.minc) // b.w AS bin
+       |  FROM cents c JOIN bounds b ON b.event_type = c.event_type),
+       |hist AS (
+       |  SELECT event_type, bin, count(*) AS bc
+       |  FROM binned GROUP BY event_type, bin),
+       |cum AS (
+       |  SELECT event_type, bin,
+       |    sum(bc) OVER (PARTITION BY event_type ORDER BY bin
+       |                  ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM hist),
+       |targets AS (
+       |  SELECT b.event_type, q.pct, b.n, b.minc, b.w,
+       |    (q.pct * b.n + 99) // 100 AS r
+       |  FROM bounds b CROSS JOIN
+       |    (SELECT unnest([50, 90, 99]) AS pct) q),
+       |est AS (
+       |  SELECT t.event_type, t.pct, t.r, t.n, t.minc, t.w,
+       |    min(c.bin) AS ebin
+       |  FROM targets t JOIN cum c ON c.event_type = t.event_type
+       |  WHERE c.cum >= t.r
+       |  GROUP BY t.event_type, t.pct, t.r, t.n, t.minc, t.w),
+       |ranked AS (
+       |  SELECT event_type, c,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY c, event_id) AS rk
+       |  FROM binned)
+       |SELECT e.event_type, CAST(e.pct AS BIGINT) AS pct,
+       |  CAST(e.n AS BIGINT) AS n,
+       |  CAST(e.minc + e.ebin * e.w AS DOUBLE) / 100.0 AS est,
+       |  CAST(r.c AS DOUBLE) / 100.0 AS exact,
+       |  round(abs(CAST(r.c AS DOUBLE) / 100.0 -
+       |            CAST(e.minc + e.ebin * e.w AS DOUBLE) / 100.0), 2)
+       |    AS abs_err,
+       |  CAST(e.w AS DOUBLE) / 100.0 AS bin_width
+       |FROM est e JOIN ranked r
+       |  ON r.event_type = e.event_type AND r.rk = e.r""".stripMargin
 }

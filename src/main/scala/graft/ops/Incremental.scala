@@ -24,7 +24,7 @@ import graft.Tables
   * full corpus scan, the merge is a broadcast-sized join. */
 object Incremental {
 
-  private def hourlyPartial(events: DataFrame): DataFrame =
+  private[graft] def hourlyPartial(events: DataFrame): DataFrame =
     events.groupBy(date_trunc("hour", col("ts")).as("h"),
                    col("event_type"))
       .agg(count(lit(1)).as("n"),

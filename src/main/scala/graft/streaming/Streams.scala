@@ -572,6 +572,35 @@ object Streams {
                OutputMode.Update())
       .select(col("band"), col("a_id"), col("b_id"))
 
+  /** LAMBDA HANDOFF — certify that a STREAMING partial aggregate is
+    * mergeable with a BATCH partial of the same view: the standing set
+    * (event_id % mod ≠ 0) aggregates through the batch path, the
+    * "newly-arriving" delta (event_id % mod = 0) aggregates through a
+    * bounded STREAM run (Complete mode), and the two partials merge via
+    * [[graft.ops.Incremental.mergeHourly]]. The oracle recomputes the
+    * view from the full table — a hash match proves the batch and
+    * streaming halves of the engine produce interchangeable partials
+    * (the property the Lambda architecture assumes but rarely checks).
+    * DECIMAL partial sums make partial+partial bit-exact. */
+  def lambdaHourlyAvailableNow(spark: SparkSession, dir: String,
+                               mod: Int = 10): DataFrame = {
+    val standing = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_id") % mod =!= 0)
+    val deltaAgg = readEventsStream(spark, dir)
+      .filter(col("event_id") % mod === 0)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).as("sv"))
+    val deltaPartial = runBounded(deltaAgg, OutputMode.Complete())
+      // NTZ at the merge edge so both partials key identically
+      .withColumn("h", col("h").cast("timestamp_ntz"))
+    graft.ops.Incremental
+      .mergeHourly(graft.ops.Incremental.hourlyPartial(standing),
+                   deltaPartial)
+      .select(col("h"), col("event_type"), col("n"),
+              round(col("sv").cast("double"), 2).as("sum_value"))
+  }
+
   // ---- streaming HLL distinct-count sketch --------------------------
 
   /** STREAMING HyperLogLog distinct-users-per-event-type — the

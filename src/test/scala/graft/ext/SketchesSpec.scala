@@ -106,4 +106,46 @@ class SketchesSpec extends SparkSpec {
     val again = Sketches.amsJoinSizeEstimate(spark, sfDir).head()
     assert(again.getLong(1) == est)
   }
+
+  test("histogram quantiles: error bound certified, estimates bracket exact") {
+    val rows = Sketches.histogramQuantiles(spark, sfDir).collect()
+    assert(rows.length == 15, "5 types x 3 quantiles")
+    rows.foreach { r =>
+      val (est, exact, err, w) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      // lower-edge estimate: est <= exact < est + bin_width
+      assert(est <= exact + 1e-9, s"est $est > exact $exact")
+      assert(exact < est + w + 1e-9, s"exact $exact outside bin of $est + $w")
+      assert(err < w + 1e-9, "certified error bound")
+    }
+    // p50 <= p90 <= p99 within each type (monotone quantiles)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byPct = rs.map(r => r.getLong(1) -> r.getDouble(4)).toMap
+      assert(byPct(50L) <= byPct(90L) && byPct(90L) <= byPct(99L))
+    }
+  }
+
+  test("histogram sketch is mergeable: half-corpus bins sum to the full bins") {
+    // the sketch property: bin counts add across any split of the data
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+              (round(col("value") * 100)).cast("long").as("c"))
+    val bounds = ev.groupBy("event_type")
+      .agg(min("c").as("minc"), max("c").as("maxc"))
+      .withColumn("w", (col("maxc") - col("minc") + 1000L) / 1000L)
+      .withColumn("w", col("w").cast("long"))
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("bin", ((col("c") - col("minc")) / col("w")).cast("long"))
+        .groupBy("event_type", "bin").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val full = hist(ev)
+    val h1 = hist(ev.filter(col("c") % 2 === 0))
+    val h2 = hist(ev.filter(col("c") % 2 =!= 0))
+    val merged = (h1.keySet ++ h2.keySet).map(k =>
+      k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
+    assert(merged == full)
+  }
 }

@@ -1,0 +1,31 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class PartitionedLayoutSpec extends SparkSpec {
+
+  test("day filter becomes a partition filter: only selected days are read") {
+    val scan = PartitionedLayout.prunedScan(spark, sfDir,
+      startOffsetDays = 5, days = 7)
+    val n = scan.count()
+    // correctness: equals the same band filtered from the raw table
+    val expected = Tables.load(spark, sfDir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .collect().map(_.getString(0)).sorted
+    val days = expected.distinct
+    val band = days.slice(5, 12).toSet
+    assert(n == expected.count(band.contains))
+    // the plan prunes: the day predicate is a PartitionFilter on the
+    // scan (planning-time), not a post-scan data Filter
+    val planStr = scan.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+           planStr.split("PartitionFilters", 2)(1).take(200).contains("d#"),
+      s"expected a partition filter on d:\n$planStr")
+    // and the actually-read partition set is exactly the band
+    val readDays = scan
+      .select(date_format(col("d"), "yyyy-MM-dd")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(readDays == band)
+  }
+}

@@ -281,4 +281,12 @@ class StreamsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("lambda handoff equals the all-batch incremental view bit-for-bit") {
+    val lambda = Streams.lambdaHourlyAvailableNow(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.ops.Incremental.incrementalHourlyGate(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(lambda == batch)
+  }
 }
