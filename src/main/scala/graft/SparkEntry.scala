@@ -505,6 +505,15 @@ object SparkEntry {
     // mergeable histogram quantile sketch + exact error-bound audit
     "q155_quantile_sketch" -> ((s: SparkSession, d: String) =>
       ext.Sketches.histogramQuantiles(s, d)),
+    // catalog-wide FK orphan audit: anti-joins with key checksums
+    "q156_fk_integrity" -> ((s: SparkSession, d: String) =>
+      ops.Profile.fkIntegrity(s, d)),
+    // PMI co-occurrence over the top-k vocab (exact df integers, ln@4dp)
+    "q157_pmi_cooccurrence" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.pmiCooccurrence(s, d)),
+    // TPC-H Q5-style snowflake: one fact-fact shuffle, dims broadcast
+    "q158_local_supplier_volume" -> ((s: SparkSession, d: String) =>
+      ops.RefQueries.q158LocalSupplierVolume(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1128,5 +1137,9 @@ object SparkEntry {
     "q154_partition_pruning" ->
       sources.PartitionedLayout.prunedScanGateOracleSql(),
     "q155_quantile_sketch" -> ext.Sketches.histogramQuantilesOracleSql(),
+    "q156_fk_integrity" -> ops.Profile.fkIntegrityOracleSql(),
+    "q157_pmi_cooccurrence" -> ext.TextAnalysis.pmiCooccurrenceOracleSql(),
+    "q158_local_supplier_volume" ->
+      ops.RefQueries.q158LocalSupplierVolumeOracleSql(),
   )
 }

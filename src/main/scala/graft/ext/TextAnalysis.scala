@@ -831,4 +831,64 @@ object TextAnalysis {
       |             - (count(*) + 1) * sum(n_tokens) AS DOUBLE)
       |        / CAST(count(*) * sum(n_tokens) AS DOUBLE), 6) AS gini
       |FROM r GROUP BY source""".stripMargin
+
+  /** Document-level PMI co-occurrence matrix over the top-`k` vocab —
+    * the word2vec-era association statistic: for token pair (a, b),
+    * `pmi = ln(N · df_ab / (df_a · df_b))` from document frequencies
+    * (all exact integers; one `ln` rounded to 4 — the q118 parity
+    * discipline). Positive PMI = the tokens co-occur more than their
+    * popularity predicts (phrases, topical pairs); strongly negative =
+    * complementary distribution (e.g. different languages).
+    *
+    * Scale: presence pairs join through the BOUNDED top-k vocab (the
+    * (token, doc) presence table is semi-joined to k tokens FIRST, so
+    * the pair join fans out at most k per doc, never vocab²·docs);
+    * output is ≤ k(k−1)/2 rows. */
+  def pmiCooccurrence(spark: SparkSession, dir: String,
+                      k: Int = 20): DataFrame = {
+    val presence = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              explode(array_distinct(
+                split(normalized(col("text")), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val top = presence.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(k)
+    val p = presence.join(broadcast(top), Seq("token"))
+    val nDocs = Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val a = p.select(col("doc_id"), col("token").as("ta"),
+                     col("df").as("dfa"))
+    val b = p.select(col("doc_id").as("d2"), col("token").as("tb"),
+                     col("df").as("dfb"))
+    a.join(b, col("doc_id") === col("d2") && col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"), col("dfa"), col("dfb"))
+      .agg(count(lit(1)).as("df_ab"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("ta"), col("tb"), col("dfa"), col("dfb"), col("df_ab"),
+        round(log(col("n_docs").cast("double") * col("df_ab") /
+                  (col("dfa") * col("dfb")).cast("double")), 4).as("pmi"))
+  }
+
+  def pmiCooccurrenceOracleSql(k: Int = 20): String =
+    s"""WITH presence AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(trim(regexp_replace(
+       |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |      ' +', ' ', 'g')), ' ')) AS token
+       |    FROM documents) t
+       |  WHERE token <> ''),
+       |top AS (
+       |  SELECT token, count(*) AS df FROM presence GROUP BY token
+       |  ORDER BY df DESC, token LIMIT $k),
+       |p AS (SELECT pr.doc_id, pr.token, t.df
+       |      FROM presence pr JOIN top t ON t.token = pr.token),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT a.token AS ta, b.token AS tb,
+       |  a.df AS dfa, b.df AS dfb, count(*) AS df_ab,
+       |  round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) * count(*)
+       |           / CAST(a.df * b.df AS DOUBLE)), 4) AS pmi
+       |FROM p a JOIN p b
+       |  ON a.doc_id = b.doc_id AND a.token < b.token
+       |GROUP BY a.token, b.token, a.df, b.df""".stripMargin
 }

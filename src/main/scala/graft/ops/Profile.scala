@@ -51,4 +51,81 @@ object Profile {
        |  min(v) AS min_v, max(v) AS max_v
        |FROM u GROUP BY col_name""".stripMargin
   }
+
+  /** Referential-integrity audit — orphan foreign keys across the
+    * catalog's FK edges, the constraint check a lake has to RUN because
+    * nothing enforces it at write time (parquet has no FKs; llamadb
+    * parses but ignores REFERENCES — SURVEY §2.4). Per edge: child
+    * rows, orphan rows (no parent), distinct orphan keys, and a
+    * key-sensitive checksum of the orphan keys so WHICH keys are
+    * orphaned is certified, not just how many.
+    *
+    * Scale: each edge is one LEFT ANTI against the parent KEY SET —
+    * dims broadcast; the two fact-fact edges (lineitem→orders,
+    * events→customer) co-partition on the join key. Output is one row
+    * per edge. */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String,
+             broadcastParent: Boolean): DataFrame = {
+      val keys0 = parent.select(col(parentKey).as("pk")).distinct()
+      val keys = if (broadcastParent) broadcast(keys0) else keys0
+      val orphans = child.join(keys, child(childKey) === col("pk"),
+                               "left_anti")
+      val totals = child.agg(count(lit(1)).as("n_child"))
+      orphans.agg(count(lit(1)).as("n_orphans"),
+                  countDistinct(col(childKey)).as("n_orphan_keys"),
+                  coalesce(sum(col(childKey) % 9973), lit(0L))
+                    .as("orphan_checksum"))
+        .crossJoin(totals)
+        .select(lit(name).as("fk_edge"), col("n_child"),
+                col("n_orphans"), col("n_orphan_keys"),
+                col("orphan_checksum"))
+    }
+    Seq(
+      edge("lineitem.l_orderkey->orders",
+           Tables.load(spark, dir, "lineitem"), "l_orderkey",
+           Tables.load(spark, dir, "orders"), "o_orderkey", false),
+      edge("orders.o_custkey->customer",
+           Tables.load(spark, dir, "orders"), "o_custkey",
+           Tables.load(spark, dir, "customer"), "c_custkey", true),
+      edge("events.user_id->customer",
+           Tables.load(spark, dir, "events"), "user_id",
+           Tables.load(spark, dir, "customer"), "c_custkey", true),
+      edge("customer.c_nationkey->nation",
+           Tables.load(spark, dir, "customer"), "c_nationkey",
+           Tables.load(spark, dir, "nation"), "n_nationkey", true),
+      edge("supplier.s_nationkey->nation",
+           Tables.load(spark, dir, "supplier"), "s_nationkey",
+           Tables.load(spark, dir, "nation"), "n_nationkey", true),
+      edge("nation.n_regionkey->region",
+           Tables.load(spark, dir, "nation"), "n_regionkey",
+           Tables.load(spark, dir, "region"), "r_regionkey", true)
+    ).reduce(_ unionByName _)
+  }
+
+  def fkIntegrityOracleSql(): String = {
+    def one(edge: String, child: String, ck: String,
+            parent: String, pk: String) =
+      s"""SELECT '$edge' AS fk_edge,
+         |  (SELECT count(*) FROM $child) AS n_child,
+         |  count(*) AS n_orphans,
+         |  count(DISTINCT $ck) AS n_orphan_keys,
+         |  CAST(coalesce(sum($ck % 9973), 0) AS BIGINT)
+         |    AS orphan_checksum
+         |FROM $child WHERE $ck NOT IN (SELECT $pk FROM $parent)"""
+        .stripMargin
+    Seq(one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+        one("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+        one("events.user_id->customer", "events", "user_id",
+            "customer", "c_custkey"),
+        one("customer.c_nationkey->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+        one("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey"),
+        one("nation.n_regionkey->region", "nation", "n_regionkey",
+            "region", "r_regionkey")).mkString("\nUNION ALL\n")
+  }
 }

@@ -455,4 +455,60 @@ object RefQueries {
        |                    WHERE c_mktsegment = '$segment')
        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
        |ORDER BY sum(rev) DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style local-supplier volume — revenue per nation where
+    * the CUSTOMER and the SUPPLIER share the nation, for one region
+    * and one order year. The canonical snowflake plan: the
+    * region→nation chain folds to a broadcast key set; customer and
+    * supplier reduce to (key → nationkey) broadcast maps; the only
+    * shuffled join is lineitem⋈orders on the co-partitionable
+    * orderkey; the same-nation predicate applies map-side after the
+    * broadcasts. At 100 TB: one fact-fact shuffle, everything else
+    * broadcast — exactly how a snowflake query should degrade. */
+  def q158LocalSupplierVolume(spark: SparkSession, dir: String,
+                              region: String = "ASIA",
+                              orderYear: Int = 1997): DataFrame = {
+    val nations = Tables.load(spark, dir, "nation")
+      .join(broadcast(Tables.load(spark, dir, "region")
+              .filter(col("r_name") === region)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("c_nat"),
+              col("n_name"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === lit(orderYear))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+              expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+                .as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nat"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  def q158LocalSupplierVolumeOracleSql(region: String = "ASIA",
+                                       year: Int = 1997): String =
+    s"""SELECT n_name,
+       |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+       |    AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$region'
+       |  AND s_nationkey = c_nationkey
+       |  AND year(o_orderdate) = $year
+       |GROUP BY n_name""".stripMargin
 }

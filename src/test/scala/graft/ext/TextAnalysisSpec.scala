@@ -241,4 +241,19 @@ class TextAnalysisSpec extends SparkSpec {
     // all-equal values => Gini exactly 0 (rank formula sanity)
     assert(got.values.forall(g => g >= 0.0 && g < 1.0))
   }
+
+  test("PMI co-occurrence: df bounds and recomputed scores") {
+    val rows = TextAnalysis.pmiCooccurrence(spark, sfDir, k = 20).collect()
+    assert(rows.nonEmpty && rows.length <= 20 * 19 / 2)
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    rows.foreach { r =>
+      val (dfa, dfb, dfab) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dfab <= math.min(dfa, dfb), "co-occurrence bounded by df")
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      val expect = BigDecimal(math.log(
+        nDocs.toDouble * dfab / (dfa.toDouble * dfb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == expect, s"pmi for ${r.getString(0)}")
+    }
+  }
 }

@@ -42,4 +42,24 @@ class ProfileSpec extends SparkSpec {
       Profile.numericProfile(Seq((1.0, 2.0)).toDF("a", "b"), Seq.empty)
     }
   }
+
+  test("FK integrity: orphan counts match a driver-side recompute") {
+    val rows = Profile.fkIntegrity(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 6)
+    // recompute the events->customer edge by hand
+    val custKeys = graft.Tables.load(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val evUsers = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id").collect().map(_.getLong(0))
+    val orphans = evUsers.filterNot(custKeys.contains)
+    val (nChild, nOrph, nKeys, ck) = rows("events.user_id->customer")
+    assert(nChild == evUsers.length)
+    assert(nOrph == orphans.length)
+    assert(nKeys == orphans.distinct.length)
+    assert(ck == orphans.map(_ % 9973).sum)
+    // dim chains in this corpus are referentially clean
+    assert(rows("nation.n_regionkey->region")._2 == 0L)
+  }
 }

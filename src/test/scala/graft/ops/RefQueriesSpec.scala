@@ -223,4 +223,16 @@ class RefQueriesSpec extends SparkSpec {
            plan.contains("LeftSemi"),
       s"segment filter must apply as a broadcast semi join:\n$plan")
   }
+
+  test("q158 snowflake: one shuffled fact join, dims broadcast") {
+    val q = RefQueries.q158LocalSupplierVolume(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty, "region/year band must select revenue")
+    val plan = q.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"dims must broadcast:\n$plan")
+    val shuffled = ("SortMergeJoin".r.findAllIn(plan).length
+      + "ShuffledHashJoin".r.findAllIn(plan).length)
+    assert(shuffled <= 1, s"only lineitem-orders may shuffle:\n$plan")
+  }
 }
