@@ -514,6 +514,15 @@ object SparkEntry {
     // TPC-H Q5-style snowflake: one fact-fact shuffle, dims broadcast
     "q158_local_supplier_volume" -> ((s: SparkSession, d: String) =>
       ops.RefQueries.q158LocalSupplierVolume(s, d)),
+    // streaming histogram sketch: stream-built registers == batch build
+    "q159_stream_histogram" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.histogramSketchAvailableNow(s, d)),
+    // latest-wins key compaction via max_by partials (no window sort)
+    "q160_latest_per_key" -> ((s: SparkSession, d: String) =>
+      ops.Cdc.latestPerKey(s, d)),
+    // integer exponential time-decay trending scores (exact, no pow)
+    "q161_trending" -> ((s: SparkSession, d: String) =>
+      ext.Events.trendingScores(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1141,5 +1150,8 @@ object SparkEntry {
     "q157_pmi_cooccurrence" -> ext.TextAnalysis.pmiCooccurrenceOracleSql(),
     "q158_local_supplier_volume" ->
       ops.RefQueries.q158LocalSupplierVolumeOracleSql(),
+    "q159_stream_histogram" -> ext.Sketches.histogramRegistersOracleSql(),
+    "q160_latest_per_key" -> ops.Cdc.latestPerKeyOracleSql(),
+    "q161_trending" -> ext.Events.trendingScoresOracleSql(),
   )
 }

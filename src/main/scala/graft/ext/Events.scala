@@ -453,6 +453,58 @@ object Events {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM days LEFT JOIN fd ON d = fd""".stripMargin
 
+  /** Exponential time-decay trending scores — recency-weighted activity
+    * (the "what's hot" ranking), computed EXACTLY: ages are whole days
+    * from the corpus max day, and the decay weight is the INTEGER
+    * `2^(maxAge − age)` (halving per day of age), so scores are exact
+    * BIGINTs — no pow()/libm parity risk, no float summation order.
+    * A day of history at 100 TB folds map-side: the weight is a pure
+    * per-row expression, the rollup is one bounded groupBy.
+    *
+    * Output per type: events, exact decayed score, and the score
+    * normalized by the per-type maximum possible weight (share of
+    * recency-weighted mass, 6dp). */
+  def trendingScores(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
+    val maxDay = ev.agg(max(col("d")).as("mx"))
+    val aged = ev.crossJoin(broadcast(maxDay))
+      .withColumn("age", datediff(col("mx"), col("d")).cast("long"))
+    val maxAge = aged.agg(max(col("age")).as("max_age"))
+    aged.crossJoin(broadcast(maxAge))
+      .withColumn("wt", expr("shiftleft(1L, int(max_age - age))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("wt")).as("score"))
+      .withColumn("share",
+        round(col("score").cast("double") /
+              sum(col("score")).over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing))
+                .cast("double"), 6))
+  }
+
+  def trendingScoresOracleSql(): String =
+    """WITH ev AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d FROM events),
+      |aged AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', d, (SELECT max(d) FROM ev)) AS BIGINT)
+      |      AS age
+      |  FROM ev),
+      |wts AS (
+      |  SELECT event_type,
+      |    CAST(2 ** ((SELECT max(age) FROM aged) - age) AS BIGINT) AS wt
+      |  FROM aged),
+      |scores AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(wt) AS BIGINT) AS score
+      |  FROM wts GROUP BY event_type)
+      |SELECT event_type, n, score,
+      |  round(CAST(score AS DOUBLE) /
+      |        CAST((SELECT sum(score) FROM scores) AS DOUBLE), 6)
+      |    AS share
+      |FROM scores""".stripMargin
+
   def journeyTrigramsOracleSql(topK: Int = 20): String =
     s"""WITH seq AS (
        |  SELECT event_type AS t1,

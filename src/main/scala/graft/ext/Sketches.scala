@@ -442,6 +442,42 @@ object Sketches {
               (col("w").cast("double") / 100.0).as("bin_width"))
   }
 
+  /** The (type, bin) histogram registers alone — the mergeable sketch
+    * state [[histogramQuantiles]] folds; exposed so the STREAMING twin
+    * can certify a stream-built sketch equals the batch build
+    * (arrival-order-invariant: bin counts are commutative adds, the
+    * q128 HLL argument). Bin bounds come from the batch bounds pass —
+    * in production those are yesterday's stats or a fixed domain. */
+  def histogramRegisters(events: DataFrame,
+                         bins: Int = 1000): DataFrame = {
+    val cents = events
+      .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("c"))
+    val bounds = cents.groupBy(col("event_type"))
+      .agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+      .withColumn("w", (col("maxc") - col("minc") + lit(bins.toLong))
+                         .divide(lit(bins.toLong)).cast("long"))
+      .select(col("event_type"), col("minc"), col("w"))
+    cents.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bin", ((col("c") - col("minc")) / col("w"))
+                           .cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("bc"))
+  }
+
+  def histogramRegistersOracleSql(bins: Int = 1000): String =
+    s"""WITH cents AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events),
+       |bounds AS (
+       |  SELECT event_type, min(c) AS minc,
+       |    (max(c) - min(c) + $bins) // $bins AS w
+       |  FROM cents GROUP BY event_type)
+       |SELECT c.event_type, (c.c - b.minc) // b.w AS bin,
+       |  count(*) AS bc
+       |FROM cents c JOIN bounds b ON b.event_type = c.event_type
+       |GROUP BY c.event_type, (c.c - b.minc) // b.w""".stripMargin
+
   def histogramQuantilesOracleSql(bins: Int = 1000): String =
     s"""WITH cents AS (
        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,

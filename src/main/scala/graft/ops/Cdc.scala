@@ -75,4 +75,33 @@ object Cdc {
       |SELECT c_custkey + (SELECT max(c_custkey) FROM snap),
       |  'new_' || c_name, 0.0
       |FROM snap WHERE c_custkey % 13 = 5""".stripMargin
+
+  /** Latest-wins key compaction — the primitive under every upsert log
+    * and CDC table: of all records per key, keep exactly the newest
+    * (by event time, id as the total-order tiebreak). Implemented as a
+    * `max_by` over a struct ordered (ts, event_id, …) — ONE shuffle
+    * with map-side partial maxima (each partition forwards one
+    * candidate row per key), never a per-key window sort: at 100 TB
+    * the difference between shuffling one row per (key, partition) and
+    * sort-materializing every key's full history.
+    *
+    * Gate keys: (user_id, event_type) over events — "each user's most
+    * recent event of each type", the serving-store projection. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("event_type"),
+              col("r.ts").as("ts"), col("r.event_id").as("event_id"),
+              col("r.value").as("value"))
+
+  def latestPerKeyOracleSql(): String =
+    """SELECT user_id, event_type, ts, event_id, value
+      |FROM (SELECT user_id, event_type, ts, event_id, value,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1""".stripMargin
 }

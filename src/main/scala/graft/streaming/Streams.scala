@@ -601,6 +601,36 @@ object Streams {
               round(col("sv").cast("double"), 2).as("sum_value"))
   }
 
+  /** STREAMING histogram-quantile sketch — the quantiles member of the
+    * streaming sketch family (next to the q128 HLL): bin bounds come
+    * from the batch side (production: yesterday's stats or a fixed
+    * domain — a sketch needs a pre-agreed domain to be mergeable across
+    * days), the STREAM builds the (type, bin) registers with one
+    * Complete-mode aggregation. Register adds are commutative, so any
+    * arrival order yields the batch-built sketch exactly — certified by
+    * the q155-shape oracle over the batch table. State is bounded at
+    * types × bins forever. */
+  def histogramSketchAvailableNow(spark: SparkSession, dir: String,
+                                  bins: Int = 1000): DataFrame = {
+    val bounds = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+      .withColumn("w", (col("maxc") - col("minc") + lit(bins.toLong))
+                         .divide(lit(bins.toLong)).cast("long"))
+      .select(col("event_type"), col("minc"), col("w"))
+    val registers = readEventsStream(spark, dir)
+      .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("c"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bin", ((col("c") - col("minc")) / col("w"))
+                           .cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("bc"))
+    runBounded(registers, OutputMode.Complete())
+  }
+
   // ---- streaming HLL distinct-count sketch --------------------------
 
   /** STREAMING HyperLogLog distinct-users-per-event-type — the

@@ -246,4 +246,20 @@ class EventsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == total,
       "every user is new exactly once")
   }
+
+  test("trending scores: exact integer decay recompute") {
+    val got = Events.trendingScores(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val days = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+              date_trunc("day", col("ts")).cast("timestamp").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400))
+    val maxDay = days.map(_._2).max
+    val maxAge = maxDay - days.map(_._2).min
+    val expect = days.groupBy(_._1).map { case (t, rows) =>
+      t -> (rows.length.toLong,
+            rows.map(r => 1L << (maxAge - (maxDay - r._2)).toInt).sum)
+    }
+    assert(got == expect)
+  }
 }

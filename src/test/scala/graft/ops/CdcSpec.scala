@@ -72,4 +72,24 @@ class CdcSpec extends SparkSpec {
     assert(out.groupBy("c_custkey").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("latest-per-key equals the window argmax and plans without a sort") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Cdc.latestPerKey(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val expect = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "ts", "event_id", "value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expect)
+    // the scale point: a partial-aggregating max_by, not a window sort
+    val plan = Cdc.latestPerKey(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("max_by"),
+      s"max_by partial aggregation expected:\n$plan")
+  }
 }

@@ -289,4 +289,13 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(lambda == batch)
   }
+
+  test("stream-built histogram registers equal the batch sketch bit-for-bit") {
+    val stream = Streams.histogramSketchAvailableNow(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.ext.Sketches.histogramRegisters(
+      graft.Tables.load(spark, sfDir, "events"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream == batch)
+  }
 }

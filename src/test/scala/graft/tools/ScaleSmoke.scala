@@ -50,7 +50,15 @@ object ScaleSmoke {
     // lineitem/orders tables the replica does not generate)
     "q121_stream_minhash", "q122_vocab_coverage", "q124_video_frames",
     "q125_export_manifest", "q126_length_curriculum", "q128_stream_hll",
-    "q129_feature_hashing", "q130_topk_aggregator")
+    "q129_feature_hashing", "q130_topk_aggregator",
+    // round-8 wave q138+ (docs/embeddings/events-based only — the
+    // TPC-H-table gates q140/q144/q145/q147/q149/q154/q156/q158 read
+    // tables the replica does not generate)
+    "q138_snapshot_diff", "q139_posting_lists", "q141_centroid_similarity",
+    "q142_ks_drift", "q143_journey_trigrams", "q146_dup_curve",
+    "q148_incremental_view", "q150_gap_fill", "q151_cumulative_reach",
+    "q152_source_gini", "q153_lambda_handoff", "q155_quantile_sketch",
+    "q157_pmi_cooccurrence")
 
   def generate(spark: SparkSession): Unit = {
     // events.ts unit has changed across driver rounds (nanos → micros);
