@@ -523,6 +523,12 @@ object SparkEntry {
     // integer exponential time-decay trending scores (exact, no pow)
     "q161_trending" -> ((s: SparkSession, d: String) =>
       ext.Events.trendingScores(s, d)),
+    // integer-exact capped-proportional data-mixing recipe
+    "q162_mixture_plan" -> ((s: SparkSession, d: String) =>
+      ext.Sampling.mixturePlan(s, d)),
+    // similarity-decile histogram off the shared exact pair set
+    "q163_sim_histogram" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.similarityHistogram(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1153,5 +1159,7 @@ object SparkEntry {
     "q159_stream_histogram" -> ext.Sketches.histogramRegistersOracleSql(),
     "q160_latest_per_key" -> ops.Cdc.latestPerKeyOracleSql(),
     "q161_trending" -> ext.Events.trendingScoresOracleSql(),
+    "q162_mixture_plan" -> ext.Sampling.mixturePlanOracleSql(),
+    "q163_sim_histogram" -> ext.Dedup.similarityHistogramOracleSql(),
   )
 }

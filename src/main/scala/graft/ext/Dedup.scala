@@ -967,4 +967,40 @@ object Dedup {
        |FROM inter
        |JOIN sz za ON za.source = inter.source_a
        |JOIN sz zb ON zb.source = inter.source_b""".stripMargin
+
+  /** Similarity-threshold histogram — the dedup-planning signal: how
+    * many near-dup pairs exist at each similarity decile above the base
+    * threshold, with the exact min/max jaccard per decile. Reads
+    * straight off the cached exact pair set (one bounded rollup; the
+    * pair-set cost is shared with q28/q39/q63/q92), so "what threshold
+    * should this corpus dedup at" costs one extra aggregation.
+    * Bucketing uses the same IEEE double ops on both engines
+    * (`least(floor(jac·10), 9)`), so bucket edges agree bit-for-bit. */
+  def similarityHistogram(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5): DataFrame =
+    jaccardPairsCached(spark, dir, threshold)
+      .withColumn("bucket",
+        least(floor(col("jac") * 10), lit(9.0)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+           round(min(col("jac")), 4).as("min_jac"),
+           round(max(col("jac")), 4).as("max_jac"))
+
+  def similarityHistogramOracleSql(threshold: Double = 0.5): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents),
+       |pairs AS (SELECT jac FROM (
+       | SELECT CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) p
+       | WHERE jac >= $threshold)
+       |SELECT CAST(least(floor(jac * 10), 9) AS BIGINT) AS bucket,
+       |  count(*) AS n_pairs,
+       |  round(min(jac), 4) AS min_jac,
+       |  round(max(jac), 4) AS max_jac
+       |FROM pairs GROUP BY 1""".stripMargin
 }

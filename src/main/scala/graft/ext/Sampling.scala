@@ -259,4 +259,51 @@ object Sampling {
        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
        |FROM r GROUP BY 1""".stripMargin
+
+  /** Capped-proportional mixture plan — the data-mixing recipe a
+    * pretraining run actually consumes: each source's token TARGET is
+    * its proportional share of the budget, capped (no source may
+    * dominate), and the repetition factor (`epochs = ⌈target/actual⌉`)
+    * says how many passes over an underrepresented source deliver its
+    * target. ALL integer arithmetic (shares via BIGINT `div`), so the
+    * plan is bit-deterministic and oracle-replayable — unlike the
+    * float-temperature q73 rates, this is the discrete allocation the
+    * sharding step executes.
+    *
+    * Scale: one counting shuffle folds the corpus to the bounded
+    * per-source table; the allocation is arithmetic on that table. */
+  def mixturePlan(spark: SparkSession, dir: String,
+                  budgetTokens: Long = 50000L,
+                  capTokens: Long = 5000L): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+              expr("size(regexp_extract_all(text, '([A-Za-z0-9]+)', 1))")
+                .cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val total = counts.agg(sum(col("n_tokens")).as("total_tokens"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        least(lit(capTokens),
+              expr(s"(n_tokens * ${budgetTokens}L) div total_tokens")))
+      .withColumn("epochs",
+        expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+              col("target_tokens"), col("epochs"))
+  }
+
+  def mixturePlanOracleSql(budgetTokens: Long = 50000L,
+                           capTokens: Long = 5000L): String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+       |         AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM c)
+       |SELECT source, n_docs, n_tokens,
+       |  least($capTokens, (n_tokens * $budgetTokens) // total_tokens)
+       |    AS target_tokens,
+       |  (least($capTokens, (n_tokens * $budgetTokens) // total_tokens)
+       |   + n_tokens - 1) // n_tokens AS epochs
+       |FROM c, t""".stripMargin
 }

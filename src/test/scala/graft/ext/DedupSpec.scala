@@ -351,4 +351,22 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("similarity histogram partitions the cached pair set by decile") {
+    val hist = Dedup.similarityHistogram(spark, sfDir, threshold = 0.5)
+      .collect()
+    val pairs = Dedup.jaccardPairsCached(spark, sfDir, 0.5).collect()
+      .map(_.getDouble(2))
+    assert(hist.map(_.getLong(1)).sum == pairs.length)
+    hist.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(b >= 5 && b <= 9, "threshold 0.5 => deciles 5..9")
+      assert(mn <= mx)
+      // bucket edges: every pair in bucket b has floor(jac*10) == b
+      // (or jac == 1.0 folded into 9)
+      val inB = pairs.filter(j =>
+        math.min(math.floor(j * 10), 9.0).toLong == b)
+      assert(inB.length == r.getLong(1))
+    }
+  }
 }

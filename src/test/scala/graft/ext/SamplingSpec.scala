@@ -112,4 +112,21 @@ class SamplingSpec extends SparkSpec {
     // bins are monotone: decile d's max <= decile d+1's min
     (0L to 8L).foreach(d => assert(got(d)._3 <= got(d + 1)._2))
   }
+
+  test("mixture plan: integer allocation invariants and recompute") {
+    val rows = Sampling.mixturePlan(spark, sfDir,
+      budgetTokens = 50000L, capTokens = 5000L).collect()
+    val total = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (tokens, target, epochs) =
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(target == math.min(5000L, tokens * 50000L / total))
+      assert(epochs == (target + tokens - 1) / tokens)
+      assert(target <= 5000L)
+      if (target > 0) assert(epochs >= 1L) else assert(epochs == 0L)
+    }
+    // capped sources exist OR every share fits — either way the plan
+    // never exceeds budget + one cap per source
+    assert(rows.map(_.getLong(3)).sum <= 50000L + 5000L * rows.length)
+  }
 }
