@@ -63,6 +63,7 @@ object Bench {
         ext.Quantize.clearMemos()
         ext.Winnow.clearMemos()
         ext.PageRank.clearMemos()
+        sources.Bucketing.clearWriteMemo()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

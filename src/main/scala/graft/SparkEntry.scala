@@ -529,6 +529,12 @@ object SparkEntry {
     // similarity-decile histogram off the shared exact pair set
     "q163_sim_histogram" -> ((s: SparkSession, d: String) =>
       ext.Dedup.similarityHistogram(s, d)),
+    // schema evolution: two writer vintages reconciled by a mergeSchema read
+    "q164_schema_evolution" -> ((s: SparkSession, d: String) =>
+      sources.PartitionedLayout.mergeSchemaGate(s, d)),
+    // rolling-baseline anomaly detection (trailing-window z-scores)
+    "q165_rolling_anomalies" -> ((s: SparkSession, d: String) =>
+      ext.Events.rollingAnomalies(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1161,5 +1167,8 @@ object SparkEntry {
     "q161_trending" -> ext.Events.trendingScoresOracleSql(),
     "q162_mixture_plan" -> ext.Sampling.mixturePlanOracleSql(),
     "q163_sim_histogram" -> ext.Dedup.similarityHistogramOracleSql(),
+    "q164_schema_evolution" ->
+      sources.PartitionedLayout.mergeSchemaGateOracleSql(),
+    "q165_rolling_anomalies" -> ext.Events.rollingAnomaliesOracleSql(),
   )
 }

@@ -505,6 +505,75 @@ object Events {
       |    AS share
       |FROM scores""".stripMargin
 
+  /** Rolling-baseline anomaly detection — each (day, type)'s event
+    * count z-scored against its OWN trailing `window`-day baseline
+    * (q88 z-scores against the global mean; real monitoring baselines
+    * against the recent past so drifts don't poison the reference).
+    * Moments accumulate as exact integer sums (Σn, Σn²) → one
+    * IEEE-deterministic mean/std/z per row (the q88 discipline).
+    * Output: the anomalous rows (|z| ≥ sigma, baseline ≥ minBaseline
+    * days).
+    *
+    * Scale: the corpus folds to the bounded (day, type) table in one
+    * counting shuffle; the trailing band is a ≤window-fan-out join of
+    * that bounded table against its broadcast day spine (the q137
+    * shape) — never a corpus-sized window. */
+  def rollingAnomalies(spark: SparkSession, dir: String,
+                       window: Int = 7, sigma: Double = 2.0,
+                       minBaseline: Int = 3): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val target = daily.select(col("d").as("td"),
+                              col("event_type").as("tt"),
+                              col("n").as("tn"))
+    target.join(broadcast(daily),
+        col("event_type") === col("tt") &&
+        col("d") < col("td") &&
+        col("d") >= col("td") - expr(s"INTERVAL $window DAYS"))
+      .groupBy(col("td"), col("tt"), col("tn"))
+      .agg(count(lit(1)).as("nb"), sum(col("n")).as("s1"),
+           sum(col("n") * col("n")).as("s2"))
+      .filter(col("nb") >= minBaseline)
+      .withColumn("mean", col("s1").cast("double") / col("nb"))
+      .withColumn("variance",
+        (col("nb") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("nb") * col("nb")).cast("double"))
+      .filter(col("variance") > 0)
+      .withColumn("z", (col("tn") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) >= sigma)
+      .select(col("td").as("d"), col("tt").as("event_type"),
+              col("tn").as("n"), round(col("mean"), 4).as("baseline_mean"),
+              round(col("z"), 4).as("z"))
+  }
+
+  def rollingAnomaliesOracleSql(window: Int = 7, sigma: Double = 2.0,
+                                minBaseline: Int = 3): String =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', ts) AS d, event_type,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT t.d AS td, t.event_type AS tt, t.n AS tn,
+       |    count(*) AS nb,
+       |    CAST(sum(b.n) AS BIGINT) AS s1,
+       |    CAST(sum(b.n * b.n) AS BIGINT) AS s2
+       |  FROM daily t JOIN daily b
+       |    ON b.event_type = t.event_type
+       |   AND b.d < t.d AND b.d >= t.d - INTERVAL $window DAY
+       |  GROUP BY t.d, t.event_type, t.n
+       |  HAVING count(*) >= $minBaseline)
+       |SELECT td AS d, tt AS event_type, tn AS n,
+       |  round(CAST(s1 AS DOUBLE) / nb, 4) AS baseline_mean,
+       |  round((tn - CAST(s1 AS DOUBLE) / nb) /
+       |        sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE) /
+       |             CAST(nb * nb AS DOUBLE)), 4) AS z
+       |FROM stats
+       |WHERE CAST(nb * s2 - s1 * s1 AS DOUBLE) > 0
+       |  AND abs((tn - CAST(s1 AS DOUBLE) / nb) /
+       |          sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE) /
+       |               CAST(nb * nb AS DOUBLE))) >= $sigma""".stripMargin
+
   def journeyTrigramsOracleSql(topK: Int = 20): String =
     s"""WITH seq AS (
        |  SELECT event_type AS t1,

@@ -59,6 +59,51 @@ object PartitionedLayout {
            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
              .as("sum_value"))
 
+  /** Schema-evolution merge read — the lake reality that tables gain
+    * columns over time: an old writer produced files WITHOUT `lang`
+    * (docs with even ids), a new writer added it (odd ids); a
+    * `mergeSchema` read reconciles both vintages into one frame where
+    * the missing column is NULL for old files. The gate aggregates per
+    * (source, lang-or-null) and must match the oracle applying the
+    * same vintage rule to the raw table — certifying no row, column,
+    * or null got lost in the merge.
+    *
+    * Scale note: schema merging is a FOOTER-level planning cost (one
+    * schema union over file footers), not a data cost; the read itself
+    * stays a plain pruned columnar scan. Production pins the merged
+    * schema in a catalog instead of re-inferring per query — the gate's
+    * explicit `mergeSchema` read is the bootstrap path. */
+  def mergeSchemaGate(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_evolve_" + Integer.toHexString(dir.hashCode)).getPath
+    val docs = graft.Tables.load(spark, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/v1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/v1", s"$base/v2")
+      .groupBy(col("source"), coalesce(col("lang"), lit("<pre-schema>"))
+                 .as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+           sum(col("doc_id") % 9973).as("id_checksum"))
+  }
+
+  def mergeSchemaGateOracleSql(): String =
+    """SELECT source,
+      |  CASE WHEN doc_id % 2 = 0 THEN '<pre-schema>' ELSE lang END
+      |    AS lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(sum(doc_id % 9973) AS BIGINT) AS id_checksum
+      |FROM documents
+      |GROUP BY source,
+      |  CASE WHEN doc_id % 2 = 0 THEN '<pre-schema>' ELSE lang END"""
+      .stripMargin
+
   def prunedScanGateOracleSql(startOffsetDays: Int = 5,
                               days: Int = 7): String =
     s"""WITH b AS (SELECT min(date_trunc('day', ts)) AS mn FROM events)

@@ -262,4 +262,30 @@ class EventsSpec extends SparkSpec {
     }
     assert(got == expect)
   }
+
+  test("rolling anomalies: every flagged row verifies against its own window") {
+    val daily = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    val flagged = Events.rollingAnomalies(spark, sfDir).collect()
+    flagged.foreach { r =>
+      val (d, t, n) = (r.get(0).toString, r.getString(1), r.getLong(2))
+      val base = daily.filter(x => x._2 == t && x._1 < d &&
+        java.time.LocalDateTime.parse(x._1.replace(' ', 'T'))
+          .isAfter(java.time.LocalDateTime.parse(d.replace(' ', 'T'))
+            .minusDays(7).minusSeconds(1)))
+        .map(_._3)
+      assert(base.length >= 3, s"baseline floor for $d/$t")
+      val nb = base.length.toLong
+      val s1 = base.sum; val s2 = base.map(x => x * x).sum
+      val mean = s1.toDouble / nb
+      val varz = (nb * s2 - s1 * s1).toDouble / (nb * nb).toDouble
+      val z = (n - mean) / math.sqrt(varz)
+      assert(math.abs(z) >= 2.0, s"z=$z for $d/$t")
+      assert(r.getDouble(4) == BigDecimal(z).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(flagged.nonEmpty, "fixture should contain anomalies")
+  }
 }

@@ -28,4 +28,20 @@ class PartitionedLayoutSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(readDays == band)
   }
+
+  test("mergeSchema read reconciles both writer vintages losslessly") {
+    val rows = PartitionedLayout.mergeSchemaGate(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    // row conservation across both vintages
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+    // pre-schema rows are exactly the even ids
+    val pre = rows.filter(_.getString(1) == "<pre-schema>")
+      .map(_.getLong(2)).sum
+    assert(pre == docs.filter(col("doc_id") % 2 === 0).count())
+    // evolved rows keep their true lang values
+    val evolvedLangs = rows.map(_.getString(1)).distinct.toSet - "<pre-schema>"
+    val trueLangs = docs.filter(col("doc_id") % 2 =!= 0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(evolvedLangs == trueLangs)
+  }
 }
