@@ -535,6 +535,15 @@ object SparkEntry {
     // rolling-baseline anomaly detection (trailing-window z-scores)
     "q165_rolling_anomalies" -> ((s: SparkSession, d: String) =>
       ext.Events.rollingAnomalies(s, d)),
+    // TPC-H Q10-style returned-item top-k with pushed returnflag scan
+    "q166_returned_revenue" -> ((s: SparkSession, d: String) =>
+      ops.RefQueries.q166ReturnedRevenue(s, d)),
+    // association rules over user behavior (support/confidence/lift)
+    "q167_basket_pairs" -> ((s: SparkSession, d: String) =>
+      ext.Events.basketPairs(s, d)),
+    // week-over-week percent-change report, decimal-exact weekly sums
+    "q168_week_over_week" -> ((s: SparkSession, d: String) =>
+      ext.Events.weekOverWeek(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1170,5 +1179,9 @@ object SparkEntry {
     "q164_schema_evolution" ->
       sources.PartitionedLayout.mergeSchemaGateOracleSql(),
     "q165_rolling_anomalies" -> ext.Events.rollingAnomaliesOracleSql(),
+    "q166_returned_revenue" ->
+      ops.RefQueries.q166ReturnedRevenueOracleSql(),
+    "q167_basket_pairs" -> ext.Events.basketPairsOracleSql(),
+    "q168_week_over_week" -> ext.Events.weekOverWeekOracleSql(),
   )
 }

@@ -574,6 +574,93 @@ object Events {
        |          sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE) /
        |               CAST(nb * nb AS DOUBLE))) >= $sigma""".stripMargin
 
+  /** Market-basket pairs over user behavior — for each event-type pair
+    * (a < b): users doing both (support), and the directional
+    * confidences P(b|a), P(a|b) plus lift — the association-rule
+    * statistics, exact: supports are distinct-user counts (integers),
+    * ratios are single double divisions rounded to 4.
+    *
+    * Scale: the corpus folds to the distinct (user, type) presence
+    * table (one shuffle, map-side combine); the pair join fans out at
+    * most |types| per user and the output is |types|² — the same
+    * bounded-vocabulary discipline as q157's PMI. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val presence = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val counts = presence.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val nUsers = presence.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val a = presence.join(broadcast(counts), Seq("event_type"))
+      .select(col("user_id"), col("event_type").as("ta"),
+              col("n").as("na"))
+    val b = presence.join(broadcast(counts), Seq("event_type"))
+      .select(col("user_id").as("u2"), col("event_type").as("tb"),
+              col("n").as("nb"))
+    a.join(b, col("user_id") === col("u2") && col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_both"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("ta"), col("tb"), col("na"), col("nb"), col("n_both"),
+        round(col("n_both") / col("na").cast("double"), 4)
+          .as("conf_a_to_b"),
+        round(col("n_both") / col("nb").cast("double"), 4)
+          .as("conf_b_to_a"),
+        round(col("n_both").cast("double") * col("n_users") /
+              (col("na") * col("nb")).cast("double"), 4).as("lift"))
+  }
+
+  def basketPairsOracleSql(): String =
+    """WITH presence AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |counts AS (
+      |  SELECT event_type, count(*) AS n FROM presence GROUP BY 1),
+      |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM presence)
+      |SELECT a.event_type AS ta, b.event_type AS tb,
+      |  ca.n AS na, cb.n AS nb, count(*) AS n_both,
+      |  round(count(*) / CAST(ca.n AS DOUBLE), 4) AS conf_a_to_b,
+      |  round(count(*) / CAST(cb.n AS DOUBLE), 4) AS conf_b_to_a,
+      |  round(CAST(count(*) AS DOUBLE) * (SELECT n_users FROM nu)
+      |        / CAST(ca.n * cb.n AS DOUBLE), 4) AS lift
+      |FROM presence a
+      |JOIN presence b ON a.user_id = b.user_id
+      |  AND a.event_type < b.event_type
+      |JOIN counts ca ON ca.event_type = a.event_type
+      |JOIN counts cb ON cb.event_type = b.event_type
+      |GROUP BY a.event_type, b.event_type, ca.n, cb.n""".stripMargin
+
+  /** Week-over-week change report — weekly totals per type with the
+    * percent change vs the prior week: DECIMAL weekly sums (exact),
+    * one lag() over the bounded (week, type) table, one double
+    * division rounded to 4. Weeks are Monday-started (`date_trunc
+    * 'week'` in both engines). NULL change for each type's first week. */
+  def weekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).as("wk"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).as("sv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    weekly
+      .withColumn("prev_sv", lag(col("sv"), 1).over(w))
+      .select(col("wk"), col("event_type"), col("n"),
+        round(col("sv").cast("double"), 2).as("sum_value"),
+        round((col("sv") - col("prev_sv")).cast("double") /
+              col("prev_sv").cast("double"), 4).as("wow_change"))
+  }
+
+  def weekOverWeekOracleSql(): String =
+    """WITH weekly AS (
+      |  SELECT date_trunc('week', ts) AS wk, event_type,
+      |    count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM events GROUP BY 1, 2)
+      |SELECT wk, event_type, n,
+      |  round(CAST(sv AS DOUBLE), 2) AS sum_value,
+      |  round(CAST(sv - lag(sv) OVER (PARTITION BY event_type
+      |                                ORDER BY wk) AS DOUBLE) /
+      |        CAST(lag(sv) OVER (PARTITION BY event_type ORDER BY wk)
+      |             AS DOUBLE), 4) AS wow_change
+      |FROM weekly""".stripMargin
+
   def journeyTrigramsOracleSql(topK: Int = 20): String =
     s"""WITH seq AS (
        |  SELECT event_type AS t1,

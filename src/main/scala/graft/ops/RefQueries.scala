@@ -511,4 +511,50 @@ object RefQueries {
        |  AND s_nationkey = c_nationkey
        |  AND year(o_orderdate) = $year
        |GROUP BY n_name""".stripMargin
+
+  /** TPC-H Q10-style returned-item reporting — the top `k` customers by
+    * revenue lost to returns, with their nation. The read path prunes
+    * hard before any join: lineitem filters `l_returnflag = 'R'` AT THE
+    * SCAN (pushed), orders and customer project to join keys + output
+    * columns, nation broadcasts. Exact-DECIMAL revenue so the top-k
+    * ranking is bit-deterministic (custkey tiebreak); TakeOrdered, no
+    * global sort. */
+  def q166ReturnedRevenue(spark: SparkSession, dir: String,
+                          k: Int = 20): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+              expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+                .as("rev"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev")).as("rev_exact"), count(lit(1)).as("n_lines"))
+      .orderBy(col("rev_exact").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+              round(col("rev_exact").cast("double"), 2).as("lost_revenue"),
+              col("n_lines"))
+  }
+
+  def q166ReturnedRevenueOracleSql(k: Int = 20): String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  round(CAST(sum(rev) AS DOUBLE), 2) AS lost_revenue,
+       |  count(*) AS n_lines
+       |FROM (SELECT l_orderkey,
+       |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+       |          AS rev
+       |      FROM lineitem WHERE l_returnflag = 'R') l
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY sum(rev) DESC, c_custkey LIMIT $k""".stripMargin
 }

@@ -288,4 +288,46 @@ class EventsSpec extends SparkSpec {
     }
     assert(flagged.nonEmpty, "fixture should contain anomalies")
   }
+
+  test("basket pairs: supports and confidences recomputed driver-side") {
+    val rows = Events.basketPairs(spark, sfDir).collect()
+    val presence = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = presence.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(ta < tb)
+      val (sa, sb) = (byType(ta), byType(tb))
+      val both = sa.intersect(sb).size.toLong
+      assert(r.getLong(2) == sa.size && r.getLong(3) == sb.size)
+      assert(r.getLong(4) == both)
+      assert(r.getDouble(5) == BigDecimal(both.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(rows.length == 10, "5 types -> C(5,2) pairs in this corpus")
+  }
+
+  test("week-over-week: null first week per type, change recomputed") {
+    val rows = Events.weekOverWeek(spark, sfDir).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+                 r.getDouble(3), if (r.isNullAt(4)) None
+                                 else Some(r.getDouble(4))))
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._1)
+      assert(sorted.head._5.isEmpty, "first week has no prior")
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          val expect = BigDecimal((cur._4 - prev._4) / prev._4)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          // recompute from the ROUNDED sums is within a rounding step of
+          // the engine's exact-decimal change
+          assert(cur._5.isDefined &&
+                 math.abs(cur._5.get - expect) < 0.001)
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
 }

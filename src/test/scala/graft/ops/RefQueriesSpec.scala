@@ -235,4 +235,16 @@ class RefQueriesSpec extends SparkSpec {
       + "ShuffledHashJoin".r.findAllIn(plan).length)
     assert(shuffled <= 1, s"only lineitem-orders may shuffle:\n$plan")
   }
+
+  test("q166 returned revenue: pushed returnflag scan, TakeOrdered top-k") {
+    val q = RefQueries.q166ReturnedRevenue(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.sameElements(revs.sortBy(-_: Double)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"),
+      s"returnflag must push to the scan:\n$plan")
+  }
 }
