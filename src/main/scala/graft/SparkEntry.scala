@@ -544,6 +544,10 @@ object SparkEntry {
     // week-over-week percent-change report, decimal-exact weekly sums
     "q168_week_over_week" -> ((s: SparkSession, d: String) =>
       ext.Events.weekOverWeek(s, d)),
+    // fuzzy point lookup through the injected optimizer Rule[LogicalPlan]
+    // (EditDistanceBandRule adds the free length-band prefilter)
+    "q169_fuzzy_lookup" -> ((s: SparkSession, d: String) =>
+      ext.Fuzzy.fuzzyLookup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1183,5 +1187,6 @@ object SparkEntry {
       ops.RefQueries.q166ReturnedRevenueOracleSql(),
     "q167_basket_pairs" -> ext.Events.basketPairsOracleSql(),
     "q168_week_over_week" -> ext.Events.weekOverWeekOracleSql(),
+    "q169_fuzzy_lookup" -> ext.Fuzzy.fuzzyLookupOracleSql(),
   )
 }

@@ -40,6 +40,38 @@ object Fuzzy {
                 .as("dist"), col("n_a"), col("n_b"))
   }
 
+  /** Fuzzy point lookup THROUGH the optimizer rule — "names similar to
+    * a query string": a plain bounded-levenshtein Filter that
+    * [[graft.plans.EditDistanceBandRule]] (registered on the session's
+    * `experimental.extraOptimizations`) rewrites to carry the free
+    * length-band prefilter. The gate certifies the rule is semantically
+    * transparent (the oracle runs the un-banded filter); FuzzySpec
+    * asserts the band actually lands in the optimized plan. */
+  def fuzzyLookup(spark: SparkSession, dir: String,
+                  query: String = "red widget",
+                  maxDist: Int = 4): DataFrame = {
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.EditDistanceBandRule))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.EditDistanceBandRule)
+    Tables.load(spark, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(levenshtein(col("name"), lit(query)) <= maxDist)
+      .select(col("name"),
+              levenshtein(col("name"), lit(query)).cast("long").as("dist"),
+              col("n_rows"))
+  }
+
+  def fuzzyLookupOracleSql(query: String = "red widget",
+                           maxDist: Int = 4): String =
+    s"""SELECT p_name AS name,
+       |  CAST(levenshtein(p_name, '$query') AS BIGINT) AS dist,
+       |  count(*) AS n_rows
+       |FROM part
+       |GROUP BY p_name
+       |HAVING levenshtein(p_name, '$query') <= $maxDist""".stripMargin
+
   def fuzzyNameMatchOracleSql(maxDist: Int = 4): String =
     s"""WITH names AS (
        |  SELECT p_name AS name, count(*) AS n_rows,

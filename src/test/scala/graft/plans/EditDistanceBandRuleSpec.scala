@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EditDistanceBandRuleSpec extends SparkSpec {
+
+  private def withRule[A](f: => A): A = {
+    val had = spark.experimental.extraOptimizations
+      .contains(EditDistanceBandRule)
+    if (!had)
+      spark.experimental.extraOptimizations ++= Seq(EditDistanceBandRule)
+    try f
+    finally if (!had)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == EditDistanceBandRule)
+  }
+
+  test("rule adds the length-band guard ahead of levenshtein") {
+    withRule {
+      val df = graft.Tables.load(spark, sfDir, "part")
+        .filter(levenshtein(col("p_name"), lit("red widget")) <= 3)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("abs((length(p_name") ||
+             optimized.contains("abs((length(p_name"),
+        s"band guard missing:\n$optimized")
+      // guard sits LEFT of the levenshtein in the And (evaluated first)
+      val cond = optimized.linesIterator
+        .find(_.contains("levenshtein")).get
+      assert(cond.indexOf("abs(") < cond.indexOf("levenshtein"),
+        s"band must gate the DP:\n$cond")
+    }
+  }
+
+  test("rule is semantically transparent and idempotent") {
+    val plain = graft.Tables.load(spark, sfDir, "part")
+      .filter(levenshtein(col("p_name"), lit("blue bolt")) <= 4)
+      .collect().map(_.toString).sorted.toSeq
+    val ruled = withRule {
+      graft.Tables.load(spark, sfDir, "part")
+        .filter(levenshtein(col("p_name"), lit("blue bolt")) <= 4)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(plain == ruled)
+    // idempotent: applying the rule to its own output adds nothing
+    withRule {
+      val plan = graft.Tables.load(spark, sfDir, "part")
+        .filter(levenshtein(col("p_name"), lit("blue bolt")) <= 4)
+        .queryExecution.optimizedPlan
+      val once = EditDistanceBandRule(plan)
+      val twice = EditDistanceBandRule(once)
+      assert(once fastEquals twice)
+      val bands = "abs\\(".r.findAllIn(once.toString).length
+      assert(bands == 1, s"exactly one band guard, got $bands:\n$once")
+    }
+  }
+}
