@@ -548,6 +548,15 @@ object SparkEntry {
     // (EditDistanceBandRule adds the free length-band prefilter)
     "q169_fuzzy_lookup" -> ((s: SparkSession, d: String) =>
       ext.Fuzzy.fuzzyLookup(s, d)),
+    // DAU / trailing-WAU stickiness engagement curve
+    "q170_stickiness" -> ((s: SparkSession, d: String) =>
+      ext.Events.stickiness(s, d)),
+    // chi-square independence audit (lang x source), decimal-summed terms
+    "q171_chi_square" -> ((s: SparkSession, d: String) =>
+      ops.Profile.chiSquare(s, d)),
+    // click->purchase time-to-convert: count/mean/p50/p90 of exact gaps
+    "q172_time_to_convert" -> ((s: SparkSession, d: String) =>
+      ext.Events.timeToConvert(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1188,5 +1197,8 @@ object SparkEntry {
     "q167_basket_pairs" -> ext.Events.basketPairsOracleSql(),
     "q168_week_over_week" -> ext.Events.weekOverWeekOracleSql(),
     "q169_fuzzy_lookup" -> ext.Fuzzy.fuzzyLookupOracleSql(),
+    "q170_stickiness" -> ext.Events.stickinessOracleSql(),
+    "q171_chi_square" -> ops.Profile.chiSquareOracleSql(),
+    "q172_time_to_convert" -> ext.Events.timeToConvertOracleSql(),
   )
 }

@@ -661,6 +661,96 @@ object Events {
       |             AS DOUBLE), 4) AS wow_change
       |FROM weekly""".stripMargin
 
+  /** Stickiness curve — per day: DAU, trailing-7-day WAU (the q137
+    * rolling distinct), and the DAU/WAU ratio ("how much of the weekly
+    * audience shows up daily"), the engagement-quality metric next to
+    * raw actives. Exact distinct counts, one double division @4dp.
+    * Same scale shape as q137: dedup to (day,user), band-join the
+    * bounded day spine. */
+  def stickiness(spark: SparkSession, dir: String,
+                 windowDays: Int = 7): DataFrame = {
+    val du = Tables.load(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("d")).agg(countDistinct(col("user_id"))
+      .as("dau"))
+    val days = du.select(col("d").as("td")).distinct()
+    val wau = du.join(broadcast(days),
+        col("d") <= col("td") &&
+        col("d") >= col("td") - expr(s"INTERVAL ${windowDays - 1} DAYS"))
+      .groupBy(col("td"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("d") === col("td"))
+      .select(col("d"), col("dau"), col("wau"),
+              round(col("dau") / col("wau").cast("double"), 4)
+                .as("stickiness"))
+  }
+
+  def stickinessOracleSql(windowDays: Int = 7): String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+       |dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM du GROUP BY d),
+       |days AS (SELECT DISTINCT d AS td FROM du),
+       |wau AS (
+       |  SELECT td, count(DISTINCT user_id) AS wau
+       |  FROM du JOIN days ON du.d <= days.td
+       |    AND du.d >= days.td - INTERVAL ${windowDays - 1} DAY
+       |  GROUP BY td)
+       |SELECT d, dau, wau,
+       |  round(dau / CAST(wau AS DOUBLE), 4) AS stickiness
+       |FROM dau JOIN wau ON d = td""".stripMargin
+
+  /** Time-to-convert distribution — for each click followed by the SAME
+    * user's next purchase within `horizonHours`, the gap in seconds;
+    * reported as per-horizon exact percentiles (p50/p90) plus pair
+    * count and mean. Gaps come from the q46-shape banded pair join
+    * (bounded fan-out); percentiles use the shared (n−1)·q
+    * interpolation rule on exact integer seconds (the q54 discipline);
+    * the mean divides an exact integer sum. */
+  def timeToConvert(spark: SparkSession, dir: String,
+                    horizonHours: Int = 1): DataFrame = {
+    val clicks = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"),
+              unix_micros(col("ts").cast("timestamp")).as("cts"),
+              col("event_id").as("cid"))
+    val purchases = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"),
+              unix_micros(col("ts").cast("timestamp")).as("pts"))
+    val horizonUs = horizonHours * 3600L * 1000000L
+    val gaps = clicks.join(purchases,
+        col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + lit(horizonUs))
+      .groupBy(col("cu"), col("cts"), col("cid"))
+      .agg(min(col("pts")).as("first_pts"))
+      .select(((col("first_pts") - col("cts")) / 1000000L).cast("long")
+                .as("gap_s"))
+    gaps.agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("gap_s")).cast("double") / count(lit(1)), 4)
+          .as("mean_s"),
+        expr("percentile(gap_s, 0.5)").as("p50_s"),
+        expr("percentile(gap_s, 0.9)").as("p90_s"))
+  }
+
+  def timeToConvertOracleSql(horizonHours: Int = 1): String =
+    s"""WITH clk AS (SELECT user_id, ts, event_id FROM events
+       |  WHERE event_type = 'click'),
+       |pur AS (SELECT user_id, ts FROM events
+       |  WHERE event_type = 'purchase'),
+       |gaps AS (
+       |  SELECT CAST(floor(epoch(min(p.ts) - c.ts)) AS BIGINT) AS gap_s
+       |  FROM clk c JOIN pur p ON p.user_id = c.user_id
+       |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL $horizonHours HOUR
+       |  GROUP BY c.user_id, c.ts, c.event_id)
+       |SELECT count(*) AS n_pairs,
+       |  round(CAST(sum(gap_s) AS DOUBLE) / count(*), 4) AS mean_s,
+       |  quantile_cont(gap_s, 0.5) AS p50_s,
+       |  quantile_cont(gap_s, 0.9) AS p90_s
+       |FROM gaps""".stripMargin
+
   def journeyTrigramsOracleSql(topK: Int = 20): String =
     s"""WITH seq AS (
        |  SELECT event_type AS t1,

@@ -128,4 +128,65 @@ object Profile {
         one("nation.n_regionkey->region", "nation", "n_regionkey",
             "region", "r_regionkey")).mkString("\nUNION ALL\n")
   }
+
+  /** Chi-square independence audit between two categorical columns
+    * (documents.lang × documents.source) — "is language distribution
+    * independent of source?", the statistical sibling of the q142 KS
+    * drift test. Each cell's term uses the cross-multiplied integer
+    * form ((obs·N − rt·ct)² / (N·rt·ct) — all-BIGINT numerator and
+    * denominator, ONE double division per cell, identical IEEE ops
+    * both engines), and the bounded cell terms accumulate in DECIMAL
+    * so the final statistic is order-independent.
+    *
+    * Scale: one (lang, source) counting shuffle folds the corpus; the
+    * contingency table is category-bounded; marginals broadcast. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("obs")).as("rt"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("obs")).as("ct"))
+    val totals = docs.agg(count(lit(1)).as("n"),
+                          countDistinct(col("lang")).as("n_lang"),
+                          countDistinct(col("source")).as("n_source"))
+    cells.join(broadcast(rowT), Seq("lang"))
+      .join(broadcast(colT), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("diff", col("obs") * col("n") - col("rt") * col("ct"))
+      .withColumn("term",
+        (col("diff") * col("diff")).cast("double") /
+          (col("n") * col("rt") * col("ct")).cast("double"))
+      .groupBy(col("n"), col("n_lang"), col("n_source"))
+      .agg(count(lit(1)).as("n_cells"),
+           round(sum(col("term").cast("decimal(38,18)")).cast("double"), 4)
+             .as("chi2"))
+      .select(col("n"), col("n_lang"), col("n_source"),
+              ((col("n_lang") - 1) * (col("n_source") - 1)).as("dof"),
+              col("n_cells"), col("chi2"))
+  }
+
+  def chiSquareOracleSql(): String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      |  FROM documents GROUP BY lang, source),
+      |rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rt
+      |       FROM cells GROUP BY lang),
+      |ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS ct
+      |       FROM cells GROUP BY source),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+      |        CAST(count(DISTINCT source) AS BIGINT) AS n_source
+      |      FROM documents),
+      |terms AS (
+      |  SELECT n, n_lang, n_source,
+      |    CAST((obs * n - rt * ct) * (obs * n - rt * ct) AS DOUBLE) /
+      |      CAST(n * rt * ct AS DOUBLE) AS term
+      |  FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+      |  CROSS JOIN t)
+      |SELECT n, n_lang, n_source,
+      |  (n_lang - 1) * (n_source - 1) AS dof,
+      |  count(*) AS n_cells,
+      |  round(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 4)
+      |    AS chi2
+      |FROM terms GROUP BY n, n_lang, n_source""".stripMargin
 }

@@ -330,4 +330,46 @@ class EventsSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("stickiness: DAU <= WAU, ratio in (0,1], WAU matches rollingWau") {
+    val rows = Events.stickiness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "DAU <= WAU")
+      val st = r.getDouble(3)
+      assert(st > 0.0 && st <= 1.0)
+    }
+    val wau = Events.rollingWau(spark, sfDir).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) == wau(r.get(0).toString)))
+  }
+
+  test("time-to-convert: gaps recomputed driver-side") {
+    val row = Events.timeToConvert(spark, sfDir).collect()(0)
+    val evs = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val purchases = evs.filter(_._2 == "purchase")
+      .groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val gaps = evs.filter(_._2 == "click").flatMap { case (u, _, cts) =>
+      purchases.getOrElse(u, Seq.empty[Long])
+        .find(p => p >= cts && p <= cts + 3600L * 1000000L)
+        .map(p => (p - cts) / 1000000L)
+    }
+    assert(row.getLong(0) == gaps.length)
+    val mean = BigDecimal(gaps.sum.toDouble / gaps.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(1) == mean)
+    // percentile (n-1)q interpolation on the sorted gaps
+    def pct(q: Double): Double = {
+      val s = gaps.sorted.map(_.toDouble)
+      val pos = (s.length - 1) * q
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    assert(math.abs(row.getDouble(2) - pct(0.5)) < 1e-9)
+    assert(math.abs(row.getDouble(3) - pct(0.9)) < 1e-9)
+  }
 }

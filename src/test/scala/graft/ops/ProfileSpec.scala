@@ -62,4 +62,25 @@ class ProfileSpec extends SparkSpec {
     // dim chains in this corpus are referentially clean
     assert(rows("nation.n_regionkey->region")._2 == 0L)
   }
+
+  test("chi-square: statistic recomputed driver-side, dof correct") {
+    val row = Profile.chiSquare(spark, sfDir).collect()(0)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toLong
+    val cells = docs.groupBy(identity).view.mapValues(_.length.toLong)
+    val rt = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val chi2 = cells.map { case ((l, s2), obs) =>
+      val d = obs * n - rt(l) * ct(s2)
+      (d.toDouble * d.toDouble) / (n * rt(l) * ct(s2)).toDouble
+    }.sum
+    assert(row.getLong(0) == n)
+    assert(row.getLong(3) == (rt.size - 1).toLong * (ct.size - 1))
+    assert(row.getLong(4) == cells.size)
+    // engine rounds to 4dp (and sums terms in DECIMAL); compare at
+    // the rounding granularity
+    assert(math.abs(row.getDouble(5) - chi2) < 1e-4)
+  }
 }
