@@ -557,6 +557,12 @@ object SparkEntry {
     // click->purchase time-to-convert: count/mean/p50/p90 of exact gaps
     "q172_time_to_convert" -> ((s: SparkSession, d: String) =>
       ext.Events.timeToConvert(s, d)),
+    // cross-table as-of: each event tagged with the user's last order
+    "q173_events_last_order" -> ((s: SparkSession, d: String) =>
+      ops.AsOf.eventsWithLastOrder(s, d)),
+    // TPC-H Q7-style bilateral trade-flow matrix
+    "q174_nation_volume" -> ((s: SparkSession, d: String) =>
+      ops.RefQueries.q174NationVolume(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1200,5 +1206,7 @@ object SparkEntry {
     "q170_stickiness" -> ext.Events.stickinessOracleSql(),
     "q171_chi_square" -> ops.Profile.chiSquareOracleSql(),
     "q172_time_to_convert" -> ext.Events.timeToConvertOracleSql(),
+    "q173_events_last_order" -> ops.AsOf.eventsWithLastOrderOracleSql(),
+    "q174_nation_volume" -> ops.RefQueries.q174NationVolumeOracleSql(),
   )
 }

@@ -101,4 +101,38 @@ object AsOf {
       .select(col("event_id").as("purchase_id"), col("user_id"),
               col("asof_event_id").as("recent_click_id"))
   }
+
+  /** CROSS-TABLE as-of enrichment — every event tagged with the same
+    * customer's most recent ORDER at event time ("state as of the
+    * event", the feature-store join across two different fact tables,
+    * vs q47's within-events form). Same single union-window shuffle:
+    * both sides rename onto the shared (key, time, tiebreak) triple;
+    * equal timestamps match (inclusive), ties break to the highest
+    * order key. The gate folds to per-type counts + an order-key
+    * checksum so WHICH order matched is certified row-by-row without
+    * emitting the corpus. */
+  def eventsWithLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id").as("uid"), col("ts").as("t"),
+              col("event_id").as("tb"), col("event_type"))
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+              col("o_orderkey").as("tb"), col("o_orderkey"))
+    asofJoin(events, orders, "uid", "t", "tb", Seq("o_orderkey"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           count(col("asof_o_orderkey")).as("n_with_prior_order"),
+           coalesce(sum(col("asof_o_orderkey") % 9973), lit(0L))
+             .as("order_checksum"))
+  }
+
+  def eventsWithLastOrderOracleSql(): String =
+    """SELECT e.event_type, count(*) AS n_events,
+      |  count(o.k) AS n_with_prior_order,
+      |  CAST(coalesce(sum(o.k % 9973), 0) AS BIGINT) AS order_checksum
+      |FROM events e LEFT JOIN LATERAL (
+      |  SELECT o_orderkey AS k FROM orders
+      |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+      |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+      |GROUP BY e.event_type""".stripMargin
 }

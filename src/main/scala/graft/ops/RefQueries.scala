@@ -557,4 +557,57 @@ object RefQueries {
        |JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY sum(rev) DESC, c_custkey LIMIT $k""".stripMargin
+
+  /** TPC-H Q7-style bilateral volume — revenue shipped between every
+    * ORDERED nation pair (supplier nation ≠ customer nation), per year:
+    * the trade-flow matrix. Plan: one shuffled fact-fact join
+    * (lineitem⋈orders); supplier and customer fold to broadcast
+    * (key → nationkey) maps; the two nation-name lookups broadcast.
+    * Output is nations² × years — bounded. */
+  def q174NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+              year(col("l_shipdate")).as("yr"),
+              expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+                .as("rev"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+                                 col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("snk"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+                                 col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      // emit the EXACT 4-decimal sum as double (q01 discipline): the
+      // nearest-double of an exact decimal is deterministic on both
+      // engines, and no 2-dec rounding step exists to tie at half-cents
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  def q174NationVolumeOracleSql(): String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS yr,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE s_nationkey <> c_nationkey
+      |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)""".stripMargin
 }

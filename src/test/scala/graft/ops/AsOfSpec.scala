@@ -90,4 +90,36 @@ class AsOfSpec extends SparkSpec {
       .count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected one shuffle in:\n$plan")
   }
+
+  test("cross-table as-of: counts and checksum verified driver-side") {
+    val got = AsOf.eventsWithLastOrder(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+              unix_micros(col("o_orderdate").cast("timestamp")),
+              col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+              unix_micros(col("ts").cast("timestamp")),
+              col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = events.groupBy(_._3).view.mapValues { evs =>
+      var withOrder = 0L
+      var ck = 0L
+      evs.foreach { case (u, t, _) =>
+        val prior = orders.getOrElse(u, Array())
+          .filter(_._2 <= t)
+        if (prior.nonEmpty) {
+          // max (date, orderkey) = the as-of tiebreak
+          val best = prior.maxBy(o => (o._2, o._3))._3
+          withOrder += 1; ck += best % 9973
+        }
+      }
+      (evs.length.toLong, withOrder, ck)
+    }.toMap
+    assert(got == expect)
+  }
 }

@@ -247,4 +247,27 @@ class RefQueriesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"),
       s"returnflag must push to the scan:\n$plan")
   }
+
+  test("q174 nation volume: no same-nation flow, bilateral pairs bounded") {
+    val rows = RefQueries.q174NationVolume(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) != r.getString(1)))
+    // output bounded by ordered nation pairs x years
+    val nNations = graft.Tables.load(spark, sfDir, "nation").count()
+    val years = rows.map(_.getInt(2)).distinct.length
+    assert(rows.length <= nNations * (nNations - 1) * years)
+    // conservation: total lines equal the cross-nation join count
+    val expect = {
+      import org.apache.spark.sql.functions.{col => c}
+      graft.Tables.load(spark, sfDir, "lineitem")
+        .join(graft.Tables.load(spark, sfDir, "orders"),
+              c("l_orderkey") === c("o_orderkey"))
+        .join(graft.Tables.load(spark, sfDir, "supplier"),
+              c("l_suppkey") === c("s_suppkey"))
+        .join(graft.Tables.load(spark, sfDir, "customer"),
+              c("o_custkey") === c("c_custkey"))
+        .filter(c("s_nationkey") =!= c("c_nationkey")).count()
+    }
+    assert(rows.map(_.getLong(4)).sum == expect)
+  }
 }
