@@ -563,6 +563,12 @@ object SparkEntry {
     // TPC-H Q7-style bilateral trade-flow matrix
     "q174_nation_volume" -> ((s: SparkSession, d: String) =>
       ops.RefQueries.q174NationVolume(s, d)),
+    // Benford first-digit forensics audit on order totals
+    "q175_benford" -> ((s: SparkSession, d: String) =>
+      ops.Profile.benfordAudit(s, d)),
+    // weekly cohort-retention matrix (cohort week x offset triangle)
+    "q176_cohort_retention" -> ((s: SparkSession, d: String) =>
+      ext.Events.cohortRetention(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1208,5 +1214,7 @@ object SparkEntry {
     "q172_time_to_convert" -> ext.Events.timeToConvertOracleSql(),
     "q173_events_last_order" -> ops.AsOf.eventsWithLastOrderOracleSql(),
     "q174_nation_volume" -> ops.RefQueries.q174NationVolumeOracleSql(),
+    "q175_benford" -> ops.Profile.benfordAuditOracleSql(),
+    "q176_cohort_retention" -> ext.Events.cohortRetentionOracleSql(),
   )
 }

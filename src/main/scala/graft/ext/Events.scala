@@ -751,6 +751,52 @@ object Events {
        |  quantile_cont(gap_s, 0.9) AS p90_s
        |FROM gaps""".stripMargin
 
+  /** Weekly cohort-retention matrix — the full triangle q91's two-point
+    * day-1/day-7 summary samples from: users grouped by FIRST-active
+    * week (cohort), and for each later week offset the fraction still
+    * active. Exact: distinct (user, week) presence, min-week cohorts,
+    * integer offsets from epoch-week arithmetic, one division @4dp.
+    *
+    * Scale: the corpus folds to distinct (user, week) in one shuffle
+    * (map-side combine); cohorts are a min-per-user fold; the matrix
+    * join is presence ⋈ broadcast cohort (user-keyed); output is
+    * weeks × offsets — bounded. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    val sizes = cohorts.groupBy(col("cw")).agg(count(lit(1)).as("cohort_n"))
+    uw.join(broadcast(cohorts), Seq("user_id"))
+      .withColumn("offset_w",
+        ((unix_micros(col("wk").cast("timestamp")) -
+          unix_micros(col("cw").cast("timestamp"))) /
+         (7L * 86400L * 1000000L)).cast("long"))
+      .groupBy(col("cw"), col("offset_w"))
+      .agg(countDistinct(col("user_id")).as("active_n"))
+      .join(broadcast(sizes), Seq("cw"))
+      .select(col("cw").as("cohort_week"), col("offset_w"),
+              col("cohort_n"), col("active_n"),
+              round(col("active_n") / col("cohort_n").cast("double"), 4)
+                .as("retention"))
+  }
+
+  def cohortRetentionOracleSql(): String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
+      |sizes AS (SELECT cw, count(*) AS cohort_n FROM cohorts GROUP BY cw),
+      |m AS (
+      |  SELECT c.cw, CAST(date_diff('day', c.cw, uw.wk) // 7 AS BIGINT)
+      |           AS offset_w,
+      |    count(DISTINCT uw.user_id) AS active_n
+      |  FROM uw JOIN cohorts c ON c.user_id = uw.user_id
+      |  GROUP BY c.cw, date_diff('day', c.cw, uw.wk) // 7)
+      |SELECT m.cw AS cohort_week, m.offset_w, s.cohort_n, m.active_n,
+      |  round(m.active_n / CAST(s.cohort_n AS DOUBLE), 4) AS retention
+      |FROM m JOIN sizes s ON s.cw = m.cw""".stripMargin
+
   def journeyTrigramsOracleSql(topK: Int = 20): String =
     s"""WITH seq AS (
        |  SELECT event_type AS t1,

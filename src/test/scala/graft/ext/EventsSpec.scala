@@ -372,4 +372,24 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - pct(0.5)) < 1e-9)
     assert(math.abs(row.getDouble(3) - pct(0.9)) < 1e-9)
   }
+
+  test("cohort retention: offset-0 is always 1.0, matrix is a triangle") {
+    val rows = Events.cohortRetention(spark, sfDir).collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // offset 0: every cohort member is active in their first week
+    rows.filter(_._2 == 0L).foreach { case (_, _, cn, an, ret) =>
+      assert(cn == an && ret == 1.0)
+    }
+    // retention never exceeds 1; active never exceeds cohort
+    rows.foreach { case (_, _, cn, an, ret) =>
+      assert(an <= cn && ret <= 1.0 && ret > 0.0)
+    }
+    // cohort sizes partition the user base
+    val total = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    val sizes = rows.filter(_._2 == 0L).map(_._3).sum
+    assert(sizes == total)
+  }
 }

@@ -83,4 +83,21 @@ class ProfileSpec extends SparkSpec {
     // the rounding granularity
     assert(math.abs(row.getDouble(5) - chi2) < 1e-4)
   }
+
+  test("Benford audit: digit mass conserved, probabilities sum to ~1") {
+    val rows = Profile.benfordAudit(spark, sfDir).collect()
+    assert(rows.length == 9, "all nine leading digits present")
+    val totals = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == totals,
+      "every order total has a nonzero leading digit")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.001,
+      "Benford reference distribution sums to 1")
+    rows.foreach { r =>
+      val d = r.getString(0).toInt
+      assert(d >= 1 && d <= 9)
+      val p = BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == p)
+    }
+  }
 }
