@@ -337,8 +337,10 @@ object RefQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("yr"))
-      .agg(round(sum(col("rev")).cast("double"), 2).as("total_rev"),
-           round(natRev.cast("double"), 2).as("nation_rev"),
+      // exact 4-dec decimal sums emitted as doubles (q01 discipline):
+      // a round(...,2) here ties at the half-cent on unlucky sums
+      .agg(sum(col("rev")).cast("double").as("total_rev"),
+           natRev.cast("double").as("nation_rev"),
            round(natRev.cast("double") / sum(col("rev")).cast("double"), 4)
              .as("share"))
   }
@@ -389,10 +391,10 @@ object RefQueries {
 
   def q133MarketShareOracleSql(nationKey: Int = 1): String =
     s"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
-       |  round(CAST(sum(rev) AS DOUBLE), 2) AS total_rev,
-       |  round(CAST(sum(CASE WHEN s_nationkey = $nationKey THEN rev
-       |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE),
-       |        2) AS nation_rev,
+       |  CAST(sum(rev) AS DOUBLE) AS total_rev,
+       |  CAST(sum(CASE WHEN s_nationkey = $nationKey THEN rev
+       |           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       |    AS nation_rev,
        |  round(CAST(sum(CASE WHEN s_nationkey = $nationKey THEN rev
        |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
        |        / CAST(sum(rev) AS DOUBLE), 4) AS share
@@ -438,13 +440,13 @@ object RefQueries {
       .limit(10)
       .select(col("o_orderkey"), col("o_orderdate"),
               col("o_orderpriority"),
-              round(col("rev_exact").cast("double"), 2).as("revenue"))
+              col("rev_exact").cast("double").as("revenue"))
   }
 
   def q140ShippingPriorityOracleSql(segment: String = "BUILDING",
                                     date: String = "1998-01-01"): String =
     s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
-       |  round(CAST(sum(rev) AS DOUBLE), 2) AS revenue
+       |  CAST(sum(rev) AS DOUBLE) AS revenue
        |FROM (SELECT l_orderkey,
        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
        |          AS rev
@@ -491,15 +493,15 @@ object RefQueries {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .filter(col("s_nationkey") === col("c_nat"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+      .agg(sum(col("rev")).cast("double").as("revenue"),
            count(lit(1)).as("n_lines"))
   }
 
   def q158LocalSupplierVolumeOracleSql(region: String = "ASIA",
                                        year: Int = 1997): String =
     s"""SELECT n_name,
-       |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-       |    AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+       |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        |  count(*) AS n_lines
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
@@ -540,13 +542,13 @@ object RefQueries {
       .orderBy(col("rev_exact").desc, col("c_custkey"))
       .limit(k)
       .select(col("c_custkey"), col("c_name"), col("n_name"),
-              round(col("rev_exact").cast("double"), 2).as("lost_revenue"),
+              col("rev_exact").cast("double").as("lost_revenue"),
               col("n_lines"))
   }
 
   def q166ReturnedRevenueOracleSql(k: Int = 20): String =
     s"""SELECT c_custkey, c_name, n_name,
-       |  round(CAST(sum(rev) AS DOUBLE), 2) AS lost_revenue,
+       |  CAST(sum(rev) AS DOUBLE) AS lost_revenue,
        |  count(*) AS n_lines
        |FROM (SELECT l_orderkey,
        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
