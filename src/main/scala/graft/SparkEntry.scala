@@ -569,6 +569,9 @@ object SparkEntry {
     // weekly cohort-retention matrix (cohort week x offset triangle)
     "q176_cohort_retention" -> ((s: SparkSession, d: String) =>
       ext.Events.cohortRetention(s, d)),
+    // corrupt-record-tolerant JSONL ingest with quarantine reconciliation
+    "q177_corrupt_ingest" -> ((s: SparkSession, d: String) =>
+      sources.Sources.corruptIngestGate(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1216,5 +1219,6 @@ object SparkEntry {
     "q174_nation_volume" -> ops.RefQueries.q174NationVolumeOracleSql(),
     "q175_benford" -> ops.Profile.benfordAuditOracleSql(),
     "q176_cohort_retention" -> ext.Events.cohortRetentionOracleSql(),
+    "q177_corrupt_ingest" -> sources.Sources.corruptIngestGateOracleSql,
   )
 }

@@ -254,4 +254,63 @@ object Sources {
       |        p, 1)) - 1 AS BIGINT) for p in range(1, 16)],
       |      (a, b) -> a * 16 + b) % 1000000007) AS BIGINT) AS sum_md5
       |FROM orders""".stripMargin
+
+  /** Corrupt-record-tolerant JSONL ingest — the robustness path a lake
+    * pipeline needs on day one: real feeds contain truncated/garbled
+    * lines, and the ingest must COUNT and quarantine them without
+    * failing the job or silently dropping rows. The gate renders
+    * documents to JSONL, deterministically truncates every line whose
+    * doc_id ≡ 3 (mod 17) (truncation always removes the closing brace —
+    * unparseable by construction), reads back PERMISSIVE with an
+    * explicit schema + `_corrupt_record` column, and reconciles: good
+    * rows carry their original ids (checksummed), corrupt rows are
+    * counted, and good + corrupt = total. The oracle replays the
+    * corruption RULE against the original table — a hash match proves
+    * the tolerant reader recovered exactly the uncorrupted rows.
+    *
+    * Scale: rendering and reading are map-side line ops; PERMISSIVE
+    * parsing is the same single pass as strict parsing. */
+  def corruptIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_corrupt_gate_" + Integer.toHexString(dir.hashCode)).getPath
+    val docs = graft.Tables.load(spark, dir, "documents")
+    docs.select(
+        when(col("doc_id") % 17 === 3,
+          expr("substring(to_json(struct(doc_id, source, n_chars)), 1, " +
+               "length(to_json(struct(doc_id, source, n_chars))) - 5)"))
+          .otherwise(expr("to_json(struct(doc_id, source, n_chars))"))
+          .as("value"))
+      .write.mode(SaveMode.Overwrite).text(base)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(base)
+      .agg(count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+           count(col("_corrupt_record")).as("n_corrupt"),
+           coalesce(sum(when(col("_corrupt_record").isNull,
+                             col("doc_id") % 9973)), lit(0L))
+             .as("good_checksum"),
+           coalesce(sum(when(col("_corrupt_record").isNull,
+                             col("n_chars"))), lit(0L))
+             .as("good_chars"))
+  }
+
+  val corruptIngestGateOracleSql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_good,
+      |  CAST(sum(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(sum(CASE WHEN doc_id % 17 <> 3 THEN doc_id % 9973
+      |           ELSE 0 END) AS BIGINT) AS good_checksum,
+      |  CAST(sum(CASE WHEN doc_id % 17 <> 3 THEN n_chars ELSE 0 END)
+      |       AS BIGINT) AS good_chars
+      |FROM documents""".stripMargin
 }

@@ -150,4 +150,23 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_r")
     }
   }
+
+  test("corrupt ingest: good + corrupt partition the feed, ids recovered") {
+    val row = Sources.corruptIngestGate(spark, sfDir).collect()(0)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val total = docs.count()
+    assert(row.getLong(0) + row.getLong(1) == total,
+      "no line silently dropped")
+    val expectCorrupt = docs
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 3)
+      .count()
+    assert(row.getLong(1) == expectCorrupt)
+    assert(expectCorrupt > 0, "fixture must contain corrupt lines")
+    val expectCk = docs
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 17 =!= 3)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("doc_id") % 9973))
+      .collect()(0).getLong(0)
+    assert(row.getLong(2) == expectCk, "good rows carry their true ids")
+  }
 }
