@@ -456,13 +456,21 @@ object Events {
   /** Exponential time-decay trending scores — recency-weighted activity
     * (the "what's hot" ranking), computed EXACTLY: ages are whole days
     * from the corpus max day, and the decay weight is the INTEGER
-    * `2^(maxAge − age)` (halving per day of age), so scores are exact
+    * `2^(effMaxAge − age)` (halving per day of age), so scores are exact
     * BIGINTs — no pow()/libm parity risk, no float summation order.
+    * The horizon is clamped to the trailing 62 days
+    * (`effMaxAge = least(maxAge, 61)`; rows older than that are dropped):
+    * a 2^k BIGINT weight silently wraps at k ≥ 63 in Spark (Java `<<`
+    * is mod-64) while DuckDB's `2 ** k` errors, so the clamp is what
+    * keeps the "exact BIGINT" claim true on corpora spanning ≥ 63 days —
+    * and a trailing horizon is the honest semantics for a trending
+    * score anyway (events older than two months have weight < 2⁻⁶² of
+    * the newest day's: numerically invisible).
     * A day of history at 100 TB folds map-side: the weight is a pure
     * per-row expression, the rollup is one bounded groupBy.
     *
-    * Output per type: events, exact decayed score, and the score
-    * normalized by the per-type maximum possible weight (share of
+    * Output per type: events inside the horizon, exact decayed score,
+    * and the score normalized by the all-type total (share of
     * recency-weighted mass, 6dp). */
   def trendingScores(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
@@ -470,8 +478,9 @@ object Events {
     val maxDay = ev.agg(max(col("d")).as("mx"))
     val aged = ev.crossJoin(broadcast(maxDay))
       .withColumn("age", datediff(col("mx"), col("d")).cast("long"))
-    val maxAge = aged.agg(max(col("age")).as("max_age"))
+    val maxAge = aged.agg(least(max(col("age")), lit(61L)).as("max_age"))
     aged.crossJoin(broadcast(maxAge))
+      .filter(col("age") <= col("max_age"))
       .withColumn("wt", expr("shiftleft(1L, int(max_age - age))"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("wt")).as("score"))
@@ -491,10 +500,11 @@ object Events {
       |    CAST(date_diff('day', d, (SELECT max(d) FROM ev)) AS BIGINT)
       |      AS age
       |  FROM ev),
+      |ma AS (SELECT least(max(age), 61) AS max_age FROM aged),
       |wts AS (
       |  SELECT event_type,
-      |    CAST(2 ** ((SELECT max(age) FROM aged) - age) AS BIGINT) AS wt
-      |  FROM aged),
+      |    CAST(2 ** ((SELECT max_age FROM ma) - age) AS BIGINT) AS wt
+      |  FROM aged WHERE age <= (SELECT max_age FROM ma)),
       |scores AS (
       |  SELECT event_type, count(*) AS n,
       |    CAST(sum(wt) AS BIGINT) AS score

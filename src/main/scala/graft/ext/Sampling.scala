@@ -271,7 +271,13 @@ object Sampling {
     * sharding step executes.
     *
     * Scale: one counting shuffle folds the corpus to the bounded
-    * per-source table; the allocation is arithmetic on that table. */
+    * per-source table; the allocation is arithmetic on that table.
+    * Sources whose documents tokenize to ZERO tokens are excluded
+    * before the allocation: they contribute nothing to the mixture, and
+    * `epochs = ⌈target/n_tokens⌉` would divide by zero on them — NULL
+    * in Spark's `div` but an error in DuckDB, i.e. silent engine
+    * divergence on degenerate input (the excluded-identically-in-both
+    * rule every gate follows). */
   def mixturePlan(spark: SparkSession, dir: String,
                   budgetTokens: Long = 50000L,
                   capTokens: Long = 5000L): DataFrame = {
@@ -281,6 +287,7 @@ object Sampling {
                 .cast("long").as("t"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
     val total = counts.agg(sum(col("n_tokens")).as("total_tokens"))
     counts.crossJoin(broadcast(total))
       .withColumn("target_tokens",
@@ -298,7 +305,8 @@ object Sampling {
        |  SELECT source, count(*) AS n_docs,
        |    CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
        |         AS BIGINT) AS n_tokens
-       |  FROM documents GROUP BY source),
+       |  FROM documents GROUP BY source
+       |  HAVING sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) > 0),
        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM c)
        |SELECT source, n_docs, n_tokens,
        |  least($capTokens, (n_tokens * $budgetTokens) // total_tokens)

@@ -26,16 +26,23 @@ object Versioning {
     * two snapshots; the perturbation is a pure function of doc_id so
     * the oracle replays it): doc_id % 13 == 0 → removed,
     * % 13 == 1 → text amended (changed), % 13 == 2 → additionally
-    * spawns a brand-new doc at doc_id + 1000000. */
+    * spawns a brand-new doc at doc_id + max(doc_id) + 1. The offset is
+    * the table's own broadcast max key (the Cdc.customerMerge
+    * discipline), NOT a fixed constant — a fixed +1000000 collides with
+    * live ids once the corpus exceeds 1M docs and silently corrupts the
+    * added/changed classification. */
   private[ext] def v2(spark: SparkSession, dir: String): DataFrame = {
     val v1 = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
+    val maxId = v1.agg(max(col("doc_id")).as("mx_id"))
     val kept = v1.filter(col("doc_id") % 13 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 13 === 1, concat(col("text"), lit(" [rev2]")))
           .otherwise(col("text")))
     val added = v1.filter(col("doc_id") % 13 === 2)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+      .crossJoin(broadcast(maxId))
+      .select((col("doc_id") + col("mx_id") + lit(1L)).as("doc_id"),
+              col("source"),
               concat(lit("new in v2 #"), col("doc_id")).as("text"))
     kept.unionByName(added)
   }
@@ -71,7 +78,8 @@ object Versioning {
       |      AS text
       |  FROM documents WHERE doc_id % 13 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, source,
+      |  SELECT doc_id + (SELECT max(doc_id) FROM documents) + 1
+      |      AS doc_id, source,
       |    'new in v2 #' || CAST(doc_id AS VARCHAR) AS text
       |  FROM documents WHERE doc_id % 13 = 2),
       |diff AS (

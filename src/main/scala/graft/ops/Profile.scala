@@ -132,11 +132,14 @@ object Profile {
   /** Chi-square independence audit between two categorical columns
     * (documents.lang × documents.source) — "is language distribution
     * independent of source?", the statistical sibling of the q142 KS
-    * drift test. Each cell's term uses the cross-multiplied integer
-    * form ((obs·N − rt·ct)² / (N·rt·ct) — all-BIGINT numerator and
-    * denominator, ONE double division per cell, identical IEEE ops
-    * both engines), and the bounded cell terms accumulate in DECIMAL
-    * so the final statistic is order-independent.
+    * drift test. Each cell's term uses the cross-multiplied form
+    * (obs·N − rt·ct)² / (N·rt·ct), with BOTH the diff and the
+    * denominator accumulated in DECIMAL(38,0) — an int64 triple
+    * product N·rt·ct wraps silently past N ≈ 2×10⁶ rows, decimal is
+    * exact to N ≈ 4×10¹² (N³ ≤ 10³⁸) — then ONE double square and ONE
+    * double division per cell (identical IEEE ops both engines; the
+    * oracle mirrors with HUGEINT). The bounded cell terms accumulate
+    * in DECIMAL so the final statistic is order-independent.
     *
     * Scale: one (lang, source) counting shuffle folds the corpus; the
     * contingency table is category-bounded; marginals broadcast. */
@@ -152,10 +155,13 @@ object Profile {
     cells.join(broadcast(rowT), Seq("lang"))
       .join(broadcast(colT), Seq("source"))
       .crossJoin(broadcast(totals))
-      .withColumn("diff", col("obs") * col("n") - col("rt") * col("ct"))
+      .withColumn("diff",
+        (col("obs").cast("decimal(38,0)") * col("n") -
+         col("rt").cast("decimal(38,0)") * col("ct")).cast("decimal(38,0)"))
       .withColumn("term",
-        (col("diff") * col("diff")).cast("double") /
-          (col("n") * col("rt") * col("ct")).cast("double"))
+        (col("diff").cast("double") * col("diff").cast("double")) /
+          (col("n").cast("decimal(38,0)") * col("rt") * col("ct"))
+            .cast("double"))
       .groupBy(col("n"), col("n_lang"), col("n_source"))
       .agg(count(lit(1)).as("n_cells"),
            round(sum(col("term").cast("decimal(38,18)")).cast("double"), 4)
@@ -213,8 +219,11 @@ object Profile {
       |      FROM documents),
       |terms AS (
       |  SELECT n, n_lang, n_source,
-      |    CAST((obs * n - rt * ct) * (obs * n - rt * ct) AS DOUBLE) /
-      |      CAST(n * rt * ct AS DOUBLE) AS term
+      |    CAST(CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+      |         AS DOUBLE)
+      |      * CAST(CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+      |             AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * rt * ct AS DOUBLE) AS term
       |  FROM cells JOIN rt USING (lang) JOIN ct USING (source)
       |  CROSS JOIN t)
       |SELECT n, n_lang, n_source,

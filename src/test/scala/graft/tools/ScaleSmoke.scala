@@ -58,7 +58,15 @@ object ScaleSmoke {
     "q142_ks_drift", "q143_journey_trigrams", "q146_dup_curve",
     "q148_incremental_view", "q150_gap_fill", "q151_cumulative_reach",
     "q152_source_gini", "q153_lambda_handoff", "q155_quantile_sketch",
-    "q157_pmi_cooccurrence")
+    "q157_pmi_cooccurrence",
+    // round-8 tail q159+ (docs/embeddings/events-based only — the
+    // TPC-H-table gates q158/q166/q169/q173/q174/q175 read tables the
+    // replica does not generate)
+    "q159_stream_histogram", "q160_latest_per_key", "q161_trending",
+    "q162_mixture_plan", "q163_sim_histogram", "q164_schema_evolution",
+    "q165_rolling_anomalies", "q167_basket_pairs", "q168_week_over_week",
+    "q170_stickiness", "q171_chi_square", "q172_time_to_convert",
+    "q176_cohort_retention", "q177_corrupt_ingest")
 
   def generate(spark: SparkSession): Unit = {
     // events.ts unit has changed across driver rounds (nanos → micros);
