@@ -47,11 +47,14 @@ object Bucketing {
   /** Drop the write memo (bench-harness hook for cold re-measurement). */
   def clearWriteMemo(): Unit = synchronized { written = None }
 
-  /** The co-located join itself (exposed for the plan-assertion spec):
-    * joining the two bucketed tables on their bucket key — this exact
-    * DataFrame's physical plan must contain NO shuffle exchange. */
-  def bucketedJoin(spark: SparkSession, dir: String,
-                   buckets: Int = 8): DataFrame = {
+  /** Perform the memoized layout write ONLY (no join) — the bench hook
+    * that lets the one-time bucket-write cost be timed as its own line
+    * item instead of riding inside every q149 sample (round-8 verdict:
+    * clearing the memo per pass made the certified zero-shuffle join
+    * look like the most expensive query because each sample re-paid the
+    * layout build). */
+  def ensureWritten(spark: SparkSession, dir: String,
+                    buckets: Int = 8): Unit = {
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_bucketed_" + Integer.toHexString(dir.hashCode)).getPath
@@ -63,6 +66,14 @@ object Bucketing {
         written = Some((spark, dir, buckets))
       }
     }
+  }
+
+  /** The co-located join itself (exposed for the plan-assertion spec):
+    * joining the two bucketed tables on their bucket key — this exact
+    * DataFrame's physical plan must contain NO shuffle exchange. */
+  def bucketedJoin(spark: SparkSession, dir: String,
+                   buckets: Int = 8): DataFrame = {
+    ensureWritten(spark, dir, buckets)
     spark.table("graft_bk_lineitem")
       .join(spark.table("graft_bk_orders"),
             col("l_orderkey") === col("o_orderkey"))

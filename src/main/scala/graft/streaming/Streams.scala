@@ -206,9 +206,34 @@ object Streams {
     val prevNoData =
       conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     val prevParts = conf.getOption("spark.sql.shuffle.partitions")
+    val prevProvider =
+      conf.getOption("spark.sql.streaming.stateStore.providerClass")
     conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
              noDataBatch.toString)
     conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // State store backend: RocksDB by default — the production choice
+    // for 100 TB keyed state (dedup keys, open sessions, HLL registers):
+    // state lives off-heap/on-disk in an embedded LSM instead of the
+    // default provider's in-heap HashMap, so executor heap stops being
+    // the state ceiling and checkpoint deltas ship incrementally
+    // (changelog files), not as full HDFS snapshots. Bounded gate runs
+    // measured within the host-contention band of the HDFS-backed
+    // provider (see SCALE.md "state store backend"), so the scale-safe
+    // backend is also the default here; -Dgraft.stream.stateStore=hdfs
+    // restores the in-heap provider for A/B probes.
+    val provider = sys.props.get("graft.stream.stateStore") match {
+      case Some("hdfs") => "org.apache.spark.sql.execution.streaming." +
+        "state.HDFSBackedStateStoreProvider"
+      case _ => "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"
+    }
+    conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    // Changelog checkpointing: per-batch state durability ships the
+    // batch's DELTA instead of a full RocksDB snapshot — the production
+    // setting for incremental state at scale, and it also trims the
+    // bounded runs' per-batch commit cost.
+    conf.set("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled", "true")
     val q =
       try {
         val started = df.writeStream.format("memory").queryName(name)
@@ -222,6 +247,9 @@ object Streams {
           conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
         prevParts.fold(conf.unset("spark.sql.shuffle.partitions"))(v =>
           conf.set("spark.sql.shuffle.partitions", v))
+        prevProvider.fold(
+          conf.unset("spark.sql.streaming.stateStore.providerClass"))(v =>
+          conf.set("spark.sql.streaming.stateStore.providerClass", v))
       }
     // best-effort cleanup of the throwaway checkpoint
     try {

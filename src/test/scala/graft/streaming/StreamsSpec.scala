@@ -138,6 +138,26 @@ class StreamsSpec extends SparkSpec {
            batch.exceptAll(streamed).isEmpty)
   }
 
+  test("RocksDB default and HDFSBacked state stores produce identical results") {
+    // The bounded runs default to the RocksDBStateStoreProvider (the
+    // production backend for 100 TB keyed state); the -Dgraft.stream.
+    // stateStore=hdfs knob restores the in-heap provider. A stateful
+    // gate (keyed dedup state feeding windowed agg state) must be
+    // backend-invariant, and the session conf must be restored after.
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(confKey)
+    val viaRocks = Streams.dedupHourlyAvailableNow(spark, sfDir).collect()
+    sys.props("graft.stream.stateStore") = "hdfs"
+    try {
+      val viaHdfs = Streams.dedupHourlyAvailableNow(spark, sfDir).collect()
+      assert(viaRocks.nonEmpty)
+      assert(viaRocks.toSet == viaHdfs.toSet,
+        "state-store backend must not change streaming results")
+    } finally sys.props.remove("graft.stream.stateStore")
+    assert(spark.conf.getOption(confKey) == before,
+      "provider conf must be restored after the bounded run")
+  }
+
   test("chained dedup→hourly agg equals the batch rollup up to the watermark") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.dedupHourlyAvailableNow(spark, sfDir)

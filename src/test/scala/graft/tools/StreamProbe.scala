@@ -6,12 +6,14 @@ import org.apache.spark.sql.SparkSession
   * (start→first batch→termination) and dump each batch's durationMs so
   * the bounded-run overhead is attributable, not guessed.
   *
-  * args: [sfDir] [gate1,gate2,...] [statePartitions] [reps]
+  * args: [sfDir] [gate1,gate2,...] [statePartitions] [reps] [providers]
   * Gates: hourly sessionize funnel enrich dedup deduphourly.
   * statePartitions may be a single value or a `:`-separated cycle
   * (e.g. `2:4:8`) applied per rep WITHIN one JVM — host-contention
   * windows hit whole JVMs, so cross-JVM partition comparisons confound;
-  * in-JVM alternation isolates the knob.
+  * in-JVM alternation isolates the knob. providers is the same kind of
+  * cycle over state-store backends (`rocksdb:hdfs`), for the
+  * RocksDB-vs-HDFSBacked floor comparison.
   * Each `sbt Test/runMain` invocation is one cold JVM — the bench
   * methodology — with the same sf0.001 machinery warm-up Bench does. */
 object StreamProbe {
@@ -23,6 +25,9 @@ object StreamProbe {
       args.drop(2).headOption.filter(_.nonEmpty)
         .map(_.split(":").toSeq).getOrElse(Seq.empty)
     val reps = args.drop(3).headOption.flatMap(_.toIntOption).getOrElse(2)
+    val providerCycle: Seq[String] =
+      args.drop(4).headOption.filter(_.nonEmpty)
+        .map(_.split(":").toSeq).getOrElse(Seq.empty)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,6 +56,13 @@ object StreamProbe {
           sys.props("graft.stream.statePartitions") = p
           p
         }
+      val provider =
+        if (providerCycle.isEmpty) "default"
+        else {
+          val p = providerCycle((rep - 1) % providerCycle.size)
+          sys.props("graft.stream.stateStore") = p
+          p
+        }
       val t0 = System.nanoTime()
       val n = name match {
         case "hourly" =>
@@ -66,7 +78,7 @@ object StreamProbe {
         case _ =>
           graft.streaming.Streams.enrichedSegmentAvailableNow(spark, sfDir).count()
       }
-      println(f"[probe] $name rep$rep parts=$parts total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      println(f"[probe] $name rep$rep parts=$parts provider=$provider total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
   }
