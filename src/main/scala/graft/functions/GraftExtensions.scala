@@ -21,6 +21,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * k)` (k-permutation signature, fixed seed), `sorted_intersect_count(a,
   * b)`, `simhash64(hashes)`, `vec_dot(a, b)`, `vec_l2norm(a)`,
   * `normalize_text(s)` (single-pass lowercase/strip/collapse/trim).
+  *
+  * Also injects the engine's optimizer rules:
+  * [[graft.plans.EditDistanceBandRule]] — ANY bounded-levenshtein
+  * Filter (SQL or DataFrame) gains the free O(1) length-band prefilter
+  * ahead of the O(|a|·|b|) dynamic program. The rule is idempotent, so
+  * sessions that ALSO register it via `experimental.extraOptimizations`
+  * (the live-session fallback `ext.Fuzzy` uses) are unaffected.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -35,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.EditDistanceBandRule)
     ext.injectFunction((FunctionIdentifier("hash_shingles"),
       info("hash_shingles",
         "hash_shingles(words, n) - sorted distinct xxhash64 n-gram shingles"),

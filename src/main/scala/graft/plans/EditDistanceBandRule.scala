@@ -34,13 +34,22 @@ object EditDistanceBandRule extends Rule[LogicalPlan] {
                       k: Expression): Expression =
     LessThanOrEqual(Abs(Subtract(Length(l), Length(r))), k)
 
-  /** Does `cond` already carry a band guard over (l, r)? */
+  /** Does `cond` already carry a band guard over (l, r)? Matches both
+    * the freshly-added shape `abs(length(l) - length(r))` and its
+    * constant-folded residue `abs(length(l) - 9)` — the optimizer
+    * batches run to fixpoint with ConstantFolding, which folds the
+    * literal side's `length` away between iterations; without the
+    * folded match the rule would re-add a band every iteration. A
+    * band over EITHER operand suppresses (conservative: a user's own
+    * length guard counts). */
   private def hasBand(cond: Expression, l: Expression,
                       r: Expression): Boolean =
     cond.exists {
-      case LessThanOrEqual(Abs(Subtract(Length(a), Length(b), _), _), _) =>
-        (a.semanticEquals(l) && b.semanticEquals(r)) ||
-          (a.semanticEquals(r) && b.semanticEquals(l))
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), _) =>
+        Seq(x, y).exists {
+          case Length(e) => e.semanticEquals(l) || e.semanticEquals(r)
+          case _ => false
+        }
       case _ => false
     }
 

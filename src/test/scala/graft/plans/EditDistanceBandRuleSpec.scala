@@ -33,6 +33,33 @@ class EditDistanceBandRuleSpec extends SparkSpec {
     }
   }
 
+  test("session extension supplies the band to plain spark.sql automatically") {
+    // The shared test session (like the Verify/Bench gate sessions) is
+    // built with spark.sql.extensions=graft.functions.GraftExtensions,
+    // which injectOptimizerRule's this rule — NO experimental
+    // registration here; the injected rule must fire on its own for a
+    // plain SQL query. (Another suite may have left the experimental
+    // registration behind — strip it for the duration so the injected
+    // path is what's being proven.)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_ == EditDistanceBandRule)
+    try {
+      graft.Tables.load(spark, sfDir, "part")
+        .createOrReplaceTempView("ed_band_part")
+      val df = spark.sql(
+        "SELECT p_partkey FROM ed_band_part " +
+        "WHERE levenshtein(p_name, 'red widget') <= 3")
+      val cond = df.queryExecution.optimizedPlan.toString.linesIterator
+        .find(_.contains("levenshtein"))
+        .getOrElse(fail("no levenshtein Filter in optimized plan"))
+      assert(cond.contains("abs((length(p_name"),
+        s"injected rule must add the band to plain SQL:\n$cond")
+      assert(cond.indexOf("abs(") < cond.indexOf("levenshtein"),
+        s"band must gate the DP:\n$cond")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("rule is semantically transparent and idempotent") {
     val plain = graft.Tables.load(spark, sfDir, "part")
       .filter(levenshtein(col("p_name"), lit("blue bolt")) <= 4)
