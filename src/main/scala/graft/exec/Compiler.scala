@@ -597,6 +597,27 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
         val pred = (correlated ++ extraCorrelated)
           .map(p => compilePredicate(p, jointScope, probe))
           .reduce(_ && _)
+        // Cost guardrail: this fallback is a faithful nested loop —
+        // outer × inner pairs flow through the theta join, modeling the
+        // reference's per-outer-row subquery re-execution. That is the
+        // right semantics for the dialect but an unbounded cartesian if
+        // a hostile query correlates two large relations, so both sides
+        // are counted up front (outer is already checkpointed; inner is
+        // one extra linear scan of an already-filtered relation — cheap
+        // relative to the join it gates) and the pair volume is checked
+        // against spark.graft.decorrelate.maxPairs. Over-cap queries
+        // fail fast with a clear error instead of occupying the cluster
+        // with outer×inner shuffle volume. The equality fast path (the
+        // preferred plan) is not affected.
+        val maxPairs = outerW.sparkSession.conf
+          .get("spark.graft.decorrelate.maxPairs", "100000000").toLong
+        val nOuter = outerW.count()
+        val nInner = inner.count()
+        if (nOuter > 0 && nInner > maxPairs / math.max(nOuter, 1L))
+          throw CompileError(
+            s"correlated subquery requires a nested-loop over $nOuter x " +
+            s"$nInner rows, exceeding spark.graft.decorrelate.maxPairs=" +
+            s"$maxPairs; add an equality correlation or raise the cap")
         val matches = outerW.join(inner, pred, "inner")
 
         val perId =

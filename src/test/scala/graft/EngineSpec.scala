@@ -326,6 +326,27 @@ class EngineSpec extends SparkSpec {
       Row(1, 0L), Row(2, 1L), Row(3, 2L), Row(4, 1L), Row(5, 0L)))
   }
 
+  test("theta decorrelation guardrail: over-cap nested loop fails fast") {
+    // The pure-theta fallback is a faithful nested loop (outer x inner
+    // pairs); spark.graft.decorrelate.maxPairs caps the pair volume so
+    // a hostile query fails fast instead of launching an effectively
+    // unbounded cartesian. 4x4 = 16 pairs > cap 8 -> clear error; the
+    // default cap runs the same query fine.
+    val eng = freshEngine
+    eng.execute("CREATE TABLE gl (a int)")
+    eng.execute("INSERT INTO gl VALUES (1), (2), (3), (4)")
+    val q = "SELECT a, (SELECT count(*) FROM gl g WHERE g.a < gl.a)" +
+      " AS n FROM gl"
+    spark.conf.set("spark.graft.decorrelate.maxPairs", "8")
+    try {
+      val e = intercept[Exception](eng.sql(q).collect())
+      assert(e.getMessage.contains("maxPairs"),
+        s"expected guardrail error, got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.decorrelate.maxPairs")
+    assertSameRows(eng.sql(q),
+      Seq(Row(1, 0L), Row(2, 1L), Row(3, 2L), Row(4, 3L)))
+  }
+
   test("correlated subquery: outer reference in the SELECT value") {
     val eng = freshEngine
     eng.execute("CREATE TABLE ords (k int, amt int)")
