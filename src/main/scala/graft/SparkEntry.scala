@@ -572,6 +572,36 @@ object SparkEntry {
     // corrupt-record-tolerant JSONL ingest with quarantine reconciliation
     "q177_corrupt_ingest" -> ((s: SparkSession, d: String) =>
       sources.Sources.corruptIngestGate(s, d)),
+    // TPC-H Q2-style correlated-min scalar subquery (decorrelated)
+    "q178_min_cost_supplier" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.minCostSupplier(s, d)),
+    // TPC-H Q4-style correlated EXISTS -> left semi join
+    "q179_waiting_orders" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.waitingOrders(s, d)),
+    // TPC-H Q6-style scan-bound predicate aggregate (pushed filters)
+    "q180_revenue_band" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.revenueBand(s, d)),
+    // TPC-H Q12-style CASE-conditional counting aggregate
+    "q181_priority_lines" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.priorityLines(s, d)),
+    // TPC-H Q13-style outer-join count distribution (filter in ON)
+    "q182_order_count_dist" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.orderCountDist(s, d)),
+    // TPC-H Q14-style conditional revenue ratio (exact-decimal sums)
+    "q183_promo_share" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.promoShare(s, d)),
+    // TPC-H Q16-style NOT IN -> null-aware anti join census
+    "q184_supplier_census" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.supplierCensus(s, d)),
+    // TPC-H Q18-style IN-aggregate-HAVING semi join
+    "q185_large_orders" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.largeOrders(s, d)),
+    // TPC-H Q21-style correlated EXISTS + NOT EXISTS pair
+    "q186_blocking_suppliers" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.blockingSuppliers(s, d)),
+    // TPC-H Q22-style scalar-subquery threshold + anti join
+    "q187_dormant_customers" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.dormantCustomers(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1220,5 +1250,17 @@ object SparkEntry {
     "q175_benford" -> ops.Profile.benfordAuditOracleSql(),
     "q176_cohort_retention" -> ext.Events.cohortRetentionOracleSql(),
     "q177_corrupt_ingest" -> sources.Sources.corruptIngestGateOracleSql,
+    "q178_min_cost_supplier" -> ops.TpchPatterns.minCostSupplierOracleSql(),
+    "q179_waiting_orders" -> ops.TpchPatterns.waitingOrdersOracleSql(),
+    "q180_revenue_band" -> ops.TpchPatterns.revenueBandOracleSql(),
+    "q181_priority_lines" -> ops.TpchPatterns.priorityLinesOracleSql(),
+    "q182_order_count_dist" -> ops.TpchPatterns.orderCountDistOracleSql(),
+    "q183_promo_share" -> ops.TpchPatterns.promoShareOracleSql(),
+    "q184_supplier_census" -> ops.TpchPatterns.supplierCensusOracleSql(),
+    "q185_large_orders" -> ops.TpchPatterns.largeOrdersOracleSql(),
+    "q186_blocking_suppliers" ->
+      ops.TpchPatterns.blockingSuppliersOracleSql(),
+    "q187_dormant_customers" ->
+      ops.TpchPatterns.dormantCustomersOracleSql(),
   )
 }
