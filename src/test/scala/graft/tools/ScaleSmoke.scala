@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   private val Base = "/root/testdata/sf0.1"
   private val Out = "target/scale10"
+  private val Out100 = "target/scale100"
+
+  /** The five cost drivers from the round-8 bench tail (output-bound
+    * pair families + the IVF-PQ index) — the operators whose sub-
+    * linearity claim needs TWO decades of evidence, not one. Only
+    * these run at 100×. */
+  private val Top5 = Seq(
+    "q28_jaccard_pairs", "q63_clean_corpus", "q107_ivfpq_adc",
+    "q120_source_overlap", "q125_export_manifest")
 
   private val Families = Seq(
     "q24_dedup_exact", "q25_dedup_fingerprint", "q26_dedup_minhash",
@@ -68,14 +77,15 @@ object ScaleSmoke {
     "q170_stickiness", "q171_chi_square", "q172_time_to_convert",
     "q176_cohort_retention", "q177_corrupt_ingest")
 
-  def generate(spark: SparkSession): Unit = {
+  def generate(spark: SparkSession, out: String = Out, factor: Int = 10,
+               withEvents: Boolean = true): Unit = {
     // events.ts unit has changed across driver rounds (nanos → micros);
     // the legacy conf makes a nanos file read as long (which the
     // replica then stores as long), a micros file reads as timestamp —
     // Tables.loadEvents type-branches on either, so the replica is
     // valid whichever unit the source had
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reps = explode(array((0 until 10).map(lit): _*)).as("rep")
+    val reps = explode(array((0 until factor).map(lit): _*)).as("rep")
 
     val docs = spark.read.parquet(s"$Base/documents.parquet")
     docs.select(col("*"), reps)
@@ -86,27 +96,43 @@ object ScaleSmoke {
         col("lang"), col("source"),
         col("n_chars"))
       .repartition(32)
-      .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val embs = spark.read.parquet(s"$Base/embeddings.parquet")
+    // per-replica decorrelation: circular shift by rep mod dim; beyond
+    // one full cycle of shifts (factor > dim, the 100× case) also
+    // sign-flip alternate dimensions, so no two replicas of the same
+    // vector are near-parallel (a reused bare shift would make exact
+    // cross-replica duplicates and quadratic candidate volume — the
+    // synthetic corpus, not the operator, would be measured)
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
+    val sh = col("rep") % dim
+    val shifted =
+      concat(slice(col("embedding"), sh + 1, size(col("embedding"))),
+             slice(col("embedding"), lit(1), sh))
     embs.select(col("*"), reps)
       .select(
         (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
-        concat(slice(col("embedding"), col("rep") + 1, size(col("embedding"))),
-               slice(col("embedding"), lit(1), col("rep"))).as("embedding"),
+        when(col("rep") < dim, shifted)
+          .otherwise(zip_with(shifted,
+            sequence(lit(0), lit(dim - 1)),
+            (x, i) => when(i % 2 === 0, -x).otherwise(x)))
+          .as("embedding"),
         (col("label") + col("rep") * 100000).as("label"))
       .repartition(32)
-      .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    val events = spark.read.parquet(s"$Base/events.parquet")
-    events.select(col("*"), reps)
-      .select(
-        (col("event_id") + col("rep") * 100000000L).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("rep") * 1000000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$Out/events.parquet")
+    if (withEvents) {
+      val events = spark.read.parquet(s"$Base/events.parquet")
+      events.select(col("*"), reps)
+        .select(
+          (col("event_id") + col("rep") * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep") * 1000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -147,6 +173,41 @@ object ScaleSmoke {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    }
+    // x100 mode: two-decade smoke for the Top5 cost drivers only —
+    // Test/runMain graft.tools.ScaleSmoke x100 [pN] [gateprefix...]
+    // pN (e.g. p128) re-sizes shuffle partitions for the 100× runs:
+    // the production response to 100× data is ~100× partitions, and a
+    // fixed 32 turns the biggest shuffles into spill benchmarks.
+    if (args.headOption.contains("x100")) {
+      args.drop(1).find(_.matches("p\\d+")).map(_.drop(1)).foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p))
+      if (!new java.io.File(s"$Out100/embeddings.parquet").isDirectory) {
+        val t0 = System.nanoTime()
+        generate(spark, Out100, factor = 100, withEvents = false)
+        println(f"[scale] generated $Out100 in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      for (t <- Seq("documents", "embeddings"))
+        println(s"[scale] $t rows 100x = " +
+          spark.read.parquet(s"$Out100/$t.parquet").count())
+      println(f"[scale] ${"query"}%-22s ${"t1x"}%8s ${"t10x"}%8s ${"t100x"}%8s ${"r10"}%5s ${"r100"}%6s")
+      val top = {
+        val prefixes = args.drop(1).filterNot(_.matches("p\\d+"))
+        if (prefixes.isEmpty) Top5
+        else Top5.filter(f => prefixes.exists(f.startsWith))
+      }
+      for (name <- top) {
+        time(name, Base)                   // warms JIT/codegen paths
+        coldStart()
+        val (t1, _) = time(name, Base)
+        coldStart()
+        val (t10, _) = time(name, Out)
+        coldStart()
+        val (t100, r100) = time(name, Out100)
+        println(f"[scale] $name%-22s $t1%7.2fs $t10%7.2fs $t100%7.2fs ${t10 / math.max(t1, 1e-9)}%5.1f ${t100 / math.max(t1, 1e-9)}%6.1f  rows100x=$r100")
+      }
+      spark.stop()
+      return
     }
     // optional gate-name filter: Test/runMain graft.tools.ScaleSmoke q107 q113
     val selected =
