@@ -602,6 +602,9 @@ object SparkEntry {
     // TPC-H Q22-style scalar-subquery threshold + anti join
     "q187_dormant_customers" -> ((s: SparkSession, d: String) =>
       ops.TpchPatterns.dormantCustomers(s, d)),
+    // nested image-struct layout, metadata read prunes the payload leaf
+    "q188_image_metadata" -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.imageMetaSummary(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1262,5 +1265,6 @@ object SparkEntry {
       ops.TpchPatterns.blockingSuppliersOracleSql(),
     "q187_dormant_customers" ->
       ops.TpchPatterns.dormantCustomersOracleSql(),
+    "q188_image_metadata" -> ext.Multimodal.imageMetaSummaryOracleSql(),
   )
 }

@@ -213,6 +213,77 @@ object Multimodal {
            sum(when(element_at(col("feature"), 1) === 1.0, 1L)
              .otherwise(0L)).as("n_f0"))
 
+  // ---- production nested image layout + metadata-only reads ---------
+
+  /** One write per (session, dir) — the q149 bucket-layout memo
+    * discipline: the layout is built once, every metadata read
+    * amortizes it. */
+  private var imageLayoutWritten: Option[(SparkSession, String)] = None
+
+  private def imageLayoutPath(dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_imgtable_" + Integer.toHexString(dir.hashCode)).getPath
+
+  /** Write the PRODUCTION multimodal table layout: one nested column
+    * `image: struct<path, format, width, height, data>` per row — typed
+    * metadata and the opaque payload travel together (how large-scale
+    * image/audio tables are actually laid out, cf. Spark ML's
+    * ImageSchema struct), so metadata queries can prune the payload
+    * LEAF of the struct at the parquet reader instead of reading blobs.
+    * Payload bytes are the real encoded images of [[mediaTable]];
+    * encoding runs on executors. */
+  def writeImageLayout(spark: SparkSession, dir: String): String =
+    synchronized {
+      val path = imageLayoutPath(dir)
+      if (!imageLayoutWritten.contains((spark, dir))) {
+        mediaTable(spark, dir)
+          .select(col("media_id").as("doc_id"),
+            struct(
+              concat(lit("img/"), col("format"), lit("/"),
+                     col("media_id"), lit("."), col("format")).as("path"),
+              col("format"), col("width"), col("height"),
+              col("payload").as("data")).as("image"))
+          .write.mode("overwrite").parquet(path)
+        imageLayoutWritten = Some((spark, dir))
+      }
+      path
+    }
+
+  /** Metadata-only summary over the nested layout: per format, counts
+    * and exact integer dimension sums — WITHOUT touching a payload
+    * byte. Parquet's columnar layout stores each struct leaf as its
+    * own column chunk, and Spark's nested-schema pruning narrows the
+    * scan to `image.{format,width,height}` (plan-asserted in the
+    * spec: ReadSchema carries no `data` field) — at 100 TB of
+    * payloads the metadata query reads only the few-GB metadata
+    * leaves. The oracle replays the deterministic metadata rules
+    * (format = id%3, width = id%13+4, height = id%7+4) straight from
+    * `documents`, so the gate certifies the layout round-trip too. */
+  def imageMetaSummary(spark: SparkSession, dir: String): DataFrame = {
+    val path = writeImageLayout(spark, dir)
+    spark.read.parquet(path)
+      .select(col("doc_id"), col("image.format").as("format"),
+              col("image.width").as("width"),
+              col("image.height").as("height"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("width")).as("sum_width"),
+           sum(col("height")).as("sum_height"),
+           sum((col("width") * col("height")).cast("long")).as("sum_area"),
+           sum(col("doc_id") % 9973).as("id_checksum"))
+  }
+
+  def imageMetaSummaryOracleSql(): String =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |       ELSE 'bmp' END AS format,
+      |  count(*) AS n,
+      |  CAST(sum(doc_id % 13 + 4) AS BIGINT) AS sum_width,
+      |  CAST(sum(doc_id % 7 + 4) AS BIGINT) AS sum_height,
+      |  CAST(sum((doc_id % 13 + 4) * (doc_id % 7 + 4)) AS BIGINT)
+      |    AS sum_area,
+      |  CAST(sum(doc_id % 9973) AS BIGINT) AS id_checksum
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** Gradient twin of [[mediaTable]]: payload = real encoded gradient
     * image bytes (gray = base + 2x + 4y). Feeds the resize gate, whose
     * oracle needs a NON-constant source to see interpolation weights. */

@@ -94,6 +94,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image metadata scan prunes the payload leaf (never reads bytes)") {
+    import org.apache.spark.sql.functions._
+    val df = Multimodal.imageMetaSummary(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // nested schema pruning narrows the struct to the metadata leaves:
+    // the parquet ReadSchema must carry format/width/height and NO
+    // data/path field — the payload column chunks are never opened
+    assert(p.contains("image:struct<format:string,width:int,height:int>"),
+      s"scan must read only the metadata leaves of the struct:\n$p")
+    assert(!p.contains("data:binary"),
+      s"payload leaf must be pruned from the scan:\n$p")
+    // and the layout round-trips: metadata in the file equals the
+    // deterministic per-id rules
+    val byFormat = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(byFormat.values.sum == nDocs)
+    assert(byFormat.keySet == Set("png", "gif", "bmp"))
+  }
+
   test("featureSummary matches the analytic per-format sums") {
     val rows = Multimodal.featureSummary(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
