@@ -605,6 +605,15 @@ object SparkEntry {
     // nested image-struct layout, metadata read prunes the payload leaf
     "q188_image_metadata" -> ((s: SparkSession, d: String) =>
       ext.Multimodal.imageMetaSummary(s, d)),
+    // TPC-H Q17-style correlated-avg threshold (decorrelated agg join)
+    "q189_small_qty_revenue" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.smallQtyRevenue(s, d)),
+    // TPC-H Q15-style argmax supplier via scalar-max subquery
+    "q190_top_supplier" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.topSupplier(s, d)),
+    // TPC-H Q19-style disjunctive predicate with per-side pushdown
+    "q191_disjunctive_revenue" -> ((s: SparkSession, d: String) =>
+      ops.TpchPatterns.disjunctiveRevenue(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1266,5 +1275,9 @@ object SparkEntry {
     "q187_dormant_customers" ->
       ops.TpchPatterns.dormantCustomersOracleSql(),
     "q188_image_metadata" -> ext.Multimodal.imageMetaSummaryOracleSql(),
+    "q189_small_qty_revenue" -> ops.TpchPatterns.smallQtyRevenueOracleSql(),
+    "q190_top_supplier" -> ops.TpchPatterns.topSupplierOracleSql(),
+    "q191_disjunctive_revenue" ->
+      ops.TpchPatterns.disjunctiveRevenueOracleSql(),
   )
 }

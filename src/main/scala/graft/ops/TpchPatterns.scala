@@ -337,6 +337,114 @@ object TpchPatterns {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_name""".stripMargin
 
+  // ---- Q17 shape: correlated-avg threshold --------------------------
+
+  /** TPC-H Q17-style small-quantity revenue: lines whose quantity is
+    * below 20% of their part's average quantity. The correlated `avg`
+    * decorrelates to one per-partkey aggregate joined back on the key
+    * (same plan family as Q2's min) — at 100 TB one map-side-combined
+    * agg over lineitem, not a per-part re-scan. Exactness: quantities
+    * are integral doubles, so `avg` is one IEEE division of exact
+    * values and `0.2 * avg` is bit-identical in both engines; the
+    * revenue sum is exact DECIMAL. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_qty_revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_type = 'SMALL'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  def smallQtyRevenueOracleSql(): String =
+    """SELECT count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS small_qty_revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_type = 'SMALL'
+      |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                      FROM lineitem l2
+      |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  // ---- Q15 shape: argmax via scalar subquery over a derived agg -----
+
+  /** TPC-H Q15-style top supplier: supplier(s) whose quarterly revenue
+    * equals the maximum. The derived per-supplier revenue table is
+    * bounded (#suppliers) and referenced twice — once joined, once
+    * under `max` — and the equality is on an exact-decimal-derived
+    * double, so ties (all suppliers at the max) surface exactly in
+    * both engines. Lineitem is pruned to the quarter at the scan. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
+        .stripMargin)
+  }
+
+  def topSupplierOracleSql(): String =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |             AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
+      .stripMargin
+
+  // ---- Q19 shape: disjunctive cross-table predicate -----------------
+
+  /** TPC-H Q19-style disjunctive revenue: three (brand, size-band,
+    * quantity-band) alternatives OR'd across the join. The pattern
+    * certifies Catalyst's disjunction handling: each side's common
+    * implications are extracted and PUSHED (part's scan gets the
+    * brand/size disjunction, lineitem's the quantity-band union —
+    * spec-asserted), so the join sees pre-filtered inputs instead of
+    * evaluating the OR over the full cross product. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+  }
+
+  def disjunctiveRevenueOracleSql(): String =
+    """SELECT count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   // ---- Q22 shape: scalar-subquery threshold + NOT EXISTS ------------
 
   /** TPC-H Q22-style dormant high-balance customers (adapted: every

@@ -33,8 +33,11 @@ class VersioningSpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val v1Sum = docs.agg(sum(col("doc_id") % 9973))
       .collect()(0).getLong(0)
+    // inserts are offset by the table's own max(doc_id) + 1 (round-9
+    // collision fix) — mirror that rule here
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     val addedSum = docs.filter(col("doc_id") % 13 === 2)
-      .agg(sum((col("doc_id") + 1000000L) % 9973)).collect()(0).getLong(0)
+      .agg(sum((col("doc_id") + maxId + 1L) % 9973)).collect()(0).getLong(0)
     assert(total == v1Sum + addedSum)
   }
 }

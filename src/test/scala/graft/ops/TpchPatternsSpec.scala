@@ -64,6 +64,32 @@ class TpchPatternsSpec extends SparkSpec {
       s"Q6 must read exactly the four needed columns:\n$p")
   }
 
+  test("Q17 correlated avg decorrelates like Q2's min") {
+    val df = TpchPatterns.smallQtyRevenue(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("avg("),
+      s"expected a decorrelated avg aggregate:\n$opt")
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated avg subquery must not nested-loop:\n$p")
+  }
+
+  test("Q19 pushes each side's disjunction implications to its scan") {
+    val p = TpchPatterns.disjunctiveRevenue(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    // Catalyst extracts per-side implications of the cross-table OR:
+    // the part scan must carry the brand disjunction, the lineitem
+    // scan the quantity-band union — neither side may scan unfiltered
+    assert(p.contains("Brand#12"),
+      s"part scan must receive the brand disjunction:\n$p")
+    val liFilter = p.linesIterator
+      .filter(_.contains("l_quantity")).mkString("\n")
+    assert(liFilter.nonEmpty,
+      s"lineitem side must receive the quantity-band filter:\n$p")
+  }
+
   test("Q13 keeps zero-order customers via the ON-condition filter") {
     import org.apache.spark.sql.functions._
     val dist = TpchPatterns.orderCountDist(spark, sfDir)
