@@ -608,9 +608,14 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
         // against spark.graft.decorrelate.maxPairs. Over-cap queries
         // fail fast with a clear error instead of occupying the cluster
         // with outer×inner shuffle volume. The equality fast path (the
-        // preferred plan) is not affected.
+        // preferred plan) is not affected. Default 1e10: codegen
+        // evaluates ~1e8 predicate-pairs/sec/core, so the cap bounds a
+        // worst-case fallback to minutes on one executor — the q18
+        // gate's intended 6e8 pairs at sf0.1 pass with headroom, a
+        // runaway cartesian (1e12+) fails in the compile step instead
+        // of days into the job.
         val maxPairs = outerW.sparkSession.conf
-          .get("spark.graft.decorrelate.maxPairs", "100000000").toLong
+          .get("spark.graft.decorrelate.maxPairs", "10000000000").toLong
         val nOuter = outerW.count()
         val nInner = inner.count()
         if (nOuter > 0 && nInner > maxPairs / math.max(nOuter, 1L))
