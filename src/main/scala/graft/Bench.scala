@@ -51,11 +51,21 @@ object Bench {
     val reps = 3
     // One-time bucket-layout write, timed separately so q149 (and any
     // other consumer of the bucketed tables) measures the JOIN the
-    // layout enables, not the layout build itself.
+    // layout enables, not the layout build itself. A FAILED write is
+    // shouted and recorded as -1 (not swallowed): with the memo unset,
+    // every q149 sample would silently re-pay (and re-fail) the build
+    // while the artifact showed a plausible write time — the schema-
+    // canary discipline applies here too.
     val bwT0 = System.nanoTime()
-    try sources.Bucketing.ensureWritten(spark, sfDir)
-    catch { case _: Throwable => () }
-    val bucketWriteSec = (System.nanoTime() - bwT0) / 1e9
+    val bucketWriteSec =
+      try {
+        sources.Bucketing.ensureWritten(spark, sfDir)
+        (System.nanoTime() - bwT0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] bucket-layout write FAILED: $e")
+          -1.0
+      }
     // Storage-memory high-water per pass: cached blocks (operator memos,
     // shared pair sets, streaming state) compete for the storage pool,
     // and a regression caused by cache eviction is invisible in timings

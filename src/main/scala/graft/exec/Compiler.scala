@@ -601,27 +601,32 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
         // outer × inner pairs flow through the theta join, modeling the
         // reference's per-outer-row subquery re-execution. That is the
         // right semantics for the dialect but an unbounded cartesian if
-        // a hostile query correlates two large relations, so both sides
-        // are counted up front (outer is already checkpointed; inner is
-        // one extra linear scan of an already-filtered relation — cheap
-        // relative to the join it gates) and the pair volume is checked
-        // against spark.graft.decorrelate.maxPairs. Over-cap queries
-        // fail fast with a clear error instead of occupying the cluster
-        // with outer×inner shuffle volume. The equality fast path (the
-        // preferred plan) is not affected. Default 1e10: codegen
-        // evaluates ~1e8 predicate-pairs/sec/core, so the cap bounds a
-        // worst-case fallback to minutes on one executor — the q18
-        // gate's intended 6e8 pairs at sf0.1 pass with headroom, a
-        // runaway cartesian (1e12+) fails in the compile step instead
-        // of days into the job.
+        // a hostile query correlates two large relations, so the pair
+        // volume is checked against spark.graft.decorrelate.maxPairs
+        // and an over-cap query fails fast with a clear error instead
+        // of occupying the cluster. The inner side is sized with a
+        // LIMIT-bounded count, NOT a bare count(): a multi-FROM
+        // subquery's `inner` is itself a cross join of its sources, so
+        // `inner.count()` could execute the very runaway this guard
+        // exists to prevent — the global limit makes Spark stop after
+        // innerCap+1 rows (incremental partition execution), bounding
+        // the probe itself. The equality fast path (the preferred
+        // plan) is not affected. Default 1e10: codegen evaluates ~1e8
+        // predicate-pairs/sec/core, so the cap bounds a worst-case
+        // fallback to minutes on one executor — the q18 gate's
+        // intended 6e8 pairs at sf0.1 pass with headroom, a runaway
+        // cartesian (1e12+) fails in the compile step instead of days
+        // into the job.
         val maxPairs = outerW.sparkSession.conf
           .get("spark.graft.decorrelate.maxPairs", "10000000000").toLong
         val nOuter = outerW.count()
-        val nInner = inner.count()
-        if (nOuter > 0 && nInner > maxPairs / math.max(nOuter, 1L))
+        val innerCap = math.min(
+          maxPairs / math.max(nOuter, 1L) + 1L, Int.MaxValue.toLong).toInt
+        val nInner = inner.limit(innerCap).count()
+        if (nOuter > 0 && nInner >= innerCap)
           throw CompileError(
             s"correlated subquery requires a nested-loop over $nOuter x " +
-            s"$nInner rows, exceeding spark.graft.decorrelate.maxPairs=" +
+            s">=$nInner rows, exceeding spark.graft.decorrelate.maxPairs=" +
             s"$maxPairs; add an equality correlation or raise the cap")
         val matches = outerW.join(inner, pred, "inner")
 

@@ -472,9 +472,14 @@ object Events {
     * Output per type: events inside the horizon, exact decayed score,
     * and the score normalized by the all-type total (share of
     * recency-weighted mass, 6dp). */
-  def trendingScores(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
+  def trendingScores(spark: SparkSession, dir: String): DataFrame =
+    trendingScoresFrom(Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d")))
+
+  /** Core of [[trendingScores]] over a prepared (event_type, d) frame —
+    * exposed so the horizon-clamp spec can drive the REAL pipeline on a
+    * synthetic >62-day corpus. */
+  private[ext] def trendingScoresFrom(ev: DataFrame): DataFrame = {
     val maxDay = ev.agg(max(col("d")).as("mx"))
     val aged = ev.crossJoin(broadcast(maxDay))
       .withColumn("age", datediff(col("mx"), col("d")).cast("long"))

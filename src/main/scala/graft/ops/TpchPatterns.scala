@@ -17,9 +17,13 @@ import graft.Tables
   * point is Catalyst's decorrelation (RewritePredicateSubquery and
   * friends), so the gate hands Catalyst the raw subquery and the spec
   * asserts the rewritten join shape — EXISTS → LeftSemi, NOT IN →
-  * null-aware LeftAnti, correlated scalar → aggregate-then-join. The
-  * plain join/agg patterns (Q6/Q12/Q13/Q14) use the DataFrame API like
-  * every other relational gate.
+  * null-aware LeftAnti, correlated scalar → aggregate-then-join.
+  * Each such gate executes its ORACLE string verbatim
+  * (`spark.sql(xOracleSql())` — the SQL is dialect-common), so
+  * gate == oracle holds by construction and a threshold tweak cannot
+  * drift one side silently. The plain join/agg patterns
+  * (Q6/Q12/Q13/Q14) use the DataFrame API like every other relational
+  * gate, with a separately-maintained oracle.
   *
   * 100 TB notes per gate at the definition site; common discipline:
   * money math in DECIMAL (exact, order-independent), one double cast
@@ -47,17 +51,7 @@ object TpchPatterns {
     * both rows — a deterministic set either way. */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir)
-    spark.sql(
-      """SELECT p_partkey, p_name, s_name,
-        |  CAST(l_extendedprice AS DOUBLE) AS min_price
-        |FROM part p
-        |JOIN lineitem l ON l.l_partkey = p.p_partkey
-        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        |WHERE p.p_size < 10 AND p.p_type = 'SMALL'
-        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
-        |                           FROM lineitem l2
-        |                           WHERE l2.l_partkey = p.p_partkey)
-        |""".stripMargin)
+    spark.sql(minCostSupplierOracleSql())
   }
 
   def minCostSupplierOracleSql(): String =
@@ -83,14 +77,7 @@ object TpchPatterns {
     * rewrite would hit). */
   def waitingOrders(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir)
-    spark.sql(
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM orders o
-        |WHERE year(o_orderdate) = 1997
-        |  AND EXISTS (SELECT 1 FROM lineitem l
-        |              WHERE l.l_orderkey = o.o_orderkey
-        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
-        |GROUP BY o_orderpriority""".stripMargin)
+    spark.sql(waitingOrdersOracleSql())
   }
 
   def waitingOrdersOracleSql(): String =
@@ -243,13 +230,7 @@ object TpchPatterns {
     * aggregate is the only shuffle. */
   def supplierCensus(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir)
-    spark.sql(
-      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE p_type <> 'PROMO' AND p_size IN (1, 9, 19, 23, 36, 45, 49)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-        |                        WHERE s_acctbal < 0)
-        |GROUP BY p_brand, p_size""".stripMargin)
+    spark.sql(supplierCensusOracleSql())
   }
 
   def supplierCensusOracleSql(): String =
@@ -271,16 +252,7 @@ object TpchPatterns {
     * (broadcastable), and the outer join chain is key-co-partitioned. */
   def largeOrders(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir)
-    spark.sql(
-      """SELECT c_name, c_custkey, o_orderkey,
-        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-        |  CAST(sum(l_quantity) AS DOUBLE) AS total_qty
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-        |                     GROUP BY l_orderkey
-        |                     HAVING sum(l_quantity) > 300)
-        |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice""".stripMargin)
+    spark.sql(largeOrdersOracleSql())
   }
 
   def largeOrdersOracleSql(): String =
@@ -306,20 +278,7 @@ object TpchPatterns {
     * re-scan; output is bounded by #suppliers. */
   def blockingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir)
-    spark.sql(
-      """SELECT s_name, count(*) AS numwait
-        |FROM supplier
-        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        |JOIN orders ON o_orderkey = l1.l_orderkey
-        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey
-        |                AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_returnflag = 'R')
-        |GROUP BY s_name""".stripMargin)
+    spark.sql(blockingSuppliersOracleSql())
   }
 
   def blockingSuppliersOracleSql(): String =
@@ -349,15 +308,7 @@ object TpchPatterns {
     * revenue sum is exact DECIMAL. */
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir)
-    spark.sql(
-      """SELECT count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS small_qty_revenue
-        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |WHERE p.p_type = 'SMALL'
-        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-        |                      FROM lineitem l2
-        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    spark.sql(smallQtyRevenueOracleSql())
   }
 
   def smallQtyRevenueOracleSql(): String =
@@ -380,19 +331,7 @@ object TpchPatterns {
     * both engines. Lineitem is pruned to the quarter at the scan. */
   def topSupplier(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir)
-    spark.sql(
-      """WITH rev AS (
-        |  SELECT l_suppkey AS supplier_no,
-        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        |             AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |    AND l_shipdate < TIMESTAMP '1997-04-01'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_revenue
-        |FROM supplier JOIN rev ON s_suppkey = supplier_no
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
-        .stripMargin)
+    spark.sql(topSupplierOracleSql())
   }
 
   def topSupplierOracleSql(): String =
@@ -420,17 +359,7 @@ object TpchPatterns {
     * evaluating the OR over the full cross product. */
   def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir)
-    spark.sql(
-      """SELECT count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        |           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 1 AND 11)
-        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-        |       AND l_quantity BETWEEN 10 AND 20)
-        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+    spark.sql(disjunctiveRevenueOracleSql())
   }
 
   def disjunctiveRevenueOracleSql(): String =
@@ -442,7 +371,7 @@ object TpchPatterns {
       |       AND l_quantity BETWEEN 1 AND 11)
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
       |       AND l_quantity BETWEEN 10 AND 20)
-      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
   // ---- Q22 shape: scalar-subquery threshold + NOT EXISTS ------------
@@ -459,19 +388,7 @@ object TpchPatterns {
     * date-pruned orders scan. */
   def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
     views(spark, dir)
-    spark.sql(
-      """SELECT c_mktsegment, count(*) AS numcust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS totacctbal
-        |FROM customer c
-        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
-        |      * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
-        |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
-        |       FROM customer WHERE c_acctbal > 0.0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_custkey = c.c_custkey
-        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_mktsegment""".stripMargin)
+    spark.sql(dormantCustomersOracleSql())
   }
 
   def dormantCustomersOracleSql(): String =

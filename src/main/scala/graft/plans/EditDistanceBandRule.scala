@@ -35,23 +35,33 @@ object EditDistanceBandRule extends Rule[LogicalPlan] {
     LessThanOrEqual(Abs(Subtract(Length(l), Length(r))), k)
 
   /** Does `cond` already carry a band guard over (l, r)? Matches both
-    * the freshly-added shape `abs(length(l) - length(r))` and its
-    * constant-folded residue `abs(length(l) - 9)` — the optimizer
-    * batches run to fixpoint with ConstantFolding, which folds the
-    * literal side's `length` away between iterations; without the
-    * folded match the rule would re-add a band every iteration. A
-    * band over EITHER operand suppresses (conservative: a user's own
-    * length guard counts). */
+    * the freshly-added shape `abs(length(l) - length(r))` (exact
+    * operand-pair match, either order) and its constant-folded residue
+    * `abs(length(l) - 9)` (one side folded to a literal) — the
+    * optimizer batches run to fixpoint with ConstantFolding, which
+    * folds the literal side's `length` away between iterations;
+    * without the folded match the rule would re-add a band every
+    * iteration. The folded case requires the OTHER side to be a
+    * literal: a user's own guard over an unrelated pair (e.g.
+    * `abs(length(l) - length(z))`) must NOT suppress the band for
+    * (l, r) — it implies nothing about their length gap. */
   private def hasBand(cond: Expression, l: Expression,
-                      r: Expression): Boolean =
+                      r: Expression): Boolean = {
+    def isOperand(e: Expression): Boolean =
+      e.semanticEquals(l) || e.semanticEquals(r)
     cond.exists {
+      case LessThanOrEqual(Abs(Subtract(Length(a), Length(b), _), _), _) =>
+        (a.semanticEquals(l) && b.semanticEquals(r)) ||
+          (a.semanticEquals(r) && b.semanticEquals(l))
       case LessThanOrEqual(Abs(Subtract(x, y, _), _), _) =>
-        Seq(x, y).exists {
-          case Length(e) => e.semanticEquals(l) || e.semanticEquals(r)
+        (x, y) match {
+          case (Length(e), _: Literal) => isOperand(e)
+          case (_: Literal, Length(e)) => isOperand(e)
           case _ => false
         }
       case _ => false
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>

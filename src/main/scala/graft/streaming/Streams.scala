@@ -208,6 +208,9 @@ object Streams {
     val prevParts = conf.getOption("spark.sql.shuffle.partitions")
     val prevProvider =
       conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChangelog = conf.getOption(changelogKey)
     conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
              noDataBatch.toString)
     conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -231,9 +234,9 @@ object Streams {
     // Changelog checkpointing: per-batch state durability ships the
     // batch's DELTA instead of a full RocksDB snapshot — the production
     // setting for incremental state at scale, and it also trims the
-    // bounded runs' per-batch commit cost.
-    conf.set("spark.sql.streaming.stateStore.rocksdb." +
-      "changelogCheckpointing.enabled", "true")
+    // bounded runs' per-batch commit cost. (Restored after the run
+    // like every other conf this method touches.)
+    conf.set(changelogKey, "true")
     val q =
       try {
         val started = df.writeStream.format("memory").queryName(name)
@@ -250,6 +253,8 @@ object Streams {
         prevProvider.fold(
           conf.unset("spark.sql.streaming.stateStore.providerClass"))(v =>
           conf.set("spark.sql.streaming.stateStore.providerClass", v))
+        prevChangelog.fold(conf.unset(changelogKey))(v =>
+          conf.set(changelogKey, v))
       }
     // best-effort cleanup of the throwaway checkpoint
     try {

@@ -247,7 +247,12 @@ class EventsSpec extends SparkSpec {
       "every user is new exactly once")
   }
 
-  test("trending scores: exact integer decay recompute") {
+  test("trending scores: exact integer decay recompute (62-day horizon)") {
+    // mirrors the operator's horizon clamp: effMaxAge = min(span, 61),
+    // rows older than that are excluded (the clamp is what keeps the
+    // 2^k weight inside a BIGINT on wide corpora — an unclamped
+    // recompute here would itself wrap at k >= 63 the day the events
+    // fixture regenerates with a span > 62 days)
     val got = Events.trendingScores(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val days = graft.Tables.load(spark, sfDir, "events")
@@ -255,12 +260,35 @@ class EventsSpec extends SparkSpec {
               date_trunc("day", col("ts")).cast("timestamp").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1) / 86400))
     val maxDay = days.map(_._2).max
-    val maxAge = maxDay - days.map(_._2).min
-    val expect = days.groupBy(_._1).map { case (t, rows) =>
+    val effMaxAge = math.min(maxDay - days.map(_._2).min, 61L)
+    val inHorizon = days.filter(r => maxDay - r._2 <= effMaxAge)
+    val expect = inHorizon.groupBy(_._1).map { case (t, rows) =>
       t -> (rows.length.toLong,
-            rows.map(r => 1L << (maxAge - (maxDay - r._2)).toInt).sum)
+            rows.map(r => 1L << (effMaxAge - (maxDay - r._2)).toInt).sum)
     }
     assert(got == expect)
+  }
+
+  test("trending scores: horizon clamp drops >62-day-old rows exactly") {
+    import spark.implicits._
+    // synthetic corpus spanning 100 days: one event per day for type A,
+    // plus an ancient spike — the clamp must weight only the trailing
+    // 62 days and the ancient rows must not wrap the shift
+    val base = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+    val rows = (0 until 100).map(d =>
+      ("A", java.sql.Timestamp.valueOf(base.plusDays(d)))) ++
+      Seq.fill(5)(("B", java.sql.Timestamp.valueOf(base)))
+    val df = rows.toDF("event_type", "ts")
+    // drive the REAL operator core on the synthetic frame
+    val out = Events.trendingScoresFrom(
+        df.select(col("event_type"), date_trunc("day", col("ts")).as("d")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // A: only the trailing 62 days survive; weights 2^61 .. 2^0 exactly
+    assert(out("A")._1 == 62L)
+    assert(out("A")._2 == (0 to 61).map(k => 1L << k).sum)
+    // B: 99 days old — outside the horizon entirely
+    assert(!out.contains("B"))
   }
 
   test("rolling anomalies: every flagged row verifies against its own window") {

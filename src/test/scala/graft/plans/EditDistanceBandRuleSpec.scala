@@ -60,6 +60,25 @@ class EditDistanceBandRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("an unrelated length guard does not suppress the band") {
+    withRule {
+      // the user's own abs(length(p_name) - length(p_type)) guard is
+      // over a DIFFERENT pair — it implies nothing about the gap
+      // between p_name and the literal, so the band must still be
+      // added for the levenshtein pair
+      val df = graft.Tables.load(spark, sfDir, "part")
+        .filter(abs(length(col("p_name")) - length(col("p_type"))) <= 50 &&
+                levenshtein(col("p_name"), lit("red widget")) <= 3)
+      val cond = df.queryExecution.optimizedPlan.toString.linesIterator
+        .find(_.contains("levenshtein"))
+        .getOrElse(fail("no levenshtein Filter in optimized plan"))
+      // two abs guards: the user's + the rule's band (length(p_name)
+      // against the folded literal 10)
+      assert("abs\\(".r.findAllIn(cond).length == 2,
+        s"band must be added despite the unrelated guard:\n$cond")
+    }
+  }
+
   test("rule is semantically transparent and idempotent") {
     val plain = graft.Tables.load(spark, sfDir, "part")
       .filter(levenshtein(col("p_name"), lit("blue bolt")) <= 4)

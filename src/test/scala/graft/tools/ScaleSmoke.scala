@@ -106,6 +106,13 @@ object ScaleSmoke {
     // cross-replica duplicates and quadratic candidate volume — the
     // synthetic corpus, not the operator, would be measured)
     val dim = embs.select(size(col("embedding"))).head.getInt(0)
+    // the (shift, flip) transform cycles after 2*dim replicas — rep and
+    // rep − 2·dim would be EXACT duplicates, silently reintroducing the
+    // quadratic cross-replica pathology this construction prevents
+    require(factor <= 2 * dim,
+      s"replication factor $factor exceeds the ${2 * dim} distinct " +
+        "(shift, sign-flip) embedding transforms for dim=" + dim +
+        " — add a third decorrelation axis before scaling further")
     val sh = col("rep") % dim
     val shifted =
       concat(slice(col("embedding"), sh + 1, size(col("embedding"))),
