@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   * is bit-exact and the DuckDB oracle replays the iterations verbatim
   * (distributed float summation order can never perturb it; the same
   * trick as the q76 decimal moments, taken all the way to integers).
-  * Headroom: a node's contribution sum is ≤ max-degree·1e9, so signed-64
-  * overflows only past ~9e9 in-neighbors — not a real graph.
+  * Headroom: a node's contribution sum is ≤ max-degree·1e9 and the
+  * damping step computes `85 · s` BEFORE dividing, so signed-64 wraps
+  * once max-degree exceeds ~1e8 in-neighbors (85 · 1e8 · 1e9 ≈ 2^63) —
+  * generous for a near-dup graph (a 1e8-degree node means 1e8 copies of
+  * one document), but a graph that hot needs the 1e9 scale lowered or
+  * the damping sum lifted to DECIMAL(38,0); the bound is the ×85-aware
+  * one, not the naive Σ≤deg·1e9 figure.
   *
   * Scale: per iteration one src-keyed join (ranks onto edges) and one
   * dst-keyed sum — the label-propagation shuffle shape (SCALE.md §dedup);

@@ -289,10 +289,17 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
       .filter(col("n_tokens") > 0L)
     val total = counts.agg(sum(col("n_tokens")).as("total_tokens"))
+    // the proportional share multiplies corpus-scale token counts by
+    // the budget BEFORE dividing — in int64 that wraps silently once
+    // n_tokens × budget exceeds 2^63 (a 10^13-token source with a
+    // 10^12-token budget), while DuckDB errors; DECIMAL(38,0) keeps
+    // the product exact to 10^38 and the floor-div result is BIGINT-
+    // small by construction (≤ budget)
     counts.crossJoin(broadcast(total))
       .withColumn("target_tokens",
         least(lit(capTokens),
-              expr(s"(n_tokens * ${budgetTokens}L) div total_tokens")))
+              expr(s"CAST((CAST(n_tokens AS DECIMAL(38,0)) * " +
+                   s"${budgetTokens}L) div total_tokens AS BIGINT)")))
       .withColumn("epochs",
         expr("(target_tokens + n_tokens - 1) div n_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -309,9 +316,10 @@ object Sampling {
        |  HAVING sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) > 0),
        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM c)
        |SELECT source, n_docs, n_tokens,
-       |  least($capTokens, (n_tokens * $budgetTokens) // total_tokens)
-       |    AS target_tokens,
-       |  (least($capTokens, (n_tokens * $budgetTokens) // total_tokens)
-       |   + n_tokens - 1) // n_tokens AS epochs
+       |  CAST(least($capTokens, (CAST(n_tokens AS HUGEINT)
+       |    * $budgetTokens) // total_tokens) AS BIGINT) AS target_tokens,
+       |  CAST((least($capTokens, (CAST(n_tokens AS HUGEINT)
+       |      * $budgetTokens) // total_tokens)
+       |    + n_tokens - 1) // n_tokens AS BIGINT) AS epochs
        |FROM c, t""".stripMargin
 }
