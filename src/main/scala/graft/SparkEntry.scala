@@ -614,6 +614,9 @@ object SparkEntry {
     // TPC-H Q19-style disjunctive predicate with per-side pushdown
     "q191_disjunctive_revenue" -> ((s: SparkSession, d: String) =>
       ops.TpchPatterns.disjunctiveRevenue(s, d)),
+    // dynamic partition pruning: dim-filter-driven fact-scan pruning
+    "q192_dynamic_pruning" -> ((s: SparkSession, d: String) =>
+      sources.PartitionedLayout.dynamicPruningGate(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1279,5 +1282,7 @@ object SparkEntry {
     "q190_top_supplier" -> ops.TpchPatterns.topSupplierOracleSql(),
     "q191_disjunctive_revenue" ->
       ops.TpchPatterns.disjunctiveRevenueOracleSql(),
+    "q192_dynamic_pruning" ->
+      sources.PartitionedLayout.dynamicPruningGateOracleSql(),
   )
 }

@@ -104,6 +104,47 @@ object PartitionedLayout {
       |  CASE WHEN doc_id % 2 = 0 THEN '<pre-schema>' ELSE lang END"""
       .stripMargin
 
+  /** Dynamic partition pruning join (exposed for the plan spec): the
+    * fact side is the day-partitioned layout; the dim side is the
+    * bounded day dimension filtered to Mondays. The day set is NOT a
+    * literal at planning time — it comes out of the dim-side filter —
+    * so static pruning (q154's lever) cannot apply; Spark's DPP
+    * instead plants a dynamicpruning subquery in the fact scan's
+    * PartitionFilters and the scan reads ONLY the matching day
+    * directories at runtime. At 100 TB this is the fact-⋈-dim query
+    * shape (date dim, user cohort, catalog slice): without DPP the
+    * fact side is a full scan regardless of how selective the dim
+    * filter is. */
+  def dynamicPruningJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = writePartitioned(spark, dir)
+    val fact = spark.read.parquet(base) // `d` inferred back as DATE
+    val dim = graft.Tables.load(spark, dir, "events")
+      .select(to_date(date_trunc("day", col("ts"))).as("dim_d")).distinct()
+      .filter(dayofweek(col("dim_d")) === 2) // Spark: 1=Sun … 2=Mon
+    fact.join(broadcast(dim), col("d") === col("dim_d"))
+  }
+
+  /** Gate: per-day-and-type rollup over the dynamically-pruned join —
+    * must hash-match the oracle's direct Monday filter over the raw
+    * table (layout + DPP are lossless and select exactly the right
+    * days). */
+  def dynamicPruningGate(spark: SparkSession, dir: String): DataFrame =
+    dynamicPruningJoin(spark, dir)
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("d"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+             .as("sum_value"))
+
+  def dynamicPruningGateOracleSql(): String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+      |  event_type, count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS sum_value
+      |FROM events
+      |WHERE dayofweek(date_trunc('day', ts)) = 1
+      |GROUP BY 1, 2""".stripMargin
+
   def prunedScanGateOracleSql(startOffsetDays: Int = 5,
                               days: Int = 7): String =
     s"""WITH b AS (SELECT min(date_trunc('day', ts)) AS mn FROM events)

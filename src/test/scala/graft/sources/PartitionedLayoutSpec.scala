@@ -29,6 +29,25 @@ class PartitionedLayoutSpec extends SparkSpec {
     assert(readDays == band)
   }
 
+  test("dim-filter join plants a dynamicpruning PartitionFilter on the fact scan") {
+    val joined = PartitionedLayout.dynamicPruningJoin(spark, sfDir)
+      .select(col("d"), col("event_type"))
+    // the Monday set is NOT a literal at planning time — static pruning
+    // cannot apply; DPP must plant a runtime subquery filter on the
+    // fact scan's partitions
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n$p")
+    // correctness: equals the direct Monday filter over the raw table
+    val viaDpp = joined.collect().length
+    val direct = Tables.load(spark, sfDir, "events")
+      .filter(dayofweek(to_date(date_trunc("day", col("ts")))) === 2)
+      .count()
+    assert(viaDpp.toLong == direct,
+      "DPP join must select exactly the Monday rows")
+  }
+
   test("mergeSchema read reconciles both writer vintages losslessly") {
     val rows = PartitionedLayout.mergeSchemaGate(spark, sfDir).collect()
     val docs = Tables.load(spark, sfDir, "documents")
