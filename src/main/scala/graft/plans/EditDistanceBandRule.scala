@@ -6,20 +6,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
 /** Catalyst optimizer rule: bounded-edit-distance filters gain a FREE
-  * length-band prefilter.
+  * length-band prefilter AND the banded early-exit dynamic program.
   *
   * `levenshtein(a, b) <= k` implies `abs(length(a) - length(b)) <= k`
-  * (each edit changes the length by at most one), so the rule rewrites
+  * (each edit changes the length by at most one), and is equivalent to
+  * `levenshtein(a, b, k) >= 0` (Spark's thresholded form runs an
+  * O(k·n) banded DP that bails out past k and returns −1, instead of
+  * filling the full O(|a|·|b|) table). The rule rewrites
   *
   * {{{ Filter(levenshtein(a, b) <= k, child) }}}
   * into
-  * {{{ Filter(abs(length(a) - length(b)) <= k AND levenshtein(a, b) <= k,
-  *            child) }}}
+  * {{{ Filter(abs(length(a) - length(b)) <= k
+  *            AND levenshtein(a, b, k) >= 0, child) }}}
   *
-  * — semantically transparent, and `And` evaluates left-to-right in
-  * codegen, so the O(1) band check gates the O(|a|·|b|) dynamic-program
-  * per row. On a fuzzy self-join this is the length-blocking lever the
-  * q144 operator applies by hand, supplied automatically by the
+  * (and `< k` via k−1) — semantically transparent, and `And` evaluates
+  * left-to-right in codegen, so the O(1) band check gates the O(k·n)
+  * DP per row. On a fuzzy self-join this is the length-blocking lever
+  * the q144 operator applies by hand, supplied automatically by the
   * optimizer to ANY query (SQL or DataFrame) that bounds an edit
   * distance. Register via `spark.experimental.extraOptimizations` or a
   * `SparkSessionExtensions.injectOptimizerRule`.
@@ -63,16 +66,35 @@ object EditDistanceBandRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** The rewritten predicate: thresholded early-exit DP, plus the
+    * length band when `cond` doesn't already carry one.
+    *
+    * `levenshtein(a, b) <= k` ≡ `levenshtein(a, b, k) >= 0`: Spark's
+    * 3-arg form runs the BANDED dynamic program — O(k·n) cells and an
+    * early exit the moment every diagonal exceeds k — instead of the
+    * full O(|a|·|b|) table, and returns −1 past the threshold. For
+    * bounded fuzzy filters (k ≪ string length) this is the dominant
+    * win; the O(1) band guard still fronts it so most rows never
+    * reach the DP at all. */
+  private def rewrite(cond: Expression, lev: Levenshtein,
+                      bound: Expression): Expression = {
+    val banded = GreaterThanOrEqual(
+      Levenshtein(lev.left, lev.right, Some(bound)), Literal(0))
+    if (hasBand(cond, lev.left, lev.right)) banded
+    else And(bandFor(lev.left, lev.right, bound), banded)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val newCond = cond.transformUp {
-        case cmp @ LessThanOrEqual(lev: Levenshtein,
-                                   k @ Literal(_, IntegerType))
-            if lev.threshold.isEmpty && !hasBand(cond, lev.left, lev.right) =>
-          And(bandFor(lev.left, lev.right, k), cmp)
-        case cmp @ LessThan(lev: Levenshtein, k @ Literal(_, IntegerType))
-            if lev.threshold.isEmpty && !hasBand(cond, lev.left, lev.right) =>
-          And(bandFor(lev.left, lev.right, k), cmp)
+        case LessThanOrEqual(lev: Levenshtein, k @ Literal(_: Int,
+                                                           IntegerType))
+            if lev.threshold.isEmpty =>
+          rewrite(cond, lev, k)
+        case LessThan(lev: Levenshtein, Literal(ki: Int, IntegerType))
+            if lev.threshold.isEmpty && ki > 0 =>
+          // d < k ⟺ d ≤ k−1 — band and threshold both use k−1
+          rewrite(cond, lev, Literal(ki - 1, IntegerType))
       }
       if (newCond fastEquals cond) f else Filter(newCond, child)
   }

@@ -60,6 +60,33 @@ class EditDistanceBandRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("bounded filter is rewritten to the thresholded early-exit DP") {
+    withRule {
+      def levLine(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.toString.linesIterator
+          .find(_.contains("levenshtein"))
+          .getOrElse(fail("no levenshtein Filter in optimized plan"))
+      // <= k: threshold k, compared >= 0
+      val le = levLine(graft.Tables.load(spark, sfDir, "part")
+        .filter(levenshtein(col("p_name"), lit("red widget")) <= 3))
+      assert(le.contains("red widget, Some(3)) >= 0"),
+        s"<= k must become levenshtein(a, b, k) >= 0:\n$le")
+      // < k: strict bound maps to threshold k-1
+      val lt = levLine(graft.Tables.load(spark, sfDir, "part")
+        .filter(levenshtein(col("p_name"), lit("red widget")) < 3))
+      assert(lt.contains("red widget, Some(2)) >= 0"),
+        s"< k must become levenshtein(a, b, k-1) >= 0:\n$lt")
+      // and the strict form stays semantically identical
+      val plain = graft.Tables.load(spark, sfDir, "part")
+        .filter(expr("levenshtein(p_name, 'red widget', 2) >= 0"))
+        .collect().map(_.toString).sorted.toSeq
+      val ruled = graft.Tables.load(spark, sfDir, "part")
+        .filter(levenshtein(col("p_name"), lit("red widget")) < 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(plain == ruled)
+    }
+  }
+
   test("an unrelated length guard does not suppress the band") {
     withRule {
       // the user's own abs(length(p_name) - length(p_type)) guard is
