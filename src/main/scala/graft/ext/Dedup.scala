@@ -597,9 +597,25 @@ object Dedup {
   def jaccardPairsCached(spark: SparkSession, dir: String,
                          threshold: Double = 0.5): DataFrame = {
     sweepStopped(exactPairsCache)
-    exactPairsCache.getOrElseUpdate((spark, dir, threshold),
-      jaccardPairs(spark, dir, threshold)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    exactPairsCache.getOrElseUpdate((spark, dir, threshold), {
+      // a cached set at a LOWER threshold is a strict superset (the
+      // prefix filter only ever drops pairs BELOW its threshold), so a
+      // higher-threshold request is one filter over the persisted
+      // superset instead of a second candidate-generation scan — the
+      // q92/q102 0.8-sets derive from the q28/q63 0.5-set for free.
+      // (The reverse never holds: a lower threshold must recompute.)
+      val lower = exactPairsCache.keys
+        .filter { case (s, d, t) => s == spark && d == dir && t < threshold }
+        .toSeq.sortBy(_._3).lastOption
+      lower match {
+        case Some(key) =>
+          exactPairsCache(key).filter(col("jac") >= threshold)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        case None =>
+          jaccardPairs(spark, dir, threshold)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    })
   }
 
   /** Deduped corpus over the EXACT jaccard pair set (recall exactly 1,
