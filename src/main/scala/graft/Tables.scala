@@ -110,4 +110,14 @@ object Tables {
       "TESTDATA SCHEMA CANARY — contract drift detected:\n" +
         diffs.mkString("\n"))
   }
+
+  /** Collision-PROOF scratch path for a fixture derived from `dir`:
+    * the sanitized dir string itself is the discriminator (injective up
+    * to the sanitized alphabet), not its 32-bit hashCode — two dirs
+    * whose hashCodes collide must never share a fixture base, because
+    * the write-once memos would then silently serve one dir's data to
+    * the other dir's gate. */
+  def scratchPath(prefix: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
 }

@@ -620,10 +620,19 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
         val maxPairs = outerW.sparkSession.conf
           .get("spark.graft.decorrelate.maxPairs", "10000000000").toLong
         val nOuter = outerW.count()
-        val innerCap = math.min(
-          maxPairs / math.max(nOuter, 1L) + 1L, Int.MaxValue.toLong).toInt
-        val nInner = inner.limit(innerCap).count()
-        if (nOuter > 0 && nInner >= innerCap)
+        // reject iff nInner > perOuter (== pair volume > maxPairs). The
+        // LIMIT needs one row of headroom to DETECT over-cap, and both
+        // the +1 and the Int cast must saturate, not wrap: with
+        // perOuter >= Int.MaxValue the probe can never observe an
+        // over-cap count, so the guard correctly never fires (pair
+        // volume <= nOuter * Int.MaxValue <= maxPairs), and a
+        // maxPairs of Long.MaxValue must not overflow into a negative
+        // limit.
+        val perOuter = maxPairs / math.max(nOuter, 1L)
+        val probeCap =
+          (math.min(perOuter, Int.MaxValue.toLong - 1L) + 1L).toInt
+        val nInner = inner.limit(probeCap).count()
+        if (nOuter > 0 && nInner > perOuter)
           throw CompileError(
             s"correlated subquery requires a nested-loop over $nOuter x " +
             s">=$nInner rows, exceeding spark.graft.decorrelate.maxPairs=" +

@@ -217,12 +217,20 @@ object Multimodal {
 
   /** One write per (session, dir) — the q149 bucket-layout memo
     * discipline: the layout is built once, every metadata read
-    * amortizes it. */
-  private var imageLayoutWritten: Option[(SparkSession, String)] = None
+    * amortizes it. A Set, not a single slot: alternating dirs (the
+    * smoke's 1×/10× loop) must not evict each other's entry and
+    * re-encode the whole layout per call. If the SOURCE testdata is
+    * regenerated mid-session, call [[clearLayoutMemo]] so the fixture
+    * rebuilds from the fresh table. */
+  private val imageLayoutWritten =
+    scala.collection.mutable.Set.empty[(SparkSession, String)]
+
+  /** Drop the image-layout write memo (fixture-freshness hook). */
+  def clearLayoutMemo(): Unit =
+    synchronized { imageLayoutWritten.clear() }
 
   private def imageLayoutPath(dir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_imgtable_" + Integer.toHexString(dir.hashCode)).getPath
+    graft.Tables.scratchPath("graft_imgtable", dir)
 
   /** Write the PRODUCTION multimodal table layout: one nested column
     * `image: struct<path, format, width, height, data>` per row — typed
@@ -244,7 +252,7 @@ object Multimodal {
               col("format"), col("width"), col("height"),
               col("payload").as("data")).as("image"))
           .write.mode("overwrite").parquet(path)
-        imageLayoutWritten = Some((spark, dir))
+        imageLayoutWritten += ((spark, dir))
       }
       path
     }

@@ -55,9 +55,7 @@ object Bucketing {
     * layout build). */
   def ensureWritten(spark: SparkSession, dir: String,
                     buckets: Int = 8): Unit = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_bucketed_" + Integer.toHexString(dir.hashCode)).getPath
+    val base = graft.Tables.scratchPath("graft_bucketed", dir)
     synchronized {
       // single-slot memo: the catalog table names are shared, so only
       // the LATEST-written (session, dir, buckets) is valid to reuse

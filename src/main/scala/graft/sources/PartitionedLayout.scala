@@ -27,13 +27,20 @@ object PartitionedLayout {
   private val partitionedWritten =
     scala.collection.mutable.Set.empty[(SparkSession, String)]
 
+  /** Drop both fixture-write memos (fixture-freshness hook: call after
+    * regenerating the SOURCE testdata mid-session so the derived
+    * layouts rebuild from the fresh tables; driver runs fork a new JVM
+    * per round, so they never need this). */
+  def clearLayoutMemos(): Unit = synchronized {
+    partitionedWritten.clear()
+    vintagesWritten.clear()
+  }
+
   /** Write events partitioned by day under a scratch base (memoized
     * per (session, dir)); returns the base path. */
   private[sources] def writePartitioned(spark: SparkSession,
                                         dir: String): String = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_part_layout_" + Integer.toHexString(dir.hashCode)).getPath
+    val base = graft.Tables.scratchPath("graft_part_layout", dir)
     synchronized {
       if (!partitionedWritten.contains((spark, dir))) {
         graft.Tables.load(spark, dir, "events")
@@ -90,9 +97,7 @@ object PartitionedLayout {
     scala.collection.mutable.Set.empty[(SparkSession, String)]
 
   def mergeSchemaGate(spark: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_evolve_" + Integer.toHexString(dir.hashCode)).getPath
+    val base = graft.Tables.scratchPath("graft_evolve", dir)
     // fixture memo (see writePartitioned): both writer vintages are
     // built once per (session, dir); the gate times the mergeSchema
     // READ, which is the operator under test

@@ -273,12 +273,14 @@ object Sources {
   private val corruptFeedWritten =
     scala.collection.mutable.Set.empty[(SparkSession, String)]
 
+  /** Drop the corrupt-feed write memo (fixture-freshness hook — see
+    * PartitionedLayout.clearLayoutMemos). */
+  def clearFeedMemo(): Unit = synchronized { corruptFeedWritten.clear() }
+
   def corruptIngestGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_corrupt_gate_" + Integer.toHexString(dir.hashCode)).getPath
+    val base = graft.Tables.scratchPath("graft_corrupt_gate", dir)
     // fixture memo (PartitionedLayout.writePartitioned discipline): the
     // corrupted feed is written once per (session, dir); the gate
     // times the PERMISSIVE ingest, which is the operator under test

@@ -246,18 +246,27 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // events is written LAST — its presence marks a complete generation
-    if (!new java.io.File(s"$Out/events.parquet").isDirectory) {
+    // Versioned replica marker: a generation-scheme change (round 9
+    // changed events' user offset to align with the TPC-H customer
+    // offset) must regenerate EVERYTHING — a per-table marker would
+    // let old-offset events coexist with new-offset customers and
+    // silently break the cross-table FK joins the alignment exists
+    // for. Bump ReplicaVersion whenever any offset/transform changes.
+    val ReplicaVersion = "v2"
+    val marker = new java.io.File(s"$Out/_replica_$ReplicaVersion")
+    if (!marker.isFile) {
       val t0 = System.nanoTime()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val outDir = new java.io.File(Out)
+      if (outDir.exists) rm(outDir)
       generate(spark)
-      println(f"[scale] generated $Out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
-    // TPC-H tables were added to the replica in round 9 — their own
-    // marker, so an existing docs/events replica just gains them
-    if (!new java.io.File(s"$Out/lineitem.parquet").isDirectory) {
-      val t0 = System.nanoTime()
       generateTpch(spark)
-      println(f"[scale] generated $Out TPC-H in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      outDir.mkdirs()
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      println(f"[scale] generated $Out ($ReplicaVersion) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     for (t <- Seq("documents", "embeddings", "events", "lineitem", "orders"))
       println(s"[scale] $t rows 10x = " +
