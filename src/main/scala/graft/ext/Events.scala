@@ -158,7 +158,10 @@ object Events {
       .agg(count(lit(1)).as("c"))
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
-           sum(col("c") * col("c")).as("s2"))
+           // Σc² in DECIMAL(38,0): an int64 c·c wraps silently once an
+           // hourly count passes ~3e9 (DuckDB errors instead — engine
+           // divergence); decimal stays exact to c ≈ 1e19
+           sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
     val nD = col("n").cast("double")
     val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
     val cD = col("c").cast("double")
@@ -176,7 +179,8 @@ object Events {
        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
        |  FROM events GROUP BY 1, 2),
        |st AS (
-       |  SELECT event_type, count(*) AS n, sum(c) AS s1, sum(c*c) AS s2
+       |  SELECT event_type, count(*) AS n, sum(c) AS s1,
+       |    sum(CAST(c AS HUGEINT) * c) AS s2
        |  FROM hourly GROUP BY 1)
        |SELECT event_type, h, c,
        |  CAST(CAST((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
@@ -548,11 +552,15 @@ object Events {
         col("d") >= col("td") - expr(s"INTERVAL $window DAYS"))
       .groupBy(col("td"), col("tt"), col("tn"))
       .agg(count(lit(1)).as("nb"), sum(col("n")).as("s1"),
-           sum(col("n") * col("n")).as("s2"))
+           // Σn² (and the s1² cross term below) in DECIMAL(38,0): the
+           // q88 discipline — int64 n·n wraps past daily counts of
+           // ~3e9 while DuckDB errors; decimal stays exact
+           sum(col("n").cast("decimal(38,0)") * col("n")).as("s2"))
       .filter(col("nb") >= minBaseline)
       .withColumn("mean", col("s1").cast("double") / col("nb"))
       .withColumn("variance",
-        (col("nb") * col("s2") - col("s1") * col("s1")).cast("double") /
+        (col("nb").cast("decimal(38,0)") * col("s2") -
+         col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
           (col("nb") * col("nb")).cast("double"))
       .filter(col("variance") > 0)
       .withColumn("z", (col("tn") - col("mean")) / sqrt(col("variance")))
@@ -572,7 +580,7 @@ object Events {
        |  SELECT t.d AS td, t.event_type AS tt, t.n AS tn,
        |    count(*) AS nb,
        |    CAST(sum(b.n) AS BIGINT) AS s1,
-       |    CAST(sum(b.n * b.n) AS BIGINT) AS s2
+       |    sum(CAST(b.n AS HUGEINT) * b.n) AS s2
        |  FROM daily t JOIN daily b
        |    ON b.event_type = t.event_type
        |   AND b.d < t.d AND b.d >= t.d - INTERVAL $window DAY
@@ -581,12 +589,12 @@ object Events {
        |SELECT td AS d, tt AS event_type, tn AS n,
        |  round(CAST(s1 AS DOUBLE) / nb, 4) AS baseline_mean,
        |  round((tn - CAST(s1 AS DOUBLE) / nb) /
-       |        sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE) /
+       |        sqrt(CAST(CAST(nb AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) /
        |             CAST(nb * nb AS DOUBLE)), 4) AS z
        |FROM stats
-       |WHERE CAST(nb * s2 - s1 * s1 AS DOUBLE) > 0
+       |WHERE CAST(CAST(nb AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) > 0
        |  AND abs((tn - CAST(s1 AS DOUBLE) / nb) /
-       |          sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE) /
+       |          sqrt(CAST(CAST(nb AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) /
        |               CAST(nb * nb AS DOUBLE))) >= $sigma""".stripMargin
 
   /** Market-basket pairs over user behavior — for each event-type pair
