@@ -460,16 +460,20 @@ object Events {
   /** Exponential time-decay trending scores — recency-weighted activity
     * (the "what's hot" ranking), computed EXACTLY: ages are whole days
     * from the corpus max day, and the decay weight is the INTEGER
-    * `2^(effMaxAge − age)` (halving per day of age), so scores are exact
-    * BIGINTs — no pow()/libm parity risk, no float summation order.
-    * The horizon is clamped to the trailing 62 days
+    * `2^(effMaxAge − age)` (halving per day of age) — no pow()/libm
+    * parity risk, no float summation order. The per-row weight is a
+    * BIGINT; the horizon is clamped to the trailing 62 days
     * (`effMaxAge = least(maxAge, 61)`; rows older than that are dropped):
     * a 2^k BIGINT weight silently wraps at k ≥ 63 in Spark (Java `<<`
-    * is mod-64) while DuckDB's `2 ** k` errors, so the clamp is what
-    * keeps the "exact BIGINT" claim true on corpora spanning ≥ 63 days —
-    * and a trailing horizon is the honest semantics for a trending
-    * score anyway (events older than two months have weight < 2⁻⁶² of
-    * the newest day's: numerically invisible).
+    * is mod-64) while DuckDB's `2 ** k` errors. The clamp bounds the
+    * per-ROW weight only — with ≥3 events on the newest days the SUM
+    * Σ2^(61−age) still exceeds Long.MaxValue, so the aggregation runs in
+    * DECIMAL(38,0) (same discipline as the Σc² chi-square moments above)
+    * and the final score is presented as a double: one deterministic
+    * round-to-nearest of an exactly-accumulated integer, identical in
+    * both engines. A trailing horizon is the honest semantics for a
+    * trending score anyway (events older than two months have weight
+    * < 2⁻⁶² of the newest day's: numerically invisible).
     * A day of history at 100 TB folds map-side: the weight is a pure
     * per-row expression, the rollup is one bounded groupBy.
     *
@@ -492,13 +496,19 @@ object Events {
       .filter(col("age") <= col("max_age"))
       .withColumn("wt", expr("shiftleft(1L, int(max_age - age))"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("wt")).as("score"))
+      // Σwt in DECIMAL(38,0): the per-row wt fits a BIGINT by the clamp,
+      // but 4·2^61 already wraps an int64 sum — accumulate exactly, then
+      // present as double (single deterministic rounding, both engines)
+      .agg(count(lit(1)).as("n"),
+           sum(col("wt").cast("decimal(38,0)")).as("score_d"))
       .withColumn("share",
-        round(col("score").cast("double") /
-              sum(col("score")).over(
+        round(col("score_d").cast("double") /
+              sum(col("score_d")).over(
                 Window.rowsBetween(Window.unboundedPreceding,
                                    Window.unboundedFollowing))
                 .cast("double"), 6))
+      .withColumn("score", col("score_d").cast("double"))
+      .select("event_type", "n", "score", "share")
   }
 
   def trendingScoresOracleSql(): String =
@@ -516,11 +526,12 @@ object Events {
       |  FROM aged WHERE age <= (SELECT max_age FROM ma)),
       |scores AS (
       |  SELECT event_type, count(*) AS n,
-      |    CAST(sum(wt) AS BIGINT) AS score
+      |    sum(wt) AS score_x
       |  FROM wts GROUP BY event_type)
-      |SELECT event_type, n, score,
-      |  round(CAST(score AS DOUBLE) /
-      |        CAST((SELECT sum(score) FROM scores) AS DOUBLE), 6)
+      |SELECT event_type, n,
+      |  CAST(score_x AS DOUBLE) AS score,
+      |  round(CAST(score_x AS DOUBLE) /
+      |        CAST((SELECT sum(score_x) FROM scores) AS DOUBLE), 6)
       |    AS share
       |FROM scores""".stripMargin
 

@@ -254,7 +254,7 @@ class EventsSpec extends SparkSpec {
     // recompute here would itself wrap at k >= 63 the day the events
     // fixture regenerates with a span > 62 days)
     val got = Events.trendingScores(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val days = graft.Tables.load(spark, sfDir, "events")
       .select(col("event_type"),
               date_trunc("day", col("ts")).cast("timestamp").cast("long"))
@@ -263,8 +263,11 @@ class EventsSpec extends SparkSpec {
     val effMaxAge = math.min(maxDay - days.map(_._2).min, 61L)
     val inHorizon = days.filter(r => maxDay - r._2 <= effMaxAge)
     val expect = inHorizon.groupBy(_._1).map { case (t, rows) =>
+      // accumulate exactly in BigInt, present as double — mirrors the
+      // operator's DECIMAL(38,0) discipline
       t -> (rows.length.toLong,
-            rows.map(r => 1L << (effMaxAge - (maxDay - r._2)).toInt).sum)
+            rows.map(r => BigInt(1) <<
+              (effMaxAge - (maxDay - r._2)).toInt).sum.toDouble)
     }
     assert(got == expect)
   }
@@ -282,13 +285,36 @@ class EventsSpec extends SparkSpec {
     // drive the REAL operator core on the synthetic frame
     val out = Events.trendingScoresFrom(
         df.select(col("event_type"), date_trunc("day", col("ts")).as("d")))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
     // A: only the trailing 62 days survive; weights 2^61 .. 2^0 exactly
     assert(out("A")._1 == 62L)
-    assert(out("A")._2 == (0 to 61).map(k => 1L << k).sum)
+    assert(out("A")._2 ==
+      (0 to 61).map(k => BigInt(1) << k).sum.toDouble)
     // B: 99 days old — outside the horizon entirely
     assert(!out.contains("B"))
+  }
+
+  test("trending scores: sum survives >Long.MaxValue (no int64 wrap)") {
+    import spark.implicits._
+    // 62-day span pins effMaxAge at 61; FIVE events on the newest day
+    // carry weight 5*2^61 > Long.MaxValue — an int64 sum wraps negative,
+    // the DECIMAL(38,0) accumulation must not
+    val base = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+    val rows = (0 until 62).map(d =>
+      ("A", java.sql.Timestamp.valueOf(base.plusDays(d)))) ++
+      Seq.fill(4)(("A", java.sql.Timestamp.valueOf(base.plusDays(61))))
+    val out = Events.trendingScoresFrom(
+        rows.toDF("event_type", "ts")
+          .select(col("event_type"), date_trunc("day", col("ts")).as("d")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = (0 to 61).map(k => BigInt(1) << k).sum +
+      BigInt(4) * (BigInt(1) << 61)
+    assert(exact > BigInt(Long.MaxValue), "fixture must actually overflow")
+    assert(out("A")._1 == 66L)
+    assert(out("A")._2 == exact.toDouble, "score wrapped or drifted")
+    assert(out("A")._3 == 1.0)
   }
 
   test("rolling anomalies: every flagged row verifies against its own window") {
