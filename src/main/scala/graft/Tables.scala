@@ -111,13 +111,18 @@ object Tables {
         diffs.mkString("\n"))
   }
 
-  /** Collision-PROOF scratch path for a fixture derived from `dir`:
-    * the sanitized dir string itself is the discriminator (injective up
-    * to the sanitized alphabet), not its 32-bit hashCode — two dirs
-    * whose hashCodes collide must never share a fixture base, because
-    * the write-once memos would then silently serve one dir's data to
-    * the other dir's gate. */
-  def scratchPath(prefix: String, dir: String): String =
+  /** Collision-proof scratch path for a fixture derived from `dir`.
+    * The sanitized dir string is readable but NOT injective (`/a/b` and
+    * `/a_b` both sanitize to `_a_b`), so a SHA-1 digest of the RAW dir
+    * string is appended as the true discriminator — two distinct dirs
+    * can never share a fixture base, because the write-once memos would
+    * then silently serve one dir's data to the other dir's gate. */
+  def scratchPath(prefix: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
     new java.io.File(sys.props("java.io.tmpdir"),
-      prefix + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      prefix + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + digest).getPath
+  }
 }

@@ -31,12 +31,27 @@ import graft.Tables
   */
 object TpchPatterns {
 
-  /** Register the TPC-H views the SQL-shaped gates reference. Plain
-    * table names (same names the oracle uses), re-registered per call
-    * so the session always maps them to the CURRENT dir. */
-  private def views(spark: SparkSession, dir: String): Unit =
+  private val tpchTables =
     Seq("lineitem", "orders", "customer", "supplier", "part")
-      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+
+  /** Run a dialect-common oracle string against DIR-SCOPED temp views:
+    * each TPC-H table is registered as `<name>_g<sha1(dir)>` and the
+    * SQL's table references are renamed to match — a pure identifier
+    * rename, so gate == oracle still holds semantically while two
+    * gates over different dirs in one session can never read each
+    * other's data (plain shared view names raced between
+    * createOrReplaceTempView and spark.sql under concurrency). The
+    * rename uses word boundaries; column identifiers like
+    * `supplier_cnt` are unaffected (underscore is a word char). */
+  private def scopedSql(spark: SparkSession, dir: String,
+                        sql: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    tpchTables.foreach(t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(s"${t}_g$tag"))
+    spark.sql(tpchTables.foldLeft(sql)((s, t) =>
+      s.replaceAll("\\b" + t + "\\b", s"${t}_g$tag")))
+  }
 
   // ---- Q2 shape: correlated-min scalar subquery ---------------------
 
@@ -50,8 +65,7 @@ object TpchPatterns {
     * nested-loop model). Ties (two suppliers at the min price) emit
     * both rows — a deterministic set either way. */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(minCostSupplierOracleSql())
+    scopedSql(spark, dir, minCostSupplierOracleSql())
   }
 
   def minCostSupplierOracleSql(): String =
@@ -76,8 +90,7 @@ object TpchPatterns {
     * lineitem never duplicates orders (the trap a manual inner-join
     * rewrite would hit). */
   def waitingOrders(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(waitingOrdersOracleSql())
+    scopedSql(spark, dir, waitingOrdersOracleSql())
   }
 
   def waitingOrdersOracleSql(): String =
@@ -229,8 +242,7 @@ object TpchPatterns {
     * costs one broadcast lookup per row, and the distinct-count
     * aggregate is the only shuffle. */
   def supplierCensus(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(supplierCensusOracleSql())
+    scopedSql(spark, dir, supplierCensusOracleSql())
   }
 
   def supplierCensusOracleSql(): String =
@@ -251,8 +263,7 @@ object TpchPatterns {
     * shrinks the semi-join build side to the handful of jumbo orders
     * (broadcastable), and the outer join chain is key-co-partitioned. */
   def largeOrders(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(largeOrdersOracleSql())
+    scopedSql(spark, dir, largeOrdersOracleSql())
   }
 
   def largeOrdersOracleSql(): String =
@@ -277,8 +288,7 @@ object TpchPatterns {
     * the plan is three co-keyed joins over lineitem, not a per-row
     * re-scan; output is bounded by #suppliers. */
   def blockingSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(blockingSuppliersOracleSql())
+    scopedSql(spark, dir, blockingSuppliersOracleSql())
   }
 
   def blockingSuppliersOracleSql(): String =
@@ -307,8 +317,7 @@ object TpchPatterns {
     * values and `0.2 * avg` is bit-identical in both engines; the
     * revenue sum is exact DECIMAL. */
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(smallQtyRevenueOracleSql())
+    scopedSql(spark, dir, smallQtyRevenueOracleSql())
   }
 
   def smallQtyRevenueOracleSql(): String =
@@ -330,8 +339,7 @@ object TpchPatterns {
     * double, so ties (all suppliers at the max) surface exactly in
     * both engines. Lineitem is pruned to the quarter at the scan. */
   def topSupplier(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(topSupplierOracleSql())
+    scopedSql(spark, dir, topSupplierOracleSql())
   }
 
   def topSupplierOracleSql(): String =
@@ -358,8 +366,7 @@ object TpchPatterns {
     * spec-asserted), so the join sees pre-filtered inputs instead of
     * evaluating the OR over the full cross product. */
   def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(disjunctiveRevenueOracleSql())
+    scopedSql(spark, dir, disjunctiveRevenueOracleSql())
   }
 
   def disjunctiveRevenueOracleSql(): String =
@@ -387,8 +394,7 @@ object TpchPatterns {
     * NOT EXISTS decorrelates to an anti join on custkey against the
     * date-pruned orders scan. */
   def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(dormantCustomersOracleSql())
+    scopedSql(spark, dir, dormantCustomersOracleSql())
   }
 
   def dormantCustomersOracleSql(): String =

@@ -44,22 +44,35 @@ object EditDistanceBandRule extends Rule[LogicalPlan] {
     * optimizer batches run to fixpoint with ConstantFolding, which
     * folds the literal side's `length` away between iterations;
     * without the folded match the rule would re-add a band every
-    * iteration. The folded case requires the OTHER side to be a
-    * literal: a user's own guard over an unrelated pair (e.g.
-    * `abs(length(l) - length(z))`) must NOT suppress the band for
-    * (l, r) — it implies nothing about their length gap. */
+    * iteration. The folded case only counts when the band literal IS
+    * the folded length of the OTHER levenshtein operand (a string
+    * literal of exactly that length): a user's own guard over an
+    * unrelated pair (`abs(length(l) - length(z))`) or against an
+    * unrelated constant (`abs(length(l) - 5) <= 100`) implies nothing
+    * about the (l, r) gap and must NOT suppress the band. */
   private def hasBand(cond: Expression, l: Expression,
                       r: Expression): Boolean = {
-    def isOperand(e: Expression): Boolean =
-      e.semanticEquals(l) || e.semanticEquals(r)
+    // is `lenLit` the folded `length(<other operand>)` for operand `e`?
+    def isFoldedPair(e: Expression, lenLit: Literal): Boolean = {
+      def otherFoldsTo(other: Expression): Boolean = (other, lenLit) match {
+        case (s: Literal, Literal(n: Int, IntegerType))
+            if s.dataType == org.apache.spark.sql.types.StringType &&
+               s.value != null =>
+          s.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .numChars == n
+        case _ => false
+      }
+      (e.semanticEquals(l) && otherFoldsTo(r)) ||
+        (e.semanticEquals(r) && otherFoldsTo(l))
+    }
     cond.exists {
       case LessThanOrEqual(Abs(Subtract(Length(a), Length(b), _), _), _) =>
         (a.semanticEquals(l) && b.semanticEquals(r)) ||
           (a.semanticEquals(r) && b.semanticEquals(l))
       case LessThanOrEqual(Abs(Subtract(x, y, _), _), _) =>
         (x, y) match {
-          case (Length(e), _: Literal) => isOperand(e)
-          case (_: Literal, Length(e)) => isOperand(e)
+          case (Length(e), lit: Literal) => isFoldedPair(e, lit)
+          case (lit: Literal, Length(e)) => isFoldedPair(e, lit)
           case _ => false
         }
       case _ => false

@@ -106,6 +106,28 @@ class EditDistanceBandRuleSpec extends SparkSpec {
     }
   }
 
+  test("an unrelated length-vs-constant guard does not suppress the band") {
+    withRule {
+      // abs(length(p_name) - 5) <= 100 mentions a levenshtein operand
+      // but 5 is NOT the folded length of 'red widget' (10) — it's a
+      // user predicate about p_name alone, so the rule must still add
+      // its own band for the levenshtein pair
+      val df = graft.Tables.load(spark, sfDir, "part")
+        .filter(abs(length(col("p_name")) - 5) <= 100 &&
+                levenshtein(col("p_name"), lit("red widget")) <= 3)
+      val cond = df.queryExecution.optimizedPlan.toString.linesIterator
+        .find(_.contains("levenshtein"))
+        .getOrElse(fail("no levenshtein Filter in optimized plan"))
+      assert("abs\\(".r.findAllIn(cond).length == 2,
+        s"band must be added despite the constant guard:\n$cond")
+      // and the true folded residue (literal 10 = length('red widget'))
+      // still counts as a band: idempotent, exactly one band added
+      val plan = df.queryExecution.optimizedPlan
+      assert(EditDistanceBandRule(plan) fastEquals plan,
+        "rule must be a fixpoint on its own folded output")
+    }
+  }
+
   test("rule is semantically transparent and idempotent") {
     val plain = graft.Tables.load(spark, sfDir, "part")
       .filter(levenshtein(col("p_name"), lit("blue bolt")) <= 4)
