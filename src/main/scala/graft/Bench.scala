@@ -143,6 +143,12 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),
       (json + "\n").getBytes("UTF-8"))
+    // The full artifact line above exceeds a tail-window capture once the
+    // per-query map is ~200 entries (r08/r09 both recorded parsed:null),
+    // so the VERY LAST stdout line is a compact, self-contained summary
+    // that always fits: totals here, per-query detail in BENCH_LAST.json.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63":$sharedSub,"bucket_write_sec":$bucketWriteSec,"n_queries":${results.size},"schema_canary":${if (canaryDiff.isEmpty) "\"ok\"" else "\"DRIFT\""},"sf":"$sfDir","detail":"BENCH_LAST.json"}""")
     spark.stop()
   }
 }
