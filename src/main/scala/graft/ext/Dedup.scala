@@ -187,9 +187,51 @@ object Dedup {
                                 dir: String): DataFrame = {
     sweepStopped(containEstCache)
     containEstCache.getOrElseUpdate((spark, dir, 0.0),
-      containmentEstimate(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      materializedScoped(spark, dir, BandPathExpansion)(
+        containmentEstimate(spark, dir)))
   }
+
+  // ---- data-derived shuffle sizing for the pair families -----------
+  //
+  // Per-family shuffle-bytes expansion over the documents parquet
+  // footprint (graft.ops.Partitioning.forTable input). Engineering
+  // estimates from the row shapes, validated by the 10×/100× scale
+  // smoke (SCALE.md "per-operator partition sizing"):
+  //  * token path (jaccard/containment): the exploded token table is
+  //    ~40 B per word vs ~6 B raw, and the verify joins carry BOTH
+  //    docs' full sorted hash-set arrays per candidate pair — in-flight
+  //    bytes ran ~30× the (snappy) parquet input at 100×.
+  //  * band path (minhash): 16 band structs (4 longs + id) per doc on
+  //    the candidate join plus shingle arrays on the verify joins.
+  //  * simhash: 20 block-combination keys per doc, fixed-width rows.
+  private[graft] val TokenPathExpansion = 32.0
+  private[graft] val BandPathExpansion = 16.0
+  private[graft] val SimhashExpansion = 8.0
+
+  /** Shuffle-partition count for a pair-generation run over `dir`'s
+    * documents table — floor = session conf (no-op at gate scale),
+    * raised once bytes × expansion outgrows the per-partition target. */
+  private def pairPartitions(spark: SparkSession, dir: String,
+                             expansion: Double): Int =
+    graft.ops.Partitioning.forTable(spark, dir, "documents", expansion)
+
+  /** Materialize `df`'s persist eagerly with the shuffle-partition
+    * count derived for this family, so every exchange in the pair
+    * pipeline (window, df join, candidate self-join, distinct, verify
+    * joins) plans at the data-derived count instead of the session
+    * default — and the raised count dies with the scope instead of
+    * leaking into the NEXT operator's plan (the q63-at-p256 regression
+    * the 100× smoke measured). */
+  private def materializedScoped(spark: SparkSession, dir: String,
+                                 expansion: Double)
+                                (build: => DataFrame): DataFrame =
+    graft.ops.Partitioning.withShufflePartitions(
+        spark, pairPartitions(spark, dir, expansion)) {
+      val df = build
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // plan + run inside the scope; consumers reuse the cache
+      df
+    }
 
   /** Per-(dir, threshold) memo of the minhash-LSH pair set, persisted.
     * The pair table is the shared input of the near-dup family (pair
@@ -233,8 +275,8 @@ object Dedup {
     // would fail or reuse stale plans — each session builds its own entry
     sweepStopped(pairsCache)
     pairsCache.getOrElseUpdate((spark, dir, threshold),
-      minhashLsh(spark, dir, threshold)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      materializedScoped(spark, dir, BandPathExpansion)(
+        minhashLsh(spark, dir, threshold)))
   }
 
   // ---- SimHash ------------------------------------------------------
@@ -285,11 +327,17 @@ object Dedup {
         .bitwiseAND(lit((1L << widths(i)) - 1L))
     val combos = (0 until b).combinations(3).toSeq
     val sh = simhashes(spark, dir)
+    // data-derived count baked into the plan (no memo site to scope a
+    // session conf around): both join children share this partitioning
+    // on the candidate key, so the self-join plans no extra exchange
+    // and its width tracks input bytes instead of the session default
     val keys = sh.select(col("doc_id"), col("simhash"),
       explode(array(combos.zipWithIndex.map { case (c, ci) =>
         struct(lit(ci).as("ci"), block(c(0)).as("b0"),
                block(c(1)).as("b1"), block(c(2)).as("b2"))
       }: _*)).as("key"))
+      .repartition(graft.ops.Partitioning.forTable(
+        spark, dir, "documents", SimhashExpansion), col("key"))
     keys.as("l").join(keys.as("r"),
         col("l.key") === col("r.key") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
@@ -439,8 +487,8 @@ object Dedup {
                              threshold: Double = 0.9): DataFrame = {
     sweepStopped(containCache)
     containCache.getOrElseUpdate((spark, dir, threshold),
-      containmentPairs(spark, dir, threshold)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      materializedScoped(spark, dir, TokenPathExpansion)(
+        containmentPairs(spark, dir, threshold)))
   }
 
   /** DuckDB oracle for [[containmentPairs]]: brute-force same-source
@@ -609,11 +657,13 @@ object Dedup {
         .toSeq.sortBy(_._3).lastOption
       lower match {
         case Some(key) =>
+          // one filter over the persisted superset: no exchange, so no
+          // partition-sizing scope needed
           exactPairsCache(key).filter(col("jac") >= threshold)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         case None =>
-          jaccardPairs(spark, dir, threshold)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          materializedScoped(spark, dir, TokenPathExpansion)(
+            jaccardPairs(spark, dir, threshold))
       }
     })
   }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PartitioningSpec extends SparkSpec {
+
+  test("forBytes: session floor at small inputs, byte-derived above it") {
+    val floor = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // tiny input → the session conf wins (no-op at gate scale)
+    assert(Partitioning.forBytes(spark, 1L << 20, expansion = 1.0) == floor)
+    // big input → ceil(bytes * expansion / target)
+    val target = Partitioning.DefaultTargetBytes
+    val bytes = 100L * target
+    assert(Partitioning.forBytes(spark, bytes, expansion = 1.0) == 100)
+    assert(Partitioning.forBytes(spark, bytes, expansion = 2.5) == 250)
+    // sanity cap
+    assert(Partitioning.forBytes(spark, Long.MaxValue / 4,
+      expansion = 2.0) == (1 << 18))
+  }
+
+  test("forBytes: target is conf-overridable") {
+    val key = Partitioning.TargetBytesKey
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, (1L << 20).toString)
+      assert(Partitioning.forBytes(spark, 64L << 20, expansion = 1.0) == 64)
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
+  test("tableBytes reads the real parquet footprint, memoized") {
+    val b = Partitioning.tableBytes(spark, sfDir, "documents")
+    assert(b > 0, "documents.parquet must have a nonzero footprint")
+    assert(Partitioning.tableBytes(spark, sfDir, "documents") == b)
+    assert(Partitioning.tableBytes(spark, sfDir, "no_such_table") == 0L)
+  }
+
+  test("withShufflePartitions scopes the conf and restores it, even on throw") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val inside = Partitioning.withShufflePartitions(spark, 7) {
+      spark.conf.get(key)
+    }
+    assert(inside == "7")
+    assert(spark.conf.get(key) == before)
+    intercept[RuntimeException] {
+      Partitioning.withShufflePartitions(spark, 9) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) == before, "conf must restore on failure")
+  }
+
+  test("an action inside the scope plans its exchanges at the scoped count") {
+    import spark.implicits._
+    val n = Partitioning.withShufflePartitions(spark, 6) {
+      // AQE would coalesce the post-shuffle read, so assert on the rdd
+      // partition count of a plain non-adaptive groupBy execution
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try (1 to 100).toDF("x").groupBy(col("x") % 3).count()
+        .rdd.getNumPartitions
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    assert(n == 6, s"scoped shuffle should plan 6 partitions, got $n")
+  }
+}

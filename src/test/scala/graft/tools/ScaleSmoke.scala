@@ -294,9 +294,11 @@ object ScaleSmoke {
     }
     // x100 mode: two-decade smoke for the Top5 cost drivers only —
     // Test/runMain graft.tools.ScaleSmoke x100 [pN] [gateprefix...]
-    // pN (e.g. p128) re-sizes shuffle partitions for the 100× runs:
-    // the production response to 100× data is ~100× partitions, and a
-    // fixed 32 turns the biggest shuffles into spill benchmarks.
+    // pN (e.g. p128) re-sizes the SESSION shuffle partitions for the
+    // 100× runs. Since round 10 the pair families self-size from input
+    // bytes (graft.ops.Partitioning, SCALE.md "data-derived per-
+    // operator partition sizing"), so pN is only needed for
+    // experiments outside those families.
     if (args.headOption.contains("x100")) {
       args.drop(1).find(_.matches("p\\d+")).map(_.drop(1)).foreach(p =>
         spark.conf.set("spark.sql.shuffle.partitions", p))
