@@ -616,9 +616,27 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
         // fallback to minutes on one executor — the q18 gate's
         // intended 6e8 pairs at sf0.1 pass with headroom, a runaway
         // cartesian (1e12+) fails in the compile step instead of days
-        // into the job.
+        // into the job. The effective cap is width-scaled below: the
+        // 1e10 calibration assumes ~64-byte probe rows, and a wide
+        // schema trips proportionally earlier.
         val maxPairs = outerW.sparkSession.conf
           .get("spark.graft.decorrelate.maxPairs", "10000000000").toLong
+        // Pair COUNT alone is a poor cost proxy across schemas: 1e10
+        // two-int pairs and 1e10 thirty-column pairs differ ~100× in
+        // the bytes the theta join must stream. Scale the effective cap
+        // by the estimated probe-row width (outer + inner schema type
+        // widths — Catalyst's own defaultSize per type, the same basis
+        // its size-based join planning uses) against the 64-byte
+        // reference width the default cap was calibrated on (q18's
+        // probe row). Wider rows trip proportionally earlier; the cap
+        // is never RAISED above the configured value for narrow rows
+        // (conservative: the per-pair predicate evaluation cost floor
+        // doesn't shrink with row width).
+        val rowWidth = (outerW.schema ++ inner.schema)
+          .map(_.dataType.defaultSize).sum
+        val RefWidthBytes = 64.0
+        val effMaxPairs = math.max(1L,
+          (maxPairs / math.max(1.0, rowWidth / RefWidthBytes)).toLong)
         val nOuter = outerW.count()
         // reject iff nInner > perOuter (== pair volume > maxPairs). The
         // LIMIT needs one row of headroom to DETECT over-cap, and both
@@ -628,15 +646,17 @@ class Compiler(spark: SparkSession, catalog: Catalog) {
         // volume <= nOuter * Int.MaxValue <= maxPairs), and a
         // maxPairs of Long.MaxValue must not overflow into a negative
         // limit.
-        val perOuter = maxPairs / math.max(nOuter, 1L)
+        val perOuter = effMaxPairs / math.max(nOuter, 1L)
         val probeCap =
           (math.min(perOuter, Int.MaxValue.toLong - 1L) + 1L).toInt
         val nInner = inner.limit(probeCap).count()
         if (nOuter > 0 && nInner > perOuter)
           throw CompileError(
             s"correlated subquery requires a nested-loop over $nOuter x " +
-            s">=$nInner rows, exceeding spark.graft.decorrelate.maxPairs=" +
-            s"$maxPairs; add an equality correlation or raise the cap")
+            s">=$nInner rows of ~$rowWidth bytes, exceeding " +
+            s"spark.graft.decorrelate.maxPairs=$maxPairs (width-scaled " +
+            s"to $effMaxPairs pairs for this schema); add an equality " +
+            "correlation or raise the cap")
         val matches = outerW.join(inner, pred, "inner")
 
         val perId =

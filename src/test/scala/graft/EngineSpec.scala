@@ -347,6 +347,36 @@ class EngineSpec extends SparkSpec {
       Seq(Row(1, 0L), Row(2, 1L), Row(3, 2L), Row(4, 3L)))
   }
 
+  test("theta guardrail is width-scaled: wide rows trip proportionally earlier") {
+    // Same row count, same pair count — only the schema width differs.
+    // The cap is calibrated for ~64-byte probe rows; a 10-string-column
+    // table's probe rows are ~6x wider, so its effective cap is ~6x
+    // lower and the identical 81-pair nested loop trips where the
+    // narrow table's passes.
+    val eng = freshEngine
+    val wideCols = (1 to 10).map(i => s"s$i string").mkString(", ")
+    eng.execute(s"CREATE TABLE wv (a int, $wideCols)")
+    eng.execute("CREATE TABLE nv (a int)")
+    val strs = (1 to 10).map(i => s"'v$i'").mkString(", ")
+    (1 to 9).foreach { i =>
+      eng.execute(s"INSERT INTO wv VALUES ($i, $strs)")
+      eng.execute(s"INSERT INTO nv VALUES ($i)")
+    }
+    def q(t: String) =
+      s"SELECT a, (SELECT count(*) FROM $t x WHERE x.a < $t.a) AS n FROM $t"
+    spark.conf.set("spark.graft.decorrelate.maxPairs", "100")
+    try {
+      // narrow: 2 int columns ≈ 8 bytes < 64 → cap stays 100 ≥ 81 pairs
+      assert(eng.sql(q("nv")).collect().length == 9)
+      // wide: ~408 bytes → effective cap ~15 < 81 pairs → fails fast
+      val e = intercept[Exception](eng.sql(q("wv")).collect())
+      assert(e.getMessage.contains("width-scaled"),
+        s"expected width-scaled guardrail error, got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.decorrelate.maxPairs")
+    // and the wide query is legitimate under the default cap
+    assert(eng.sql(q("wv")).collect().length == 9)
+  }
+
   test("correlated subquery: outer reference in the SELECT value") {
     val eng = freshEngine
     eng.execute("CREATE TABLE ords (k int, amt int)")
