@@ -41,30 +41,84 @@ object Sketches {
   private val HllNumerator: Double =
     0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, 53)
 
+  // ---- small-range (linear-counting) correction ---------------------
+  //
+  // Flajolet's rule: when the raw estimate is below 2.5·m and zero
+  // registers remain, the harmonic estimate degenerates to the α·m
+  // floor and LINEAR COUNTING m·ln(m/V) (V = zero registers) is the
+  // unbiased estimator. The blocker was ln(): libm last-ulp behavior
+  // differs across engines. But here ln needs only INTEGER arguments
+  // in [1, m] with m = 2^p: ln(m/V) = (p−k)·ln2 − ln(y) where
+  // k = bitlength(V)−1 and y = V/2^k ∈ [1, 2), and ln(y) has the
+  // rapidly-converging atanh series 2z·Σ z^{2i}/(2i+1) with
+  // z = (y−1)/(y+1) ≤ 1/3 — ten Horner terms put the truncation error
+  // below 5e-12 relative. Every step is IEEE +,−,×,÷ in a FIXED
+  // association order with shared literals, so Spark and DuckDB replay
+  // the correction bit-identically (the same discipline as the md5
+  // re-basing and the '<digits>'::DOUBLE literal round-trip).
+  private val Ln2 = 0.6931471805599453
+  private val SeriesCoef: Seq[Double] =
+    (1 to 9).map(i => 1.0 / (2 * i + 1)) // 1/3 .. 1/19
+
+  /** The corrected estimate as a Column over (n_zero_regs, est). */
+  private def lcCorrected(v: Column, est: Column): Column = {
+    val k = (length(bin(v)) - lit(1)).cast("int")
+    // 2^k via Math.pow: exact for integer args (Java spec), k <= 8 here;
+    // the oracle's `1 << k` cast to double is the same exact value
+    val y = v.cast("double") / pow(lit(2.0), k.cast("double"))
+    val z = (y - lit(1.0)) / (y + lit(1.0))
+    val z2 = z * z
+    val s = SeriesCoef.reverse.foldLeft(lit(0.0): Column)(
+      (acc, c) => (lit(c) + z2 * acc)) // Horner tail: 1/3 + z2(1/5 + …)
+    val series = lit(1.0) + z2 * s
+    val lnRatio = lit(Ln2) * (lit(HllP) - k).cast("double") -
+      (z + z) * series
+    val lc = lit(HllM.toDouble) * lnRatio
+    when(v > 0 && est <= lit(2.5 * HllM), lc).otherwise(est)
+  }
+
+  /** The identical correction as a DuckDB CTE suffix over a CTE
+    * `finCte` that carries `n_zero_regs` and `est` — same association
+    * order, same literals serialized via the shortest-round-trip
+    * '<digits>'::DOUBLE form both parsers recover exactly. Appends
+    * `est_corrected` to `outCols`. */
+  private[ext] def lcSuffixSql(finCte: String, outCols: String): String = {
+    def d(x: Double) = s"'${x}'::DOUBLE"
+    val horner = SeriesCoef.reverse.foldLeft("'0.0'::DOUBLE")(
+      (acc, c) => s"(${d(c)} + z2 * $acc)")
+    s"""f1 AS (SELECT *, length(bin(n_zero_regs)) - 1 AS k FROM $finCte),
+       |f2 AS (SELECT *, CAST(n_zero_regs AS DOUBLE) /
+       |                 CAST(1 << k AS DOUBLE) AS y FROM f1),
+       |f3 AS (SELECT *,
+       |  (y - '1.0'::DOUBLE) / (y + '1.0'::DOUBLE) AS z FROM f2),
+       |f4 AS (SELECT *, z * z AS z2 FROM f3)
+       |SELECT $outCols,
+       |  CASE WHEN n_zero_regs > 0 AND est <= ${d(2.5 * HllM)}
+       |    THEN ${d(HllM.toDouble)} *
+       |      (${d(Ln2)} * CAST($HllP - k AS DOUBLE) -
+       |       (z + z) * ('1.0'::DOUBLE + z2 * $horner))
+       |    ELSE est END AS est_corrected
+       |FROM f4""".stripMargin
+  }
+
   /** HLL distinct-user estimate per event_type, next to the exact
     * count. Register index = top 8 hash bits; rho = leading-zero count
     * of the remaining 52 bits + 1 (computed exactly from the binary
     * string length — no float log). The harmonic denominator is kept
     * as an EXACT integer scaled by 2^53 (every term 2^(53-rho) is a
     * whole number, max 256·2^53 < 2^62), so the only floating step is
-    * the final single division — deterministic in both engines. No
-    * small-range (linear-counting) correction: it needs ln(), whose
-    * last-ulp behavior differs across libms; `n_zero_regs` is emitted
-    * instead so a consumer can apply any correction downstream.
+    * the final single division — deterministic in both engines. The
+    * small-range (linear-counting) correction IS applied, as
+    * `est_corrected`: its ln() is computed by the deterministic
+    * integer-argument series above (no libm), so it replays
+    * bit-identically in the oracle; `n_zero_regs` stays exposed for
+    * auditability.
     *
     * Scale: the shuffle carries at most m=256 rows per event type
     * (register partial-maxes combine map-side); the exact count is
     * computed alongside for the gate's accuracy audit and is the ONLY
     * corpus-cardinality-sized part — a production monitor would drop
     * it and keep just the sketch. */
-  /** The sketch core over any (group, key) frame — exposed for the
-    * spec's accuracy probe at cardinalities where raw HLL is in its
-    * working regime (the driver events table has only 150 users per
-    * type, far below the 2.5·m small-range threshold, so the GATE
-    * deliberately shows the raw estimate's documented small-range
-    * overshoot next to `n_zero_regs`, the input to any downstream
-    * linear-counting correction — ln() is kept out of the oracle-gated
-    * output because libm last-ulp behavior differs across engines). */
   /** Stateless per-row register projection: (g, idx, rho). Works on a
     * STREAMING frame unchanged (pure expression work) — the front of
     * both the batch sketch and the streaming twin. */
@@ -96,6 +150,8 @@ object Sketches {
               (lit(HllM.toLong) - col("n_set")).as("n_zero_regs"))
       .withColumn("est",
         lit(HllNumerator) / col("denom_scaled").cast("double"))
+      .withColumn("est_corrected",
+        lcCorrected(col("n_zero_regs"), col("est")))
 
   private[ext] def hllSketchDf(df: DataFrame, group: Column,
                                key: Column): DataFrame =
@@ -112,7 +168,8 @@ object Sketches {
       .agg(count_distinct(col("user_id")).as("n_exact"))
     sketch.join(exact, "event_type")
       .select(col("event_type"), col("n_exact"), col("n_set"),
-              col("n_zero_regs"), col("denom_scaled"), col("est"))
+              col("n_zero_regs"), col("denom_scaled"), col("est"),
+              col("est_corrected"))
   }
 
   /** DuckDB oracle for [[hllDistinctUsers]] — same md5-domain registers,
@@ -142,16 +199,19 @@ object Sketches {
        |  FROM rr GROUP BY event_type),
        |ex AS (
        |  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
-       |  GROUP BY event_type)
-       |SELECT sk.event_type, ex.n_exact,
-       |  CAST(sk.n_set AS BIGINT) AS n_set,
-       |  CAST($HllM - sk.n_set AS BIGINT) AS n_zero_regs,
-       |  CAST(sk.set_sum + ($HllM - sk.n_set) * ${1L << 53} AS BIGINT)
-       |    AS denom_scaled,
-       |  '$HllNumerator'::DOUBLE /
-       |    CAST(sk.set_sum + ($HllM - sk.n_set) * ${1L << 53} AS DOUBLE)
-       |    AS est
-       |FROM sk JOIN ex USING (event_type)""".stripMargin
+       |  GROUP BY event_type),
+       |fin AS (
+       |  SELECT sk.event_type, ex.n_exact,
+       |    CAST(sk.n_set AS BIGINT) AS n_set,
+       |    CAST($HllM - sk.n_set AS BIGINT) AS n_zero_regs,
+       |    CAST(sk.set_sum + ($HllM - sk.n_set) * ${1L << 53} AS BIGINT)
+       |      AS denom_scaled,
+       |    '$HllNumerator'::DOUBLE /
+       |      CAST(sk.set_sum + ($HllM - sk.n_set) * ${1L << 53} AS DOUBLE)
+       |      AS est
+       |  FROM sk JOIN ex USING (event_type)),
+       |${lcSuffixSql("fin",
+           "event_type, n_exact, n_set, n_zero_regs, denom_scaled, est")}""".stripMargin
 
   /** Oracle for the STREAMING HLL twin
     * ([[graft.streaming.Streams.hllDistinctAvailableNow]]): the q109
@@ -180,16 +240,19 @@ object Sketches {
        |  SELECT event_type,
        |    count(*) AS n_set,
        |    CAST(sum(CAST(power(2.0, 53 - r) AS BIGINT)) AS BIGINT) AS set_sum
-       |  FROM rr GROUP BY event_type)
-       |SELECT event_type,
-       |  CAST(n_set AS BIGINT) AS n_set,
-       |  CAST($HllM - n_set AS BIGINT) AS n_zero_regs,
-       |  CAST(set_sum + ($HllM - n_set) * ${1L << 53} AS BIGINT)
-       |    AS denom_scaled,
-       |  '$HllNumerator'::DOUBLE /
-       |    CAST(set_sum + ($HllM - n_set) * ${1L << 53} AS DOUBLE)
-       |    AS est
-       |FROM sk""".stripMargin
+       |  FROM rr GROUP BY event_type),
+       |fin AS (
+       |  SELECT event_type,
+       |    CAST(n_set AS BIGINT) AS n_set,
+       |    CAST($HllM - n_set AS BIGINT) AS n_zero_regs,
+       |    CAST(set_sum + ($HllM - n_set) * ${1L << 53} AS BIGINT)
+       |      AS denom_scaled,
+       |    '$HllNumerator'::DOUBLE /
+       |      CAST(set_sum + ($HllM - n_set) * ${1L << 53} AS DOUBLE)
+       |      AS est
+       |  FROM sk),
+       |${lcSuffixSql("fin",
+           "event_type, n_set, n_zero_regs, denom_scaled, est")}""".stripMargin
 
   // ---- Count-min sketch (d=4 rows, w=512 columns) -------------------
 

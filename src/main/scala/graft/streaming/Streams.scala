@@ -688,6 +688,6 @@ object Streams {
         runBounded(registers, OutputMode.Complete()))
       .withColumnRenamed("g", "event_type")
       .select(col("event_type"), col("n_set"), col("n_zero_regs"),
-              col("denom_scaled"), col("est"))
+              col("denom_scaled"), col("est"), col("est_corrected"))
   }
 }

@@ -38,13 +38,44 @@ class SketchesSpec extends SparkSpec {
       val est = r.getAs[Double]("est")
       // far below the 2.5m threshold the raw estimate degenerates to
       // the alpha*m floor (~184 for m=256) — it OVERSHOOTS, bounded by
-      // the near-empty-sketch constant, and n_zero_regs > 0 is exactly
-      // the signal that a consumer must switch to linear counting
+      // the near-empty-sketch constant; est_corrected applies linear
+      // counting there and must land in a TIGHT band (LC std error at
+      // n≈150, m=256 is ~3%; allow 10%)
       assert(est >= exact, s"raw small-range estimate must overshoot: " +
         s"$est < $exact")
       assert(est <= 1000.0, s"estimate $est above the near-empty ceiling")
       assert(r.getAs[Long]("n_zero_regs") > 0L)
+      val corr = r.getAs[Double]("est_corrected")
+      assert(math.abs(corr - exact) / exact < 0.10,
+        s"linear counting should be tight at n=$exact: got $corr")
+      assert(math.abs(corr - exact) < math.abs(est - exact),
+        s"correction must improve on the raw estimate ($corr vs $est)")
     }
+  }
+
+  test("linear counting: tight at small n, inert in the working regime, series matches libm") {
+    // sweep the small-range regime: LC std error sqrt(m(e^t - t - 1))/n
+    // with t = n/m is ~3-5% here; each n is ONE deterministic hash
+    // draw, so allow 3σ (15%) — the i*7919 draw at n=150 sits at -11%
+    for (n <- Seq(20, 80, 150, 300)) {
+      val df = (1 to n).map(i => ("a", i * 7919)).toDF("g", "k")
+      val r = Sketches.hllSketchDf(df, col("g"), col("k")).head()
+      val corr = r.getAs[Double]("est_corrected")
+      assert(math.abs(corr - n) / n < 0.15,
+        s"LC at n=$n: got $corr")
+      // the deterministic atanh-series ln must agree with libm ln to
+      // ~1e-11 relative: recompute m*ln(m/V) driver-side
+      val v = r.getAs[Long]("n_zero_regs").toDouble
+      if (v > 0 && r.getAs[Double]("est") <= 640.0) {
+        val libm = 256.0 * math.log(256.0 / v)
+        assert(math.abs(corr - libm) / libm < 1e-10,
+          s"series ln drifted: $corr vs $libm")
+      }
+    }
+    // large n: correction must NOT fire (est > 2.5m) — est_corrected == est
+    val big = (1 to 20000).map(i => ("a", i)).toDF("g", "k")
+    val rb = Sketches.hllSketchDf(big, col("g"), col("k")).head()
+    assert(rb.getAs[Double]("est_corrected") == rb.getAs[Double]("est"))
   }
 
   test("CMS: estimates never undercount, and top tokens are exact at gate scale") {
