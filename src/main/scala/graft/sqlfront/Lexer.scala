@@ -54,17 +54,29 @@ object Lexer {
       } else if (c == '`') { // backtick identifier
         val j = input.indexOf('`', i + 1)
         if (j < 0) throw LexError("unterminated backtick identifier")
-        out += Id(input.substring(i + 1, j).toLowerCase)
+        val raw = input.substring(i + 1, j)
+        // validity rules from the reference (identifier.rs:58-87):
+        // charset [a-zA-Z0-9_ ], nonempty, no leading digit/space —
+        // with the reference's compile-stage error surface
+        // ("bad identifier: x", queryplan/mod.rs:44,76)
+        out += Id(Identifiers.normalize(raw).getOrElse(
+          throw LexError(s"bad identifier: $raw")))
         i = j + 1
       } else if (c.isDigit ||
                  (c == '.' && peek(1).isDigit)) { // number
         val start = i
         while (i < n && (input.charAt(i).isDigit || input.charAt(i) == '.')) i += 1
         out += Num(input.substring(start, i))
-      } else if (c.isLetter || c == '_') { // word
+      } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+                 c == '_') { // word — ASCII only, like the reference
+        // lexer's 'a'...'z' | 'A'...'Z' | '_' word-start arm
+        // (sqlsyntax/lexer.rs:159); a non-ASCII letter falls through to
+        // the unknown-character error exactly as it does there
+        def wordChar(ch: Char) =
+          (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+          (ch >= '0' && ch <= '9') || ch == '_'
         val start = i
-        while (i < n && (input.charAt(i).isLetterOrDigit ||
-                         input.charAt(i) == '_')) i += 1
+        while (i < n && wordChar(input.charAt(i))) i += 1
         val w = input.substring(start, i).toLowerCase
         out += (if (keywords(w)) Kw(w.toUpperCase) else Id(w))
       } else {

@@ -297,6 +297,35 @@ class EngineSpec extends SparkSpec {
     assert(eng.sql("SELECT s FROM strs").as[String].head() == "it's")
   }
 
+  test("identifier validity mirrors the reference's rules and test vectors") {
+    // identifier.rs:89-111 acceptance vectors, driven through the real
+    // DDL/query path (the reference validates at Identifier::new;
+    // quoting is the only way to reach the space-bearing cases)
+    val eng = freshEngine
+    eng.execute("CREATE TABLE idt (`AbCdEfG` int, `a0123456789` int, " +
+      "`Hello World` int, `_1a` int)")
+    eng.execute("INSERT INTO idt VALUES (1, 2, 3, 4)")
+    // normalized to ASCII lowercase: case-insensitive round trips
+    assert(eng.sql("SELECT abcdefg FROM idt").as[Int].head() == 1)
+    assert(eng.sql("SELECT `ABCDEFG` FROM idt").as[Int].head() == 1)
+    assert(eng.sql("SELECT a0123456789 FROM idt").as[Int].head() == 2)
+    assert(eng.sql("SELECT `Hello World` FROM idt").as[Int].head() == 3)
+    assert(eng.sql("SELECT `_1a` FROM idt").as[Int].head() == 4)
+    // rejection vectors: empty, leading digit, leading/contained-bad
+    // chars — the reference's "bad identifier" surface
+    for (bad <- Seq("``", "`1a`", "` abc `", "`a-b`", "`tab\tx`")) {
+      val e = intercept[Exception](
+        eng.execute(s"CREATE TABLE badid ($bad int)"))
+      assert(e.getMessage.contains("bad identifier"),
+        s"expected bad-identifier error for $bad, got: ${e.getMessage}")
+    }
+    // non-ASCII word start is an unknown character, as in the
+    // reference lexer (sqlsyntax/lexer.rs:159 falls to Err(c))
+    val e = intercept[Exception](eng.sql("SELECT café FROM idt"))
+    assert(e.getMessage.contains("unexpected character"),
+      s"got: ${e.getMessage}")
+  }
+
   test("truthiness applies per AND/OR operand (columnvalueops.rs:95-109)") {
     val eng = freshEngine
     eng.execute("CREATE TABLE trb (n int, s string)")
