@@ -122,20 +122,66 @@ object Dedup {
     * persist it once instead of recomputing the normalize+shingle+hash
     * scan per branch. At cluster scale this is the standard
     * materialize-the-shared-stage pattern (checkpoint/cache). */
+  /** Conf knob: max estimated bytes of the candidate-pair side below
+    * which the verify joins BROADCAST it instead of shuffling the
+    * corpus shingle table. Defaults to Spark's own
+    * autoBroadcastJoinThreshold. Set to 0 to force the shuffle path. */
+  private[ext] val BroadcastVerifyKey = "spark.graft.dedup.broadcastVerifyBytes"
+
+  /** Estimated candidate-pair count of the band self-join, from an AMS
+    * F₂ sketch over the band keys — Σ_k c_k² IS the ordered self-join
+    * size, so candidates (a<b) ≈ (F₂ − N)/2, estimated in one map-side
+    * sketch pass with NO join executed. This is the q123 estimator
+    * wired into a real planning decision rather than sitting advisory. */
+  private[ext] def estimatedCandidates(sh: DataFrame): Long = {
+    val keys = signatures(sh)
+      .select(explode(bandStructs(col("sig"))).as("bk"))
+      .select(concat_ws(":", col("bk.band"), col("bk.s0"), col("bk.s1"),
+                        col("bk.s2"), col("bk.s3")).as("key"))
+    val n = sh.count() * (NumPerms / BandRows)
+    math.max(0L, (Sketches.amsF2(keys) - n) / 2)
+  }
+
   def minhashLsh(spark: SparkSession, dir: String,
                  threshold: Double = 0.5): DataFrame = {
     val sh = shingled(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidatePairs(sh)
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
-      // shingle arrays are sorted distinct → O(n+m) merge intersect
+    val shA = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+    val shB = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    val cand = candidatePairs(sh)
+    // Broadcast-vs-shuffle for the verify joins, decided from
+    // ESTIMATES, not a post-hoc AQE rescue: candidate count from the
+    // AMS F₂ sketch (one map-side pass), per-pair bytes from the
+    // documents column stats (avg n_chars → avg shingle-array bytes:
+    // ~1 word-3-gram per word ≈ n_chars/6, 8 bytes each). When the
+    // whole verified-pair build fits the threshold, the corpus shingle
+    // table is never shuffled — at 100 TB that is the difference
+    // between moving the candidate set and moving the corpus. Above
+    // the threshold the existing shuffle plan stands (output-bound
+    // pair volume ⇒ broadcasting would be wrong there).
+    val maxBytes = spark.conf.getOption(BroadcastVerifyKey)
+      .map(_.toLong)
+      .getOrElse(
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+        catch { case _: Throwable => 10L * 1024 * 1024 })
+    val estPairs = estimatedCandidates(sh)
+    val avgChars = Tables.load(spark, dir, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val pairRowBytes = 32.0 + 8.0 * (avgChars / 6.0)
+    // shingle arrays are sorted distinct → O(n+m) merge intersect
+    def verified(pairs: DataFrame): DataFrame = pairs
       .withColumn("inter", graft.functions.SortedIntersectCount
         .sortedIntersectCount(col("sa"), col("sb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    if (estPairs * pairRowBytes <= maxBytes)
+      verified(shB.join(broadcast(shA.join(broadcast(cand), "a_id")),
+                        "b_id"))
+    else
+      verified(cand.join(shA, "a_id").join(shB, "b_id"))
   }
 
   /** Sketch-estimated CONTAINMENT over the LSH candidate set — the

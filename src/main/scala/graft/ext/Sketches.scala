@@ -329,23 +329,41 @@ object Sketches {
     * order key; rel_err is the only division (int/int → double,
     * identical bits across engines; may be negative — the estimator is
     * unbiased, not one-sided). */
+  /** The d×w signed count-sketch of a `key` (string) column. ONE md5
+    * per row; the d rows' buckets and signs come from DISJOINT bit
+    * fields of the 60-bit hash (w = 512 = 2^9 → 9 bits per bucket,
+    * rows 0..4 use bits [9j, 9j+9), signs bits 45..49 — 50 of 60
+    * bits). Disjoint fields of one md5 behave as independent hashes,
+    * and the hashing cost drops 5×: md5 dominated the q123 gate's
+    * profile before this change. Shared by the join-size gate and the
+    * F2 self-join estimator the dedup planner consumes. */
+  private[graft] def amsSketch(keys: DataFrame): DataFrame =
+    keys
+      .withColumn("h", h60(col("key")))
+      .select(posexplode(array((0 until AmsD).map { j =>
+        struct(expr(s"(h div ${1L << (9 * j)}) % $AmsW").as("bucket"),
+               when(expr(s"(h div ${1L << (45 + j)}) % 2") === 0, lit(1L))
+                 .otherwise(lit(-1L)).as("sign"))
+      }: _*)).as(Seq("j", "bs")))
+      .groupBy(col("j"), col("bs.bucket").as("bucket"))
+      .agg(sum(col("bs.sign")).as("cell"))
+
+  /** Median-of-d AMS estimate of F₂ = Σ_k c_k² over a `key` column —
+    * the self-join size of the key multiset, estimated from one
+    * map-side sketch pass WITHOUT running the join (⟨c[j], c[j]⟩ per
+    * row, median over rows; same estimator as [[amsJoinSizeEstimate]]
+    * with R = S). The dedup planner uses this to size an LSH band
+    * self-join's candidate volume up front. */
+  private[graft] def amsF2(keys: DataFrame): Long =
+    amsSketch(keys)
+      .groupBy(col("j"))
+      .agg(sum(col("cell") * col("cell")).as("ipj"))
+      .agg(element_at(sort_array(collect_list(col("ipj"))),
+                      AmsD / 2 + 1).as("f2"))
+      .head().getLong(0)
+
   def amsJoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
-    // ONE md5 per row; the d rows' buckets and signs come from DISJOINT
-    // bit fields of the 60-bit hash (w = 512 = 2^9 → 9 bits per bucket,
-    // rows 0..4 use bits [9j, 9j+9), signs bits 45..49 — 50 of 60 bits).
-    // Disjoint fields of one md5 behave as independent hashes, and the
-    // hashing cost drops 5×: md5 dominated this gate's profile (it was
-    // the slowest in the 133-gate bench before this change).
-    def sketch(keys: DataFrame): DataFrame =
-      keys
-        .withColumn("h", h60(col("key")))
-        .select(posexplode(array((0 until AmsD).map { j =>
-          struct(expr(s"(h div ${1L << (9 * j)}) % $AmsW").as("bucket"),
-                 when(expr(s"(h div ${1L << (45 + j)}) % 2") === 0, lit(1L))
-                   .otherwise(lit(-1L)).as("sign"))
-        }: _*)).as(Seq("j", "bs")))
-        .groupBy(col("j"), col("bs.bucket").as("bucket"))
-        .agg(sum(col("bs.sign")).as("cell"))
+    def sketch(keys: DataFrame): DataFrame = amsSketch(keys)
     val lk = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").cast("string").as("key"))
     val ok = Tables.load(spark, dir, "orders")

@@ -48,6 +48,65 @@ class DedupSpec extends SparkSpec {
       "LSH banding must candidate via equi-join on (band, hash)")
   }
 
+  test("AMS estimate drives the verify-join broadcast choice, both plans correct") {
+    // the q123 estimator wired into planning: candidate volume from the
+    // band-key F2 sketch decides broadcast-vs-shuffle for the verify
+    // joins. Assert the DECISION flips the physical plan (AQE off, so
+    // the assert sees OUR choice, not a runtime rescue) and that both
+    // plans produce identical pairs.
+    // disable AQE AND Spark's own auto-broadcast so the only possible
+    // source of a BroadcastHashJoin is the estimator's hint
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAqe = spark.conf.get(aqeKey)
+    val prevAuto = spark.conf.getOption(autoKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(autoKey, "-1")
+    try {
+      def plan(): String = Dedup.minhashLsh(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      // sf0.001: estimated candidate bytes are far below 10 MB ->
+      // the estimator broadcasts the candidates, corpus never shuffled
+      spark.conf.set(Dedup.BroadcastVerifyKey, (10L << 20).toString)
+      assert(plan().contains("BroadcastHashJoin"),
+        "small estimate must broadcast the verify join")
+      val broadcastPairs = Dedup.minhashLsh(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      // force the shuffle path: threshold 0 makes every estimate too big
+      spark.conf.set(Dedup.BroadcastVerifyKey, "0")
+      val shuffled = plan()
+      assert(!shuffled.contains("BroadcastHashJoin"),
+        s"zero threshold must shuffle the verify join:\n$shuffled")
+      assert(shuffled.contains("SortMergeJoin"))
+      val shufflePairs = Dedup.minhashLsh(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(broadcastPairs == shufflePairs,
+        "plan choice must never change the result")
+    } finally {
+      spark.conf.unset(Dedup.BroadcastVerifyKey)
+      prevAuto.fold(spark.conf.unset(autoKey))(v =>
+        spark.conf.set(autoKey, v))
+      spark.conf.set(aqeKey, prevAqe)
+    }
+  }
+
+  test("AMS candidate estimate tracks the true band self-join volume") {
+    val sh = Dedup.shingledOf(graft.Tables.load(spark, sfDir, "documents"))
+    val est = Dedup.estimatedCandidates(sh)
+    // apples-to-apples truth: the PRE-distinct ordered band join volume
+    // (F2 - N)/2 estimates — multi-band duplicates included
+    val bands = Dedup.signatures(sh).select(col("doc_id"),
+      explode(Dedup.bandStructs(col("sig"))).as("bk"))
+    val actual = bands.as("l").join(bands.as("r"),
+        col("l.bk") === col("r.bk") &&
+        col("l.doc_id") < col("r.doc_id")).count()
+    // std ~ F2/sqrt(w) ≈ F2/22: a 2x band is generous — the estimate
+    // only needs order-of-magnitude accuracy to pick a join strategy
+    assert(est > 0, "planted near-dups must yield candidates")
+    assert(est <= actual * 2 + 100 && actual <= est * 2 + 100,
+      s"estimate $est vs actual $actual out of band")
+  }
+
   test("simhash pairs are within the Hamming bound, found via chunks") {
     val pairs = Dedup.simhashPairs(spark, sfDir, maxHam = 3).cache()
     assert(pairs.count() > 0)
