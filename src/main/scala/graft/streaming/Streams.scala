@@ -162,6 +162,14 @@ object Streams {
 
   // ---- bounded (AvailableNow) runs for the driver gate --------------
 
+  /** Dev probe: cumulative bytes under each bounded run's state dir,
+    * recorded just before checkpoint cleanup when
+    * `-Dgraft.stream.measureState` is set — the ScaleSmoke streaming
+    * table reads this to report RocksDB state footprint per gate. */
+  private val stateBytesAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def resetStateBytesProbe(): Unit = stateBytesAcc.set(0L)
+  private[graft] def stateBytesProbe: Long = stateBytesAcc.get()
+
   private def runBounded(df: DataFrame, mode: OutputMode,
                          statePartitions: Int = 4,
                          noDataBatch: Boolean = false): DataFrame = {
@@ -256,8 +264,17 @@ object Streams {
         prevChangelog.fold(conf.unset(changelogKey))(v =>
           conf.set(changelogKey, v))
       }
-    // best-effort cleanup of the throwaway checkpoint
+    // state-footprint probe (dev measurement), then best-effort cleanup
+    // of the throwaway checkpoint
     try {
+      if (sys.props.contains("graft.stream.measureState")) {
+        def du(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles).fold(0L)(_.map(du).sum)
+          else f.length
+        val sd = new java.io.File(s"$ckptBase/graft_ckpt_$name/state")
+        if (sd.exists) stateBytesAcc.addAndGet(du(sd))
+      }
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()

@@ -292,6 +292,35 @@ object ScaleSmoke {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // stream mode: the bounded streaming family at 1× and 10×, with
+    // RocksDB state-store footprint per gate —
+    // Test/runMain graft.tools.ScaleSmoke stream
+    if (args.headOption.contains("stream")) {
+      System.setProperty("graft.stream.measureState", "1")
+      val gates = Seq(
+        "q35_stream_hourly", "q36_stream_sessionize", "q42_stream_enrich",
+        "q46_stream_funnel", "q68_stream_dedup", "q96_stream_dedup_hourly",
+        "q106_stream_session_window", "q116_stream_funnel_outer",
+        "q121_stream_minhash", "q128_stream_hll", "q159_stream_histogram")
+      println(f"[scale] ${"query"}%-26s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s ${"state1x"}%9s ${"state10x"}%9s ${"sratio"}%6s")
+      for (name <- gates) {
+        time(name, Base) // warm the streaming machinery + JIT
+        coldStart()
+        graft.streaming.Streams.resetStateBytesProbe()
+        val (t1, _) = time(name, Base)
+        val s1 = graft.streaming.Streams.stateBytesProbe
+        coldStart()
+        graft.streaming.Streams.resetStateBytesProbe()
+        val (t10, _) = time(name, Out)
+        val s10 = graft.streaming.Streams.stateBytesProbe
+        val r = t10 / math.max(t1, 1e-9)
+        val sr = s10.toDouble / math.max(s1, 1L)
+        println(f"[scale] $name%-26s $t1%7.2fs $t10%7.2fs $r%6.1f ${s1 / 1024}%8dK ${s10 / 1024}%8dK $sr%6.1f")
+      }
+      System.clearProperty("graft.stream.measureState")
+      spark.stop()
+      return
+    }
     // x100 mode: two-decade smoke for the Top5 cost drivers only —
     // Test/runMain graft.tools.ScaleSmoke x100 [pN] [gateprefix...]
     // pN (e.g. p128) re-sizes the SESSION shuffle partitions for the
