@@ -120,7 +120,7 @@ object Tables {
   def scratchPath(prefix: String, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("SHA-1")
       .digest(dir.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+      .take(10).map(b => f"$b%02x").mkString
     new java.io.File(sys.props("java.io.tmpdir"),
       prefix + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         "_" + digest).getPath

@@ -159,15 +159,25 @@ object Dedup {
     // between moving the candidate set and moving the corpus. Above
     // the threshold the existing shuffle plan stands (output-bound
     // pair volume ⇒ broadcasting would be wrong there).
+    // Both knobs accept Spark size strings ("64MB") or plain byte
+    // counts; a non-positive value (Spark's conventional -1 for
+    // "broadcast disabled") forbids the broadcast plan entirely rather
+    // than falling into a default — a user who turned broadcasting off
+    // did so because the executors can't hold it.
+    def sizeBytes(s: String): Long =
+      if (s.trim.matches("-?\\d+")) s.trim.toLong
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
     val maxBytes = spark.conf.getOption(BroadcastVerifyKey)
-      .map(_.toLong)
+      .map(sizeBytes)
       .getOrElse(
-        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        try sizeBytes(
           spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
-        catch { case _: Throwable => 10L * 1024 * 1024 })
+        catch { case _: NumberFormatException => 10L * 1024 * 1024 })
     val estPairs = estimatedCandidates(sh)
-    val avgChars = Tables.load(spark, dir, "documents")
-      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val avgCharsRow = Tables.load(spark, dir, "documents")
+      .agg(avg(col("n_chars"))).head()
+    val avgChars =
+      if (avgCharsRow.isNullAt(0)) 0.0 else avgCharsRow.getDouble(0)
     val pairRowBytes = 32.0 + 8.0 * (avgChars / 6.0)
     // shingle arrays are sorted distinct → O(n+m) merge intersect
     def verified(pairs: DataFrame): DataFrame = pairs
@@ -271,13 +281,8 @@ object Dedup {
   private def materializedScoped(spark: SparkSession, dir: String,
                                  expansion: Double)
                                 (build: => DataFrame): DataFrame =
-    graft.ops.Partitioning.withShufflePartitions(
-        spark, pairPartitions(spark, dir, expansion)) {
-      val df = build
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // plan + run inside the scope; consumers reuse the cache
-      df
-    }
+    graft.ops.Partitioning.materialized(
+      spark, pairPartitions(spark, dir, expansion))(build)
 
   /** Per-(dir, threshold) memo of the minhash-LSH pair set, persisted.
     * The pair table is the shared input of the near-dup family (pair

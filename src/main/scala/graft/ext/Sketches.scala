@@ -354,13 +354,18 @@ object Sketches {
     * row, median over rows; same estimator as [[amsJoinSizeEstimate]]
     * with R = S). The dedup planner uses this to size an LSH band
     * self-join's candidate volume up front. */
-  private[graft] def amsF2(keys: DataFrame): Long =
-    amsSketch(keys)
+  private[graft] def amsF2(keys: DataFrame): Long = {
+    // No keys at all → empty collect_list; ANSI element_at THROWS on
+    // the out-of-bounds median index, so take it with try_element_at
+    // and read null-safely — an empty multiset's F2 is exactly 0.
+    val row = amsSketch(keys)
       .groupBy(col("j"))
       .agg(sum(col("cell") * col("cell")).as("ipj"))
-      .agg(element_at(sort_array(collect_list(col("ipj"))),
-                      AmsD / 2 + 1).as("f2"))
-      .head().getLong(0)
+      .agg(coalesce(try_element_at(sort_array(collect_list(col("ipj"))),
+                                   lit(AmsD / 2 + 1)), lit(0L)).as("f2"))
+      .head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
 
   def amsJoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
     def sketch(keys: DataFrame): DataFrame = amsSketch(keys)

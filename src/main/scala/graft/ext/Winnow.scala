@@ -99,19 +99,15 @@ object Winnow {
       if (key._1.sparkContext.isStopped) selCache.remove(key)
     }
     selCache.getOrElseUpdate((spark, dir, k, w), {
-      // materialize inside a data-derived shuffle-partition scope (same
-      // rationale as Dedup.materializedScoped): ~2 winnowed 16-byte
-      // fingerprints per window position → ~8× the parquet footprint
-      // in flight; floor = session conf, so a no-op at gate scale
+      // materialize inside a data-derived shuffle-partition scope:
+      // ~2 winnowed 16-byte fingerprints per window position → ~8× the
+      // parquet footprint in flight; floor = session conf, so a no-op
+      // at gate scale
       val np = graft.ops.Partitioning.forTable(
         spark, dir, "documents", expansion = 8.0)
-      graft.ops.Partitioning.withShufflePartitions(spark, np) {
-        val df = selectedFingerprintsOf(
-            Tables.load(spark, dir, "documents"), k, w)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        df
-      }
+      graft.ops.Partitioning.materialized(spark, np)(
+        selectedFingerprintsOf(
+          Tables.load(spark, dir, "documents"), k, w))
     })
   }
 

@@ -51,10 +51,17 @@ object Partitioning {
     * Driver-side metadata only — no data is read. Memoized per path:
     * the testdata is immutable for a session's lifetime. */
   def tableBytes(spark: SparkSession, dir: String, table: String): Long =
-    bytesMemo.getOrElseUpdate(s"$dir/$table.parquet", {
+    bytesMemo.getOrElse(s"$dir/$table.parquet", {
       val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+      val bytes =
+        if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+      // Only memoize a real measurement: a not-yet-generated table (the
+      // 10×/100× replicas are written mid-session) must be re-probed on
+      // the next call, not frozen at 0 — a cached 0 would silently pin
+      // the derived count at the session floor for the session's life.
+      if (bytes > 0L) bytesMemo.putIfAbsent(s"$dir/$table.parquet", bytes)
+      bytes
     })
 
   /** Shuffle-partition count for an operator whose shuffles move
@@ -85,12 +92,39 @@ object Partitioning {
     * scope for exactly that reason. Scoping (rather than setting the
     * session conf and leaving it) is what keeps one operator's derived
     * count from silently becoming every later operator's default —
-    * the cross-operator pessimization the 100× smoke measured. */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, n.toString)
-    try body
-    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
-  }
+    * the cross-operator pessimization the 100× smoke measured.
+    *
+    * Scopes are serialized under one JVM-wide lock (reentrant, so
+    * nesting is fine): the session conf is session-global state, and
+    * two interleaved scopes would otherwise each "restore" the other's
+    * raised count, leaving it leaked for the session's lifetime. Work
+    * planned by OTHER threads while a scope is open still sees the
+    * raised count — inherent to session-conf scoping; callers that need
+    * full isolation should use an explicit `repartition(n)` instead. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    scopeLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, n.toString)
+      try body
+      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+
+  private val scopeLock = new Object
+
+  /** Materialize `build` (persist MEMORY_AND_DISK + count) inside a
+    * [[withShufflePartitions]] scope of `n`. This is the ONE shared
+    * discipline for every memoized pair/fingerprint table: the persist
+    * must be planned AND run inside the scope (cached plans are not
+    * re-partitioned by AQE), and the raised count dies with the scope
+    * instead of leaking into the next operator's plan. */
+  def materialized(spark: SparkSession, n: Int)
+                  (build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    withShufflePartitions(spark, n) {
+      val df = build
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // plan + run inside the scope; consumers reuse the cache
+      df
+    }
 }

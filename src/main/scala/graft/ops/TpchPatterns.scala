@@ -46,7 +46,7 @@ object TpchPatterns {
   private def scopedSql(spark: SparkSession, dir: String,
                         sql: String): DataFrame = {
     val tag = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      .digest(dir.getBytes("UTF-8")).take(10).map(b => f"$b%02x").mkString
     tpchTables.foreach(t =>
       Tables.load(spark, dir, t).createOrReplaceTempView(s"${t}_g$tag"))
     spark.sql(tpchTables.foldLeft(sql)((s, t) =>

@@ -62,10 +62,16 @@ object Lexer {
         out += Id(Identifiers.normalize(raw).getOrElse(
           throw LexError(s"bad identifier: $raw")))
         i = j + 1
-      } else if (c.isDigit ||
-                 (c == '.' && peek(1).isDigit)) { // number
+      } else if ((c >= '0' && c <= '9') ||
+                 (c == '.' && peek(1) >= '0' && peek(1) <= '9')) {
+        // number — ASCII digits only, like the reference lexer's
+        // '0'...'9' arm (sqlsyntax/lexer.rs); a Unicode digit (e.g.
+        // Arabic-Indic ٥) falls through to the unknown-character error
+        // exactly as it does there, matching the word arm's discipline
+        def asciiDigit(ch: Char) = ch >= '0' && ch <= '9'
         val start = i
-        while (i < n && (input.charAt(i).isDigit || input.charAt(i) == '.')) i += 1
+        while (i < n && (asciiDigit(input.charAt(i)) ||
+                         input.charAt(i) == '.')) i += 1
         out += Num(input.substring(start, i))
       } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
                  c == '_') { // word — ASCII only, like the reference

@@ -324,6 +324,15 @@ class EngineSpec extends SparkSpec {
     val e = intercept[Exception](eng.sql("SELECT café FROM idt"))
     assert(e.getMessage.contains("unexpected character"),
       s"got: ${e.getMessage}")
+    // non-ASCII DIGITS too: the reference's number arm is '0'..='9',
+    // so an Arabic-Indic or full-width digit is an unknown character,
+    // not a Num token (same discipline as the word arm above)
+    for (d <- Seq("٥", "５")) {
+      val e2 = intercept[Exception](eng.sql(s"SELECT $d FROM idt"))
+      assert(e2.getMessage.contains("unexpected character"),
+        s"expected unexpected-character for U+${d.head.toInt.toHexString}, " +
+          s"got: ${e2.getMessage}")
+    }
   }
 
   test("truthiness applies per AND/OR operand (columnvalueops.rs:95-109)") {

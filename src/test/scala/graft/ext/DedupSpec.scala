@@ -107,6 +107,44 @@ class DedupSpec extends SparkSpec {
       s"estimate $est vs actual $actual out of band")
   }
 
+  test("broadcast-disable (-1) is honored; size strings parse") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAqe = spark.conf.get(aqeKey)
+    val prevAuto = spark.conf.getOption(autoKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      def plan(): String = Dedup.minhashLsh(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      // Spark's conventional broadcast-disable must NOT fall back to a
+      // 10 MB default: with the knob unset and auto=-1, the verify join
+      // must take the shuffle path
+      spark.conf.unset(Dedup.BroadcastVerifyKey)
+      spark.conf.set(autoKey, "-1")
+      assert(!plan().contains("BroadcastHashJoin"),
+        "autoBroadcastJoinThreshold=-1 must forbid the verify broadcast")
+      // a Spark size string on our own knob parses instead of crashing
+      spark.conf.set(Dedup.BroadcastVerifyKey, "64MB")
+      assert(plan().contains("BroadcastHashJoin"),
+        "64MB threshold must broadcast the tiny sf0.001 candidate set")
+    } finally {
+      spark.conf.unset(Dedup.BroadcastVerifyKey)
+      prevAuto.fold(spark.conf.unset(autoKey))(v =>
+        spark.conf.set(autoKey, v))
+      spark.conf.set(aqeKey, prevAqe)
+    }
+  }
+
+  test("candidate estimate is 0 (not a crash) on an empty shingle table") {
+    // docs too short to shingle: shingledOf drops them all, and the
+    // AMS F2 of an empty key multiset is exactly 0
+    val docs = Seq((1L, "one"), (2L, "two words")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val sh = Dedup.shingledOf(docs)
+    assert(sh.count() == 0, "3-gram shingling of <3-word docs is empty")
+    assert(Dedup.estimatedCandidates(sh) == 0L)
+  }
+
   test("simhash pairs are within the Hamming bound, found via chunks") {
     val pairs = Dedup.simhashPairs(spark, sfDir, maxHam = 3).cache()
     assert(pairs.count() > 0)

@@ -35,6 +35,38 @@ class PartitioningSpec extends SparkSpec {
     assert(Partitioning.tableBytes(spark, sfDir, "no_such_table") == 0L)
   }
 
+  test("tableBytes re-probes a table that appears after a miss") {
+    // replicas are generated mid-session: a pre-generation probe (0)
+    // must NOT freeze the memo, or sizing stays at the session floor
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pbytes").toString
+    assert(Partitioning.tableBytes(spark, dir, "late") == 0L)
+    (1 to 1000).toDF("x").write.parquet(s"$dir/late.parquet")
+    val after = Partitioning.tableBytes(spark, dir, "late")
+    assert(after > 0L, "post-generation probe must see the real bytes")
+    assert(Partitioning.tableBytes(spark, dir, "late") == after)
+  }
+
+  test("interleaved scopes on two threads never clobber the restored conf") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val t = new Thread(() =>
+      Partitioning.withShufflePartitions(spark, 11) { Thread.sleep(50) })
+    t.start()
+    Partitioning.withShufflePartitions(spark, 13) { Thread.sleep(50) }
+    t.join()
+    assert(spark.conf.get(key) == before,
+      "scopes must serialize; an interleaved restore would leak a count")
+    // reentrant nesting restores through both layers
+    Partitioning.withShufflePartitions(spark, 5) {
+      Partitioning.withShufflePartitions(spark, 6) {
+        assert(spark.conf.get(key) == "6")
+      }
+      assert(spark.conf.get(key) == "5")
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
   test("withShufflePartitions scopes the conf and restores it, even on throw") {
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
