@@ -617,6 +617,10 @@ object SparkEntry {
     // dynamic partition pruning: dim-filter-driven fact-scan pruning
     "q192_dynamic_pruning" -> ((s: SparkSession, d: String) =>
       sources.PartitionedLayout.dynamicPruningGate(s, d)),
+    // LSH with exact-dup group collapse forced on: must be row-identical
+    // to q26 (the mega-bucket defense is exact, not approximate)
+    "q193_dedup_minhash_collapsed" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.minhashLshCollapsed(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -1284,5 +1288,7 @@ object SparkEntry {
       ops.TpchPatterns.disjunctiveRevenueOracleSql(),
     "q192_dynamic_pruning" ->
       sources.PartitionedLayout.dynamicPruningGateOracleSql(),
+    // same oracle as q26: the collapsed plan's output is identical
+    "q193_dedup_minhash_collapsed" -> ext.Dedup.minhashLshOracleSql(),
   )
 }

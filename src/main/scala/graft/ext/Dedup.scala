@@ -142,10 +142,116 @@ object Dedup {
     math.max(0L, (Sketches.amsF2(keys) - n) / 2)
   }
 
+  /** Conf knob: minimum exact-duplicate fraction (1 − distinct
+    * fingerprints / docs) above which [[minhashLsh]] collapses
+    * exact-duplicate groups to one representative before LSH. Below it
+    * the direct pipeline runs unchanged (the testdata's dup rate is
+    * ~0.2%, so gates default to the direct path). Set to "0.0" to force
+    * collapse, "1.1" to force direct. */
+  private[ext] val CollapseDupFractionKey =
+    "spark.graft.dedup.collapseDupFraction"
+
   def minhashLsh(spark: SparkSession, dir: String,
-                 threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                 threshold: Double = 0.5): DataFrame =
+    minhashLshOf(spark, Tables.load(spark, dir, "documents"), threshold)
+
+  /** MinHash-LSH near-dup pairs over any (doc_id, text) frame, with an
+    * EXACTNESS-PRESERVING defense against the one thing banded LSH
+    * cannot survive at 100 TB: mega-buckets from exact-duplicate
+    * groups. A boilerplate page duplicated k times puts all k copies in
+    * the SAME bucket of every band — k²/2 candidate pairs, each
+    * carrying two full shingle arrays through the verify join. Real
+    * web-scale corpora run 30–50% exact duplicates, so this is the
+    * dominant cost at scale, and no partitioning trick fixes it (AQE
+    * skew-split moves the pairs around; the pair VOLUME is the
+    * problem).
+    *
+    * The fix is algebraic, not approximate: identical normalized text ⇒
+    * identical shingle sets ⇒ identical signatures and band keys, so
+    * the full pair set factors exactly into (a) all intra-group pairs,
+    * jaccard ≡ 1.0, emitted directly without any join on shingle data,
+    * and (b) representative-pair results expanded to member pairs —
+    * jaccard(x, y) for x∈A, y∈B equals jaccard(repA, repB) because the
+    * inputs are element-wise equal arrays. LSH + verify then run over
+    * DISTINCT documents only: join work is linear in distinct docs, and
+    * the quadratic part degenerates to pure output emission of 24-byte
+    * rows. The output is row-for-row identical to the direct pipeline
+    * (the q193 gate replays the same DuckDB oracle as q26 with collapse
+    * forced on).
+    *
+    * Grouping is by md5(normalized text) — the same 128-bit fingerprint
+    * the [[fingerprint]] dedup operator already trusts — so the group
+    * shuffle moves 24-byte (fp, doc_id) rows, never shingle arrays.
+    * The collapse is gated on a measured duplicate fraction (one cheap
+    * map-side-combined agg) because on a dup-free corpus it would add
+    * a semi-join for nothing: below [[CollapseDupFractionKey]] the
+    * direct pipeline runs byte-identically to before. */
+  private[graft] def minhashLshOf(spark: SparkSession, docs: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(TextAnalysis.normalized(col("text"))).as("fp"))
+    val probe = keyed.agg(count(lit(1)).as("n"),
+      approx_count_distinct(col("fp")).as("g")).head()
+    val n = probe.getLong(0)
+    val dupFrac =
+      if (n == 0L) 0.0 else 1.0 - probe.getLong(1).toDouble / n
+    val minFrac = spark.conf.getOption(CollapseDupFractionKey)
+      .map(_.toDouble).getOrElse(0.05)
+    if (dupFrac < minFrac) {
+      val sh = shingledOf(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      verifiedLshPairs(spark, docs, sh, threshold)
+    } else {
+      val groups = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("gid"))
+      val members = keyed.join(groups, "fp")
+        .select(col("gid"), col("doc_id"))
+      val repDocs = docs.join(groups.select(col("gid").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val shR = shingledOf(repDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val repPairs = verifiedLshPairs(spark, repDocs, shR, threshold)
+      // groups whose docs are too short to shingle produce NO pairs in
+      // the direct pipeline (they never enter sh) — drop them here too
+      val mem = members
+        .join(shR.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
+      val intra = mem.as("l").join(mem.as("r"),
+          col("l.gid") === col("r.gid") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+                lit(1.0).as("jaccard"))
+        .filter(lit(1.0) >= lit(threshold)) // folds to a constant
+      val cross = repPairs.as("p")
+        .join(mem.as("ma"), col("p.a_id") === col("ma.gid"))
+        .join(mem.as("mb"), col("p.b_id") === col("mb.gid"))
+        .select(least(col("ma.doc_id"), col("mb.doc_id")).as("a_id"),
+                greatest(col("ma.doc_id"), col("mb.doc_id")).as("b_id"),
+                col("p.jaccard").as("jaccard"))
+      intra.unionByName(cross)
+    }
+  }
+
+  /** [[minhashLsh]] with the exact-duplicate collapse FORCED on (the
+    * testdata's dup rate sits below the adaptive threshold, so the
+    * gates would otherwise never exercise the collapsed plan). The
+    * point of the gate: the collapsed plan must be ROW-IDENTICAL to
+    * the direct pipeline — it replays the q26 DuckDB oracle verbatim. */
+  def minhashLshCollapsed(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val prev = spark.conf.getOption(CollapseDupFractionKey)
+    spark.conf.set(CollapseDupFractionKey, "0.0")
+    // the collapse decision is read eagerly on the driver, so the conf
+    // can be restored as soon as the plan is built
+    try minhashLsh(spark, dir, threshold)
+    finally prev.fold(spark.conf.unset(CollapseDupFractionKey))(v =>
+      spark.conf.set(CollapseDupFractionKey, v))
+  }
+
+  /** The candidate + exact-verify tail of the LSH pipeline over a
+    * shingle table, with the AMS-estimate-driven broadcast-vs-shuffle
+    * choice for the verify joins. */
+  private def verifiedLshPairs(spark: SparkSession, docs: DataFrame,
+                               sh: DataFrame,
+                               threshold: Double): DataFrame = {
     val shA = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
     val shB = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
     val cand = candidatePairs(sh)
@@ -174,8 +280,7 @@ object Dedup {
           spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
         catch { case _: NumberFormatException => 10L * 1024 * 1024 })
     val estPairs = estimatedCandidates(sh)
-    val avgCharsRow = Tables.load(spark, dir, "documents")
-      .agg(avg(col("n_chars"))).head()
+    val avgCharsRow = docs.agg(avg(length(col("text")))).head()
     val avgChars =
       if (avgCharsRow.isNullAt(0)) 0.0 else avgCharsRow.getDouble(0)
     val pairRowBytes = 32.0 + 8.0 * (avgChars / 6.0)

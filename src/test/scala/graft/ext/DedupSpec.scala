@@ -145,6 +145,78 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.estimatedCandidates(sh) == 0L)
   }
 
+  test("exact-dup collapse output is row-identical to the direct path") {
+    // planted corpus: 3 exact-dup groups (identical after normalize),
+    // one near-dup pair across groups, short unshingleable dups, uniques
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = (
+      (1L to 6L).map(i => (i, base)) ++            // exact copies
+      // case/punct variants normalize to the SAME fingerprint as base,
+      // so ids 1-6 and 11-14 form one 10-member group
+      (11L to 14L).map(i => (i, base.toUpperCase + "!")) ++
+      Seq((21L, base + " with a small twist at the end here okay")) ++
+      (31L to 33L).map(i => (i, "tiny doc")) ++          // unshingleable dups
+      Seq((41L, "completely different text about spark catalyst " +
+                "optimizer rules and physical plan strategies today"),
+          (42L, "another unrelated document mentioning parquet column " +
+                "pruning predicate pushdown and shuffle partitioning"))
+    ).toDF("doc_id", "text")
+    val prev = spark.conf.getOption(Dedup.CollapseDupFractionKey)
+    def run(conf: String): Seq[String] = {
+      spark.conf.set(Dedup.CollapseDupFractionKey, conf)
+      try Dedup.minhashLshOf(spark, docs, 0.5)
+        .collect().map(_.toString).sorted.toSeq
+      finally prev.fold(spark.conf.unset(Dedup.CollapseDupFractionKey))(
+        v => spark.conf.set(Dedup.CollapseDupFractionKey, v))
+    }
+    val collapsed = run("0.0") // force collapse
+    val direct = run("1.1")    // force direct
+    assert(collapsed.nonEmpty, "planted duplicates must yield pairs")
+    assert(collapsed == direct,
+      s"collapse must be exact:\ncollapsed=$collapsed\ndirect=$direct")
+    // sanity on content: every intra-group pair of the 10-copy group
+    // (uppercase normalizes to the same fingerprint) is present at 1.0,
+    // and no pair involves the unshingleable tiny docs
+    assert(!collapsed.exists(s => s.contains("[31,") || s.contains(",31,")),
+      "too-short docs produce no pairs on either path")
+  }
+
+  test("collapse bounds LSH join volume linearly in duplicate count") {
+    // one 80-copy boilerplate group: direct banding creates an
+    // 80-member bucket in EVERY band -> 3160 candidate pairs through
+    // the verify join; collapsed, the joins see ONE representative and
+    // the 3160 pairs degenerate to output emission
+    val boiler = "identical boilerplate header text repeated across " +
+      "thousands of crawled pages with navigation and footer words"
+    val docs = (
+      (1L to 80L).map(i => (i, boiler)) ++
+      Seq((101L, "some genuinely unique document text about databases " +
+                 "query optimization and distributed execution engines"))
+    ).toDF("doc_id", "text")
+    val directCand = Dedup.candidatePairs(Dedup.shingledOf(docs)).count()
+    assert(directCand >= 80L * 79 / 2,
+      s"direct banding must pay the quadratic bucket: $directCand")
+    // collapsed: candidates are generated over representatives only
+    val keyed = docs.select(col("doc_id"),
+      md5(TextAnalysis.normalized(col("text"))).as("fp"))
+    val reps = docs.join(
+      keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val repCand = Dedup.candidatePairs(Dedup.shingledOf(reps)).count()
+    assert(repCand <= 1L,
+      s"rep banding must see at most the cross-group pair: $repCand")
+    // and the full collapsed operator still emits every member pair
+    val prev = spark.conf.getOption(Dedup.CollapseDupFractionKey)
+    spark.conf.set(Dedup.CollapseDupFractionKey, "0.0")
+    try {
+      val out = Dedup.minhashLshOf(spark, docs, 0.5)
+      assert(out.count() == 80L * 79 / 2)
+      assert(out.filter(col("jaccard") =!= 1.0).count() == 0)
+    } finally prev.fold(spark.conf.unset(Dedup.CollapseDupFractionKey))(
+      v => spark.conf.set(Dedup.CollapseDupFractionKey, v))
+  }
+
   test("simhash pairs are within the Hamming bound, found via chunks") {
     val pairs = Dedup.simhashPairs(spark, sfDir, maxHam = 3).cache()
     assert(pairs.count() > 0)
