@@ -621,7 +621,31 @@ object SparkEntry {
     // to q26 (the mega-bucket defense is exact, not approximate)
     "q193_dedup_minhash_collapsed" -> ((s: SparkSession, d: String) =>
       ext.Dedup.minhashLshCollapsed(s, d)),
+    // the same forced-collapse exactness proof for the other three pair
+    // families (each replays its direct twin's oracle verbatim)
+    "q194_dedup_simhash_collapsed" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.simhashPairsCollapsed(s, d)),
+    "q195_jaccard_collapsed" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.jaccardPairsCollapsed(s, d, 0.8)),
+    "q196_containment_collapsed" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.containmentPairsCollapsed(s, d)),
   )
+
+  /** Brute-force same-source jaccard oracle (shared by q28 and its
+    * forced-collapse twin q195). */
+  private val jaccardBruteOracleSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+      |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+      |    AS ws
+      | FROM documents)
+      |SELECT a_id, b_id, jac FROM (
+      | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+      |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+      |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+      | FROM d l, d r
+      | WHERE l.source = r.source AND l.doc_id < r.doc_id) p
+      |WHERE jac >= 0.8""".stripMargin
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -880,19 +904,7 @@ object SparkEntry {
         |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "q28_jaccard_pairs" ->
-      """WITH d AS (SELECT doc_id, source,
-        |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
-        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
-        |    AS ws
-        | FROM documents)
-        |SELECT a_id, b_id, jac FROM (
-        | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
-        |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
-        |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
-        | FROM d l, d r
-        | WHERE l.source = r.source AND l.doc_id < r.doc_id) p
-        |WHERE jac >= 0.8""".stripMargin,
+    "q28_jaccard_pairs" -> jaccardBruteOracleSql,
     "q39_dedup_clusters" ->
       """WITH RECURSIVE d AS (SELECT doc_id, source,
         |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
@@ -1288,7 +1300,11 @@ object SparkEntry {
       ops.TpchPatterns.disjunctiveRevenueOracleSql(),
     "q192_dynamic_pruning" ->
       sources.PartitionedLayout.dynamicPruningGateOracleSql(),
-    // same oracle as q26: the collapsed plan's output is identical
+    // same oracles as q26/q27/q28/q103: collapsed plans are identical
     "q193_dedup_minhash_collapsed" -> ext.Dedup.minhashLshOracleSql(),
+    "q194_dedup_simhash_collapsed" -> ext.Dedup.simhashPairsOracleSql(),
+    "q195_jaccard_collapsed" -> jaccardBruteOracleSql,
+    "q196_containment_collapsed" ->
+      ext.Dedup.containmentPairsOracleSql(),
   )
 }

@@ -187,47 +187,88 @@ object Dedup {
     * a semi-join for nothing: below [[CollapseDupFractionKey]] the
     * direct pipeline runs byte-identically to before. */
   private[graft] def minhashLshOf(spark: SparkSession, docs: DataFrame,
-                                  threshold: Double): DataFrame = {
-    val keyed = docs.select(col("doc_id"),
-      md5(TextAnalysis.normalized(col("text"))).as("fp"))
-    val probe = keyed.agg(count(lit(1)).as("n"),
-      approx_count_distinct(col("fp")).as("g")).head()
-    val n = probe.getLong(0)
-    val dupFrac =
-      if (n == 0L) 0.0 else 1.0 - probe.getLong(1).toDouble / n
-    val minFrac = spark.conf.getOption(CollapseDupFractionKey)
-      .map(_.toDouble).getOrElse(0.05)
-    if (dupFrac < minFrac) {
+                                  threshold: Double): DataFrame =
+    if (dupFraction(docs, Nil) < collapseMinFrac(spark)) {
       val sh = shingledOf(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       verifiedLshPairs(spark, docs, sh, threshold)
-    } else {
-      val groups = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("gid"))
-      val members = keyed.join(groups, "fp")
-        .select(col("gid"), col("doc_id"))
-      val repDocs = docs.join(groups.select(col("gid").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val shR = shingledOf(repDocs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val repPairs = verifiedLshPairs(spark, repDocs, shR, threshold)
-      // groups whose docs are too short to shingle produce NO pairs in
-      // the direct pipeline (they never enter sh) — drop them here too
-      val mem = members
-        .join(shR.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
-      val intra = mem.as("l").join(mem.as("r"),
-          col("l.gid") === col("r.gid") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
-                lit(1.0).as("jaccard"))
-        .filter(lit(1.0) >= lit(threshold)) // folds to a constant
-      val cross = repPairs.as("p")
-        .join(mem.as("ma"), col("p.a_id") === col("ma.gid"))
-        .join(mem.as("mb"), col("p.b_id") === col("mb.gid"))
-        .select(least(col("ma.doc_id"), col("mb.doc_id")).as("a_id"),
-                greatest(col("ma.doc_id"), col("mb.doc_id")).as("b_id"),
-                col("p.jaccard").as("jaccard"))
-      intra.unionByName(cross)
-    }
+    } else collapseExpand(docs, Nil, "jaccard", lit(1.0),
+      intraQualifies = threshold <= 1.0, repDocs => {
+        val shR = shingledOf(repDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // groups whose docs are too short to shingle produce NO pairs
+        // in the direct pipeline (they never enter sh) — shR's doc ids
+        // are the eligible set
+        (verifiedLshPairs(spark, repDocs, shR, threshold),
+         shR.select(col("doc_id")))
+      })
+
+  /** Measured exact-duplicate fraction of a corpus, within the group
+    * key `extraKeys :+ md5(normalized text)` — one map-side-combined
+    * agg (HLL distinct), driver-side. The collapse planner's probe. */
+  private def dupFraction(docs: DataFrame, extraKeys: Seq[String]): Double = {
+    val fp = md5(TextAnalysis.normalized(col("text")))
+    val key = if (extraKeys.isEmpty) fp
+      else concat_ws("", extraKeys.map(col) :+ fp: _*)
+    val probe = docs.agg(count(lit(1)).as("n"),
+      approx_count_distinct(key).as("g")).head()
+    val n = probe.getLong(0)
+    if (n == 0L) 0.0 else 1.0 - probe.getLong(1).toDouble / n
+  }
+
+  private def collapseMinFrac(spark: SparkSession): Double =
+    spark.conf.getOption(CollapseDupFractionKey)
+      .map(_.toDouble).getOrElse(0.05)
+
+  /** The shared exact-duplicate collapse for every pair family (the
+    * SCALE.md "mega-bucket defense"): group docs with identical
+    * normalized text (within `extraKeys` — e.g. `source` for the
+    * same-source families, so grouping never crosses a boundary the
+    * family's own join respects), run the family over ONE
+    * representative per group, emit all intra-group pairs at the
+    * family's identical-doc score, and expand representative pairs to
+    * member pairs. Exact for every family whose score is a pure
+    * function of the normalized text (shingle sets, word sets, and
+    * simhash all are): member inputs are element-wise equal to their
+    * representative's, so scores transfer unchanged.
+    *
+    * `family(repDocs)` returns (pairs over the representatives, the
+    * doc_ids eligible to pair at all) — eligibility mirrors each
+    * family's own degenerate-input behavior (unshingleable docs,
+    * null text), so a group the direct pipeline would silently skip
+    * is skipped here too. Null group keys (null text/source) drop out
+    * of the member equi-join exactly as they never match in the
+    * families' own join conditions. */
+  private def collapseExpand(docs: DataFrame, extraKeys: Seq[String],
+                             scoreCol: String, intraScore: Column,
+                             intraQualifies: Boolean,
+                             family: DataFrame => (DataFrame, DataFrame))
+      : DataFrame = {
+    val keyed = docs.select(col("doc_id") +: extraKeys.map(col) :+
+      md5(TextAnalysis.normalized(col("text"))).as("fp"): _*)
+    val joinKeys = extraKeys :+ "fp"
+    val groups = keyed.groupBy(joinKeys.map(col): _*)
+      .agg(min(col("doc_id")).as("gid"))
+    val members = keyed.join(groups, joinKeys)
+      .select(col("gid"), col("doc_id"))
+    val repDocs = docs.join(groups.select(col("gid").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val (repPairs, eligibleIds) = family(repDocs)
+    val mem = members.join(eligibleIds.select(col("doc_id").as("gid")),
+      Seq("gid"), "left_semi")
+    val intra = mem.as("l").join(mem.as("r"),
+        col("l.gid") === col("r.gid") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+              intraScore.as(scoreCol))
+      .filter(lit(intraQualifies)) // folds to a constant
+    val cross = repPairs.as("p")
+      .join(mem.as("ma"), col("p.a_id") === col("ma.gid"))
+      .join(mem.as("mb"), col("p.b_id") === col("mb.gid"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("a_id"),
+              greatest(col("ma.doc_id"), col("mb.doc_id")).as("b_id"),
+              col(s"p.$scoreCol").as(scoreCol))
+    intra.unionByName(cross)
   }
 
   /** [[minhashLsh]] with the exact-duplicate collapse FORCED on (the
@@ -236,12 +277,31 @@ object Dedup {
     * point of the gate: the collapsed plan must be ROW-IDENTICAL to
     * the direct pipeline — it replays the q26 DuckDB oracle verbatim. */
   def minhashLshCollapsed(spark: SparkSession, dir: String,
-                          threshold: Double = 0.5): DataFrame = {
+                          threshold: Double = 0.5): DataFrame =
+    withForcedCollapse(spark)(minhashLsh(spark, dir, threshold))
+
+  /** Forced-collapse twins for the other three pair families — same
+    * purpose as [[minhashLshCollapsed]]: the gates replay each direct
+    * operator's DuckDB oracle verbatim through the collapsed plan. */
+  def simhashPairsCollapsed(spark: SparkSession, dir: String,
+                            maxHam: Int = 3): DataFrame =
+    withForcedCollapse(spark)(simhashPairs(spark, dir, maxHam))
+
+  def jaccardPairsCollapsed(spark: SparkSession, dir: String,
+                            threshold: Double = 0.5): DataFrame =
+    withForcedCollapse(spark)(jaccardPairs(spark, dir, threshold))
+
+  def containmentPairsCollapsed(spark: SparkSession, dir: String,
+                                threshold: Double = 0.9): DataFrame =
+    withForcedCollapse(spark)(containmentPairs(spark, dir, threshold))
+
+  /** Run `body` with the exact-duplicate collapse forced on. The
+    * collapse decision is read eagerly on the driver while the plan is
+    * built, so the conf can be restored as soon as `body` returns. */
+  private def withForcedCollapse[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.getOption(CollapseDupFractionKey)
     spark.conf.set(CollapseDupFractionKey, "0.0")
-    // the collapse decision is read eagerly on the driver, so the conf
-    // can be restored as soon as the plan is built
-    try minhashLsh(spark, dir, threshold)
+    try body
     finally prev.fold(spark.conf.unset(CollapseDupFractionKey))(v =>
       spark.conf.set(CollapseDupFractionKey, v))
   }
@@ -443,7 +503,10 @@ object Dedup {
     * fingerprint, is reproducible from SQL `md5()` and the gate is
     * oracle-checkable. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    simhashesOf(Tables.load(spark, dir, "documents"))
+
+  private[graft] def simhashesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
               split(TextAnalysis.normalized(col("text")), " ").as("words"))
       .select(col("doc_id"),
@@ -472,6 +535,25 @@ object Dedup {
     * volume then scales with TRUE pair volume, not n². */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHam: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val np = graft.ops.Partitioning.forTable(
+      spark, dir, "documents", SimhashExpansion)
+    // exact-duplicate groups share the SAME simhash, hence the same
+    // bucket of every block-combination key — the identical mega-bucket
+    // exposure as LSH banding, defended the identical way (collapse to
+    // representatives, expand back; hamming(x, y) = hamming(repA, repB)
+    // because equal normalized text gives equal fingerprints)
+    if (dupFraction(docs, Nil) < collapseMinFrac(spark))
+      simhashPairsOf(docs, maxHam, np)
+    else collapseExpand(docs, Nil, "hamming", lit(0),
+      intraQualifies = maxHam >= 0, repDocs =>
+        (simhashPairsOf(repDocs, maxHam, np),
+         simhashesOf(repDocs).filter(col("simhash").isNotNull)
+           .select(col("doc_id"))))
+  }
+
+  private def simhashPairsOf(docs: DataFrame, maxHam: Int,
+                             numParts: Int): DataFrame = {
     val b = maxHam + 3
     val widths = Array.fill(b)(64 / b)
     (0 until 64 % b).foreach(i => widths(i) += 1)
@@ -482,7 +564,7 @@ object Dedup {
       shiftRightUnsigned(col("simhash"), offsets(i))
         .bitwiseAND(lit((1L << widths(i)) - 1L))
     val combos = (0 until b).combinations(3).toSeq
-    val sh = simhashes(spark, dir)
+    val sh = simhashesOf(docs)
     // data-derived count baked into the plan (no memo site to scope a
     // session conf around): both join children share this partitioning
     // on the candidate key, so the self-join plans no extra exchange
@@ -492,8 +574,7 @@ object Dedup {
         struct(lit(ci).as("ci"), block(c(0)).as("b0"),
                block(c(1)).as("b1"), block(c(2)).as("b2"))
       }: _*)).as("key"))
-      .repartition(graft.ops.Partitioning.forTable(
-        spark, dir, "documents", SimhashExpansion), col("key"))
+      .repartition(numParts, col("key"))
     keys.as("l").join(keys.as("r"),
         col("l.key") === col("r.key") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
@@ -536,14 +617,13 @@ object Dedup {
     * p = n − ⌈t·n⌉ + 1. One implementation so a tuning change (hash
     * basis, rarity order, the ceil bound) can never make the two
     * operators disagree on candidate generation. */
-  private def prefixedTokens(spark: SparkSession, dir: String,
-                             threshold: Double)
+  private def prefixedTokens(docs0: DataFrame, threshold: Double)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // Word sets as sorted distinct xxhash64s (64-bit: collision-free in
     // practice, so |A∩B| over hashes equals |A∩B| over the words) — the
     // merge-scan intersect beats per-pair hash-set builds ~5x.
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = docs0
       .select(col("doc_id"), col("source"),
               graft.functions.HashShingles.shingles(
                 split(TextAnalysis.normalized(col("text")), " "), 1).as("ws"))
@@ -565,13 +645,32 @@ object Dedup {
 
   def jaccardPairs(spark: SparkSession, dir: String,
                    threshold: Double = 0.5): DataFrame = {
+    val docs0 = Tables.load(spark, dir, "documents")
+    // exact-dup groups defeat prefix filtering too: k identical docs
+    // all emit the same rarity prefix, giving k²/2 candidates that each
+    // carry two full word-set arrays — collapse to representatives
+    // (grouped WITHIN source: the operator only pairs same-source docs,
+    // and the group key must never cross a boundary the join respects)
+    if (dupFraction(docs0, Seq("source")) < collapseMinFrac(spark))
+      jaccardPairsOf(docs0, threshold)
+    else collapseExpand(docs0, Seq("source"), "jac", lit(1.0),
+      intraQualifies = threshold <= 1.0, repDocs =>
+        // any non-null text yields n >= 1 word hash, shares its own
+        // prefix token, and passes the size filter at equality — so
+        // eligibility is exactly text non-null, like the direct path
+        (jaccardPairsOf(repDocs, threshold),
+         repDocs.filter(col("text").isNotNull).select(col("doc_id"))))
+  }
+
+  private def jaccardPairsOf(docs0: DataFrame,
+                             threshold: Double): DataFrame = {
     // prefix length p = n − ⌈t·n⌉ + 1 over the global (df, token) order;
     // emit (source, token, doc) per prefix token. The candidate key is
     // the COMPOSITE (source, token): the query only asks for same-source
     // pairs, so folding source into the key is exact, splits every token
     // bucket across sources, and keeps the join scale-safe even when one
     // source is huge (prefix tokens prune within it).
-    val (docs, _, prefixes) = prefixedTokens(spark, dir, threshold)
+    val (docs, _, prefixes) = prefixedTokens(docs0, threshold)
     val cand = prefixes.as("l").join(prefixes.as("r"),
         col("l.source") === col("r.source") &&
         col("l.token") === col("r.token") &&
@@ -615,7 +714,20 @@ object Dedup {
     * (same argument as [[jaccardPairs]]). */
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.9): DataFrame = {
-    val (docs, toks, prefixes) = prefixedTokens(spark, dir, threshold)
+    val docs0 = Tables.load(spark, dir, "documents")
+    // same collapse as jaccardPairs (cont(x, y) = cont(repA, repB) for
+    // element-wise-equal word sets; identical docs have cont = n/n = 1)
+    if (dupFraction(docs0, Seq("source")) < collapseMinFrac(spark))
+      containmentPairsOf(docs0, threshold)
+    else collapseExpand(docs0, Seq("source"), "cont", lit(1.0),
+      intraQualifies = threshold <= 1.0, repDocs =>
+        (containmentPairsOf(repDocs, threshold),
+         repDocs.filter(col("text").isNotNull).select(col("doc_id"))))
+  }
+
+  private def containmentPairsOf(docs0: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val (docs, toks, prefixes) = prefixedTokens(docs0, threshold)
     val cand = prefixes.as("l").join(
         toks.select(col("doc_id"), col("source"), col("token")).as("r"),
         col("l.source") === col("r.source") &&

@@ -217,6 +217,62 @@ class DedupSpec extends SparkSpec {
       v => spark.conf.set(Dedup.CollapseDupFractionKey, v))
   }
 
+  test("forced collapse is row-identical across all four pair families") {
+    // planted corpus exercising every collapse concern: a 6-copy group,
+    // a 2-copy near-dup group (cross-group rep pair expands 6x2=12
+    // member pairs), the SAME text under another source (must pair for
+    // minhash/simhash, must NOT for the same-source jaccard/containment
+    // — the source-scoped group key), a contained short doc + its dup,
+    // and an unrelated doc
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val twist = base.replace("dog", "cat")
+    val contained = "quick brown fox jumps lazy dog"
+    val rows =
+      (1L to 6L).map(i => (i, "s1", base)) ++
+      Seq((7L, "s1", twist), (8L, "s1", twist)) ++
+      Seq((9L, "s2", base)) ++
+      Seq((10L, "s1", contained), (11L, "s1", contained)) ++
+      Seq((12L, "s1", "totally different words about query engines " +
+                      "and columnar storage formats here"))
+    val dir = java.nio.file.Files.createTempDirectory("collapse4").toString
+    rows.toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val families: Seq[(String, () => org.apache.spark.sql.DataFrame,
+                               () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("minhash", () => Dedup.minhashLsh(spark, dir),
+                  () => Dedup.minhashLshCollapsed(spark, dir)),
+      ("simhash", () => Dedup.simhashPairs(spark, dir),
+                  () => Dedup.simhashPairsCollapsed(spark, dir)),
+      ("jaccard", () => Dedup.jaccardPairs(spark, dir, 0.8),
+                  () => Dedup.jaccardPairsCollapsed(spark, dir, 0.8)),
+      ("containment", () => Dedup.containmentPairs(spark, dir),
+                      () => Dedup.containmentPairsCollapsed(spark, dir)))
+    val prev = spark.conf.getOption(Dedup.CollapseDupFractionKey)
+    for ((name, direct, collapsed) <- families) {
+      // dup fraction is always < 1.1 -> the direct pipeline
+      spark.conf.set(Dedup.CollapseDupFractionKey, "1.1")
+      val d =
+        try direct().collect().map(_.toString).sorted.toSeq
+        finally prev.fold(spark.conf.unset(Dedup.CollapseDupFractionKey))(
+          v => spark.conf.set(Dedup.CollapseDupFractionKey, v))
+      val c = collapsed().collect().map(_.toString).sorted.toSeq
+      assert(d.nonEmpty, s"$name: planted corpus must yield pairs")
+      assert(c == d, s"$name collapse must be exact:\n direct=$d\n collapsed=$c")
+    }
+    // the cross-source identical pair (1,9) exists for the corpus-wide
+    // families and is absent for the same-source ones
+    def has19(s: Seq[String]) = s.exists(_.startsWith("[1,9,"))
+    spark.conf.set(Dedup.CollapseDupFractionKey, "1.1")
+    try {
+      assert(has19(Dedup.minhashLsh(spark, dir)
+        .collect().map(_.toString).sorted.toSeq))
+      assert(!has19(Dedup.jaccardPairs(spark, dir, 0.8)
+        .collect().map(_.toString).sorted.toSeq))
+    } finally prev.fold(spark.conf.unset(Dedup.CollapseDupFractionKey))(
+      v => spark.conf.set(Dedup.CollapseDupFractionKey, v))
+  }
+
   test("simhash pairs are within the Hamming bound, found via chunks") {
     val pairs = Dedup.simhashPairs(spark, sfDir, maxHam = 3).cache()
     assert(pairs.count() > 0)
