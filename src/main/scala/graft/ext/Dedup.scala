@@ -148,7 +148,7 @@ object Dedup {
     * the direct pipeline runs unchanged (the testdata's dup rate is
     * ~0.2%, so gates default to the direct path). Set to "0.0" to force
     * collapse, "1.1" to force direct. */
-  private[ext] val CollapseDupFractionKey =
+  private[graft] val CollapseDupFractionKey =
     "spark.graft.dedup.collapseDupFraction"
 
   def minhashLsh(spark: SparkSession, dir: String,

@@ -321,6 +321,54 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // dup10 mode: the collapse-value measurement. The standard replica
+    // is DELIBERATELY dup-free across replicas (cross-replica jaccard
+    // 0), so the adaptive exact-duplicate collapse never engages there;
+    // this mode replicates every document VERBATIM 10× (id offsets
+    // only — ~91% exact-dup rate, 10-member groups), the corpus shape
+    // the collapse defends, and times each pair family direct vs
+    // collapsed on it. Row counts must match exactly (the collapse is
+    // an exact factoring). Test/runMain graft.tools.ScaleSmoke dup10
+    if (args.headOption.contains("dup10")) {
+      val out = "target/dup10"
+      if (!new java.io.File(s"$out/documents.parquet").isDirectory) {
+        spark.read.parquet(s"$Base/documents.parquet")
+          .select(col("*"),
+            explode(array((0 until 10).map(lit): _*)).as("rep"))
+          .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      }
+      println(s"[scale] dup10 docs = " +
+        spark.read.parquet(s"$out/documents.parquet").count())
+      val fams: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("minhash", () => graft.ext.Dedup.minhashLsh(spark, out)),
+        ("simhash", () => graft.ext.Dedup.simhashPairs(spark, out)),
+        ("jaccard", () => graft.ext.Dedup.jaccardPairs(spark, out, 0.8)),
+        ("containment",
+          () => graft.ext.Dedup.containmentPairs(spark, out)))
+      val key = graft.ext.Dedup.CollapseDupFractionKey
+      println(f"[scale] ${"family"}%-14s ${"t_direct"}%9s ${"t_collapsed"}%12s ${"speedup"}%8s ${"rows"}%10s")
+      for ((name, fn) <- fams) {
+        def timed(frac: String): (Double, Long) = {
+          spark.conf.set(key, frac)
+          try {
+            coldStart()
+            val t0 = System.nanoTime()
+            val rows = fn().count()
+            ((System.nanoTime() - t0) / 1e9, rows)
+          } finally spark.conf.unset(key)
+        }
+        timed("0.0") // warm JIT/codegen on the cheap side
+        val (tc, rc) = timed("0.0")
+        val (td, rd) = timed("1.1")
+        assert(rd == rc, s"$name: direct $rd != collapsed $rc rows")
+        println(f"[scale] $name%-14s $td%8.2fs $tc%11.2fs ${td / math.max(tc, 1e-9)}%7.1fx $rd%10d")
+      }
+      spark.stop()
+      return
+    }
     // x100 mode: two-decade smoke for the Top5 cost drivers only —
     // Test/runMain graft.tools.ScaleSmoke x100 [pN] [gateprefix...]
     // pN (e.g. p128) re-sizes the SESSION shuffle partitions for the
