@@ -192,7 +192,7 @@ object Dedup {
       val sh = shingledOf(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       verifiedLshPairs(spark, docs, sh, threshold)
-    } else collapseExpand(docs, Nil, "jaccard", lit(1.0),
+    } else collapseExpand(docs, Nil, Seq("jaccard" -> lit(1.0)),
       intraQualifies = threshold <= 1.0, repDocs => {
         val shR = shingledOf(repDocs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -240,7 +240,7 @@ object Dedup {
     * of the member equi-join exactly as they never match in the
     * families' own join conditions. */
   private def collapseExpand(docs: DataFrame, extraKeys: Seq[String],
-                             scoreCol: String, intraScore: Column,
+                             scoreCols: Seq[(String, Column)],
                              intraQualifies: Boolean,
                              family: DataFrame => (DataFrame, DataFrame))
       : DataFrame = {
@@ -259,15 +259,15 @@ object Dedup {
     val intra = mem.as("l").join(mem.as("r"),
         col("l.gid") === col("r.gid") &&
         col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
-              intraScore.as(scoreCol))
+      .select(col("l.doc_id").as("a_id") +: col("r.doc_id").as("b_id") +:
+              scoreCols.map { case (name, v) => v.as(name) }: _*)
       .filter(lit(intraQualifies)) // folds to a constant
     val cross = repPairs.as("p")
       .join(mem.as("ma"), col("p.a_id") === col("ma.gid"))
       .join(mem.as("mb"), col("p.b_id") === col("mb.gid"))
-      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("a_id"),
-              greatest(col("ma.doc_id"), col("mb.doc_id")).as("b_id"),
-              col(s"p.$scoreCol").as(scoreCol))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("a_id") +:
+              greatest(col("ma.doc_id"), col("mb.doc_id")).as("b_id") +:
+              scoreCols.map { case (name, _) => col(s"p.$name").as(name) }: _*)
     intra.unionByName(cross)
   }
 
@@ -377,8 +377,27 @@ object Dedup {
     * before any exact verify. Output: every candidate pair with its
     * matched-component count and estimate. */
   def containmentEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.load(spark, dir, "documents")
+    // the last candidatePairs consumer gets the same mega-bucket
+    // defense as the verify families: identical docs ⇒ identical
+    // signatures ⇒ m = 32 and Ĉ = 32·2n/(64·n) = exactly 1.0 for
+    // intra-group pairs; rep estimates transfer to members unchanged
+    if (dupFraction(docs, Nil) < collapseMinFrac(spark))
+      containmentEstimateOf(docs)
+    else collapseExpand(docs, Nil,
+      Seq("m" -> lit(32L), "est_cont" -> lit(1.0)),
+      intraQualifies = true, repDocs => {
+        val shR = shingledOf(repDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (containmentEstimateOver(shR), shR.select(col("doc_id")))
+      })
+  }
+
+  private def containmentEstimateOf(docs: DataFrame): DataFrame =
+    containmentEstimateOver(shingledOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def containmentEstimateOver(sh: DataFrame): DataFrame = {
     val sig = signatures(sh)
     candidatePairs(sh)
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("siga")),
@@ -545,7 +564,7 @@ object Dedup {
     // because equal normalized text gives equal fingerprints)
     if (dupFraction(docs, Nil) < collapseMinFrac(spark))
       simhashPairsOf(docs, maxHam, np)
-    else collapseExpand(docs, Nil, "hamming", lit(0),
+    else collapseExpand(docs, Nil, Seq("hamming" -> lit(0)),
       intraQualifies = maxHam >= 0, repDocs =>
         (simhashPairsOf(repDocs, maxHam, np),
          simhashesOf(repDocs).filter(col("simhash").isNotNull)
@@ -653,7 +672,7 @@ object Dedup {
     // and the group key must never cross a boundary the join respects)
     if (dupFraction(docs0, Seq("source")) < collapseMinFrac(spark))
       jaccardPairsOf(docs0, threshold)
-    else collapseExpand(docs0, Seq("source"), "jac", lit(1.0),
+    else collapseExpand(docs0, Seq("source"), Seq("jac" -> lit(1.0)),
       intraQualifies = threshold <= 1.0, repDocs =>
         // any non-null text yields n >= 1 word hash, shares its own
         // prefix token, and passes the size filter at equality — so
@@ -719,7 +738,7 @@ object Dedup {
     // element-wise-equal word sets; identical docs have cont = n/n = 1)
     if (dupFraction(docs0, Seq("source")) < collapseMinFrac(spark))
       containmentPairsOf(docs0, threshold)
-    else collapseExpand(docs0, Seq("source"), "cont", lit(1.0),
+    else collapseExpand(docs0, Seq("source"), Seq("cont" -> lit(1.0)),
       intraQualifies = threshold <= 1.0, repDocs =>
         (containmentPairsOf(repDocs, threshold),
          repDocs.filter(col("text").isNotNull).select(col("doc_id"))))

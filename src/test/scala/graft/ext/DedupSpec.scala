@@ -247,7 +247,13 @@ class DedupSpec extends SparkSpec {
       ("jaccard", () => Dedup.jaccardPairs(spark, dir, 0.8),
                   () => Dedup.jaccardPairsCollapsed(spark, dir, 0.8)),
       ("containment", () => Dedup.containmentPairs(spark, dir),
-                      () => Dedup.containmentPairsCollapsed(spark, dir)))
+                      () => Dedup.containmentPairsCollapsed(spark, dir)),
+      ("containment_est", () => Dedup.containmentEstimate(spark, dir),
+        () => {
+          spark.conf.set(Dedup.CollapseDupFractionKey, "0.0")
+          try Dedup.containmentEstimate(spark, dir)
+          finally spark.conf.unset(Dedup.CollapseDupFractionKey)
+        }))
     val prev = spark.conf.getOption(Dedup.CollapseDupFractionKey)
     for ((name, direct, collapsed) <- families) {
       // dup fraction is always < 1.1 -> the direct pipeline
