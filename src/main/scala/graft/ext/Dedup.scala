@@ -153,7 +153,8 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String,
                  threshold: Double = 0.5): DataFrame =
-    minhashLshOf(spark, Tables.load(spark, dir, "documents"), threshold)
+    minhashLshOf(spark, Tables.load(spark, dir, "documents"), threshold,
+      Some(dupFractionDir(spark, dir, Nil)))
 
   /** MinHash-LSH near-dup pairs over any (doc_id, text) frame, with an
     * EXACTNESS-PRESERVING defense against the one thing banded LSH
@@ -187,8 +188,11 @@ object Dedup {
     * a semi-join for nothing: below [[CollapseDupFractionKey]] the
     * direct pipeline runs byte-identically to before. */
   private[graft] def minhashLshOf(spark: SparkSession, docs: DataFrame,
-                                  threshold: Double): DataFrame =
-    if (dupFraction(docs, Nil) < collapseMinFrac(spark)) {
+                                  threshold: Double,
+                                  knownDupFrac: Option[Double] = None)
+      : DataFrame =
+    if (knownDupFrac.getOrElse(dupFraction(docs, Nil))
+          < collapseMinFrac(spark)) {
       val sh = shingledOf(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       verifiedLshPairs(spark, docs, sh, threshold)
@@ -205,7 +209,22 @@ object Dedup {
 
   /** Measured exact-duplicate fraction of a corpus, within the group
     * key `extraKeys :+ md5(normalized text)` — one map-side-combined
-    * agg (HLL distinct), driver-side. The collapse planner's probe. */
+    * agg (HLL distinct), driver-side. The collapse planner's probe.
+    * Memoized per (session, dir, key scope) for the dir-based entry
+    * points — five operators share the same corpus, and the fraction
+    * is a property of the DATA, not of any conf (forcing the collapse
+    * decision via [[CollapseDupFractionKey]] moves the THRESHOLD, so
+    * the memo never has to be invalidated by a forced gate). */
+  private val dupFracCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, String), Double]()
+  private def dupFractionDir(spark: SparkSession, dir: String,
+                             extraKeys: Seq[String]): Double = {
+    dupFracCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) dupFracCache.remove(k)
+    }
+    dupFracCache.getOrElseUpdate((spark, dir, extraKeys.mkString(",")),
+      dupFraction(Tables.load(spark, dir, "documents"), extraKeys))
+  }
   private def dupFraction(docs: DataFrame, extraKeys: Seq[String]): Double = {
     val fp = md5(TextAnalysis.normalized(col("text")))
     val key = if (extraKeys.isEmpty) fp
@@ -382,7 +401,7 @@ object Dedup {
     // defense as the verify families: identical docs ⇒ identical
     // signatures ⇒ m = 32 and Ĉ = 32·2n/(64·n) = exactly 1.0 for
     // intra-group pairs; rep estimates transfer to members unchanged
-    if (dupFraction(docs, Nil) < collapseMinFrac(spark))
+    if (dupFractionDir(spark, dir, Nil) < collapseMinFrac(spark))
       containmentEstimateOf(docs)
     else collapseExpand(docs, Nil,
       Seq("m" -> lit(32L), "est_cont" -> lit(1.0)),
@@ -501,6 +520,8 @@ object Dedup {
     exactPairsCache.clear()
     containCache.clear()
     containEstCache.clear()
+    // dup-probe memo too: cold-run timings must include the probe
+    dupFracCache.clear()
   }
 
   def minhashLshCached(spark: SparkSession, dir: String,
@@ -562,7 +583,7 @@ object Dedup {
     // exposure as LSH banding, defended the identical way (collapse to
     // representatives, expand back; hamming(x, y) = hamming(repA, repB)
     // because equal normalized text gives equal fingerprints)
-    if (dupFraction(docs, Nil) < collapseMinFrac(spark))
+    if (dupFractionDir(spark, dir, Nil) < collapseMinFrac(spark))
       simhashPairsOf(docs, maxHam, np)
     else collapseExpand(docs, Nil, Seq("hamming" -> lit(0)),
       intraQualifies = maxHam >= 0, repDocs =>
@@ -670,7 +691,7 @@ object Dedup {
     // carry two full word-set arrays — collapse to representatives
     // (grouped WITHIN source: the operator only pairs same-source docs,
     // and the group key must never cross a boundary the join respects)
-    if (dupFraction(docs0, Seq("source")) < collapseMinFrac(spark))
+    if (dupFractionDir(spark, dir, Seq("source")) < collapseMinFrac(spark))
       jaccardPairsOf(docs0, threshold)
     else collapseExpand(docs0, Seq("source"), Seq("jac" -> lit(1.0)),
       intraQualifies = threshold <= 1.0, repDocs =>
@@ -736,7 +757,7 @@ object Dedup {
     val docs0 = Tables.load(spark, dir, "documents")
     // same collapse as jaccardPairs (cont(x, y) = cont(repA, repB) for
     // element-wise-equal word sets; identical docs have cont = n/n = 1)
-    if (dupFraction(docs0, Seq("source")) < collapseMinFrac(spark))
+    if (dupFractionDir(spark, dir, Seq("source")) < collapseMinFrac(spark))
       containmentPairsOf(docs0, threshold)
     else collapseExpand(docs0, Seq("source"), Seq("cont" -> lit(1.0)),
       intraQualifies = threshold <= 1.0, repDocs =>
