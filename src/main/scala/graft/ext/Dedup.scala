@@ -154,7 +154,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
                  threshold: Double = 0.5): DataFrame =
     minhashLshOf(spark, Tables.load(spark, dir, "documents"), threshold,
-      Some(dupFractionDir(spark, dir, Nil)))
+      Some(shouldCollapse(spark, dupFractionDir(spark, dir, Nil))))
 
   /** MinHash-LSH near-dup pairs over any (doc_id, text) frame, with an
     * EXACTNESS-PRESERVING defense against the one thing banded LSH
@@ -189,10 +189,10 @@ object Dedup {
     * direct pipeline runs byte-identically to before. */
   private[graft] def minhashLshOf(spark: SparkSession, docs: DataFrame,
                                   threshold: Double,
-                                  knownDupFrac: Option[Double] = None)
+                                  collapseDecision: Option[Boolean] = None)
       : DataFrame =
-    if (knownDupFrac.getOrElse(dupFraction(docs, Nil))
-          < collapseMinFrac(spark)) {
+    if (!collapseDecision.getOrElse(
+          shouldCollapse(spark, dupFraction(docs, Nil)))) {
       val sh = shingledOf(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       verifiedLshPairs(spark, docs, sh, threshold)
@@ -219,9 +219,7 @@ object Dedup {
     .TrieMap[(SparkSession, String, String), Double]()
   private def dupFractionDir(spark: SparkSession, dir: String,
                              extraKeys: Seq[String]): Double = {
-    dupFracCache.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) dupFracCache.remove(k)
-    }
+    sweepStopped(dupFracCache)
     dupFracCache.getOrElseUpdate((spark, dir, extraKeys.mkString(",")),
       dupFraction(Tables.load(spark, dir, "documents"), extraKeys))
   }
@@ -238,6 +236,22 @@ object Dedup {
   private def collapseMinFrac(spark: SparkSession): Double =
     spark.conf.getOption(CollapseDupFractionKey)
       .map(_.toDouble).getOrElse(0.05)
+
+  /** The collapse decision, with the probe short-circuited when the
+    * conf pins the outcome: a threshold <= 0 forces collapse and > 1
+    * forces direct WITHOUT running (or consulting) the corpus probe —
+    * both because the probe job is pure waste then, and because the
+    * HLL distinct estimate can overshoot n on a dup-free corpus
+    * (frac < 0), which would otherwise defeat a forced-on gate
+    * silently. The measured fraction is clamped to [0, 1] for the
+    * same reason. */
+  private def shouldCollapse(spark: SparkSession,
+                             frac: => Double): Boolean = {
+    val minFrac = collapseMinFrac(spark)
+    if (minFrac <= 0.0) true
+    else if (minFrac > 1.0) false
+    else math.min(1.0, math.max(0.0, frac)) >= minFrac
+  }
 
   /** The shared exact-duplicate collapse for every pair family (the
     * SCALE.md "mega-bucket defense"): group docs with identical
@@ -263,14 +277,31 @@ object Dedup {
                              intraQualifies: Boolean,
                              family: DataFrame => (DataFrame, DataFrame))
       : DataFrame = {
+    // ONE pass over the corpus text for grouping: the per-group min is
+    // a window over the group key (single shuffle of skinny (fp, id)
+    // rows), not an aggregate joined back (two shuffles of the same
+    // scan). members is the shared stage of everything downstream
+    // (reps, eligibility, intra self-join, cross expansion) — persist
+    // it; it is 24-byte rows, the cheapest table in the pipeline.
     val keyed = docs.select(col("doc_id") +: extraKeys.map(col) :+
       md5(TextAnalysis.normalized(col("text"))).as("fp"): _*)
     val joinKeys = extraKeys :+ "fp"
-    val groups = keyed.groupBy(joinKeys.map(col): _*)
-      .agg(min(col("doc_id")).as("gid"))
-    val members = keyed.join(groups, joinKeys)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(joinKeys.map(col): _*)
+    val members = keyed
+      // a null group key (null text, or null source for the
+      // same-source families) never matches in the families' own join
+      // conditions, so such docs produce no pairs in the direct
+      // pipelines — exclude them here (the window would otherwise
+      // group nulls together, unlike the joins)
+      .filter(joinKeys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("gid", min(col("doc_id")).over(w))
       .select(col("gid"), col("doc_id"))
-    val repDocs = docs.join(groups.select(col("gid").as("doc_id")),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a representative is a doc that IS its group's minimum
+    val repDocs = docs.join(
+      members.filter(col("gid") === col("doc_id"))
+        .select(col("gid").as("doc_id")),
       Seq("doc_id"), "left_semi")
     val (repPairs, eligibleIds) = family(repDocs)
     val mem = members.join(eligibleIds.select(col("doc_id").as("gid")),
@@ -359,7 +390,11 @@ object Dedup {
           spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
         catch { case _: NumberFormatException => 10L * 1024 * 1024 })
     val estPairs = estimatedCandidates(sh)
-    val avgCharsRow = docs.agg(avg(length(col("text")))).head()
+    // prefer the pruned n_chars int column (one skinny scan) over
+    // re-reading the text payload; fall back for schema-less frames
+    val avgCharsRow = docs.agg(avg(
+      if (docs.columns.contains("n_chars")) col("n_chars")
+      else length(col("text")))).head()
     val avgChars =
       if (avgCharsRow.isNullAt(0)) 0.0 else avgCharsRow.getDouble(0)
     val pairRowBytes = 32.0 + 8.0 * (avgChars / 6.0)
@@ -401,7 +436,7 @@ object Dedup {
     // defense as the verify families: identical docs ⇒ identical
     // signatures ⇒ m = 32 and Ĉ = 32·2n/(64·n) = exactly 1.0 for
     // intra-group pairs; rep estimates transfer to members unchanged
-    if (dupFractionDir(spark, dir, Nil) < collapseMinFrac(spark))
+    if (!shouldCollapse(spark, dupFractionDir(spark, dir, Nil)))
       containmentEstimateOf(docs)
     else collapseExpand(docs, Nil,
       Seq("m" -> lit(32L), "est_cont" -> lit(1.0)),
@@ -501,9 +536,8 @@ object Dedup {
     * and stops many sessions (test suites, notebooks) would retain a
     * DataFrame + session reference per stopped session forever. Swept
     * lazily on every memo access; the maps hold a handful of entries. */
-  private def sweepStopped[V](
-      m: scala.collection.concurrent.TrieMap[(SparkSession, String, Double), V])
-      : Unit =
+  private def sweepStopped[K <: (SparkSession, _, _), V](
+      m: scala.collection.concurrent.TrieMap[K, V]): Unit =
     m.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) m.remove(k)
     }
@@ -583,17 +617,25 @@ object Dedup {
     // exposure as LSH banding, defended the identical way (collapse to
     // representatives, expand back; hamming(x, y) = hamming(repA, repB)
     // because equal normalized text gives equal fingerprints)
-    if (dupFractionDir(spark, dir, Nil) < collapseMinFrac(spark))
+    if (!shouldCollapse(spark, dupFractionDir(spark, dir, Nil)))
       simhashPairsOf(docs, maxHam, np)
     else collapseExpand(docs, Nil, Seq("hamming" -> lit(0)),
-      intraQualifies = maxHam >= 0, repDocs =>
-        (simhashPairsOf(repDocs, maxHam, np),
-         simhashesOf(repDocs).filter(col("simhash").isNotNull)
-           .select(col("doc_id"))))
+      intraQualifies = maxHam >= 0, repDocs => {
+        // one fingerprint pass, persisted, shared by the candidate join
+        // and the eligibility set (same discipline as minhash's shR)
+        val shS = simhashesOf(repDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (simhashPairsOver(shS, maxHam, np),
+         shS.filter(col("simhash").isNotNull).select(col("doc_id")))
+      })
   }
 
   private def simhashPairsOf(docs: DataFrame, maxHam: Int,
-                             numParts: Int): DataFrame = {
+                             numParts: Int): DataFrame =
+    simhashPairsOver(simhashesOf(docs), maxHam, numParts)
+
+  private def simhashPairsOver(sh0: DataFrame, maxHam: Int,
+                               numParts: Int): DataFrame = {
     val b = maxHam + 3
     val widths = Array.fill(b)(64 / b)
     (0 until 64 % b).foreach(i => widths(i) += 1)
@@ -604,7 +646,7 @@ object Dedup {
       shiftRightUnsigned(col("simhash"), offsets(i))
         .bitwiseAND(lit((1L << widths(i)) - 1L))
     val combos = (0 until b).combinations(3).toSeq
-    val sh = simhashesOf(docs)
+    val sh = sh0
     // data-derived count baked into the plan (no memo site to scope a
     // session conf around): both join children share this partitioning
     // on the candidate key, so the self-join plans no extra exchange
@@ -691,7 +733,7 @@ object Dedup {
     // carry two full word-set arrays — collapse to representatives
     // (grouped WITHIN source: the operator only pairs same-source docs,
     // and the group key must never cross a boundary the join respects)
-    if (dupFractionDir(spark, dir, Seq("source")) < collapseMinFrac(spark))
+    if (!shouldCollapse(spark, dupFractionDir(spark, dir, Seq("source"))))
       jaccardPairsOf(docs0, threshold)
     else collapseExpand(docs0, Seq("source"), Seq("jac" -> lit(1.0)),
       intraQualifies = threshold <= 1.0, repDocs =>
@@ -757,7 +799,7 @@ object Dedup {
     val docs0 = Tables.load(spark, dir, "documents")
     // same collapse as jaccardPairs (cont(x, y) = cont(repA, repB) for
     // element-wise-equal word sets; identical docs have cont = n/n = 1)
-    if (dupFractionDir(spark, dir, Seq("source")) < collapseMinFrac(spark))
+    if (!shouldCollapse(spark, dupFractionDir(spark, dir, Seq("source"))))
       containmentPairsOf(docs0, threshold)
     else collapseExpand(docs0, Seq("source"), Seq("cont" -> lit(1.0)),
       intraQualifies = threshold <= 1.0, repDocs =>

@@ -262,7 +262,14 @@ class DedupSpec extends SparkSpec {
         try direct().collect().map(_.toString).sorted.toSeq
         finally prev.fold(spark.conf.unset(Dedup.CollapseDupFractionKey))(
           v => spark.conf.set(Dedup.CollapseDupFractionKey, v))
-      val c = collapsed().collect().map(_.toString).sorted.toSeq
+      val cDf = collapsed()
+      // the collapsed plan is structurally distinct (intra ∪ cross
+      // union); asserting it guards against the forced gate silently
+      // running the direct pipeline (e.g. a probe quirk) — identical
+      // output would make that invisible otherwise
+      assert(cDf.queryExecution.optimizedPlan.toString.contains("Union"),
+        s"$name: forced collapse must actually take the collapsed plan")
+      val c = cDf.collect().map(_.toString).sorted.toSeq
       assert(d.nonEmpty, s"$name: planted corpus must yield pairs")
       assert(c == d, s"$name collapse must be exact:\n direct=$d\n collapsed=$c")
     }
