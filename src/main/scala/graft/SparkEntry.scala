@@ -629,6 +629,12 @@ object SparkEntry {
       ext.Dedup.jaccardPairsCollapsed(s, d, 0.8)),
     "q196_containment_collapsed" -> ((s: SparkSession, d: String) =>
       ext.Dedup.containmentPairsCollapsed(s, d)),
+    // DSIR importance-resampling data selection (hashed-bigram LM ratio)
+    "q197_dsir_select" -> ((s: SparkSession, d: String) =>
+      ext.Selection.dsirSelect(s, d)),
+    // SemDeDup: cluster-bounded semantic dedup over the embedding space
+    "q198_semdedup" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.semDedup(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1306,5 +1312,7 @@ object SparkEntry {
     "q195_jaccard_collapsed" -> jaccardBruteOracleSql,
     "q196_containment_collapsed" ->
       ext.Dedup.containmentPairsOracleSql(),
+    "q197_dsir_select" -> ext.Selection.dsirSelectOracleSql(),
+    "q198_semdedup" -> ext.Similarity.semDedupOracleSql(),
   )
 }

@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-selection operators: choosing WHICH documents to train on, as
+  * opposed to deduplicating or filtering them.
+  *
+  * DSIR (Xie et al., "Data Selection for Language Models via Importance
+  * Resampling", NeurIPS 2023) is the canonical scalable recipe: fit two
+  * bag-of-hashed-n-gram models — one on a small TARGET corpus (the
+  * distribution you want more of) and one on the RAW pool — and score
+  * every raw document by its importance log-weight
+  * Σ_b c_b(x)·(ln θ_target[b] − ln θ_raw[b]); the top-weighted (or
+  * gumbel-resampled) documents become the training mixture. All the
+  * corpus-sized work is feature hashing — one map-side pass — which is
+  * why the method runs at web scale where perplexity-filter LMs don't.
+  */
+object Selection {
+
+  /** DSIR importance weighting + top-k selection over `documents`.
+    *
+    * Target distribution = documents with `lang = targetLang`; raw pool
+    * = the whole corpus (the paper's formulation with the pool as the
+    * proposal). Features are hashed BIGRAMS (the paper's choice) into
+    * `dim` buckets via the md5-rebase hash the q129 hashing-trick gate
+    * already oracle-replays; bucket models use add-one smoothing.
+    *
+    * Determinism discipline: the per-bucket log-ratio
+    * delta_b = ln( ((ct_b+1)·(Nr+dim)) / ((cr_b+1)·(Nt+dim)) )
+    * is ONE ln call per bucket, its argument built from exact-integer
+    * double factors (each count < 2^53 at any corpus size) by
+    * IEEE-deterministic multiply/divide — so both engines feed
+    * libm-class ln the IDENTICAL double and per-term drift is ≤1 ULP.
+    * Computed on the dim-row bounded bucket table. Per-doc weights are rounded
+    * at 4 decimals (the q118 bigram-LM discipline: validated dual-scale
+    * there), and the top-k cut ranks on the ROUNDED weight with doc_id
+    * tie-break, so the selected set is deterministic cross-engine.
+    *
+    * Scale shape: tokenize+hash is map-side; one (doc, bucket) shuffle
+    * with map-side combine builds doc features; the bucket model is a
+    * dim-row table BROADCAST back onto the features (the corpus is
+    * never shuffled for the scoring join); the top-k cut is a
+    * TakeOrdered over doc weights, never a global sort. At 100 TB the
+    * only corpus-sized state is the (doc, bucket) feature table —
+    * bounded by dim buckets per doc. */
+  def dsirSelect(spark: SparkSession, dir: String, dim: Int = 256,
+                 k: Int = 100, targetLang: String = "en"): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+              filter(split(TextAnalysis.normalized(col("text")), " "),
+                     t => t =!= "").as("ts"))
+    // map-side bigram list (q118's guard: sequence(0,-1) counts DOWN)
+    val bigrams = expr(
+      """CASE WHEN size(ts) >= 2 THEN
+        |  transform(sequence(0, size(ts) - 2),
+        |    i -> concat(ts[i], ' ', ts[i + 1]))
+        |ELSE array() END""".stripMargin)
+    val feats = toks
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long"),
+             lit(dim.toLong)))
+    // bucket model: one corpus-sized shuffle, dim-bounded result
+    val buckets = feats.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+           sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val totals = buckets.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    // each factor is an exact integer in double (< 2^53 even at 100 TB:
+    // bucket counts and corpus totals are ~1e13 at most); the products
+    // and quotient are IEEE-rounded IDENTICALLY in both engines, so
+    // casting factors FIRST is equally deterministic and — unlike a
+    // long multiply — cannot overflow at any corpus size
+    val delta = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        log(((col("ct") + lit(1L)).cast("double") *
+             (col("nr") + lit(dim.toLong)).cast("double")) /
+            ((col("cr") + lit(1L)).cast("double") *
+             (col("nt") + lit(dim.toLong)).cast("double")))
+          .as("delta"))
+    val docw = feats.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(delta), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+           round(sum(col("c") * col("delta")), 4).as("logw"))
+    val topk = docw.orderBy(col("logw").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), lit(1L).as("sel"))
+    docw.join(broadcast(topk), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_feats"), col("logw"),
+              coalesce(col("sel"), lit(0L)).as("selected"))
+  }
+
+  def dsirSelectOracleSql(dim: Int = 256, k: Int = 100,
+                          targetLang: String = "en"): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+       |      t -> t <> '') AS ts
+       |  FROM documents),
+       |bi0 AS (
+       |  SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i FROM tok),
+       |bi AS (
+       |  SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS bg FROM bi0),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce([CAST(strpos('0123456789abcdef',
+       |        substr(md5(bg), p, 1)) - 1 AS BIGINT)
+       |      for p in range(1, 16)], (a, b) -> a * 16 + b) % $dim AS b
+       |  FROM bi),
+       |buckets AS (
+       |  SELECT b, count(*) AS cr,
+       |    CAST(sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS ct
+       |  FROM f GROUP BY b),
+       |totals AS (
+       |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+       |  FROM buckets),
+       |delta AS (
+       |  SELECT b, ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + $dim AS DOUBLE)) /
+       |               (CAST(cr + 1 AS DOUBLE) * CAST(nt + $dim AS DOUBLE)))
+       |    AS delta
+       |  FROM buckets, totals),
+       |dw AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |    round(sum(c * delta), 4) AS logw
+       |  FROM (SELECT doc_id, b, count(*) AS c FROM f GROUP BY doc_id, b) fc
+       |  JOIN delta USING (b)
+       |  GROUP BY doc_id),
+       |rk AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
+       |  FROM dw)
+       |SELECT dw.doc_id, dw.n_feats, dw.logw,
+       |  CAST(CASE WHEN rk.rn <= $k THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM dw JOIN rk ON rk.doc_id = dw.doc_id""".stripMargin
+}

@@ -816,4 +816,131 @@ object Similarity {
       |FROM dots
       |JOIN norms na ON na.label = la
       |JOIN norms nb ON nb.label = lb""".stripMargin
+
+  // ---- SemDeDup (cluster-bounded semantic dedup) ---------------------
+
+  /** Cache key of the most recent [[semDedup]] call (oracle-literal
+    * sourcing contract as [[lastIvfKey]]). */
+  @volatile private var lastSemKey: (SparkSession, String, Int) = null
+
+  /** SemDeDup — semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): partition the embedding space with the
+    * deterministically trained spherical k-means centroids (the SAME
+    * memoized (session, dir, k) artifact the q37 IVF index uses — the
+    * coarse quantizer IS the clustering), compare pairs ONLY within a
+    * cluster, and from every near-duplicate pair drop the member CLOSER
+    * to its centroid (the paper's keep-farthest policy: boundary
+    * examples carry more signal than cluster-center boilerplate).
+    * Centroid-similarity ties break by vec_id, so the survivor set is
+    * deterministic.
+    *
+    * Scale shape: the pairwise stage is quadratic only WITHIN a cell —
+    * the method's entire point; at 100 TB the cluster count scales with
+    * the corpus (SemDeDup runs 50k clusters on LAION) so cell
+    * populations stay bounded and the verify stage is one shuffle keyed
+    * on cell id. Everything upstream is map-side: assignment is k dot
+    * products per row against broadcast centroid literals. No all-pairs
+    * comparison ever happens.
+    *
+    * Output is exact-integer (vec_id, cell, n_dups, removed): every
+    * threshold and dominance decision happens on bit-exact replayable
+    * doubles (sequential-fold dots over l2-normalized vectors — the
+    * same fold the oracle replays with `list_reduce`), so the gate has
+    * zero float-hash risk. */
+  def semDedup(spark: SparkSession, dir: String, numCells: Int = 24,
+               threshold: Double = 0.35): DataFrame = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val cents = trainedCentroidsCached(spark, corpus, dir, numCells)
+    lastSemKey = (spark, dir, numCells)
+    val dots = array(cents.map(c =>
+      dot(l2normalize(col("embedding")), typedlit(c))): _*)
+    // single (nearest-centroid) assignment; csim = that best dot.
+    // array_position finds the FIRST maximum -> ties to lowest index,
+    // mirrored by the oracle's (d DESC, idx) row_number order.
+    val assigned = corpus
+      .withColumn("__d", dots)
+      .select(col("vec_id"),
+              l2normalize(col("embedding")).as("ne"),
+              (expr("array_position(__d, array_max(__d))").cast("int") - 1)
+                .as("cell"),
+              expr("array_max(__d)").as("csim"))
+    val l = assigned.select(col("cell"), col("vec_id").as("lid"),
+                            col("ne").as("lne"), col("csim").as("lcs"))
+    val r = assigned.select(col("cell"), col("vec_id").as("rid"),
+                            col("ne").as("rne"), col("csim").as("rcs"))
+    val stats = l.join(r, Seq("cell"))
+      .filter(col("lid") =!= col("rid") &&
+              dot(col("lne"), col("rne")) >= threshold)
+      .groupBy(col("rid"))
+      .agg(count(lit(1)).as("n_dups"),
+           max(when(col("lcs") < col("rcs") ||
+                    (col("lcs") === col("rcs") && col("lid") < col("rid")),
+               1L).otherwise(0L)).as("removed"))
+      .withColumnRenamed("rid", "vec_id")
+    assigned.select(col("vec_id"), col("cell"))
+      .join(stats, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+              coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+              coalesce(col("removed"), lit(0L)).as("removed"))
+  }
+
+  /** Oracle replay of [[semDedup]]: literal centroids (dumped AFTER the
+    * gate ran, [[lastIvfKey]] contract), exact sequential-fold dots, the
+    * same argmax / dominance / threshold decisions. */
+  def semDedupOracleSql(threshold: Double = 0.35): String = {
+    val cents = Option(lastSemKey).flatMap(centroidCache.get).orNull
+    if (cents == null)
+      "SELECT 'q198 oracle requires semDedup to run first' AS err"
+    else {
+      val centRows = cents.zipWithIndex
+        .map { case (c, i) =>
+          s"($i, [${c.map(v => s"'$v'::DOUBLE").mkString(", ")}])" }
+        .mkString(",\n    ")
+      s"""WITH cents(idx, c) AS (VALUES
+         |    $centRows),
+         |nrm AS (
+         |  SELECT vec_id,
+         |    sqrt(list_reduce([0.0] ||
+         |      [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+         |       for i in range(1, ${Dim + 1})], (a, t) -> a + t)) AS nm
+         |  FROM embeddings),
+         |nn AS (
+         |  SELECT e.vec_id,
+         |    [CAST(e.embedding[j] AS DOUBLE) / n.nm
+         |     for j in range(1, ${Dim + 1})] AS ne
+         |  FROM embeddings e JOIN nrm n USING (vec_id)),
+         |d AS (
+         |  SELECT n.vec_id, c.idx,
+         |    list_reduce([0.0] || [n.ne[j] * c.c[j]
+         |      for j in range(1, ${Dim + 1})], (a, t) -> a + t) AS d
+         |  FROM nn n, cents c),
+         |asg AS (
+         |  SELECT vec_id, idx AS cell, d AS csim FROM (
+         |    SELECT vec_id, idx, d,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, idx) AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |p AS (
+         |  SELECT l.vec_id AS lid, r.vec_id AS rid,
+         |    l.csim AS lcs, r.csim AS rcs
+         |  FROM asg l JOIN asg r ON l.cell = r.cell
+         |                       AND l.vec_id <> r.vec_id
+         |  JOIN nn lv ON lv.vec_id = l.vec_id
+         |  JOIN nn rv ON rv.vec_id = r.vec_id
+         |  WHERE list_reduce([0.0] || [lv.ne[j] * rv.ne[j]
+         |          for j in range(1, ${Dim + 1})], (a, t) -> a + t)
+         |        >= '$threshold'::DOUBLE),
+         |s AS (
+         |  SELECT rid AS vec_id, count(*) AS n_dups,
+         |    max(CASE WHEN lcs < rcs OR (lcs = rcs AND lid < rid)
+         |             THEN 1 ELSE 0 END) AS removed
+         |  FROM p GROUP BY rid)
+         |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+         |  CAST(coalesce(s.n_dups, 0) AS BIGINT) AS n_dups,
+         |  CAST(coalesce(s.removed, 0) AS BIGINT) AS removed
+         |FROM asg a LEFT JOIN s ON s.vec_id = a.vec_id""".stripMargin
+    }
+  }
 }

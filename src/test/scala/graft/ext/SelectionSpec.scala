@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSIR importance-resampling selection (q197). */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Controlled corpus: target-language docs use one vocabulary,
+    * off-target docs another, and one raw doc each side of the divide —
+    * the importance weight must rank the target-looking doc above the
+    * off-target-looking one. */
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("dsir_fixture").toString
+    Seq(
+      // target distribution (lang=en): "alpha beta" bigrams
+      (0L, "alpha beta alpha beta alpha beta", "en", "s0", 32L),
+      (1L, "alpha beta alpha beta", "en", "s0", 21L),
+      // off-target pool noise (lang=de): "gamma delta" bigrams
+      (2L, "gamma delta gamma delta gamma delta", "de", "s1", 35L),
+      (3L, "gamma delta gamma delta", "de", "s1", 23L),
+      // scored pool probes: one target-looking, one off-target-looking
+      (4L, "alpha beta alpha beta alpha", "fr", "s2", 27L),
+      (5L, "gamma delta gamma delta gamma", "fr", "s2", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dsirSelect ranks target-like docs above off-target docs") {
+    val out = Selection.dsirSelect(spark, fixtureDir, dim = 64, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // every doc has features (all have >= 2 tokens)
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // n_feats = token count - 1 per doc
+    assert(out(0L)._1 == 5L && out(4L)._1 == 4L && out(5L)._1 == 4L)
+    // the target-looking probe outweighs the off-target-looking one
+    assert(out(4L)._2 > out(5L)._2,
+      s"target-like ${out(4L)._2} should beat off-target ${out(5L)._2}")
+    // target-vocabulary docs occupy the top-3; off-target not selected
+    assert(out(4L)._3 == 1L && out(5L)._3 == 0L)
+    assert(Seq(2L, 3L).forall(out(_)._3 == 0L))
+  }
+
+  test("dsirSelect weight matches a driver-side model recompute") {
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+    val dim = 64
+    def bigrams(t: String): Seq[String] = {
+      val ts = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+      if (ts.length < 2) Seq.empty
+      else ts.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+    }
+    def bucket(bg: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % dim
+    }
+    val feats = docs.flatMap { case (id, t, lang) =>
+      bigrams(t).map(bg => (id, lang, bucket(bg))) }
+    val cr = feats.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val ct = feats.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val nr = cr.values.sum; val nt = ct.values.sum
+    def delta(b: Long): Double =
+      math.log(((ct.getOrElse(b, 0L) + 1L) * (nr + dim)).toDouble /
+               ((cr.getOrElse(b, 0L) + 1L) * (nt + dim)).toDouble)
+    val expected = feats.groupBy(_._1).map { case (id, xs) =>
+      id -> BigDecimal(xs.map(f => delta(f._3)).sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val got = Selection.dsirSelect(spark, fixtureDir, dim = dim, k = 3)
+      .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    expected.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 5e-4, s"doc $id: got ${got(id)}, model $w")
+    }
+  }
+
+  test("dsirSelect on the real corpus: deterministic, k selected, plan bounded") {
+    val a = Selection.dsirSelect(spark, sfDir, k = 20)
+    val b = Selection.dsirSelect(spark, sfDir, k = 20)
+    assert(a.collect().sortBy(_.getLong(0)).toSeq ==
+           b.collect().sortBy(_.getLong(0)).toSeq)
+    assert(a.filter(col("selected") === 1).count() == 20)
+    // the scoring join must broadcast the bucket model, never shuffle
+    // the corpus for it; the top-k cut must be a TakeOrdered, not a sort
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+}

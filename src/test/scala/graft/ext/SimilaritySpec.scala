@@ -178,4 +178,81 @@ class SimilaritySpec extends SparkSpec {
       .map(_.toString).sorted.toSeq
     assert(again == rows.map(_.toString).sorted.toSeq, "bit-deterministic")
   }
+
+  // ---- SemDeDup (q198) ----------------------------------------------
+
+  test("semDedup keep-farthest policy on a controlled single-cell corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("semdedup_fixture").toString
+    // one cluster (numCells=1): 0 and 1 are a near-dup pair
+    // (cos ~0.9998); 2 is orthogonal (isolated). After Lloyd, the
+    // centroid is the normalized MEAN of all three — vec 1 sits between
+    // vec 0 and vec 2, so it is CLOSER to that mean (csim ~0.8998 vs
+    // ~0.8908 for vec 0, margin far above double noise).
+    Seq((0L, Array(1.0f, 0.0f), 0),
+        (1L, Array(0.99f, 0.02f), 0),
+        (2L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity
+      .semDedup(spark, dir, numCells = 1, threshold = 0.9)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out.values.forall(_._1 == 0), "single cell")
+    // keep-farthest: the pair member closer to the centroid (vec 1) is
+    // removed; the boundary example (vec 0) survives
+    assert(out(0L) == ((0, 1L, 0L)), s"got ${out(0L)}")
+    assert(out(1L) == ((0, 1L, 1L)), s"got ${out(1L)}")
+    assert(out(2L) == ((0, 0L, 0L)), "isolated vector untouched")
+  }
+
+  test("semDedup invariants on the real corpus; every dup pair loses a member") {
+    val thr = 0.2 // low enough that within-cell pairs exist at sf0.001
+    val out = Similarity.semDedup(spark, sfDir, threshold = thr).cache()
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.count() == n, "one verdict row per vector")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.values.forall { case (c, _, _) => c >= 0 && c < 24 })
+    assert(rows.values.forall { case (_, d, rm) => rm == 0 || d >= 1 },
+      "removed implies at least one near-dup neighbor")
+    // recompute within-cell pairs from the gate's own cell assignment
+    // and raw embeddings: each pair >= thr must have >= 1 removed member
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])](
+        org.apache.spark.sql.Encoders.product[(Long, Array[Float])])
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val byCell = rows.toSeq.groupBy(_._2._1)
+    var pairs = 0
+    byCell.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        if (cos(emb(ids(i)), emb(ids(j))) >= thr + 1e-9) {
+          pairs += 1
+          assert(rows(ids(i))._3 == 1 || rows(ids(j))._3 == 1,
+            s"dup pair (${ids(i)}, ${ids(j)}) has no removed member")
+        }
+      }
+    }
+    assert(pairs > 0, "threshold too high to exercise the policy")
+    assert(rows.values.exists(_._3 == 1L), "some vector removed")
+    assert(rows.values.exists(_._3 == 0L), "not everything removed")
+    out.unpersist()
+  }
+
+  test("semDedup verify join is cell-keyed — no cartesian, corpus never broadcast") {
+    val plan = Similarity.semDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
 }
