@@ -103,8 +103,14 @@ object Dedup {
     * engine-internal again). The key is 4 longs instead of 1 int; band
     * count is fixed, so the shuffle stays keyed and bounded the same
     * way. */
-  private[ext] def candidatePairs(sh: DataFrame): DataFrame = {
-    val sig = signatures(sh)
+  private[ext] def candidatePairs(sh: DataFrame): DataFrame =
+    candidatePairsOfSig(signatures(sh))
+
+  /** [[candidatePairs]] over a pre-computed (ideally persisted)
+    * signature frame — the sharing point that keeps the expensive
+    * 32-perm signature map from running once for the AMS estimate and
+    * AGAIN for the band join (measured 2× on the q26 cold path). */
+  private[ext] def candidatePairsOfSig(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"),
         explode(bandStructs(col("sig"))).as("bk"))
     bands.as("l").join(bands.as("r"),
@@ -133,12 +139,17 @@ object Dedup {
     * size, so candidates (a<b) ≈ (F₂ − N)/2, estimated in one map-side
     * sketch pass with NO join executed. This is the q123 estimator
     * wired into a real planning decision rather than sitting advisory. */
-  private[ext] def estimatedCandidates(sh: DataFrame): Long = {
-    val keys = signatures(sh)
+  private[ext] def estimatedCandidates(sh: DataFrame): Long =
+    estimatedCandidatesOfSig(signatures(sh))
+
+  /** [[estimatedCandidates]] over a pre-computed signature frame (see
+    * [[candidatePairsOfSig]] for why the split exists). */
+  private[ext] def estimatedCandidatesOfSig(sig: DataFrame): Long = {
+    val keys = sig
       .select(explode(bandStructs(col("sig"))).as("bk"))
       .select(concat_ws(":", col("bk.band"), col("bk.s0"), col("bk.s1"),
                         col("bk.s2"), col("bk.s3")).as("key"))
-    val n = sh.count() * (NumPerms / BandRows)
+    val n = sig.count() * (NumPerms / BandRows)
     math.max(0L, (Sketches.amsF2(keys) - n) / 2)
   }
 
@@ -364,7 +375,11 @@ object Dedup {
                                threshold: Double): DataFrame = {
     val shA = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
     val shB = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
-    val cand = candidatePairs(sh)
+    // one signature pass feeds BOTH the AMS estimate and the band join
+    // (skinny frame: doc_id + 32 longs)
+    val sig = signatures(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairsOfSig(sig)
     // Broadcast-vs-shuffle for the verify joins, decided from
     // ESTIMATES, not a post-hoc AQE rescue: candidate count from the
     // AMS F₂ sketch (one map-side pass), per-pair bytes from the
@@ -389,7 +404,7 @@ object Dedup {
         try sizeBytes(
           spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
         catch { case _: NumberFormatException => 10L * 1024 * 1024 })
-    val estPairs = estimatedCandidates(sh)
+    val estPairs = estimatedCandidatesOfSig(sig)
     // prefer the pruned n_chars int column (one skinny scan) over
     // re-reading the text payload; fall back for schema-less frames
     val avgCharsRow = docs.agg(avg(
@@ -452,8 +467,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def containmentEstimateOver(sh: DataFrame): DataFrame = {
+    // shared signature pass: the m-matching joins below AND the band
+    // join inside candidatePairsOfSig read the same persisted frame
     val sig = signatures(sh)
-    candidatePairs(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidatePairsOfSig(sig)
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("siga")),
             "a_id")
       .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sigb")),
