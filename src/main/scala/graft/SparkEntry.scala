@@ -635,6 +635,9 @@ object SparkEntry {
     // SemDeDup: cluster-bounded semantic dedup over the embedding space
     "q198_semdedup" -> ((s: SparkSession, d: String) =>
       ext.Similarity.semDedup(s, d)),
+    // DSIR Gumbel-top-k importance RESAMPLING (seeded, oracle-replayable)
+    "q199_dsir_resample" -> ((s: SparkSession, d: String) =>
+      ext.Selection.dsirResample(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1314,5 +1317,6 @@ object SparkEntry {
       ext.Dedup.containmentPairsOracleSql(),
     "q197_dsir_select" -> ext.Selection.dsirSelectOracleSql(),
     "q198_semdedup" -> ext.Similarity.semDedupOracleSql(),
+    "q199_dsir_resample" -> ext.Selection.dsirResampleOracleSql(),
   )
 }

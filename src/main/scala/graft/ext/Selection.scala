@@ -47,6 +47,17 @@ object Selection {
     * bounded by dim buckets per doc. */
   def dsirSelect(spark: SparkSession, dir: String, dim: Int = 256,
                  k: Int = 100, targetLang: String = "en"): DataFrame = {
+    val docw = docWeights(spark, dir, dim, targetLang)
+    val topk = docw.orderBy(col("logw").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), lit(1L).as("sel"))
+    docw.join(broadcast(topk), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_feats"), col("logw"),
+              coalesce(col("sel"), lit(0L)).as("selected"))
+  }
+
+  /** The shared DSIR scoring stage: (doc_id, n_feats, logw @4dp). */
+  private def docWeights(spark: SparkSession, dir: String, dim: Int,
+                         targetLang: String): DataFrame = {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
               filter(split(TextAnalysis.normalized(col("text")), " "),
@@ -79,22 +90,80 @@ object Selection {
             ((col("cr") + lit(1L)).cast("double") *
              (col("nt") + lit(dim.toLong)).cast("double")))
           .as("delta"))
-    val docw = feats.groupBy(col("doc_id"), col("b"))
+    feats.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(delta), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
            round(sum(col("c") * col("delta")), 4).as("logw"))
-    val topk = docw.orderBy(col("logw").desc, col("doc_id")).limit(k)
+  }
+
+  /** DSIR's actual selection step — Gumbel-top-k importance RESAMPLING
+    * (the paper samples k documents with probability ∝ exp(logw)
+    * WITHOUT replacement, which is exactly ranking by logw + Gumbel
+    * noise): argmax-top-k (q197) over-concentrates on one mode; the
+    * resample preserves diversity. The noise is deterministic and
+    * oracle-replayable: u = (md5-rebase-48bit(seed‖doc_id) + 0.5) / 2^48
+    * uses only 48 hash bits so EVERY step is exact double arithmetic
+    * (h < 2^53 is an exact double; u is strictly inside (0,1), so
+    * neither ln can hit 0/negative — a 60-bit h could round to 2^60
+    * and make u = 1.0, where Spark's log yields NULL but DuckDB -inf);
+    * g = −ln(−ln(u)) then drifts ≤ a few ULP (two libm-class ln
+    * calls), and the ranking key logw + g is rounded @4dp with doc_id
+    * tie-break — the q118 discipline. Map-side per row; the cut stays
+    * a TakeOrdered. */
+  def dsirResample(spark: SparkSession, dir: String, dim: Int = 256,
+                   k: Int = 100, targetLang: String = "en",
+                   seed: String = "gumbel1"): DataFrame = {
+    val docw = docWeights(spark, dir, dim, targetLang)
+    val u = (conv(substring(md5(concat(lit(seed),
+               col("doc_id").cast("string"))), 1, 12), 16, 10)
+               .cast("double") + lit(0.5)) /
+            lit(281474976710656.0) // 2^48
+    val keyed = docw.withColumn("gkey",
+      round(col("logw") + -log(-log(u)), 4))
+    val topk = keyed.orderBy(col("gkey").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), lit(1L).as("sel"))
-    docw.join(broadcast(topk), Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_feats"), col("logw"),
+    keyed.join(broadcast(topk), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("logw"), col("gkey"),
               coalesce(col("sel"), lit(0L)).as("selected"))
   }
 
   def dsirSelectOracleSql(dim: Int = 256, k: Int = 100,
                           targetLang: String = "en"): String =
-    s"""WITH tok AS (
+    s"""WITH ${dwCtes(dim, targetLang)},
+       |rk AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
+       |  FROM dw)
+       |SELECT dw.doc_id, dw.n_feats, dw.logw,
+       |  CAST(CASE WHEN rk.rn <= $k THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM dw JOIN rk ON rk.doc_id = dw.doc_id""".stripMargin
+
+  def dsirResampleOracleSql(dim: Int = 256, k: Int = 100,
+                            targetLang: String = "en",
+                            seed: String = "gumbel1"): String =
+    s"""WITH ${dwCtes(dim, targetLang)},
+       |g AS (
+       |  SELECT doc_id, logw,
+       |    round(logw + -ln(-ln(
+       |      (list_reduce([CAST(strpos('0123456789abcdef',
+       |           substr(md5('$seed' || CAST(doc_id AS VARCHAR)), p, 1))
+       |           - 1 AS BIGINT)
+       |         for p in range(1, 13)], (a, b) -> a * 16 + b)
+       |       + 0.5) / CAST(281474976710656 AS DOUBLE))), 4) AS gkey
+       |  FROM dw),
+       |rk AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn
+       |  FROM g)
+       |SELECT g.doc_id, g.logw, g.gkey,
+       |  CAST(CASE WHEN rk.rn <= $k THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM g JOIN rk ON rk.doc_id = g.doc_id""".stripMargin
+
+  /** Shared oracle CTE chain ending in dw(doc_id, n_feats, logw). */
+  private def dwCtes(dim: Int, targetLang: String): String =
+    s"""tok AS (
        |  SELECT doc_id, lang,
        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
@@ -128,12 +197,5 @@ object Selection {
        |    round(sum(c * delta), 4) AS logw
        |  FROM (SELECT doc_id, b, count(*) AS c FROM f GROUP BY doc_id, b) fc
        |  JOIN delta USING (b)
-       |  GROUP BY doc_id),
-       |rk AS (
-       |  SELECT doc_id,
-       |    row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
-       |  FROM dw)
-       |SELECT dw.doc_id, dw.n_feats, dw.logw,
-       |  CAST(CASE WHEN rk.rn <= $k THEN 1 ELSE 0 END AS BIGINT) AS selected
-       |FROM dw JOIN rk ON rk.doc_id = dw.doc_id""".stripMargin
+       |  GROUP BY doc_id)""".stripMargin
 }

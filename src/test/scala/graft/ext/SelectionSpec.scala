@@ -81,6 +81,45 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("dsirResample: seeded Gumbel noise, k selected, overlaps-but-differs from argmax") {
+    val k = 20
+    val res = Selection.dsirResample(spark, sfDir, k = k).cache()
+    assert(res.filter(col("selected") === 1).count() == k)
+    // deterministic: same seed -> identical selection
+    val again = Selection.dsirResample(spark, sfDir, k = k)
+      .filter(col("selected") === 1).select("doc_id")
+      .as[Long].collect().toSet
+    val sel = res.filter(col("selected") === 1).select("doc_id")
+      .as[Long].collect().toSet
+    assert(again == sel)
+    // a different seed moves the sample (overwhelmingly likely)
+    val other = Selection.dsirResample(spark, sfDir, k = k, seed = "gumbel2")
+      .filter(col("selected") === 1).select("doc_id")
+      .as[Long].collect().toSet
+    assert(other != sel, "independent Gumbel draws should differ")
+    // resampling is noisy argmax: high-weight docs still favored, so the
+    // overlap with the argmax top-k should be nonzero but not total
+    val argmax = Selection.dsirSelect(spark, sfDir, k = k)
+      .filter(col("selected") === 1).select("doc_id")
+      .as[Long].collect().toSet
+    assert((sel & argmax).nonEmpty, "resample ignores the weights entirely?")
+    assert(sel != argmax, "resample degenerated to pure argmax")
+    // gkey is logw + g where g = -ln(-ln(u)) from 48 exact hash bits:
+    // recompute one row driver-side
+    val row = res.filter(col("selected") === 1)
+      .orderBy(col("doc_id")).head()
+    val id = row.getLong(0); val logw = row.getDouble(1)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(("gumbel1" + id).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+    val expect = BigDecimal(logw + -math.log(-math.log(u)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(2) - expect) < 5e-4,
+      s"doc $id gkey ${row.getDouble(2)} vs model $expect")
+    res.unpersist()
+  }
+
   test("dsirSelect on the real corpus: deterministic, k selected, plan bounded") {
     val a = Selection.dsirSelect(spark, sfDir, k = 20)
     val b = Selection.dsirSelect(spark, sfDir, k = 20)
