@@ -88,6 +88,8 @@ object ScaleSmoke {
     "q165_rolling_anomalies", "q167_basket_pairs", "q168_week_over_week",
     "q170_stickiness", "q171_chi_square", "q172_time_to_convert",
     "q176_cohort_retention", "q177_corrupt_ingest",
+    // round-10: data selection + semantic dedup
+    "q197_dsir_select", "q198_semdedup", "q199_dsir_resample",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
