@@ -205,12 +205,12 @@ object Dedup {
     if (!collapseDecision.getOrElse(
           shouldCollapse(spark, dupFraction(docs, Nil)))) {
       val sh = shingledOf(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(TrackedPersist.persistTracked)
       verifiedLshPairs(spark, docs, sh, threshold)
     } else collapseExpand(docs, Nil, Seq("jaccard" -> lit(1.0)),
       intraQualifies = threshold <= 1.0, repDocs => {
         val shR = shingledOf(repDocs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TrackedPersist.persistTracked)
         // groups whose docs are too short to shingle produce NO pairs
         // in the direct pipeline (they never enter sh) — shR's doc ids
         // are the eligible set
@@ -308,7 +308,7 @@ object Dedup {
       .filter(joinKeys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("gid", min(col("doc_id")).over(w))
       .select(col("gid"), col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TrackedPersist.persistTracked)
     // a representative is a doc that IS its group's minimum
     val repDocs = docs.join(
       members.filter(col("gid") === col("doc_id"))
@@ -378,7 +378,7 @@ object Dedup {
     // one signature pass feeds BOTH the AMS estimate and the band join
     // (skinny frame: doc_id + 32 longs)
     val sig = signatures(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TrackedPersist.persistTracked)
     val cand = candidatePairsOfSig(sig)
     // Broadcast-vs-shuffle for the verify joins, decided from
     // ESTIMATES, not a post-hoc AQE rescue: candidate count from the
@@ -457,20 +457,20 @@ object Dedup {
       Seq("m" -> lit(32L), "est_cont" -> lit(1.0)),
       intraQualifies = true, repDocs => {
         val shR = shingledOf(repDocs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TrackedPersist.persistTracked)
         (containmentEstimateOver(shR), shR.select(col("doc_id")))
       })
   }
 
   private def containmentEstimateOf(docs: DataFrame): DataFrame =
     containmentEstimateOver(shingledOf(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .transform(TrackedPersist.persistTracked))
 
   private def containmentEstimateOver(sh: DataFrame): DataFrame = {
     // shared signature pass: the m-matching joins below AND the band
     // join inside candidatePairsOfSig read the same persisted frame
     val sig = signatures(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TrackedPersist.persistTracked)
     candidatePairsOfSig(sig)
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("siga")),
             "a_id")
@@ -574,6 +574,9 @@ object Dedup {
     containEstCache.clear()
     // dup-probe memo too: cold-run timings must include the probe
     dupFracCache.clear()
+    // inner persists (shingle/signature/feature frames) — unpersisting
+    // the memoized frames above does NOT release these
+    TrackedPersist.clear()
   }
 
   def minhashLshCached(spark: SparkSession, dir: String,
@@ -642,7 +645,7 @@ object Dedup {
         // one fingerprint pass, persisted, shared by the candidate join
         // and the eligibility set (same discipline as minhash's shR)
         val shS = simhashesOf(repDocs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(TrackedPersist.persistTracked)
         (simhashPairsOver(shS, maxHam, np),
          shS.filter(col("simhash").isNotNull).select(col("doc_id")))
       })
@@ -728,7 +731,7 @@ object Dedup {
               graft.functions.HashShingles.shingles(
                 split(TextAnalysis.normalized(col("text")), " "), 1).as("ws"))
       .withColumn("n", size(col("ws")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TrackedPersist.persistTracked)
     val toks = docs.select(col("doc_id"), col("source"), col("n"),
                            explode(col("ws")).as("token"))
     val dfreq = toks.groupBy(col("token"))
@@ -1028,7 +1031,7 @@ object Dedup {
           // one filter over the persisted superset: no exchange, so no
           // partition-sizing scope needed
           exactPairsCache(key).filter(col("jac") >= threshold)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .transform(TrackedPersist.persistTracked)
         case None =>
           materializedScoped(spark, dir, TokenPathExpansion)(
             jaccardPairs(spark, dir, threshold))
@@ -1361,7 +1364,7 @@ object Dedup {
                 split(TextAnalysis.normalized(col("text")), " "), n))
                 .as("gram"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(TrackedPersist.persistTracked)
     val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     grams.as("a")
       .join(grams.as("b"),

@@ -47,7 +47,11 @@ object Selection {
     * bounded by dim buckets per doc. */
   def dsirSelect(spark: SparkSession, dir: String, dim: Int = 256,
                  k: Int = 100, targetLang: String = "en"): DataFrame = {
+    // persisted: docw sits under BOTH the broadcast top-k branch and
+    // the probe side of the final join — without it the whole scoring
+    // aggregation would execute twice per action
     val docw = docWeights(spark, dir, dim, targetLang)
+      .transform(TrackedPersist.persistTracked)
     val topk = docw.orderBy(col("logw").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), lit(1L).as("sel"))
     docw.join(broadcast(topk), Seq("doc_id"), "left_outer")
@@ -68,11 +72,15 @@ object Selection {
         |  transform(sequence(0, size(ts) - 2),
         |    i -> concat(ts[i], ' ', ts[i + 1]))
         |ELSE array() END""".stripMargin)
+    // persisted: feats feeds the bucket-model aggregation AND the
+    // per-doc feature aggregation (different shuffle keys, so exchange
+    // reuse can't dedupe them) — without it the corpus-sized
+    // tokenize+bigram+md5 map would run twice, contradicting the
+    // one-map-side-pass scale contract
     val feats = toks
       .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
-      .withColumn("b",
-        pmod(conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long"),
-             lit(dim.toLong)))
+      .withColumn("b", pmod(Sketches.hHex(col("bg"), 15), lit(dim.toLong)))
+      .transform(TrackedPersist.persistTracked)
     // bucket model: one corpus-sized shuffle, dim-bounded result
     val buckets = feats.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
@@ -116,9 +124,9 @@ object Selection {
                    k: Int = 100, targetLang: String = "en",
                    seed: String = "gumbel1"): DataFrame = {
     val docw = docWeights(spark, dir, dim, targetLang)
-    val u = (conv(substring(md5(concat(lit(seed),
-               col("doc_id").cast("string"))), 1, 12), 16, 10)
-               .cast("double") + lit(0.5)) /
+      .transform(TrackedPersist.persistTracked)
+    val u = (Sketches.hHex(concat(lit(seed), col("doc_id").cast("string")),
+               12).cast("double") + lit(0.5)) /
             lit(281474976710656.0) // 2^48
     val keyed = docw.withColumn("gkey",
       round(col("logw") + -log(-log(u)), 4))

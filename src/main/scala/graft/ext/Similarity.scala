@@ -178,12 +178,21 @@ object Similarity {
 
   /** Cell id = argmax-dot centroid (map-side; ties → lowest index). */
   private[ext] def withIvfCells(df: DataFrame, emb: Column,
-                                cents: Array[Array[Double]]): DataFrame = {
+                                cents: Array[Array[Double]]): DataFrame =
+    withIvfCellsCsim(df, emb, cents).drop("csim")
+
+  /** [[withIvfCells]] plus the winning dot itself as `csim` — THE
+    * single home of the argmax/tie-to-lowest-index semantics (the
+    * oracles replay it as row_number over (d DESC, idx); a second
+    * inline copy could silently drift from that contract). */
+  private[ext] def withIvfCellsCsim(df: DataFrame, emb: Column,
+                                    cents: Array[Array[Double]]): DataFrame = {
     val dots = array(cents.map(c =>
       dot(l2normalize(emb), typedlit(c))): _*)
     df.withColumn("__d", dots)
       .withColumn("cell",
         expr("array_position(__d, array_max(__d))").cast("int") - 1)
+      .withColumn("csim", expr("array_max(__d)"))
       .drop("__d")
   }
 
@@ -227,10 +236,13 @@ object Similarity {
   private val centroidCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Int), Array[Array[Double]]]()
 
-  /** Drop memoized centroids (benchmark harness hook — lets a
-    * measurement pass retrain from the same cold state as a fresh
-    * session). */
-  def clearMemos(): Unit = centroidCache.clear()
+  /** Drop memoized centroids and tracked inner persists (benchmark
+    * harness hook — lets a measurement pass retrain from the same cold
+    * state as a fresh session). */
+  def clearMemos(): Unit = {
+    centroidCache.clear()
+    TrackedPersist.clear()
+  }
 
   private def trainedCentroidsCached(spark: SparkSession, corpus: DataFrame,
                                      dir: String, k: Int): Array[Array[Double]] = {
@@ -853,18 +865,15 @@ object Similarity {
     val corpus = Tables.load(spark, dir, "embeddings")
     val cents = trainedCentroidsCached(spark, corpus, dir, numCells)
     lastSemKey = (spark, dir, numCells)
-    val dots = array(cents.map(c =>
-      dot(l2normalize(col("embedding")), typedlit(c))): _*)
-    // single (nearest-centroid) assignment; csim = that best dot.
-    // array_position finds the FIRST maximum -> ties to lowest index,
-    // mirrored by the oracle's (d DESC, idx) row_number order.
-    val assigned = corpus
-      .withColumn("__d", dots)
-      .select(col("vec_id"),
-              l2normalize(col("embedding")).as("ne"),
-              (expr("array_position(__d, array_max(__d))").cast("int") - 1)
-                .as("cell"),
-              expr("array_max(__d)").as("csim"))
+    // single (nearest-centroid) assignment; csim = that best dot
+    // (argmax/tie semantics live in withIvfCellsCsim, mirrored by the
+    // oracle's (d DESC, idx) row_number order). Persist: the frame
+    // feeds the pair join twice AND the final verdict join — without
+    // it the corpus scan + k×dim assignment map would run twice.
+    val assigned = withIvfCellsCsim(corpus, col("embedding"), cents)
+      .select(col("vec_id"), l2normalize(col("embedding")).as("ne"),
+              col("cell"), col("csim"))
+      .transform(TrackedPersist.persistTracked)
     val l = assigned.select(col("cell"), col("vec_id").as("lid"),
                             col("ne").as("lne"), col("csim").as("lcs"))
     val r = assigned.select(col("cell"), col("vec_id").as("rid"),

@@ -25,10 +25,18 @@ import graft.Tables
   */
 object Sketches {
 
+  /** Deterministic md5-prefix hash: the first `hexDigits` hex chars of
+    * md5 as a long (≤15 stays inside signed-64; both engines parse the
+    * digits identically — the oracle replays the same nibble fold).
+    * THE shared oracle-load-bearing hash: every new operator should call
+    * this rather than inline the conv/substring/md5 chain, so the Spark
+    * side can never drift from the replayed form. */
+  private[graft] def hHex(c: Column, hexDigits: Int): Column =
+    conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
+
   /** 60-bit deterministic hash: the first 15 hex chars of md5 (stays
     * inside signed-64; both engines parse it identically). */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def h60(c: Column): Column = hHex(c, 15)
 
   // ---- HyperLogLog (p=8, m=256 registers) ---------------------------
 

@@ -126,9 +126,14 @@ class SelectionSpec extends SparkSpec {
     assert(a.collect().sortBy(_.getLong(0)).toSeq ==
            b.collect().sortBy(_.getLong(0)).toSeq)
     assert(a.filter(col("selected") === 1).count() == 20)
-    // the scoring join must broadcast the bucket model, never shuffle
-    // the corpus for it; the top-k cut must be a TakeOrdered, not a sort
+    // the scoring join must broadcast the bucket model (a SortMergeJoin
+    // here would shuffle the corpus-sized feature table); the top-k cut
+    // must be a TakeOrdered, not a global sort. collect() first — the
+    // final adaptive plan is only materialized by execution.
+    a.collect()
     val plan = a.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 }

@@ -250,8 +250,12 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("semDedup verify join is cell-keyed — no cartesian, corpus never broadcast") {
-    val plan = Similarity.semDedup(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    // collect() on the SAME QueryExecution first: under AQE the
+    // pre-execution plan is only the initial one — a runtime replan
+    // into a nested-loop join would be invisible without executing
+    val df = Similarity.semDedup(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(600))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
