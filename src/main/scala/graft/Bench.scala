@@ -81,6 +81,7 @@ object Bench {
         ext.Quantize.clearMemos()
         ext.Winnow.clearMemos()
         ext.PageRank.clearMemos()
+        ext.Selection.clearMemos()
         // NOT Bucketing.clearWriteMemo(): the bucket layout's cost model
         // is write-once-amortize-forever, and the write is timed as its
         // own bucket_write_sec line item below — clearing it per pass

@@ -47,11 +47,7 @@ object Selection {
     * bounded by dim buckets per doc. */
   def dsirSelect(spark: SparkSession, dir: String, dim: Int = 256,
                  k: Int = 100, targetLang: String = "en"): DataFrame = {
-    // persisted: docw sits under BOTH the broadcast top-k branch and
-    // the probe side of the final join — without it the whole scoring
-    // aggregation would execute twice per action
-    val docw = docWeights(spark, dir, dim, targetLang)
-      .transform(TrackedPersist.persistTracked)
+    val docw = docWeightsCached(spark, dir, dim, targetLang)
     val topk = docw.orderBy(col("logw").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), lit(1L).as("sel"))
     docw.join(broadcast(topk), Seq("doc_id"), "left_outer")
@@ -59,9 +55,42 @@ object Selection {
               coalesce(col("sel"), lit(0L)).as("selected"))
   }
 
-  /** The shared DSIR scoring stage: (doc_id, n_feats, logw @4dp). */
+  /** Per-(session, dir, dim, targetLang) memo of the scored corpus —
+    * the index-build-once pattern (q37 centroids): importance weights
+    * are a per-corpus model artifact scored once and then consumed by
+    * every selection policy (argmax q197, Gumbel resample q199, any
+    * future stratified cut), not recomputed per query. Entries are
+    * persisted via [[TrackedPersist]] (drained with every family
+    * cold sweep) and ALSO sit under the broadcast top-k branch and the
+    * probe side of each selection join — the memo makes that shared
+    * subtree compute once per corpus. */
+  private val docwCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Int, String), DataFrame]()
+
+  /** Drop memoized weight tables (benchmark cold-start hook). */
+  def clearMemos(): Unit = docwCache.clear()
+
+  private def docWeightsCached(spark: SparkSession, dir: String, dim: Int,
+                               targetLang: String): DataFrame = {
+    docwCache.keys.foreach { key =>
+      if (key._1.sparkContext.isStopped) docwCache.remove(key)
+    }
+    docwCache.getOrElseUpdate((spark, dir, dim, targetLang), {
+      val (docw, feats) = docWeights(spark, dir, dim, targetLang)
+      val p = docw.transform(TrackedPersist.persistTracked)
+      // materialize EAGERLY so the corpus-sized exploded feature table
+      // can be released right away — only the skinny per-doc weight
+      // table stays cached for the memo's lifetime
+      p.count()
+      feats.unpersist(blocking = false)
+      p
+    })
+  }
+
+  /** The shared DSIR scoring stage: (doc_id, n_feats, logw @4dp),
+    * plus the inner persisted feature frame for lifecycle control. */
   private def docWeights(spark: SparkSession, dir: String, dim: Int,
-                         targetLang: String): DataFrame = {
+                         targetLang: String): (DataFrame, DataFrame) = {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
               filter(split(TextAnalysis.normalized(col("text")), " "),
@@ -98,12 +127,13 @@ object Selection {
             ((col("cr") + lit(1L)).cast("double") *
              (col("nt") + lit(dim.toLong)).cast("double")))
           .as("delta"))
-    feats.groupBy(col("doc_id"), col("b"))
+    val docw = feats.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(delta), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
            round(sum(col("c") * col("delta")), 4).as("logw"))
+    (docw, feats)
   }
 
   /** DSIR's actual selection step — Gumbel-top-k importance RESAMPLING
@@ -123,8 +153,7 @@ object Selection {
   def dsirResample(spark: SparkSession, dir: String, dim: Int = 256,
                    k: Int = 100, targetLang: String = "en",
                    seed: String = "gumbel1"): DataFrame = {
-    val docw = docWeights(spark, dir, dim, targetLang)
-      .transform(TrackedPersist.persistTracked)
+    val docw = docWeightsCached(spark, dir, dim, targetLang)
     val u = (Sketches.hHex(concat(lit(seed), col("doc_id").cast("string")),
                12).cast("double") + lit(0.5)) /
             lit(281474976710656.0) // 2^48

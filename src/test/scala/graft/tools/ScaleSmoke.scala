@@ -290,6 +290,7 @@ object ScaleSmoke {
       graft.ext.Quantize.clearMemos()
       graft.ext.Winnow.clearMemos()
       graft.ext.PageRank.clearMemos()
+      graft.ext.Selection.clearMemos()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
