@@ -525,6 +525,24 @@ class DedupSpec extends SparkSpec {
     assert(a eq b)
   }
 
+  test("clearMemos drains the INNER persists (signature/shingle frames), not just the memoized tables") {
+    // other suites share this session and may hold their own persists —
+    // assert on the DELTA this build adds, not on global emptiness
+    Dedup.clearMemos()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashLsh(spark, sfDir).count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty,
+      "expected inner persisted frames (shingles + signatures) after an LSH build")
+    Dedup.clearMemos()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    // every frame the build persisted must be gone — a 'cold'
+    // measurement pass that rebuilds the identical signatures plan must
+    // NOT hit warm blocks
+    assert((added & after).isEmpty,
+      s"inner persists survived clearMemos: ids ${(added & after).mkString(",")}")
+  }
+
   test("minhash-LSH vs brute-force exact pairs: precision exactly 1, recall floor") {
     val t = 0.5
     val sh = Dedup.shingled(spark, sfDir).cache()
