@@ -393,8 +393,12 @@ object ScaleSmoke {
       println(f"[scale] ${"query"}%-22s ${"t1x"}%8s ${"t10x"}%8s ${"t100x"}%8s ${"r10"}%5s ${"r100"}%6s")
       val top = {
         val prefixes = args.drop(1).filterNot(_.matches("p\\d+"))
+        // default: the Top5 cost drivers; explicit prefixes may pull in
+        // any docs/embeddings-based family gate (scale100 generates no
+        // events/TPC-H tables)
         if (prefixes.isEmpty) Top5
-        else Top5.filter(f => prefixes.exists(f.startsWith))
+        else (Top5 ++ Families).distinct
+          .filter(f => prefixes.exists(f.startsWith))
       }
       for (name <- top) {
         time(name, Base)                   // warms JIT/codegen paths
