@@ -208,6 +208,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((0, 0L, 0L)), "isolated vector untouched")
   }
 
+  test("semDedup clique theorem: a full mutual-dup clique keeps EXACTLY one survivor") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("semdedup_clique").toString
+    // threshold -1 makes every same-cell pair a dup edge -> the whole
+    // cell is one clique; dominance is a total order on (csim, id), so
+    // exactly the argmin (farthest from centroid, tie lowest id) is
+    // undominated and must be the lone survivor
+    val rnd = new scala.util.Random(7)
+    (0L until 8L).map(i =>
+        (i, Array.fill(4)(rnd.nextFloat() * 2 - 1), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity
+      .semDedup(spark, dir, numCells = 1, threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_._2 == 7L), s"all 7 neighbors are dups: $out")
+    assert(out.count(_._3 == 0L) == 1, s"exactly one survivor: $out")
+  }
+
   test("semDedup invariants on the real corpus; every dup pair loses a member") {
     val thr = 0.2 // low enough that within-cell pairs exist at sf0.001
     val out = Similarity.semDedup(spark, sfDir, threshold = thr).cache()
