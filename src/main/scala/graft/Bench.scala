@@ -146,10 +146,20 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     // The full artifact line above exceeds a tail-window capture once the
     // per-query map is ~200 entries (r08/r09 both recorded parsed:null),
-    // so the VERY LAST stdout line is a compact, self-contained summary
-    // that always fits: totals here, per-query detail in BENCH_LAST.json.
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63":$sharedSub,"bucket_write_sec":$bucketWriteSec,"n_queries":${results.size},"schema_canary":${if (canaryDiff.isEmpty) "\"ok\"" else "\"DRIFT\""},"sf":"$sfDir","detail":"BENCH_LAST.json"}""")
+    // so the LAST lines this process emits are a compact, self-contained
+    // summary that always fits: totals here, per-query detail in
+    // BENCH_LAST.json. Emitted on stdout (unprefixed — build.sbt sets
+    // run/outputStrategy := StdoutOutput, because sbt's default logger
+    // prefix "[info] " is what defeated the r09/r10 tail parsers) AND on
+    // stderr AND into a stable BENCH_SUMMARY.json file, so a machine
+    // consumer has three independent capture paths.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63":$sharedSub,"bucket_write_sec":$bucketWriteSec,"n_queries":${results.size},"schema_canary":${if (canaryDiff.isEmpty) "\"ok\"" else "\"DRIFT\""},"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (compact + "\n").getBytes("UTF-8"))
+    println(compact)
+    System.err.println(compact)
     spark.stop()
   }
 }

@@ -226,22 +226,66 @@ object Dedup {
     * is a property of the DATA, not of any conf (forcing the collapse
     * decision via [[CollapseDupFractionKey]] moves the THRESHOLD, so
     * the memo never has to be invalidated by a forced gate). */
-  private val dupFracCache = scala.collection.concurrent
+  private[ext] val dupFracCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, String), Double]()
-  private def dupFractionDir(spark: SparkSession, dir: String,
-                             extraKeys: Seq[String]): Double = {
+  private[ext] def dupFractionDir(spark: SparkSession, dir: String,
+                                  extraKeys: Seq[String]): Double = {
     sweepStopped(dupFracCache)
-    dupFracCache.getOrElseUpdate((spark, dir, extraKeys.mkString(",")),
-      dupFraction(Tables.load(spark, dir, "documents"), extraKeys))
+    val scopeKey = extraKeys.mkString(",")
+    dupFracCache.get((spark, dir, scopeKey)).getOrElse {
+      val docs = Tables.load(spark, dir, "documents")
+      // ONE corpus scan probes EVERY scope the pair families use (the
+      // corpus-wide key for minhash/simhash/estimate, the per-source
+      // key for jaccard/containment): a cold start used to pay two
+      // full normalize+md5+HLL passes over the same corpus — at 100 TB
+      // that is a whole avoided scan. All scopes share the normalize
+      // and md5 work inside a single aggregate.
+      val scopes = (Seq(Seq.empty[String], Seq("source")) :+ extraKeys)
+        .distinct.filter(_.forall(docs.columns.contains))
+      dupFractions(spark, docs, scopes).foreach { case (sc, f) =>
+        dupFracCache.put((spark, dir, sc.mkString(",")), f)
+      }
+      dupFracCache((spark, dir, scopeKey))
+    }
   }
-  private def dupFraction(docs: DataFrame, extraKeys: Seq[String]): Double = {
+  private def dupFraction(docs: DataFrame, extraKeys: Seq[String]): Double =
+    dupFractions(docs.sparkSession, docs, Seq(extraKeys)).head._2
+
+  /** Conf knob: fraction of the corpus the duplicate probe scans
+    * (default 1.0 = the full corpus). A p-sample splits every size-k
+    * duplicate group Binomial(k, p), so the measured fraction is biased
+    * DOWNWARD (a doc only counts as a duplicate if another group member
+    * also survived the sample) — the conservative direction for this
+    * gate: an undershoot keeps the byte-identical direct plan, never
+    * force-collapses a dup-light corpus. The collapse's payoff case is
+    * a 30–50%-duplicate crawl corpus, far above the 5% threshold, so a
+    * modest undershoot cannot flip the decision that matters. Sampling
+    * is keyed on md5(doc_id) — deterministic across runs, executors,
+    * and partition layouts, unlike `df.sample`. */
+  private[ext] val ProbeSampleKey = "spark.graft.dedup.probeSampleFraction"
+
+  /** Measured duplicate fractions for several group-key scopes in ONE
+    * aggregate pass (a count + one HLL register set per scope). */
+  private def dupFractions(spark: SparkSession, docs: DataFrame,
+                           scopes: Seq[Seq[String]])
+      : Seq[(Seq[String], Double)] = {
+    val sampleFrac = spark.conf.getOption(ProbeSampleKey)
+      .map(_.toDouble).filter(f => f > 0.0 && f < 1.0)
+    val probed = sampleFrac.fold(docs)(f =>
+      docs.filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") < (f * (1L << 32)).toLong))
     val fp = md5(TextAnalysis.normalized(col("text")))
-    val key = if (extraKeys.isEmpty) fp
-      else concat_ws("", extraKeys.map(col) :+ fp: _*)
-    val probe = docs.agg(count(lit(1)).as("n"),
-      approx_count_distinct(key).as("g")).head()
+    val keys = scopes.map { sc =>
+      if (sc.isEmpty) fp else concat_ws("", sc.map(col) :+ fp: _*)
+    }
+    val aggs = count(lit(1)).as("n") +: keys.zipWithIndex.map {
+      case (k, i) => approx_count_distinct(k).as(s"g$i")
+    }
+    val probe = probed.agg(aggs.head, aggs.tail: _*).head()
     val n = probe.getLong(0)
-    if (n == 0L) 0.0 else 1.0 - probe.getLong(1).toDouble / n
+    scopes.zipWithIndex.map { case (sc, i) =>
+      sc -> (if (n == 0L) 0.0 else 1.0 - probe.getLong(i + 1).toDouble / n)
+    }
   }
 
   private def collapseMinFrac(spark: SparkSession): Double =
@@ -406,13 +450,20 @@ object Dedup {
         catch { case _: NumberFormatException => 10L * 1024 * 1024 })
     val estPairs = estimatedCandidatesOfSig(sig)
     // prefer the pruned n_chars int column (one skinny scan) over
-    // re-reading the text payload; fall back for schema-less frames
-    val avgCharsRow = docs.agg(avg(
-      if (docs.columns.contains("n_chars")) col("n_chars")
-      else length(col("text")))).head()
-    val avgChars =
-      if (avgCharsRow.isNullAt(0)) 0.0 else avgCharsRow.getDouble(0)
-    val pairRowBytes = 32.0 + 8.0 * (avgChars / 6.0)
+    // re-reading the text payload; fall back for schema-less frames.
+    // Size pairs by the p90 doc length, NOT the mean: the AMS estimate
+    // has variance and LSH candidates skew toward longer-than-average
+    // docs (more shingles → more band hits), so a mean-sized estimate
+    // can understate broadcast bytes on a skewed corpus — and the
+    // broadcast() hint below OVERRIDES Spark's own size check, so an
+    // undershoot is an executor/driver OOM at scale, while an
+    // overshoot merely falls back to the (always-correct) shuffle plan.
+    val charsCol = (if (docs.columns.contains("n_chars")) col("n_chars")
+                    else length(col("text"))).cast("double")
+    val p90Row = docs.agg(
+      percentile_approx(charsCol, lit(0.9), lit(1000))).head()
+    val p90Chars = if (p90Row.isNullAt(0)) 0.0 else p90Row.getDouble(0)
+    val pairRowBytes = 32.0 + 8.0 * (p90Chars / 6.0)
     // shingle arrays are sorted distinct → O(n+m) merge intersect
     def verified(pairs: DataFrame): DataFrame = pairs
       .withColumn("inter", graft.functions.SortedIntersectCount

@@ -64,11 +64,23 @@ object Selection {
     * cold sweep) and ALSO sit under the broadcast top-k branch and the
     * probe side of each selection join — the memo makes that shared
     * subtree compute once per corpus. */
-  private val docwCache = scala.collection.concurrent
+  private[ext] val docwCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Int, String), DataFrame]()
 
-  /** Drop memoized weight tables (benchmark cold-start hook). */
-  def clearMemos(): Unit = docwCache.clear()
+  // The memoized docw frame itself goes through persistTracked, so ANY
+  // family's cold sweep (Dedup/Similarity clearMemos → TrackedPersist
+  // .clear) drops its blocks — register the map clear there too, or the
+  // memo would keep serving an unpersisted frame that recomputes the
+  // corpus-sized feature build on every later action.
+  TrackedPersist.onClear(() => docwCache.clear())
+
+  /** Drop memoized weight tables AND their tracked blocks (benchmark
+    * cold-start hook; the TrackedPersist drain also clears this map
+    * via the onClear hook — idempotent). */
+  def clearMemos(): Unit = {
+    docwCache.clear()
+    TrackedPersist.clear()
+  }
 
   private def docWeightsCached(spark: SparkSession, dir: String, dim: Int,
                                targetLang: String): DataFrame = {

@@ -18,6 +18,8 @@ import org.apache.spark.sql.DataFrame
 private[graft] object TrackedPersist {
   private val live =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val invalidations =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
 
   /** Persist MEMORY_AND_DISK and register for [[clear]] draining.
     * Designed for postfix use: `df.transform(TrackedPersist.persistTracked)`. */
@@ -27,13 +29,26 @@ private[graft] object TrackedPersist {
     df
   }
 
+  /** Register a memo-map invalidation to run with every [[clear]].
+    * Because the registry is global, one family's cold sweep drops
+    * OTHER families' tracked blocks too; any memo cache whose cached
+    * frame (or a dependency of it that is not independently
+    * materialized) went through [[persistTracked]] would otherwise
+    * keep serving a now-unpersisted frame that silently recomputes
+    * its corpus-sized build on every action. Hooks must be pure map
+    * clears — no unpersisting, and NEVER a call back into [[clear]]. */
+  def onClear(hook: () => Unit): Unit = invalidations.add(hook)
+
   /** Unpersist every tracked frame (stopped-session frames throw —
-    * swallowed; their blocks died with the session). */
+    * swallowed; their blocks died with the session), then run the
+    * registered memo invalidations so no cache outlives its blocks. */
   def clear(): Unit = {
     var d = live.poll()
     while (d != null) {
       try d.unpersist(blocking = false) catch { case _: Throwable => () }
       d = live.poll()
     }
+    invalidations.forEach(h =>
+      try h() catch { case _: Throwable => () })
   }
 }

@@ -72,10 +72,18 @@ object Partitioning {
     * which the target size, not the count, should be revisited. */
   def forBytes(spark: SparkSession, bytes: Long,
                expansion: Double): Int = {
+    // Accept Spark size strings ("16MB") like every other byte knob in
+    // the project, not bare longs only; and a non-numeric
+    // shuffle.partitions (e.g. a platform's "auto") falls back to
+    // defaultParallelism instead of throwing at plan time.
     val target = spark.conf.getOption(TargetBytesKey)
-      .map(_.toLong).getOrElse(DefaultTargetBytes)
+      .map(s =>
+        if (s.trim.matches("-?\\d+")) s.trim.toLong
+        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s))
+      .filter(_ > 0L).getOrElse(DefaultTargetBytes)
     val sessionFloor = spark.conf.getOption("spark.sql.shuffle.partitions")
-      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val derived = math.ceil(bytes * expansion / target).toLong
     math.min(1 << 18, math.max(sessionFloor, derived)).toInt
   }
@@ -94,15 +102,18 @@ object Partitioning {
     * count from silently becoming every later operator's default —
     * the cross-operator pessimization the 100× smoke measured.
     *
-    * Scopes are serialized under one JVM-wide lock (reentrant, so
-    * nesting is fine): the session conf is session-global state, and
-    * two interleaved scopes would otherwise each "restore" the other's
-    * raised count, leaving it leaked for the session's lifetime. Work
-    * planned by OTHER threads while a scope is open still sees the
-    * raised count — inherent to session-conf scoping; callers that need
-    * full isolation should use an explicit `repartition(n)` instead. */
+    * Scopes are serialized PER SESSION (reentrant, so nesting is
+    * fine): the session conf is session-global state, and two
+    * interleaved scopes on the same session would otherwise each
+    * "restore" the other's raised count, leaving it leaked for the
+    * session's lifetime — but two DIFFERENT sessions mutate disjoint
+    * conf, so a JVM-wide lock would only serialize their (potentially
+    * count()-long) builds for nothing. Work planned by OTHER threads
+    * of the SAME session while a scope is open still sees the raised
+    * count — inherent to session-conf scoping; callers that need full
+    * isolation should use an explicit `repartition(n)` instead. */
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
-    scopeLock.synchronized {
+    scopeLockOf(spark).synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, n.toString)
@@ -110,7 +121,13 @@ object Partitioning {
       finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
     }
 
-  private val scopeLock = new Object
+  // one lock object per session, weakly held so stopped sessions are
+  // collectable; computeIfAbsent gives atomic create-or-get
+  private val scopeLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
+  private def scopeLockOf(spark: SparkSession): Object =
+    scopeLocks.computeIfAbsent(spark, _ => new Object)
 
   /** Materialize `build` (persist MEMORY_AND_DISK + count) inside a
     * [[withShufflePartitions]] scope of `n`. This is the ONE shared

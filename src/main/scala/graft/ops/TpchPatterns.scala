@@ -34,23 +34,25 @@ object TpchPatterns {
   private val tpchTables =
     Seq("lineitem", "orders", "customer", "supplier", "part")
 
-  /** Run a dialect-common oracle string against DIR-SCOPED temp views:
-    * each TPC-H table is registered as `<name>_g<sha1(dir)>` and the
-    * SQL's table references are renamed to match — a pure identifier
-    * rename, so gate == oracle still holds semantically while two
-    * gates over different dirs in one session can never read each
-    * other's data (plain shared view names raced between
-    * createOrReplaceTempView and spark.sql under concurrency). The
-    * rename uses word boundaries; column identifiers like
-    * `supplier_cnt` are unaffected (underscore is a word char). */
+  /** Run a dialect-common oracle TEMPLATE against DIR-SCOPED temp
+    * views: each TPC-H table is registered as `<name>_g<sha1(dir)>`
+    * and the template interpolates table names through `t(...)`, so
+    * the gate GENERATES the SQL with the scoped names directly — no
+    * textual rewrite of finished SQL (a \b-regex rename would corrupt
+    * an oracle that used a table name as a column alias, inside a
+    * string literal, or in a comment). With `t = identity` the same
+    * template yields the plain-table oracle the driver hands DuckDB,
+    * so gate == oracle holds by construction. Scoping exists because
+    * two gates over different dirs in one session must never read
+    * each other's data (plain shared view names raced between
+    * createOrReplaceTempView and spark.sql under concurrency). */
   private def scopedSql(spark: SparkSession, dir: String,
-                        sql: String): DataFrame = {
+                        oracle: (String => String) => String): DataFrame = {
     val tag = java.security.MessageDigest.getInstance("SHA-1")
       .digest(dir.getBytes("UTF-8")).take(10).map(b => f"$b%02x").mkString
     tpchTables.foreach(t =>
       Tables.load(spark, dir, t).createOrReplaceTempView(s"${t}_g$tag"))
-    spark.sql(tpchTables.foldLeft(sql)((s, t) =>
-      s.replaceAll("\\b" + t + "\\b", s"${t}_g$tag")))
+    spark.sql(oracle(t => s"${t}_g$tag"))
   }
 
   // ---- Q2 shape: correlated-min scalar subquery ---------------------
@@ -65,18 +67,18 @@ object TpchPatterns {
     * nested-loop model). Ties (two suppliers at the min price) emit
     * both rows — a deterministic set either way. */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    scopedSql(spark, dir, minCostSupplierOracleSql())
+    scopedSql(spark, dir, minCostSupplierOracleSql)
   }
 
-  def minCostSupplierOracleSql(): String =
-    """SELECT p_partkey, p_name, s_name,
+  def minCostSupplierOracleSql(t: String => String = identity): String =
+    s"""SELECT p_partkey, p_name, s_name,
       |  CAST(l_extendedprice AS DOUBLE) AS min_price
-      |FROM part p
-      |JOIN lineitem l ON l.l_partkey = p.p_partkey
-      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |FROM ${t("part")} p
+      |JOIN ${t("lineitem")} l ON l.l_partkey = p.p_partkey
+      |JOIN ${t("supplier")} s ON s.s_suppkey = l.l_suppkey
       |WHERE p.p_size < 10 AND p.p_type = 'SMALL'
       |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
-      |                           FROM lineitem l2
+      |                           FROM ${t("lineitem")} l2
       |                           WHERE l2.l_partkey = p.p_partkey)""".stripMargin
 
   // ---- Q4 shape: correlated EXISTS ----------------------------------
@@ -90,14 +92,14 @@ object TpchPatterns {
     * lineitem never duplicates orders (the trap a manual inner-join
     * rewrite would hit). */
   def waitingOrders(spark: SparkSession, dir: String): DataFrame = {
-    scopedSql(spark, dir, waitingOrdersOracleSql())
+    scopedSql(spark, dir, waitingOrdersOracleSql)
   }
 
-  def waitingOrdersOracleSql(): String =
-    """SELECT o_orderpriority, count(*) AS order_count
-      |FROM orders o
+  def waitingOrdersOracleSql(t: String => String = identity): String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+      |FROM ${t("orders")} o
       |WHERE year(o_orderdate) = 1997
-      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |  AND EXISTS (SELECT 1 FROM ${t("lineitem")} l
       |              WHERE l.l_orderkey = o.o_orderkey
       |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
       |GROUP BY o_orderpriority""".stripMargin
@@ -242,14 +244,14 @@ object TpchPatterns {
     * costs one broadcast lookup per row, and the distinct-count
     * aggregate is the only shuffle. */
   def supplierCensus(spark: SparkSession, dir: String): DataFrame = {
-    scopedSql(spark, dir, supplierCensusOracleSql())
+    scopedSql(spark, dir, supplierCensusOracleSql)
   }
 
-  def supplierCensusOracleSql(): String =
-    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
+  def supplierCensusOracleSql(t: String => String = identity): String =
+    s"""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM ${t("lineitem")} JOIN ${t("part")} ON l_partkey = p_partkey
       |WHERE p_type <> 'PROMO' AND p_size IN (1, 9, 19, 23, 36, 45, 49)
-      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM ${t("supplier")}
       |                        WHERE s_acctbal < 0)
       |GROUP BY p_brand, p_size""".stripMargin
 
@@ -263,16 +265,16 @@ object TpchPatterns {
     * shrinks the semi-join build side to the handful of jumbo orders
     * (broadcastable), and the outer join chain is key-co-partitioned. */
   def largeOrders(spark: SparkSession, dir: String): DataFrame = {
-    scopedSql(spark, dir, largeOrdersOracleSql())
+    scopedSql(spark, dir, largeOrdersOracleSql)
   }
 
-  def largeOrdersOracleSql(): String =
-    """SELECT c_name, c_custkey, o_orderkey,
+  def largeOrdersOracleSql(t: String => String = identity): String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
       |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
       |  CAST(sum(l_quantity) AS DOUBLE) AS total_qty
-      |FROM customer JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON o_orderkey = l_orderkey
-      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |FROM ${t("customer")} JOIN ${t("orders")} ON c_custkey = o_custkey
+      |JOIN ${t("lineitem")} ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM ${t("lineitem")}
       |                     GROUP BY l_orderkey
       |                     HAVING sum(l_quantity) > 300)
       |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice""".stripMargin
@@ -288,19 +290,19 @@ object TpchPatterns {
     * the plan is three co-keyed joins over lineitem, not a per-row
     * re-scan; output is bounded by #suppliers. */
   def blockingSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    scopedSql(spark, dir, blockingSuppliersOracleSql())
+    scopedSql(spark, dir, blockingSuppliersOracleSql)
   }
 
-  def blockingSuppliersOracleSql(): String =
-    """SELECT s_name, count(*) AS numwait
-      |FROM supplier
-      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-      |JOIN orders ON o_orderkey = l1.l_orderkey
+  def blockingSuppliersOracleSql(t: String => String = identity): String =
+    s"""SELECT s_name, count(*) AS numwait
+      |FROM ${t("supplier")}
+      |JOIN ${t("lineitem")} l1 ON s_suppkey = l1.l_suppkey
+      |JOIN ${t("orders")} ON o_orderkey = l1.l_orderkey
       |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |  AND EXISTS (SELECT 1 FROM ${t("lineitem")} l2
       |              WHERE l2.l_orderkey = l1.l_orderkey
       |                AND l2.l_suppkey <> l1.l_suppkey)
-      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |  AND NOT EXISTS (SELECT 1 FROM ${t("lineitem")} l3
       |                  WHERE l3.l_orderkey = l1.l_orderkey
       |                    AND l3.l_suppkey <> l1.l_suppkey
       |                    AND l3.l_returnflag = 'R')
@@ -317,17 +319,17 @@ object TpchPatterns {
     * values and `0.2 * avg` is bit-identical in both engines; the
     * revenue sum is exact DECIMAL. */
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
-    scopedSql(spark, dir, smallQtyRevenueOracleSql())
+    scopedSql(spark, dir, smallQtyRevenueOracleSql)
   }
 
-  def smallQtyRevenueOracleSql(): String =
-    """SELECT count(*) AS n_lines,
+  def smallQtyRevenueOracleSql(t: String => String = identity): String =
+    s"""SELECT count(*) AS n_lines,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS small_qty_revenue
-      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |FROM ${t("lineitem")} l JOIN ${t("part")} p ON l.l_partkey = p.p_partkey
       |WHERE p.p_type = 'SMALL'
       |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-      |                      FROM lineitem l2
+      |                      FROM ${t("lineitem")} l2
       |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
   // ---- Q15 shape: argmax via scalar subquery over a derived agg -----
@@ -339,20 +341,20 @@ object TpchPatterns {
     * double, so ties (all suppliers at the max) surface exactly in
     * both engines. Lineitem is pruned to the quarter at the scan. */
   def topSupplier(spark: SparkSession, dir: String): DataFrame = {
-    scopedSql(spark, dir, topSupplierOracleSql())
+    scopedSql(spark, dir, topSupplierOracleSql)
   }
 
-  def topSupplierOracleSql(): String =
-    """WITH rev AS (
+  def topSupplierOracleSql(t: String => String = identity): String =
+    s"""WITH rev AS (
       |  SELECT l_suppkey AS supplier_no,
       |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
       |             AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
-      |  FROM lineitem
+      |  FROM ${t("lineitem")}
       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       |    AND l_shipdate < TIMESTAMP '1997-04-01'
       |  GROUP BY l_suppkey)
       |SELECT s_suppkey, s_name, total_revenue
-      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |FROM ${t("supplier")} JOIN rev ON s_suppkey = supplier_no
       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
       .stripMargin
 
@@ -366,14 +368,14 @@ object TpchPatterns {
     * spec-asserted), so the join sees pre-filtered inputs instead of
     * evaluating the OR over the full cross product. */
   def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
-    scopedSql(spark, dir, disjunctiveRevenueOracleSql())
+    scopedSql(spark, dir, disjunctiveRevenueOracleSql)
   }
 
-  def disjunctiveRevenueOracleSql(): String =
-    """SELECT count(*) AS n_lines,
+  def disjunctiveRevenueOracleSql(t: String => String = identity): String =
+    s"""SELECT count(*) AS n_lines,
       |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
       |           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |FROM ${t("lineitem")} JOIN ${t("part")} ON p_partkey = l_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
       |       AND l_quantity BETWEEN 1 AND 11)
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
@@ -394,19 +396,19 @@ object TpchPatterns {
     * NOT EXISTS decorrelates to an anti join on custkey against the
     * date-pruned orders scan. */
   def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
-    scopedSql(spark, dir, dormantCustomersOracleSql())
+    scopedSql(spark, dir, dormantCustomersOracleSql)
   }
 
-  def dormantCustomersOracleSql(): String =
-    """SELECT c_mktsegment, count(*) AS numcust,
+  def dormantCustomersOracleSql(t: String => String = identity): String =
+    s"""SELECT c_mktsegment, count(*) AS numcust,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
       |    AS totacctbal
-      |FROM customer c
+      |FROM ${t("customer")} c
       |WHERE CAST(c_acctbal AS DECIMAL(18,2))
-      |      * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      |      * (SELECT count(*) FROM ${t("customer")} WHERE c_acctbal > 0.0)
       |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
-      |       FROM customer WHERE c_acctbal > 0.0)
-      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |       FROM ${t("customer")} WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM ${t("orders")} o
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY c_mktsegment""".stripMargin

@@ -625,4 +625,43 @@ class DedupSpec extends SparkSpec {
       assert(inB.length == r.getLong(1))
     }
   }
+
+  test("ONE probe pass populates every family's dup-fraction scope") {
+    // the cold-start contract: the first collapse-gated operator pays
+    // one corpus scan and the probe memo then serves BOTH the
+    // corpus-wide scope (minhash/simhash/estimate) and the per-source
+    // scope (jaccard/containment) — r10 paid two full scans per cold
+    // corpus.
+    Dedup.clearMemos()
+    assert(Dedup.dupFracCache.isEmpty)
+    Dedup.dupFractionDir(spark, sfDir, Nil)
+    val scopes = Dedup.dupFracCache.keys
+      .collect { case (s, d, scope) if s == spark && d == sfDir => scope }
+      .toSet
+    assert(scopes == Set("", "source"),
+      s"one probe must fill both scopes, got $scopes")
+    // and the source-scope read is a pure cache hit (same map entry)
+    val before = Dedup.dupFracCache((spark, sfDir, "source"))
+    assert(Dedup.dupFractionDir(spark, sfDir, Seq("source")) == before)
+  }
+
+  test("sampled probe is deterministic and keeps the dup-light direct plan") {
+    val prev = spark.conf.getOption(Dedup.ProbeSampleKey)
+    try {
+      spark.conf.set(Dedup.ProbeSampleKey, "0.5")
+      Dedup.clearMemos()
+      val v1 = Dedup.dupFractionDir(spark, sfDir, Nil)
+      Dedup.clearMemos()
+      val v2 = Dedup.dupFractionDir(spark, sfDir, Nil)
+      // md5(doc_id)-keyed sampling: same rows every run, any layout
+      assert(v1 == v2, "sampled probe must be deterministic")
+      // the sample's bias is DOWNWARD (duplicate groups split), so a
+      // dup-light corpus must stay far below the collapse threshold
+      assert(v1 < 0.05, s"sf0.001's ~0.2% dup rate read as $v1")
+    } finally {
+      prev.fold(spark.conf.unset(Dedup.ProbeSampleKey))(v =>
+        spark.conf.set(Dedup.ProbeSampleKey, v))
+      Dedup.clearMemos()
+    }
+  }
 }

@@ -136,4 +136,24 @@ class SelectionSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
+
+  test("another family's cold sweep cannot strand the docw memo") {
+    // TrackedPersist.clear() is GLOBAL: a Dedup/Similarity cold sweep
+    // drops the docw frame's blocks. The memo must be invalidated with
+    // them — otherwise it keeps serving an unpersisted frame and every
+    // later selection action silently recomputes the corpus-sized
+    // feature build (the round-10 ADVICE finding).
+    Selection.dsirSelect(spark, sfDir, k = 5).count()
+    assert(Selection.docwCache.nonEmpty, "memo populated by the call")
+    Dedup.clearMemos() // ANOTHER family's sweep
+    assert(Selection.docwCache.isEmpty,
+      "TrackedPersist.clear() must invalidate the docw memo it drained")
+    // and a fresh call rebuilds a genuinely persisted entry
+    Selection.dsirSelect(spark, sfDir, k = 5).count()
+    val rebuilt = Selection.docwCache.values.head
+    assert(rebuilt.storageLevel !=
+             org.apache.spark.storage.StorageLevel.NONE,
+      "rebuilt docw frame must be persisted, not a stranded plan")
+    Selection.clearMemos()
+  }
 }

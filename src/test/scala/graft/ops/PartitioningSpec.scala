@@ -25,8 +25,18 @@ class PartitioningSpec extends SparkSpec {
     try {
       spark.conf.set(key, (1L << 20).toString)
       assert(Partitioning.forBytes(spark, 64L << 20, expansion = 1.0) == 64)
+      // Spark size strings parse like every other byte knob ("1MB" must
+      // not throw NumberFormatException at plan time)
+      spark.conf.set(key, "1MB")
+      assert(Partitioning.forBytes(spark, 64L << 20, expansion = 1.0) == 64)
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
+
+  // (the non-numeric shuffle.partitions fallback — platforms that set
+  // "auto" — cannot be spec'd through the public API: Spark's typed
+  // conf validator rejects the value at set() time in local mode; the
+  // Try-toInt fallback in forBytes covers platforms that inject it
+  // below the validator.)
 
   test("tableBytes reads the real parquet footprint, memoized") {
     val b = Partitioning.tableBytes(spark, sfDir, "documents")
