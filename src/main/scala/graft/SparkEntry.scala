@@ -638,6 +638,10 @@ object SparkEntry {
     // DSIR Gumbel-top-k importance RESAMPLING (seeded, oracle-replayable)
     "q199_dsir_resample" -> ((s: SparkSession, d: String) =>
       ext.Selection.dsirResample(s, d)),
+    // DSIR with a held-out target corpus (the paper's primary two-corpus
+    // formulation: curated source shapes the model, pool-only selection)
+    "q200_dsir_heldout" -> ((s: SparkSession, d: String) =>
+      ext.Selection.dsirSelectHeldout(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1318,5 +1322,6 @@ object SparkEntry {
     "q197_dsir_select" -> ext.Selection.dsirSelectOracleSql(),
     "q198_semdedup" -> ext.Similarity.semDedupOracleSql(),
     "q199_dsir_resample" -> ext.Selection.dsirResampleOracleSql(),
+    "q200_dsir_heldout" -> ext.Selection.dsirSelectHeldoutOracleSql(),
   )
 }

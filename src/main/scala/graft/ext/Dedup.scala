@@ -376,6 +376,15 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /** Diagnostic for the scale certification (SCALE.md dup-heavy
+    * table): the band-join candidate-pair count over an arbitrary
+    * (doc_id, text) frame — the volume the verify join must carry.
+    * The collapse's claim is that ITS verify join sees only the
+    * representative-side count (tracks distinct docs) while the direct
+    * plan's sees the raw-side count (tracks Σ group²). */
+  private[graft] def lshCandidateCountOf(docs: DataFrame): Long =
+    candidatePairs(shingledOf(docs)).count()
+
   /** [[minhashLsh]] with the exact-duplicate collapse FORCED on (the
     * testdata's dup rate sits below the adaptive threshold, so the
     * gates would otherwise never exercise the collapsed plan). The

@@ -39,21 +39,34 @@ object Packing {
 
   def packedDocs(spark: SparkSession, dir: String,
                  seqLen: Int = 256, bucketSize: Int = 256): DataFrame =
-    packedDocsOf(Tables.load(spark, dir, "documents"), seqLen, bucketSize)
+    packedDocsOf(Tables.load(spark, dir, "documents"), seqLen, bucketSize,
+      // the (source, bucket) exchange moves skinny token-count rows
+      // (~40 bytes/doc vs the parquet text) — modest expansion, but at
+      // 100× a fixed 32 would still bottleneck the intra-bucket window
+      Some(graft.ops.Partitioning.forTable(spark, dir, "documents", 0.5)))
 
   /** Same operator over any (doc_id, source, text) frame. */
   def packedDocsOf(documents: DataFrame,
-                   seqLen: Int = 256, bucketSize: Int = 256): DataFrame = {
+                   seqLen: Int = 256, bucketSize: Int = 256,
+                   numParts: Option[Int] = None): DataFrame = {
     require(seqLen > 0 && bucketSize > 0,
             "seqLen and bucketSize must be positive")
     // token counts; same tokenization + empty-doc filter as Chunking
-    val toks = documents
+    val toks0 = documents
       .select(col("doc_id"), col("source"),
               split(TextAnalysis.normalized(col("text")), " ").as("ts"))
       .filter(size(col("ts")) > 0 && col("ts").getItem(0) =!= "")
       .select(col("doc_id"), col("source"),
               size(col("ts")).cast("long").as("n_toks"),
               (col("doc_id") / bucketSize).cast("long").as("bucket"))
+    // one explicit data-derived (source, bucket) exchange serves BOTH
+    // consumers (the bucket-total aggregate and the intra-bucket
+    // window share the identical exchange node, so the tokenize scan
+    // runs once instead of once per branch) and carries the derived
+    // partition count into the declared plan — a conf scope cannot,
+    // because the gate's action runs outside any scope
+    val toks = numParts.fold(toks0)(n =>
+      toks0.repartition(n, col("source"), col("bucket")))
 
     // per-bucket totals, then each bucket's base offset via a running
     // sum over the REDUCED stream (corpus/bucketSize rows)

@@ -123,7 +123,10 @@ object Pipeline {
     val docs = Tables.load(spark, dir, "documents")
       .join(survivingDocs(spark, dir, threshold), Seq("doc_id"),
             "left_semi")
-    Packing.packedDocsOf(docs, seqLen)
+    // packing sized from the (upper-bounding) raw table bytes — the
+    // survivor semi-join only shrinks the stream
+    Packing.packedDocsOf(docs, seqLen, numParts =
+      Some(graft.ops.Partitioning.forTable(spark, dir, "documents", 0.5)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_toks")).as("total_tokens"),

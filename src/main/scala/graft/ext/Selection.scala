@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -46,8 +46,32 @@ object Selection {
     * only corpus-sized state is the (doc, bucket) feature table —
     * bounded by dim buckets per doc. */
   def dsirSelect(spark: SparkSession, dir: String, dim: Int = 256,
-                 k: Int = 100, targetLang: String = "en"): DataFrame = {
-    val docw = docWeightsCached(spark, dir, dim, targetLang)
+                 k: Int = 100, targetLang: String = "en"): DataFrame =
+    selectTopK(docWeightsCached(spark, dir, dim, targetLang), k)
+
+  /** DSIR with a SEPARATE held-out target corpus — the paper's primary
+    * formulation (Xie et al. 2023 §2: curated target D_target vs raw
+    * pool D_raw): the target distribution is estimated from a corpus
+    * that is NOT part of the pool, the raw model is fit on the pool
+    * only, and only pool documents compete for selection. Here the
+    * held-out corpus is the `targetSource` slice of `documents` (a
+    * curated source), which keeps the gate dir-relative and
+    * oracle-replayable while exercising genuinely two-corpus
+    * semantics: target docs shape the model but never appear in the
+    * output. Shares [[docWeights]]'s scoring stage (one tokenize+hash
+    * pass, one (doc, bucket) shuffle, dim-row model broadcast back)
+    * and the per-corpus memo. */
+  def dsirSelectHeldout(spark: SparkSession, dir: String, dim: Int = 256,
+                        k: Int = 100,
+                        targetSource: String = "src0"): DataFrame =
+    selectTopK(docWeightsCachedGen(spark, dir, dim,
+      s"heldout-src:$targetSource", col("source") === targetSource,
+      heldOut = true), k)
+
+  /** The shared selection tail: rank on the rounded weight with doc_id
+    * tie-break, flag the top k. TakeOrdered + broadcast — never a
+    * global sort, never a corpus shuffle. */
+  private def selectTopK(docw: DataFrame, k: Int): DataFrame = {
     val topk = docw.orderBy(col("logw").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), lit(1L).as("sel"))
     docw.join(broadcast(topk), Seq("doc_id"), "left_outer")
@@ -64,6 +88,9 @@ object Selection {
     * cold sweep) and ALSO sit under the broadcast top-k branch and the
     * probe side of each selection join — the memo makes that shared
     * subtree compute once per corpus. */
+  /** Key: (session, dir, dim, model id) where the model id encodes the
+    * target definition — "lang:<l>" for the in-pool formulation,
+    * "heldout-src:<s>" for the two-corpus one. */
   private[ext] val docwCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Int, String), DataFrame]()
 
@@ -83,12 +110,19 @@ object Selection {
   }
 
   private def docWeightsCached(spark: SparkSession, dir: String, dim: Int,
-                               targetLang: String): DataFrame = {
+                               targetLang: String): DataFrame =
+    docWeightsCachedGen(spark, dir, dim, s"lang:$targetLang",
+      col("lang") === targetLang, heldOut = false)
+
+  private def docWeightsCachedGen(spark: SparkSession, dir: String,
+                                  dim: Int, modelId: String,
+                                  isTarget: Column,
+                                  heldOut: Boolean): DataFrame = {
     docwCache.keys.foreach { key =>
       if (key._1.sparkContext.isStopped) docwCache.remove(key)
     }
-    docwCache.getOrElseUpdate((spark, dir, dim, targetLang), {
-      val (docw, feats) = docWeights(spark, dir, dim, targetLang)
+    docwCache.getOrElseUpdate((spark, dir, dim, modelId), {
+      val (docw, feats) = docWeights(spark, dir, dim, isTarget, heldOut)
       val p = docw.transform(TrackedPersist.persistTracked)
       // materialize EAGERLY so the corpus-sized exploded feature table
       // can be released right away — only the skinny per-doc weight
@@ -100,11 +134,19 @@ object Selection {
   }
 
   /** The shared DSIR scoring stage: (doc_id, n_feats, logw @4dp),
-    * plus the inner persisted feature frame for lifecycle control. */
+    * plus the inner persisted feature frame for lifecycle control.
+    *
+    * `isTarget` marks the target-corpus rows; `heldOut` selects the
+    * formulation: false = the paper's pool-as-proposal variant (raw
+    * model over ALL docs, every doc scored — q197/q199); true = the
+    * paper's primary two-corpus setup (raw model over the NON-target
+    * pool only, only pool docs scored — the target corpus shapes the
+    * model but never competes for selection). */
   private def docWeights(spark: SparkSession, dir: String, dim: Int,
-                         targetLang: String): (DataFrame, DataFrame) = {
+                         isTarget: Column,
+                         heldOut: Boolean): (DataFrame, DataFrame) = {
     val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), isTarget.cast("boolean").as("tgt"),
               filter(split(TextAnalysis.normalized(col("text")), " "),
                      t => t =!= "").as("ts"))
     // map-side bigram list (q118's guard: sequence(0,-1) counts DOWN)
@@ -119,13 +161,18 @@ object Selection {
     // tokenize+bigram+md5 map would run twice, contradicting the
     // one-map-side-pass scale contract
     val feats = toks
-      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("tgt"), explode(bigrams).as("bg"))
       .withColumn("b", pmod(Sketches.hHex(col("bg"), 15), lit(dim.toLong)))
       .transform(TrackedPersist.persistTracked)
-    // bucket model: one corpus-sized shuffle, dim-bounded result
+    // bucket model: one corpus-sized shuffle, dim-bounded result. The
+    // raw model counts the whole corpus (pool-as-proposal) or the
+    // non-target pool only (held-out target corpus).
+    val rawCount =
+      if (heldOut) sum(when(col("tgt"), 0L).otherwise(1L))
+      else count(lit(1))
     val buckets = feats.groupBy(col("b"))
-      .agg(count(lit(1)).as("cr"),
-           sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+      .agg(rawCount.as("cr"),
+           sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
     val totals = buckets.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     // each factor is an exact integer in double (< 2^53 even at 100 TB:
     // bucket counts and corpus totals are ~1e13 at most); the products
@@ -139,7 +186,8 @@ object Selection {
             ((col("cr") + lit(1L)).cast("double") *
              (col("nt") + lit(dim.toLong)).cast("double")))
           .as("delta"))
-    val docw = feats.groupBy(col("doc_id"), col("b"))
+    val scored = if (heldOut) feats.filter(!col("tgt")) else feats
+    val docw = scored.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(delta), Seq("b"))
       .groupBy(col("doc_id"))
@@ -178,6 +226,17 @@ object Selection {
               coalesce(col("sel"), lit(0L)).as("selected"))
   }
 
+  def dsirSelectHeldoutOracleSql(dim: Int = 256, k: Int = 100,
+                                 targetSource: String = "src0"): String =
+    s"""WITH ${dwCtesGen(dim, s"source = '$targetSource'", heldOut = true)},
+       |rk AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
+       |  FROM dw)
+       |SELECT dw.doc_id, dw.n_feats, dw.logw,
+       |  CAST(CASE WHEN rk.rn <= $k THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM dw JOIN rk ON rk.doc_id = dw.doc_id""".stripMargin
+
   def dsirSelectOracleSql(dim: Int = 256, k: Int = 100,
                           targetLang: String = "en"): String =
     s"""WITH ${dwCtes(dim, targetLang)},
@@ -212,26 +271,36 @@ object Selection {
 
   /** Shared oracle CTE chain ending in dw(doc_id, n_feats, logw). */
   private def dwCtes(dim: Int, targetLang: String): String =
+    dwCtesGen(dim, s"lang = '$targetLang'", heldOut = false)
+
+  /** Generalized CTE chain: `targetPred` is a SQL boolean over the
+    * documents columns marking the target corpus; `heldOut` mirrors
+    * [[docWeights]] — the raw model and the scored set shrink to the
+    * non-target pool. */
+  private def dwCtesGen(dim: Int, targetPred: String,
+                        heldOut: Boolean): String = {
+    val cr = if (heldOut) "sum(1 - tgt)" else "count(*)"
+    val poolFilter = if (heldOut) "WHERE tgt = 0 " else ""
     s"""tok AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id,
+       |    CASE WHEN $targetPred THEN 1 ELSE 0 END AS tgt,
        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
        |      t -> t <> '') AS ts
        |  FROM documents),
        |bi0 AS (
-       |  SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i FROM tok),
+       |  SELECT doc_id, tgt, ts, unnest(range(1, len(ts))) AS i FROM tok),
        |bi AS (
-       |  SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS bg FROM bi0),
+       |  SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS bg FROM bi0),
        |f AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, tgt,
        |    list_reduce([CAST(strpos('0123456789abcdef',
        |        substr(md5(bg), p, 1)) - 1 AS BIGINT)
        |      for p in range(1, 16)], (a, b) -> a * 16 + b) % $dim AS b
        |  FROM bi),
        |buckets AS (
-       |  SELECT b, count(*) AS cr,
-       |    CAST(sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END)
-       |         AS BIGINT) AS ct
+       |  SELECT b, CAST($cr AS BIGINT) AS cr,
+       |    CAST(sum(tgt) AS BIGINT) AS ct
        |  FROM f GROUP BY b),
        |totals AS (
        |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
@@ -244,7 +313,9 @@ object Selection {
        |dw AS (
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
        |    round(sum(c * delta), 4) AS logw
-       |  FROM (SELECT doc_id, b, count(*) AS c FROM f GROUP BY doc_id, b) fc
+       |  FROM (SELECT doc_id, b, count(*) AS c FROM f $poolFilter
+       |        GROUP BY doc_id, b) fc
        |  JOIN delta USING (b)
        |  GROUP BY doc_id)""".stripMargin
+  }
 }

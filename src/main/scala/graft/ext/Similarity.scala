@@ -244,6 +244,18 @@ object Similarity {
     TrackedPersist.clear()
   }
 
+  /** Probe hook (SCALE.md IVF-PQ cost anatomy): run ONLY the training
+    * stage (coarse centroids + PQ codebooks), populating the memos the
+    * query path reads — lets a measurement separate train / encode /
+    * query without touching private plan builders. */
+  private[graft] def probeTrainIvfPq(spark: SparkSession, dir: String,
+                                     numCells: Int = 24): Unit = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+    trainedCentroidsCached(spark, corpus, dir, numCells)
+    Quantize.trainedBooksCached(spark, corpus, dir)
+    ()
+  }
+
   private def trainedCentroidsCached(spark: SparkSession, corpus: DataFrame,
                                      dir: String, k: Int): Array[Array[Double]] = {
     centroidCache.keys.foreach { key =>
@@ -307,6 +319,42 @@ object Similarity {
     * sourcing contract as [[lastIvfKey]]). */
   @volatile private var lastIvfPqKey: (SparkSession, String, Int) = null
 
+  /** Per-(session, dir, numCells, nAssign) memo of the ENCODED corpus
+    * index — (nid, cell, code_0..code_{M-1}) — the second half of the
+    * index-build-once pattern: the centroids/codebooks memos made
+    * TRAINING once-per-corpus, but each IVF-PQ gate still re-ran the
+    * corpus-sized cell-assign + PQ-encode projection (q108's shortlist
+    * runs the whole q107 pipeline again, so one bench pass paid the
+    * encode twice; a production system pays it per query batch).
+    * 2-byte codes per vector: the persisted frame is the RAM-resident
+    * code index FAISS keeps — tiny relative to the raw vectors.
+    * Frames go through [[TrackedPersist]]; the onClear hook keeps this
+    * map from serving an unpersisted frame after any family's cold
+    * sweep. */
+  private val ivfPqIndexCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Int, Int), DataFrame]()
+  TrackedPersist.onClear(() => ivfPqIndexCache.clear())
+
+  private def ivfPqIndexCached(spark: SparkSession, dir: String,
+                               corpus: DataFrame,
+                               cents: Array[Array[Double]],
+                               books: Array[Array[Array[Double]]],
+                               numCells: Int, nAssign: Int): DataFrame = {
+    ivfPqIndexCache.keys.foreach { key =>
+      if (key._1.sparkContext.isStopped) ivfPqIndexCache.remove(key)
+    }
+    ivfPqIndexCache.getOrElseUpdate((spark, dir, numCells, nAssign), {
+      val codeParts = Quantize.pqCodeCols(books, Dim)
+      val df = withIvfCellsMulti(corpus, col("embedding"), cents, nAssign)
+        .select(col("vec_id").as("nid") +: col("cell") +:
+          codeParts.zipWithIndex.map { case ((c, _), m) =>
+            c.as(s"code_$m") }: _*)
+        .transform(TrackedPersist.persistTracked)
+      df.count() // materialize eagerly: consumers reuse, never rebuild
+      df
+    })
+  }
+
   /** IVF-PQ ANN top-k — the FAISS `IVFx,PQy` architecture, the standard
     * big-corpus ANN layout: the IVF coarse quantizer prunes the search
     * to `nProbe` cells, and candidates are scored by ASYMMETRIC DISTANCE
@@ -340,11 +388,11 @@ object Similarity {
     lastIvfPqKey = (spark, dir, numCells)
     val (pqM, _) = Quantize.pqShape
     // index side: multi-assigned cell + the M code columns, one
-    // projection (everything is a codegen'd expression over embedding)
-    val codeParts = Quantize.pqCodeCols(books, Dim)
-    val indexed = withIvfCellsMulti(corpus, col("embedding"), cents, nAssign)
-      .select(col("vec_id").as("nid") +: col("cell") +:
-        codeParts.zipWithIndex.map { case ((c, _), m) => c.as(s"code_$m") }: _*)
+    // projection (everything is a codegen'd expression over embedding),
+    // memoized + persisted per corpus — q107/q108 (and any later query
+    // batch) search ONE built code index instead of re-encoding
+    val indexed = ivfPqIndexCached(spark, dir, corpus, cents, books,
+                                   numCells, nAssign)
     // query side: nProbe best cells (same HOF as ivfTopK) + the ADC
     // distance tables dt_m[k] = ||q_sub_m - codebook[m][k]||²
     val qDots = array(cents.map(c =>

@@ -30,10 +30,22 @@ object SubstrDup {
     * TOKENS (0 when nothing is duplicated). */
   def substrDupStats(spark: SparkSession, dir: String,
                      k: Int = 8): DataFrame =
-    substrDupStatsDf(Tables.load(spark, dir, "documents"), k)
+    substrDupStatsDf(Tables.load(spark, dir, "documents"), k,
+      // the positional gram table is ~5× the parquet text bytes (16-hex
+      // gram per token position + pos + doc_id, uncompressed in flight)
+      // and is shuffled twice (distinct, gram join) — size those
+      // exchanges from the input, not the session conf (the q28 lesson:
+      // a fixed count turns the 100× run into a spill benchmark)
+      Some(graft.ops.Partitioning.forTable(spark, dir, "documents", 5.0)))
 
-  def substrDupStatsDf(docs: DataFrame, k: Int = 8): DataFrame = {
-    val gh = Winnow.gramHashesOf(docs.select(col("doc_id"), col("text")), k)
+  def substrDupStatsDf(docs: DataFrame, k: Int = 8,
+                       numParts: Option[Int] = None): DataFrame = {
+    val gh0 = Winnow.gramHashesOf(docs.select(col("doc_id"), col("text")), k)
+    // explicit gram-keyed repartition (not a conf scope: the gate's
+    // action runs outside any scope, so the declared plan must carry
+    // the derived count itself); hash(gh) satisfies the join's and the
+    // distinct's downstream distribution on the gram side
+    val gh = numParts.fold(gh0)(n => gh0.repartition(n, col("gh")))
     // document frequency of each gram VALUE (distinct docs containing it)
     val gdf = gh.select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))

@@ -137,6 +137,29 @@ class SelectionSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("heldout DSIR: target corpus shapes the model but never competes") {
+    // two-corpus formulation: target = source s0 ("alpha beta" vocab),
+    // pool = everything else. Pool docs with target-like vocabulary
+    // must outrank off-target ones, and the target docs themselves
+    // must not appear in the output at all.
+    val out = Selection.dsirSelectHeldout(spark, fixtureDir, dim = 64,
+        k = 1, targetSource = "s0")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(2L, 3L, 4L, 5L),
+      s"held-out target docs 0/1 must be excluded, got ${out.keySet}")
+    // doc 4 carries the target's "alpha beta" bigrams — highest weight
+    assert(out(4L)._1 > out(5L)._1 && out(4L)._2 == 1L)
+    assert(Seq(2L, 3L, 5L).forall(out(_)._2 == 0L))
+    // raw model excludes the target corpus: doc 4's weight here must
+    // exceed its in-pool-formulation weight (its own bigrams no longer
+    // inflate the raw model's target-bucket counts)
+    val inPool = Selection.dsirSelect(spark, fixtureDir, dim = 64, k = 1)
+      .filter(col("doc_id") === 4L).head().getDouble(2)
+    assert(out(4L)._1 != inPool,
+      "held-out and in-pool formulations must differ on the fixture")
+  }
+
   test("another family's cold sweep cannot strand the docw memo") {
     // TrackedPersist.clear() is GLOBAL: a Dedup/Similarity cold sweep
     // drops the docw frame's blocks. The memo must be invalidated with

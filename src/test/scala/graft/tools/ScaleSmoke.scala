@@ -372,6 +372,69 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // dupscale mode: the collapse certification AT SCALE (round-11
+    // verdict item 5). Two corpora with the SAME raw size but 10×
+    // different distinct-doc counts:
+    //   A = scale10 documents replicated 10× verbatim (10% distinct)
+    //   B = sf0.1   documents replicated 100× verbatim (1% distinct)
+    // The collapsed verify join's candidate volume must track DISTINCT
+    // docs (A ≈ 10× B's rep-side candidates); the direct plan's must
+    // track Σ group² (B ≫ A despite equal raw size). Timings compare
+    // minhash direct vs collapsed on both.
+    // Test/runMain graft.tools.ScaleSmoke dupscale
+    if (args.headOption.contains("dupscale")) {
+      def dupify(src: String, out: String, reps: Int): Unit =
+        if (!new java.io.File(s"$out/documents.parquet").isDirectory) {
+          spark.read.parquet(s"$src/documents.parquet")
+            .select(col("*"),
+              explode(array((0 until reps).map(lit): _*)).as("rep"))
+            .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+              col("text"), col("lang"), col("source"), col("n_chars"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        }
+      // corpus A needs the scale10 replica's documents
+      if (!new java.io.File(s"$Out/documents.parquet").isDirectory)
+        generate(spark)
+      dupify(Out, "target/dupscale_a", 10)
+      dupify(Base, "target/dupscale_b", 100)
+      println(f"[scale] ${"corpus"}%-10s ${"raw"}%9s ${"distinct"}%9s ${"candRep"}%9s ${"candRaw"}%12s ${"t_coll"}%8s ${"t_dir"}%8s")
+      for ((tag, dir) <- Seq(("A_10pct", "target/dupscale_a"),
+                             ("B_1pct", "target/dupscale_b"))) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val raw = docs.count()
+        // representatives: one doc per distinct normalized text — the
+        // exact rep set the collapse runs the family over
+        val fp = md5(graft.ext.TextAnalysis.normalized(col("text")))
+        val reps = docs.withColumn("fp", fp)
+          .withColumn("keep",
+            col("doc_id") === min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .filter(col("keep"))
+          .select(col("doc_id"), col("text"))
+          .persist()
+        val distinct = reps.count()
+        val candRep = graft.ext.Dedup.lshCandidateCountOf(reps)
+        val candRaw = graft.ext.Dedup.lshCandidateCountOf(docs)
+        reps.unpersist(blocking = false)
+        val key = graft.ext.Dedup.CollapseDupFractionKey
+        def timedMinhash(frac: String): Double = {
+          spark.conf.set(key, frac)
+          try {
+            coldStart()
+            val t0 = System.nanoTime()
+            graft.ext.Dedup.minhashLsh(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          } finally spark.conf.unset(key)
+        }
+        timedMinhash("0.0") // warm
+        val tColl = timedMinhash("0.0")
+        val tDir = timedMinhash("1.1")
+        println(f"[scale] $tag%-10s $raw%9d $distinct%9d $candRep%9d $candRaw%12d $tColl%7.1fs $tDir%7.1fs")
+      }
+      spark.stop()
+      return
+    }
     // x100 mode: two-decade smoke for the Top5 cost drivers only —
     // Test/runMain graft.tools.ScaleSmoke x100 [pN] [gateprefix...]
     // pN (e.g. p128) re-sizes the SESSION shuffle partitions for the
