@@ -642,6 +642,15 @@ object SparkEntry {
     // formulation: curated source shapes the model, pool-only selection)
     "q200_dsir_heldout" -> ((s: SparkSession, d: String) =>
       ext.Selection.dsirSelectHeldout(s, d)),
+    // Gopher rule-based quality bundle (Rae et al. 2021 App. A)
+    "q201_gopher_rules" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.gopherRules(s, d)),
+    // CCNet head/middle/tail perplexity terciles per language
+    "q202_ccnet_buckets" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.ccnetBuckets(s, d)),
+    // contrastive hard-negative mining (top-k similar, different label)
+    "q203_hard_negatives" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.hardNegatives(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1323,5 +1332,8 @@ object SparkEntry {
     "q198_semdedup" -> ext.Similarity.semDedupOracleSql(),
     "q199_dsir_resample" -> ext.Selection.dsirResampleOracleSql(),
     "q200_dsir_heldout" -> ext.Selection.dsirSelectHeldoutOracleSql(),
+    "q201_gopher_rules" -> ext.TextAnalysis.gopherRulesOracleSql(),
+    "q202_ccnet_buckets" -> ext.TextAnalysis.ccnetBucketsOracleSql(),
+    "q203_hard_negatives" -> ext.Similarity.hardNegativesOracleSql(),
   )
 }

@@ -60,6 +60,46 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rnk"))
   }
 
+  /** Hard-negative mining for contrastive training — the DPR/Contriever
+    * data-prep step (Karpukhin et al. 2020 §4.2: the strongest
+    * negatives are the retriever's own top-ranked NON-matching
+    * passages): for each query vector, the k most-similar corpus
+    * vectors with a DIFFERENT label. Identical plan shape to
+    * [[bruteForceTopK]] — broadcast query batch, one corpus scan, the
+    * label exclusion rides the join condition so mismatched pairs are
+    * dropped before scoring; at index scale the same exclusion composes
+    * onto the IVF cell-pruned join (the filter is a per-row predicate,
+    * indifferent to which candidate generator feeds it). Output:
+    * (qid, nid, rnk) — ranks deterministic (sim desc, nid tie-break). */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+              l2normalize(col("embedding")).as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    corpus.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+                  l2normalize(col("embedding")).as("ne"))
+      .join(broadcast(queries),
+            col("qid") =!= col("nid") && col("qlabel") =!= col("nlabel"))
+      .withColumn("sim", dot(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"))
+  }
+
+  def hardNegativesOracleSql(nQueries: Int = 5, k: Int = 10): String =
+    s"""SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+       | SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+       |            e.vec_id) AS rnk
+       | FROM embeddings q, embeddings e
+       | WHERE q.vec_id < $nQueries AND e.vec_id != q.vec_id
+       |   AND e.label != q.label) t
+       |WHERE rnk <= $k""".stripMargin
+
   // ---- sign-LSH (random hyperplane) bucketing -----------------------
 
   /** Fixed random hyperplanes (deterministic seed): NumPlanes x dim

@@ -561,6 +561,72 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("nll"))
   }
 
+  /** CCNet head/middle/tail perplexity bucketing — the OPERATIONAL
+    * step of Wenzek et al. 2020 on top of the q118 LM score: CCNet
+    * does not hard-filter on perplexity; it splits each language's
+    * documents into equal head/middle/tail terciles by LM score and
+    * ships the buckets separately (training recipes then mix them).
+    * bucket 0 = head (most fluent third), 1 = middle, 2 = tail.
+    *
+    * Per-language ranking uses the q64 HIERARCHICAL discipline, not a
+    * single per-language window (a language is not a bounded partition
+    * — at 100 TB one language is most of the corpus): per-(lang, nll)
+    * tie-group counts aggregate first (running sum over the REDUCED
+    * stream gives each nll value's base rank), and the only row-level
+    * window partitions by the fine-grained (lang, nll) key. Tie-break
+    * inside a 4dp-equal-nll group is doc_id, so tercile membership is
+    * deterministic cross-engine; the oracle uses the plain
+    * window formulation of the same rank. */
+  def ccnetBuckets(spark: SparkSession, dir: String,
+                   trainLang: String = "en"): DataFrame = {
+    val scored = bigramLmScore(spark, dir, trainLang)
+    val langs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    // three consumers (tie-group bases, per-lang totals, the ranked
+    // rows) read the scored frame — persist the skinny (doc, lang,
+    // n_bigrams, nll) result once instead of running the LM scoring
+    // joins three times; drained by any family's cold sweep
+    val d = scored.join(langs, "doc_id")
+      .transform(TrackedPersist.persistTracked)
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("nll"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val bases = d.groupBy(col("lang"), col("nll"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("base", coalesce(sum(col("c")).over(byLang), lit(0L)))
+      .select(col("lang").as("b_lang"), col("nll").as("b_nll"),
+              col("base"))
+    val nLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val intraW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("nll")).orderBy(col("doc_id"))
+    d.withColumn("intra", row_number().over(intraW).cast("long"))
+      .join(bases, col("lang") === col("b_lang") &&
+                   col("nll") === col("b_nll"))
+      .join(nLang, Seq("lang"))
+      .withColumn("rnk", col("base") + col("intra"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("nll"),
+        col("rnk"),
+        expr("(3 * (rnk - 1)) div n_lang").as("bucket"))
+  }
+
+  def ccnetBucketsOracleSql(trainLang: String = "en"): String = {
+    val lm = bigramLmScoreOracleSql(trainLang)
+    s"""WITH dw AS ($lm),
+       |j AS (
+       |  SELECT dw.doc_id, d.lang, dw.n_bigrams, dw.nll
+       |  FROM dw JOIN documents d ON d.doc_id = dw.doc_id),
+       |r AS (
+       |  SELECT doc_id, lang, n_bigrams, nll,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY nll, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM j)
+       |SELECT doc_id, lang, n_bigrams, nll, CAST(rn AS BIGINT) AS rnk,
+       |  CAST((3 * (rn - 1)) // n AS BIGINT) AS bucket
+       |FROM r""".stripMargin
+  }
+
   /** Per-source top-k terms via the typed bounded-top-k AGGREGATOR
     * ([[graft.functions.TopKByCount]]) — the execution-strategy twin of
     * [[topTerms]]: same result set, but computed as one aggregation
@@ -648,6 +714,133 @@ object TextAnalysis {
        |  CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= $threshold
        |       THEN 1 ELSE 0 END AS INT) AS keep
        |FROM z""".stripMargin
+
+  /** Gopher rule-based quality filter — Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher" (2021),
+    * Appendix A (the rule bundle MassiveWeb was filtered with, and the
+    * baseline every later pipeline — RefinedWeb, Dolma, FineWeb —
+    * starts from). Per document, over RAW whitespace words (the rules
+    * predate any normalization):
+    *
+    *   1. word count in [minWords, maxWords]        (paper: 50..100k)
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio ≤ 0.1 ('#' or '…'/'...')
+    *   4. ≥ 80% of words contain an alphabetic char
+    *   5. ≥ 2 distinct stop words from the paper's 8-word list
+    *      (the "stop word" fluency heuristic)
+    *
+    * (The two line-shape rules — bullet/ellipsis line fractions — need
+    * line structure the single-line synthetic docs don't have; the
+    * ratios are emitted as rule 3's symbol ratio instead, matching the
+    * paper's symbol screen.)
+    *
+    * Pure map-side expression work — at 100 TB this is a scan-speed
+    * filter like q45/q135, and it fuses into whole-stage codegen (no
+    * UDF). Ratios are exact int/int double divisions rounded @4dp, so
+    * the oracle replays them bit-for-bit. Output: per-doc feature
+    * columns, each rule flag, and the conjunction `keep`. */
+  def gopherRules(spark: SparkSession, dir: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have",
+                       "with")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), words.as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w))
+          .as("n_chars"),
+        size(filter(col("ws"), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha_words"),
+        size(filter(col("ws"),
+            w => w.contains("#") || w.contains("...") || w.contains("…")))
+          .cast("long").as("n_symbol_words"),
+        size(array_intersect(
+            transform(col("ws"), w => lower(w)),
+            typedlit(stopList))).cast("long").as("n_stop_distinct"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(when(col("n_words") > 0,
+            col("n_chars").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)), 4).as("mean_word_len"),
+        round(when(col("n_words") > 0,
+            col("n_alpha_words").cast("double") /
+              col("n_words").cast("double")).otherwise(lit(0.0)), 4)
+          .as("alpha_word_frac"),
+        round(when(col("n_words") > 0,
+            col("n_symbol_words").cast("double") /
+              col("n_words").cast("double")).otherwise(lit(0.0)), 4)
+          .as("symbol_word_frac"),
+        col("n_stop_distinct"),
+        col("n_chars"), col("n_alpha_words"), col("n_symbol_words"))
+      .select(
+        col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_word_frac"), col("symbol_word_frac"),
+        col("n_stop_distinct"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("int").as("r_word_count"),
+        // exact-integer comparisons (3 ≤ chars/words ≤ 10 cross-
+        // multiplied) — no double threshold can flip on a ULP
+        (col("n_words") > 0 && col("n_chars") >= col("n_words") * 3 &&
+         col("n_chars") <= col("n_words") * 10).cast("int")
+          .as("r_mean_len"),
+        (col("n_symbol_words") * 10 <= col("n_words")).cast("int")
+          .as("r_symbol"),
+        (col("n_alpha_words") * 10 >= col("n_words") * 8).cast("int")
+          .as("r_alpha"),
+        (col("n_stop_distinct") >= 2).cast("int").as("r_stop"))
+      .withColumn("keep",
+        (col("r_word_count") * col("r_mean_len") * col("r_symbol") *
+         col("r_alpha") * col("r_stop")).cast("int"))
+  }
+
+  def gopherRulesOracleSql(minWords: Int = 50,
+                           maxWords: Int = 100000): String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+       |      AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+       |         AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+       |         AS BIGINT) AS n_alpha_words,
+       |    CAST(len(list_filter(ws, x -> contains(x, '#')
+       |          OR contains(x, '...') OR contains(x, '…')))
+       |         AS BIGINT) AS n_symbol_words,
+       |    CAST(len(list_intersect(list_transform(ws, x -> lower(x)),
+       |          ['the','be','to','of','and','that','have','with']))
+       |         AS BIGINT) AS n_stop_distinct
+       |  FROM w)
+       |SELECT doc_id, n_words,
+       |  round(CASE WHEN n_words > 0
+       |        THEN CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |        ELSE 0.0 END, 4) AS mean_word_len,
+       |  round(CASE WHEN n_words > 0
+       |        THEN CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |        ELSE 0.0 END, 4) AS alpha_word_frac,
+       |  round(CASE WHEN n_words > 0
+       |        THEN CAST(n_symbol_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |        ELSE 0.0 END, 4) AS symbol_word_frac,
+       |  n_stop_distinct,
+       |  CAST(n_words >= $minWords AND n_words <= $maxWords AS INT)
+       |    AS r_word_count,
+       |  CAST(n_words > 0 AND n_chars >= 3 * n_words
+       |       AND n_chars <= 10 * n_words AS INT) AS r_mean_len,
+       |  CAST(n_symbol_words * 10 <= n_words AS INT) AS r_symbol,
+       |  CAST(n_alpha_words * 10 >= n_words * 8 AS INT) AS r_alpha,
+       |  CAST(n_stop_distinct >= 2 AS INT) AS r_stop,
+       |  CAST((n_words >= $minWords AND n_words <= $maxWords)
+       |    AND (n_words > 0 AND n_chars >= 3 * n_words
+       |         AND n_chars <= 10 * n_words)
+       |    AND n_symbol_words * 10 <= n_words
+       |    AND n_alpha_words * 10 >= n_words * 8
+       |    AND n_stop_distinct >= 2 AS INT) AS keep
+       |FROM f""".stripMargin
 
   /** Feature-hashing ("hashing trick") vectorizer — Weinberger et al.,
     * "Feature Hashing for Large Scale Multitask Learning", ICML 2009:

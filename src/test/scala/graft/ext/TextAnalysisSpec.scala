@@ -256,4 +256,62 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getDouble(5) == expect, s"pmi for ${r.getString(0)}")
     }
   }
+
+  test("gopher rules: each rule fires on its designed violation") {
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    val good = ("the cat sat on a mat and it was fine to be here with " +
+      "everyone of them that day because they have time ") * 3
+    Seq(
+      (1L, good.trim, "en", "s0", good.length.toLong),            // keeps
+      (2L, "too short to pass the word count rule at all",
+        "en", "s0", 44L),                                         // word count
+      (3L, ("a " * 60).trim, "en", "s0", 120L),                   // mean len < 3
+      (4L, (("#tag " * 30) + ("the be to of word " * 6)).trim,
+        "en", "s0", 200L),                                        // symbols
+      (5L, (("123 456 " * 30) + "the be to of and").trim,
+        "en", "s0", 200L),                                        // alpha frac
+      (6L, ("zorp blix quux " * 20).trim, "en", "s0", 200L))      // stop words
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.gopherRules(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (out(id).getInt(6), out(id).getInt(7),
+      out(id).getInt(8), out(id).getInt(9), out(id).getInt(10),
+      out(id).getInt(11))
+    assert(flags(1L) == (1, 1, 1, 1, 1, 1), s"good doc: ${flags(1L)}")
+    assert(flags(2L)._1 == 0 && flags(2L)._6 == 0, "word count violation")
+    assert(flags(3L)._2 == 0, "mean word length violation")
+    assert(flags(4L)._3 == 0, "symbol ratio violation")
+    assert(flags(5L)._4 == 0, "alpha fraction violation")
+    assert(flags(6L)._5 == 0 && flags(6L)._6 == 0, "stop word violation")
+    // keep is exactly the conjunction, on the real corpus too
+    val real = TextAnalysis.gopherRules(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getInt(11) == r.getInt(6) * r.getInt(7) * r.getInt(8) *
+        r.getInt(9) * r.getInt(10))
+    }
+  }
+
+  test("ccnet buckets: terciles per language, ordered by nll") {
+    val rows = TextAnalysis.ccnetBuckets(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      val n = rs.length
+      // hierarchical rank must equal the plain-window rank
+      val sorted = rs.sortBy(r => (r.getDouble(3), r.getLong(0)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(4) == i + 1, s"$lang rank mismatch at $i")
+        assert(r.getLong(5) == (3L * i) / n, s"$lang bucket at $i")
+      }
+      // bucket sizes are balanced terciles (differ by at most 1)
+      val sizes = (0L to 2L).map(b => rs.count(_.getLong(5) == b))
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      // nll ordering respects bucket order
+      val maxHead = rs.filter(_.getLong(5) == 0L).map(_.getDouble(3)).max
+      val minTail = rs.filter(_.getLong(5) == 2L).map(_.getDouble(3)).min
+      assert(maxHead <= minTail + 1e-9, s"$lang head > tail")
+    }
+  }
 }
