@@ -90,6 +90,9 @@ object ScaleSmoke {
     "q176_cohort_retention", "q177_corrupt_ingest",
     // round-10: data selection + semantic dedup
     "q197_dsir_select", "q198_semdedup", "q199_dsir_resample",
+    // round-11: held-out DSIR, Gopher rules, CCNet terciles, hard negs
+    "q200_dsir_heldout", "q201_gopher_rules", "q202_ccnet_buckets",
+    "q203_hard_negatives",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
