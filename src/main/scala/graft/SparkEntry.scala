@@ -651,6 +651,10 @@ object SparkEntry {
     // contrastive hard-negative mining (top-k similar, different label)
     "q203_hard_negatives" -> ((s: SparkSession, d: String) =>
       ext.Similarity.hardNegatives(s, d)),
+    // the Gopher rule bundle composed into Structured Streaming
+    // (stateless row-local rules; per-source census is the only state)
+    "q204_stream_gopher" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.gopherKeepAvailableNow(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1335,5 +1339,6 @@ object SparkEntry {
     "q201_gopher_rules" -> ext.TextAnalysis.gopherRulesOracleSql(),
     "q202_ccnet_buckets" -> ext.TextAnalysis.ccnetBucketsOracleSql(),
     "q203_hard_negatives" -> ext.Similarity.hardNegativesOracleSql(),
+    "q204_stream_gopher" -> ext.TextAnalysis.gopherKeepBySourceOracleSql(),
   )
 }

@@ -740,59 +740,66 @@ object TextAnalysis {
     * the oracle replays them bit-for-bit. Output: per-doc feature
     * columns, each rule flag, and the conjunction `keep`. */
   def gopherRules(spark: SparkSession, dir: String,
-                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    withGopherFlags(Tables.load(spark, dir, "documents"),
+        minWords, maxWords)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_word_frac"), col("symbol_word_frac"),
+        col("n_stop_distinct"), col("r_word_count"), col("r_mean_len"),
+        col("r_symbol"), col("r_alpha"), col("r_stop"), col("keep"))
+
+  /** The Gopher rule columns APPENDED to any frame with a `text`
+    * column — pure row-local expression work, so it composes unchanged
+    * into Structured Streaming (see
+    * [[graft.streaming.Streams.gopherKeepAvailableNow]]). */
+  def withGopherFlags(docs: DataFrame, minWords: Int = 50,
+                      maxWords: Int = 100000): DataFrame = {
     val words = filter(split(col("text"), "\\s+"), w => w =!= "")
     val stopList = Seq("the", "be", "to", "of", "and", "that", "have",
                        "with")
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), words.as("ws"))
-      .select(
-        col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        aggregate(col("ws"), lit(0L), (a, w) => a + length(w))
-          .as("n_chars"),
-        size(filter(col("ws"), w => w.rlike("[A-Za-z]")))
-          .cast("long").as("n_alpha_words"),
-        size(filter(col("ws"),
-            w => w.contains("#") || w.contains("...") || w.contains("…")))
-          .cast("long").as("n_symbol_words"),
-        size(array_intersect(
-            transform(col("ws"), w => lower(w)),
-            typedlit(stopList))).cast("long").as("n_stop_distinct"))
-      .select(
-        col("doc_id"), col("n_words"),
+    docs
+      .withColumn("__ws", words)
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("__n_chars",
+        aggregate(col("__ws"), lit(0L), (a, w) => a + length(w)))
+      .withColumn("__n_alpha",
+        size(filter(col("__ws"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("__n_symbol",
+        size(filter(col("__ws"),
+          w => w.contains("#") || w.contains("...") || w.contains("…")))
+          .cast("long"))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(transform(col("__ws"), w => lower(w)),
+          typedlit(stopList))).cast("long"))
+      .withColumn("mean_word_len",
         round(when(col("n_words") > 0,
-            col("n_chars").cast("double") / col("n_words").cast("double"))
-          .otherwise(lit(0.0)), 4).as("mean_word_len"),
+          col("__n_chars").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)), 4))
+      .withColumn("alpha_word_frac",
         round(when(col("n_words") > 0,
-            col("n_alpha_words").cast("double") /
-              col("n_words").cast("double")).otherwise(lit(0.0)), 4)
-          .as("alpha_word_frac"),
+          col("__n_alpha").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)), 4))
+      .withColumn("symbol_word_frac",
         round(when(col("n_words") > 0,
-            col("n_symbol_words").cast("double") /
-              col("n_words").cast("double")).otherwise(lit(0.0)), 4)
-          .as("symbol_word_frac"),
-        col("n_stop_distinct"),
-        col("n_chars"), col("n_alpha_words"), col("n_symbol_words"))
-      .select(
-        col("doc_id"), col("n_words"), col("mean_word_len"),
-        col("alpha_word_frac"), col("symbol_word_frac"),
-        col("n_stop_distinct"),
+          col("__n_symbol").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)), 4))
+      .withColumn("r_word_count",
         (col("n_words") >= minWords && col("n_words") <= maxWords)
-          .cast("int").as("r_word_count"),
-        // exact-integer comparisons (3 ≤ chars/words ≤ 10 cross-
-        // multiplied) — no double threshold can flip on a ULP
-        (col("n_words") > 0 && col("n_chars") >= col("n_words") * 3 &&
-         col("n_chars") <= col("n_words") * 10).cast("int")
-          .as("r_mean_len"),
-        (col("n_symbol_words") * 10 <= col("n_words")).cast("int")
-          .as("r_symbol"),
-        (col("n_alpha_words") * 10 >= col("n_words") * 8).cast("int")
-          .as("r_alpha"),
-        (col("n_stop_distinct") >= 2).cast("int").as("r_stop"))
+          .cast("int"))
+      // exact-integer comparisons (3 ≤ chars/words ≤ 10 cross-
+      // multiplied) — no double threshold can flip on a ULP
+      .withColumn("r_mean_len",
+        (col("n_words") > 0 && col("__n_chars") >= col("n_words") * 3 &&
+         col("__n_chars") <= col("n_words") * 10).cast("int"))
+      .withColumn("r_symbol",
+        (col("__n_symbol") * 10 <= col("n_words")).cast("int"))
+      .withColumn("r_alpha",
+        (col("__n_alpha") * 10 >= col("n_words") * 8).cast("int"))
+      .withColumn("r_stop", (col("n_stop_distinct") >= 2).cast("int"))
       .withColumn("keep",
         (col("r_word_count") * col("r_mean_len") * col("r_symbol") *
          col("r_alpha") * col("r_stop")).cast("int"))
+      .drop("__ws", "__n_chars", "__n_alpha", "__n_symbol")
   }
 
   def gopherRulesOracleSql(minWords: Int = 50,
@@ -841,6 +848,17 @@ object TextAnalysis {
        |    AND n_alpha_words * 10 >= n_words * 8
        |    AND n_stop_distinct >= 2 AS INT) AS keep
        |FROM f""".stripMargin
+
+  /** Oracle for the STREAMING Gopher census
+    * ([[graft.streaming.Streams.gopherKeepAvailableNow]]): the batch
+    * per-source keep totals over the same rules. */
+  def gopherKeepBySourceOracleSql(minWords: Int = 50,
+                                  maxWords: Int = 100000): String =
+    s"""WITH g AS (${gopherRulesOracleSql(minWords, maxWords)})
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(g.keep) AS BIGINT) AS n_keep
+       |FROM g JOIN documents d ON d.doc_id = g.doc_id
+       |GROUP BY d.source""".stripMargin
 
   /** Feature-hashing ("hashing trick") vectorizer — Weinberger et al.,
     * "Feature Hashing for Large Scale Multitask Learning", ICML 2009:

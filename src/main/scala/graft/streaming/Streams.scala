@@ -298,6 +298,24 @@ object Streams {
     runBounded(agg, OutputMode.Complete())
   }
 
+  /** Streaming Gopher quality filter — the q201 rule bundle applied to
+    * the document-ingest firehose: every rule is pure row-local
+    * expression work ([[graft.ext.TextAnalysis.withGopherFlags]]), so
+    * the filter composes into the stream with NO state of its own; the
+    * only stateful operator is the per-source keep/reject census.
+    * Complete mode emits every source's totals at the final trigger,
+    * matching the batch aggregate (the q201 oracle grouped by source).
+    * Production shape: the same projection feeds a `filter(keep = 1)`
+    * sink — this gate keeps the census so the result is comparable. */
+  def gopherKeepAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = graft.ext.TextAnalysis
+      .withGopherFlags(readDocumentsStream(spark, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("keep").cast("long")).as("n_keep"))
+    runBounded(agg, OutputMode.Complete())
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension table (the standard streaming-enrichment shape — the
     * static side is planned as a broadcast per micro-batch, no stream

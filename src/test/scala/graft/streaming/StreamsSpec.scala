@@ -318,4 +318,19 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(stream == batch)
   }
+
+  test("streaming gopher census equals the batch rule aggregate") {
+    val stream = Streams.gopherKeepAvailableNow(spark, sfDir)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import org.apache.spark.sql.functions._
+    val batch = graft.ext.TextAnalysis
+      .withGopherFlags(graft.Tables.load(spark, sfDir, "documents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("k"))
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
 }
