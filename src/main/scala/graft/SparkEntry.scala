@@ -655,6 +655,10 @@ object SparkEntry {
     // (stateless row-local rules; per-source census is the only state)
     "q204_stream_gopher" -> ((s: SparkSession, d: String) =>
       streaming.Streams.gopherKeepAvailableNow(s, d)),
+    // CCNet terciles over the BOUNDED top-V+OOV LM — the production
+    // model shape whose tables stay flat as the corpus grows
+    "q205_ccnet_bounded" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.ccnetBucketsBounded(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1340,5 +1344,6 @@ object SparkEntry {
     "q202_ccnet_buckets" -> ext.TextAnalysis.ccnetBucketsOracleSql(),
     "q203_hard_negatives" -> ext.Similarity.hardNegativesOracleSql(),
     "q204_stream_gopher" -> ext.TextAnalysis.gopherKeepBySourceOracleSql(),
+    "q205_ccnet_bounded" -> ext.TextAnalysis.ccnetBucketsBoundedOracleSql(),
   )
 }

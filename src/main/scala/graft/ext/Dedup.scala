@@ -226,26 +226,40 @@ object Dedup {
     * is a property of the DATA, not of any conf (forcing the collapse
     * decision via [[CollapseDupFractionKey]] moves the THRESHOLD, so
     * the memo never has to be invalidated by a forced gate). */
+  /** Keyed by (session, dir, effective sample fraction, scope) — the
+    * fraction is part of the key so a probe taken under one
+    * `probeSampleFraction` is never served after the knob changes, and
+    * a later full-scan read never inherits a sampled (downward-biased)
+    * value. */
   private[ext] val dupFracCache = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, String), Double]()
+    .TrieMap[(SparkSession, String, Double, String), Double]()
   private[ext] def dupFractionDir(spark: SparkSession, dir: String,
                                   extraKeys: Seq[String]): Double = {
     sweepStopped(dupFracCache)
     val scopeKey = extraKeys.mkString(",")
-    dupFracCache.get((spark, dir, scopeKey)).getOrElse {
+    val frac = effectiveSampleFrac(spark).getOrElse(1.0)
+    dupFracCache.get((spark, dir, frac, scopeKey)).getOrElse {
       val docs = Tables.load(spark, dir, "documents")
+      // the caller's scope is a hard requirement — failing loudly here
+      // beats the NoSuchElementException a silent filter would produce
+      // at the final lookup below
+      val missing = extraKeys.filterNot(docs.columns.contains)
+      require(missing.isEmpty,
+        s"duplicate-probe scope column(s) ${missing.mkString(", ")} " +
+          s"absent from documents (has: ${docs.columns.mkString(", ")})")
       // ONE corpus scan probes EVERY scope the pair families use (the
       // corpus-wide key for minhash/simhash/estimate, the per-source
       // key for jaccard/containment): a cold start used to pay two
       // full normalize+md5+HLL passes over the same corpus — at 100 TB
       // that is a whole avoided scan. All scopes share the normalize
-      // and md5 work inside a single aggregate.
+      // and md5 work inside a single aggregate. The OPPORTUNISTIC
+      // scopes are still dropped when their columns are absent.
       val scopes = (Seq(Seq.empty[String], Seq("source")) :+ extraKeys)
         .distinct.filter(_.forall(docs.columns.contains))
       dupFractions(spark, docs, scopes).foreach { case (sc, f) =>
-        dupFracCache.put((spark, dir, sc.mkString(",")), f)
+        dupFracCache.put((spark, dir, frac, sc.mkString(",")), f)
       }
-      dupFracCache((spark, dir, scopeKey))
+      dupFracCache((spark, dir, frac, scopeKey))
     }
   }
   private def dupFraction(docs: DataFrame, extraKeys: Seq[String]): Double =
@@ -266,11 +280,14 @@ object Dedup {
 
   /** Measured duplicate fractions for several group-key scopes in ONE
     * aggregate pass (a count + one HLL register set per scope). */
+  private[ext] def effectiveSampleFrac(spark: SparkSession): Option[Double] =
+    spark.conf.getOption(ProbeSampleKey)
+      .map(_.toDouble).filter(f => f > 0.0 && f < 1.0)
+
   private def dupFractions(spark: SparkSession, docs: DataFrame,
                            scopes: Seq[Seq[String]])
       : Seq[(Seq[String], Double)] = {
-    val sampleFrac = spark.conf.getOption(ProbeSampleKey)
-      .map(_.toDouble).filter(f => f > 0.0 && f < 1.0)
+    val sampleFrac = effectiveSampleFrac(spark)
     val probed = sampleFrac.fold(docs)(f =>
       docs.filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
         16, 10).cast("long") < (f * (1L << 32)).toLong))
@@ -614,10 +631,11 @@ object Dedup {
     * and stops many sessions (test suites, notebooks) would retain a
     * DataFrame + session reference per stopped session forever. Swept
     * lazily on every memo access; the maps hold a handful of entries. */
-  private def sweepStopped[K <: (SparkSession, _, _), V](
+  private def sweepStopped[K <: Product, V](
       m: scala.collection.concurrent.TrieMap[K, V]): Unit =
     m.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) m.remove(k)
+      if (k.productElement(0).asInstanceOf[SparkSession]
+            .sparkContext.isStopped) m.remove(k)
     }
 
   /** Drop every memoized pair table and its cached blocks (benchmark

@@ -145,8 +145,13 @@ object Selection {
   private def docWeights(spark: SparkSession, dir: String, dim: Int,
                          isTarget: Column,
                          heldOut: Boolean): (DataFrame, DataFrame) = {
+    // NULL target predicates (e.g. a NULL `source`) mean "not in the
+    // target corpus": coalesce to false so such docs are pool members
+    // in BOTH the raw model and the scoring filter — 3VL would silently
+    // drop them from scoring while still counting them in the model
     val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), isTarget.cast("boolean").as("tgt"),
+      .select(col("doc_id"),
+              coalesce(isTarget.cast("boolean"), lit(false)).as("tgt"),
               filter(split(TextAnalysis.normalized(col("text")), " "),
                      t => t =!= "").as("ts"))
     // map-side bigram list (q118's guard: sequence(0,-1) counts DOWN)

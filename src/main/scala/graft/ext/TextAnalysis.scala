@@ -527,6 +527,48 @@ object TextAnalysis {
     * rounding contract as the cosine gates). */
   def bigramLmScore(spark: SparkSession, dir: String,
                     trainLang: String = "en"): DataFrame = {
+    val (bi, bc, hc, v) = bigramLmParts(spark, dir, trainLang, None)
+    lmScoreTail(bi, bc, hc, v)
+  }
+
+  /** Sentinel the bounded-vocab LM maps out-of-vocabulary tokens to —
+    * cannot collide with a real token ([[normalized]] strips everything
+    * outside [a-z0-9 ]). */
+  private[graft] val OovToken = "<oov>"
+
+  /** Bounded-vocabulary bigram LM — the PRODUCTION shape of the q118
+    * CCNet scorer: Wenzek et al. 2020 train their LM over a FIXED
+    * SentencePiece vocabulary, so the model's size is a deployment
+    * constant, not a function of the crawl. Here the vocabulary is the
+    * top-V training tokens by frequency (count desc, token asc — a
+    * total order, so the cut is deterministic cross-engine) plus ONE
+    * OOV bucket every other token maps to. Both model tables are then
+    * STRUCTURALLY bounded — bigram counts by (V+1)², history counts by
+    * V+1 — at ANY corpus size, where the open-vocab q118 tables grow
+    * with the observed vocabulary. Smoothing uses the model vocabulary
+    * size |vocab|+1 (the OOV bucket is a first-class vocab member), so
+    * P(·|w1) still sums to 1 over the model's own event space.
+    *
+    * Scale shape: the vocab is a V-row TakeOrdered broadcast; OOV
+    * mapping is two broadcast hash joins riding the existing bigram
+    * stream (no new corpus shuffle); everything downstream is the q118
+    * plan against tables that no longer grow with the data. */
+  def bigramLmScoreBounded(spark: SparkSession, dir: String,
+                           trainLang: String = "en",
+                           topV: Int = 512): DataFrame = {
+    val (bi, bc, hc, v) = bigramLmParts(spark, dir, trainLang, Some(topV))
+    lmScoreTail(bi, bc, hc, v)
+  }
+
+  /** The LM's building blocks — (scored bigram stream, bigram-count
+    * model, history-count model, 1-row smoothing-V frame) — shared by
+    * both scoring variants and by the scale probe that certifies the
+    * bounded tables stay FLAT across decades. `topV = None` is the
+    * open-vocab q118 formulation (V = observed training vocabulary);
+    * `Some(v)` is the bounded one (top-v + OOV). */
+  private[graft] def bigramLmParts(spark: SparkSession, dir: String,
+                                   trainLang: String, topV: Option[Int])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
               filter(split(normalized(col("text")), " "),
@@ -538,18 +580,47 @@ object TextAnalysis {
         |  transform(sequence(0, size(ts) - 2),
         |    i -> struct(ts[i] AS w1, ts[i + 1] AS w2))
         |ELSE array() END""".stripMargin)
-    val bi = toks
+    val biRaw = toks
       .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
       .select(col("doc_id"), col("lang"),
               col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val (bi, vocab) = topV match {
+      case None =>
+        (biRaw, toks.filter(col("lang") === trainLang)
+          .select(explode(col("ts")).as("tk"))
+          .agg(countDistinct(col("tk")).as("v")))
+      case Some(vMax) =>
+        val voc = toks.filter(col("lang") === trainLang)
+          .select(explode(col("ts")).as("tk"))
+          .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tk")).limit(vMax)
+          .select(col("tk"))
+        val v1 = broadcast(voc.select(col("tk").as("w1"),
+                                      lit(1).as("in1")))
+        val v2 = broadcast(voc.select(col("tk").as("w2"),
+                                      lit(1).as("in2")))
+        val mapped = biRaw
+          .join(v1, Seq("w1"), "left_outer")
+          .join(v2, Seq("w2"), "left_outer")
+          .select(col("doc_id"), col("lang"),
+            when(col("in1").isNotNull, col("w1"))
+              .otherwise(lit(OovToken)).as("w1"),
+            when(col("in2").isNotNull, col("w2"))
+              .otherwise(lit(OovToken)).as("w2"))
+        // |vocab| + 1: the OOV bucket is a vocab member
+        (mapped, voc.agg((count(lit(1)) + lit(1L)).as("v")))
+    }
     val train = bi.filter(col("lang") === trainLang)
     val bigramCounts = train.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
     val historyCounts = train.groupBy(col("w1").as("hw"))
       .agg(count(lit(1)).as("c1"))
-    val vocab = toks.filter(col("lang") === trainLang)
-      .select(explode(col("ts")).as("tk"))
-      .agg(countDistinct(col("tk")).as("v"))
+    (bi, bigramCounts, historyCounts, vocab)
+  }
+
+  private def lmScoreTail(bi: DataFrame, bigramCounts: DataFrame,
+                          historyCounts: DataFrame,
+                          vocab: DataFrame): DataFrame =
     bi
       .join(bigramCounts, Seq("w1", "w2"), "left_outer")
       .join(historyCounts, col("w1") === col("hw"), "left_outer")
@@ -559,7 +630,6 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("lp")), 4).as("nll"))
       .select(col("doc_id"), col("n_bigrams"), col("nll"))
-  }
 
   /** CCNet head/middle/tail perplexity bucketing — the OPERATIONAL
     * step of Wenzek et al. 2020 on top of the q118 LM score: CCNet
@@ -578,8 +648,21 @@ object TextAnalysis {
     * deterministic cross-engine; the oracle uses the plain
     * window formulation of the same rank. */
   def ccnetBuckets(spark: SparkSession, dir: String,
-                   trainLang: String = "en"): DataFrame = {
-    val scored = bigramLmScore(spark, dir, trainLang)
+                   trainLang: String = "en"): DataFrame =
+    ccnetTerciles(spark, dir, bigramLmScore(spark, dir, trainLang))
+
+  /** CCNet terciles over the BOUNDED-vocab LM ([[bigramLmScoreBounded]])
+    * — the full production pipeline shape: fixed top-V+OOV model,
+    * per-language head/middle/tail split. Same tercile machinery as
+    * [[ccnetBuckets]]; only the scorer differs. */
+  def ccnetBucketsBounded(spark: SparkSession, dir: String,
+                          trainLang: String = "en",
+                          topV: Int = 512): DataFrame =
+    ccnetTerciles(spark, dir,
+      bigramLmScoreBounded(spark, dir, trainLang, topV))
+
+  private def ccnetTerciles(spark: SparkSession, dir: String,
+                            scored: DataFrame): DataFrame = {
     val langs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
     // three consumers (tie-group bases, per-lang totals, the ranked
@@ -610,8 +693,14 @@ object TextAnalysis {
         expr("(3 * (rnk - 1)) div n_lang").as("bucket"))
   }
 
-  def ccnetBucketsOracleSql(trainLang: String = "en"): String = {
-    val lm = bigramLmScoreOracleSql(trainLang)
+  def ccnetBucketsOracleSql(trainLang: String = "en"): String =
+    ccnetTercilesOracleSql(bigramLmScoreOracleSql(trainLang))
+
+  def ccnetBucketsBoundedOracleSql(trainLang: String = "en",
+                                   topV: Int = 512): String =
+    ccnetTercilesOracleSql(bigramLmScoreBoundedOracleSql(trainLang, topV))
+
+  private def ccnetTercilesOracleSql(lm: String): String = {
     s"""WITH dw AS ($lm),
        |j AS (
        |  SELECT dw.doc_id, d.lang, dw.n_bigrams, dw.nll
@@ -754,7 +843,11 @@ object TextAnalysis {
     * [[graft.streaming.Streams.gopherKeepAvailableNow]]). */
   def withGopherFlags(docs: DataFrame, minWords: Int = 50,
                       maxWords: Int = 100000): DataFrame = {
-    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+    // explicit whitespace class, NOT \s+: Java's \s and RE2's \s
+    // disagree on e.g. vertical tab U+000B, so the oracle uses the
+    // same literal class — the tokenizers agree by construction
+    val words = filter(split(col("text"), "[ \\t\\n\\r\\f]+"),
+                       w => w =!= "")
     val stopList = Seq("the", "be", "to", "of", "and", "that", "have",
                        "with")
     docs
@@ -806,7 +899,8 @@ object TextAnalysis {
                            maxWords: Int = 100000): String =
     s"""WITH w AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+       |                x -> x <> '')
        |      AS ws
        |  FROM documents),
        |f AS (
@@ -985,6 +1079,49 @@ object TextAnalysis {
        |hc AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
        |v AS (SELECT count(DISTINCT tk) AS vs FROM
        |  (SELECT unnest(ts) AS tk FROM tok WHERE lang = '$trainLang') t),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    ln((coalesce(bc.c2, 0) + 1.0) / (coalesce(hc.c1, 0) + v.vs))
+       |      AS lp
+       |  FROM bi b
+       |  LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+       |  LEFT JOIN hc ON hc.w1 = b.w1
+       |  CROSS JOIN v)
+       |SELECT doc_id, count(*) AS n_bigrams, round(-avg(lp), 4) AS nll
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Oracle for [[bigramLmScoreBounded]]: identical shape to the q118
+    * SQL, with the bigram stream remapped through the top-V vocabulary
+    * (deterministic ORDER BY count DESC, token LIMIT V) and the
+    * smoothing constant |voc|+1. */
+  def bigramLmScoreBoundedOracleSql(trainLang: String = "en",
+                                    topV: Int = 512): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+       |      t -> t <> '') AS ts
+       |  FROM documents),
+       |bi0 AS (
+       |  SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i FROM tok),
+       |bir AS (
+       |  SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2 FROM bi0),
+       |tf AS (
+       |  SELECT tk, count(*) AS c FROM
+       |    (SELECT unnest(ts) AS tk FROM tok WHERE lang = '$trainLang') t
+       |  GROUP BY tk),
+       |voc AS (SELECT tk FROM tf ORDER BY c DESC, tk LIMIT $topV),
+       |bi AS (
+       |  SELECT b.doc_id, b.lang,
+       |    CASE WHEN v1.tk IS NOT NULL THEN b.w1 ELSE '$OovToken' END AS w1,
+       |    CASE WHEN v2.tk IS NOT NULL THEN b.w2 ELSE '$OovToken' END AS w2
+       |  FROM bir b
+       |  LEFT JOIN voc v1 ON v1.tk = b.w1
+       |  LEFT JOIN voc v2 ON v2.tk = b.w2),
+       |train AS (SELECT w1, w2 FROM bi WHERE lang = '$trainLang'),
+       |bc AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+       |hc AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+       |v AS (SELECT count(*) + 1 AS vs FROM voc),
        |sc AS (
        |  SELECT b.doc_id,
        |    ln((coalesce(bc.c2, 0) + 1.0) / (coalesce(hc.c1, 0) + v.vs))

@@ -636,12 +636,12 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupFracCache.isEmpty)
     Dedup.dupFractionDir(spark, sfDir, Nil)
     val scopes = Dedup.dupFracCache.keys
-      .collect { case (s, d, scope) if s == spark && d == sfDir => scope }
+      .collect { case (s, d, _, scope) if s == spark && d == sfDir => scope }
       .toSet
     assert(scopes == Set("", "source"),
       s"one probe must fill both scopes, got $scopes")
     // and the source-scope read is a pure cache hit (same map entry)
-    val before = Dedup.dupFracCache((spark, sfDir, "source"))
+    val before = Dedup.dupFracCache((spark, sfDir, 1.0, "source"))
     assert(Dedup.dupFractionDir(spark, sfDir, Seq("source")) == before)
   }
 
@@ -658,6 +658,16 @@ class DedupSpec extends SparkSpec {
       // the sample's bias is DOWNWARD (duplicate groups split), so a
       // dup-light corpus must stay far below the collapse threshold
       assert(v1 < 0.05, s"sf0.001's ~0.2% dup rate read as $v1")
+      // the memo is keyed by the effective fraction: flipping the knob
+      // back to full-scan must NOT serve the sampled (biased) value —
+      // it re-probes under its own key, leaving both entries live
+      spark.conf.unset(Dedup.ProbeSampleKey)
+      Dedup.dupFractionDir(spark, sfDir, Nil)
+      val fracs = Dedup.dupFracCache.keys.collect {
+        case (s, d, f, "") if s == spark && d == sfDir => f
+      }.toSet
+      assert(fracs == Set(0.5, 1.0),
+        s"probe memo must be keyed by sample fraction, got $fracs")
     } finally {
       prev.fold(spark.conf.unset(Dedup.ProbeSampleKey))(v =>
         spark.conf.set(Dedup.ProbeSampleKey, v))

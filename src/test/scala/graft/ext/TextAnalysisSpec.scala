@@ -220,6 +220,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bigramLmScoreBounded: OOV remap hand-check + structural bound") {
+    val dir = java.nio.file.Files.createTempDirectory("lmbnd").toString
+    Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "a a", "en", "s", 3L),
+      (3L, "c b", "zh", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // train tokens: a:4, b:2 → topV=1 vocab {a}; everything else <oov>.
+    // mapped train bigrams: (a,o):2 (o,a):1 (a,a):1; histories a:3 o:1;
+    // smoothing V = |voc|+1 = 2
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      1L -> (3L, r4(-(2 * math.log(3 / 5.0) + math.log(2 / 3.0)) / 3)),
+      2L -> (1L, r4(-math.log(2 / 5.0))),
+      3L -> (1L, r4(-math.log(1 / 3.0)))) // (o,o): unseen, history o:1
+    val got = TextAnalysis.bigramLmScoreBounded(spark, dir, topV = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected)
+    // the model tables are STRUCTURALLY bounded by the vocab, not the
+    // data: ≤ (V+1)² bigram rows, ≤ V+1 history rows — on the real
+    // corpus too, which is the whole point of the bounded variant
+    val (_, bc, hc, _) =
+      TextAnalysis.bigramLmParts(spark, sfDir, "en", Some(64))
+    assert(bc.count() <= 65L * 65L, "bigram model exceeds (V+1)^2")
+    assert(hc.count() <= 65L, "history model exceeds V+1")
+  }
+
+  test("ccnetBucketsBounded: tercile invariants hold over the bounded LM") {
+    val rows = TextAnalysis.ccnetBucketsBounded(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val n = rs.length
+      val sorted = rs.sortBy(r => (r.getDouble(3), r.getLong(0)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(4) == i + 1, s"$lang rank mismatch at $i")
+        assert(r.getLong(5) == (3L * i) / n, s"$lang bucket at $i")
+      }
+      val sizes = (0L to 2L).map(b => rs.count(_.getLong(5) == b))
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+    }
+  }
+
   test("source Gini: driver recompute and uniform-distribution zero") {
     val got = TextAnalysis.sourceGini(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap

@@ -30,11 +30,14 @@ object QueryProbe {
     args.foreach { name =>
       val fn = queries(name)
       val times = (1 to reps).map { _ =>
+        // drain EVERY family memo (mirrors Bench's cold-start sweep) —
+        // a missing drain times a warm scoring table as if cold
         graft.ext.Dedup.clearMemos()
         graft.ext.Similarity.clearMemos()
         graft.ext.Quantize.clearMemos()
         graft.ext.Winnow.clearMemos()
         graft.ext.PageRank.clearMemos()
+        graft.ext.Selection.clearMemos()
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()

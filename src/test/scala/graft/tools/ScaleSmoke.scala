@@ -93,6 +93,8 @@ object ScaleSmoke {
     // round-11: held-out DSIR, Gopher rules, CCNet terciles, hard negs
     "q200_dsir_heldout", "q201_gopher_rules", "q202_ccnet_buckets",
     "q203_hard_negatives",
+    // round-12: bounded-vocab CCNet (model tables flat across decades)
+    "q205_ccnet_bounded",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
@@ -434,6 +436,44 @@ object ScaleSmoke {
         val tColl = timedMinhash("0.0")
         val tDir = timedMinhash("1.1")
         println(f"[scale] $tag%-10s $raw%9d $distinct%9d $candRep%9d $candRaw%12d $tColl%7.1fs $tDir%7.1fs")
+      }
+      spark.stop()
+      return
+    }
+    // lmvocab mode: the CCNet model-table decade probe — row counts of
+    // the bigram/history model tables for the open-vocab q118 LM vs the
+    // bounded top-V+OOV q205 LM at 1×/10×/100×. The open tables grow
+    // with the (suffixed) replica vocabulary; the bounded tables must
+    // stay FLAT. Test/runMain graft.tools.ScaleSmoke lmvocab
+    if (args.headOption.contains("lmvocab")) {
+      if (!new java.io.File(s"$Out100/documents.parquet").isDirectory) {
+        val t0 = System.nanoTime()
+        generate(spark, Out100, factor = 100, withEvents = false)
+        println(f"[scale] generated $Out100 in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      println(f"[scale] ${"corpus"}%-6s ${"open_bc"}%9s ${"open_hc"}%9s ${"bnd_bc"}%8s ${"bnd_hc"}%7s ${"t_q202"}%8s ${"t_q205"}%8s")
+      for ((tag, dir) <- Seq(("1x", Base), ("10x", Out), ("100x", Out100))) {
+        if (tag == "10x" &&
+            !new java.io.File(s"$Out/documents.parquet").isDirectory)
+          generate(spark)
+        coldStart()
+        val (_, obc, ohc, _) =
+          graft.ext.TextAnalysis.bigramLmParts(spark, dir, "en", None)
+        val (openBc, openHc) = (obc.count(), ohc.count())
+        coldStart()
+        val (_, bbc, bhc, _) =
+          graft.ext.TextAnalysis.bigramLmParts(spark, dir, "en", Some(512))
+        val (bndBc, bndHc) = (bbc.count(), bhc.count())
+        def timeBuckets(bounded: Boolean): Double = {
+          coldStart()
+          val t0 = System.nanoTime()
+          (if (bounded) graft.ext.TextAnalysis.ccnetBucketsBounded(spark, dir)
+           else graft.ext.TextAnalysis.ccnetBuckets(spark, dir)).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tOpen = timeBuckets(bounded = false)
+        val tBnd = timeBuckets(bounded = true)
+        println(f"[scale] $tag%-6s $openBc%9d $openHc%9d $bndBc%8d $bndHc%7d $tOpen%7.2fs $tBnd%7.2fs")
       }
       spark.stop()
       return
