@@ -133,11 +133,28 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Contention self-report (r11 protocol): q01/q05 are the pure-CPU
+    // contention canaries with pinned quiet-window floors (0.14/0.34 s).
+    // Their measured-over-floor ratio estimates THIS window's host
+    // contention factor, and total/factor is the canary-normalized
+    // total — the artifact self-reports how much of its total is
+    // weather, so cross-window comparisons stop inviting misreads
+    // (the r10 "regression" and the r11 driver/builder 204.5-vs-170.2
+    // gap were both pure window drift).
+    val canaryFloors = Seq("q01_filter_project" -> 0.14,
+                           "q05_groupby_agg" -> 0.34)
+    val canaryRatios = canaryFloors.flatMap { case (n, floor) =>
+      results.get(n).filter(_ > 0.0).map(_ / floor)
+    }
+    val canaryFactor =
+      if (canaryRatios.isEmpty) 1.0
+      else math.max(1.0, canaryRatios.sum / canaryRatios.size)
+    val canaryNormTotal = total / canaryFactor
     val peaks = storagePeaks.mkString("[", ",", "]")
     val canaryJson = canaryDiff.fold("\"ok\"")(d =>
       "\"DRIFT: " + d.replaceAll("[\"\\\\\\n]", " ").take(400) + "\"")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63_subtotal":$sharedSub,"bucket_write_sec":$bucketWriteSec,"storage_peak_bytes":$peaks,"schema_canary":$canaryJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63_subtotal":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"storage_peak_bytes":$peaks,"schema_canary":$canaryJson,"queries":$qs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt log prefixes — also write the JSON to a
     // file so machine consumers don't have to scrape the build log
     println(json)
@@ -154,7 +171,7 @@ object Bench {
     // stderr AND into a stable BENCH_SUMMARY.json file, so a machine
     // consumer has three independent capture paths.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63":$sharedSub,"bucket_write_sec":$bucketWriteSec,"n_queries":${results.size},"schema_canary":${if (canaryDiff.isEmpty) "\"ok\"" else "\"DRIFT\""},"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"n_queries":${results.size},"schema_canary":${if (canaryDiff.isEmpty) "\"ok\"" else "\"DRIFT\""},"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       (compact + "\n").getBytes("UTF-8"))

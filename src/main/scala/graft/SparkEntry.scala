@@ -659,6 +659,10 @@ object SparkEntry {
     // model shape whose tables stay flat as the corpus grows
     "q205_ccnet_bounded" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.ccnetBucketsBounded(s, d)),
+    // streaming dedup with FIXED Bloom state (flat footprint at any
+    // corpus size; documented FP rate, exact at gate scale)
+    "q206_stream_dedup_bloom" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.bloomDedupAvailableNow(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1345,5 +1349,7 @@ object SparkEntry {
     "q203_hard_negatives" -> ext.Similarity.hardNegativesOracleSql(),
     "q204_stream_gopher" -> ext.TextAnalysis.gopherKeepBySourceOracleSql(),
     "q205_ccnet_bounded" -> ext.TextAnalysis.ccnetBucketsBoundedOracleSql(),
+    "q206_stream_dedup_bloom" ->
+      "SELECT event_id, event_type, value FROM events",
   )
 }

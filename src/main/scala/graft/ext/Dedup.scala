@@ -233,8 +233,8 @@ object Dedup {
     * value. */
   private[ext] val dupFracCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Double, String), Double]()
-  private[ext] def dupFractionDir(spark: SparkSession, dir: String,
-                                  extraKeys: Seq[String]): Double = {
+  private[graft] def dupFractionDir(spark: SparkSession, dir: String,
+                                    extraKeys: Seq[String]): Double = {
     sweepStopped(dupFracCache)
     val scopeKey = extraKeys.mkString(",")
     val frac = effectiveSampleFrac(spark).getOrElse(1.0)
@@ -276,7 +276,7 @@ object Dedup {
     * modest undershoot cannot flip the decision that matters. Sampling
     * is keyed on md5(doc_id) — deterministic across runs, executors,
     * and partition layouts, unlike `df.sample`. */
-  private[ext] val ProbeSampleKey = "spark.graft.dedup.probeSampleFraction"
+  private[graft] val ProbeSampleKey = "spark.graft.dedup.probeSampleFraction"
 
   /** Measured duplicate fractions for several group-key scopes in ONE
     * aggregate pass (a count + one HLL register set per scope). */

@@ -821,10 +821,11 @@ object Similarity {
     *
     * Output: (qid, hits, recall), recall rounded to 4 decimals. */
   def ivfRecall(spark: SparkSession, dir: String,
-                nQueries: Int = 5, k: Int = 10): DataFrame = {
+                nQueries: Int = 5, k: Int = 10, numCells: Int = 24,
+                nProbe: Int = 4, nAssign: Int = 3): DataFrame = {
     val brute = bruteForceTopK(spark, dir, nQueries, k)
       .select(col("qid"), col("nid"))
-    val approx = ivfTopK(spark, dir, nQueries, k)
+    val approx = ivfTopK(spark, dir, nQueries, k, numCells, nProbe, nAssign)
       .select(col("qid").as("aqid"), col("nid").as("anid"))
     brute
       .join(approx, col("qid") === col("aqid") && col("nid") === col("anid"),

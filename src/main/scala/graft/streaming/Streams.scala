@@ -170,7 +170,7 @@ object Streams {
   private[graft] def resetStateBytesProbe(): Unit = stateBytesAcc.set(0L)
   private[graft] def stateBytesProbe: Long = stateBytesAcc.get()
 
-  private def runBounded(df: DataFrame, mode: OutputMode,
+  private[graft] def runBounded(df: DataFrame, mode: OutputMode,
                          statePartitions: Int = 4,
                          noDataBatch: Boolean = false): DataFrame = {
     // tuning knob for gate/probe runs: -Dgraft.stream.statePartitions=N
@@ -546,6 +546,106 @@ object Streams {
       dedupStream(redelivered)
         .select(col("event_id"), col("event_type"), col("value")),
       OutputMode.Append())
+  }
+
+  // ---- bounded-state (Bloom) streaming dedup ------------------------
+
+  case class BloomEvent(shard: Int, event_id: Long, event_type: String,
+                        value: Double)
+  case class BloomShard(bits: Array[Byte])
+  case class DedupOut(event_id: Long, event_type: String, value: Double)
+
+  private val BloomK = 4
+
+  /** splitmix64 finalizer — a deterministic 64-bit avalanche (public
+    * constants from Steele et al., "Fast Splittable Pseudorandom Number
+    * Generators", OOPSLA 2014); the Bloom filter derives its k probe
+    * positions from two rounds of it. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** BOUNDED-STATE streaming dedup — the production companion to
+    * [[dedupStream]]: q68's `dropDuplicatesWithinWatermark` keeps one
+    * state entry PER KEY inside the horizon, so its state grows with
+    * the corpus (measured ~linear at 10× — correct for exact semantics,
+    * unbounded at 100 TB). This variant keeps a FIXED-size Bloom filter
+    * per shard instead: state is `shards × 2^log2BitsPerShard` bits —
+    * a deployment constant (default 32 × 2^21 = 8 MiB total), flat at
+    * ANY corpus size.
+    *
+    * The price is the Bloom false-positive rate: a genuinely-new key
+    * whose k probe bits were all set by OTHER keys is dropped as a
+    * duplicate. With m total bits, k=4 probes and n distinct keys the
+    * per-check FP rate is (1 − e^(−kn/m))^k — at the default sizing
+    * ≈1.3e-9 for n=100k (sf0.1: expected false drops 1e-4, i.e. the
+    * gate is exact in practice) and ≈1e-5 at n=1M; production sizes m
+    * for its target n exactly like any Bloom deployment (10 bits/key
+    * ≈ 1% FP). False NEGATIVES are impossible — every true duplicate
+    * is always dropped.
+    *
+    * Sharding is `event_id % shards`, so all copies of a key land in
+    * one shard; within a batch the fold is id-sorted (the
+    * [[updateBucket]] determinism contract). At 100 TB parallelism =
+    * shards (a deployment knob); each shard's state value is one
+    * RocksDB blob rewritten per batch. */
+  def bloomDedupStream(events: DataFrame, shards: Int = 32,
+                       log2BitsPerShard: Int = 21): Dataset[DedupOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(pmod(col("event_id"), lit(shards)).cast("int").as("shard"),
+              col("event_id"), col("event_type"), col("value"))
+      .as[BloomEvent]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateBloom(log2BitsPerShard))
+  }
+
+  private def updateBloom(log2Bits: Int)(
+      shard: Int, events: Iterator[BloomEvent],
+      state: GroupState[BloomShard]): Iterator[DedupOut] = {
+    val mask = (1 << log2Bits) - 1
+    val bits = state.getOption.map(_.bits)
+      .getOrElse(new Array[Byte](1 << (log2Bits - 3)))
+    val out = Seq.newBuilder[DedupOut]
+    events.toArray.sortBy(_.event_id).foreach { e =>
+      val h1 = mix64(e.event_id)
+      val h2 = mix64(h1) | 1L // odd ⇒ full-period double hashing
+      var allSet = true
+      var i = 0
+      while (i < BloomK) {
+        val p = (((h1 + i * h2) >>> 8) & mask).toInt
+        if ((bits(p >>> 3) & (1 << (p & 7))) == 0) allSet = false
+        i += 1
+      }
+      if (!allSet) {
+        i = 0
+        while (i < BloomK) {
+          val p = (((h1 + i * h2) >>> 8) & mask).toInt
+          bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte
+          i += 1
+        }
+        out += DedupOut(e.event_id, e.event_type, e.value)
+      }
+    }
+    state.update(BloomShard(bits))
+    out.result().iterator
+  }
+
+  /** Bounded gate run of the Bloom dedup: the same redelivered-stream
+    * setup as q68 — the output must collapse back to exactly the batch
+    * events table (the q68 oracle), but the state footprint is the
+    * fixed Bloom allocation instead of one entry per event. */
+  def bloomDedupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEventsStream(spark, dir)
+    runBounded(bloomDedupStream(ev.union(ev)).toDF(),
+               OutputMode.Update())
+      .select(col("event_id"), col("event_type"), col("value"))
   }
 
   /** Static events dir sessionized as a stream; cumulative counts are

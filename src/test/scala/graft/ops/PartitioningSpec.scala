@@ -93,6 +93,40 @@ class PartitioningSpec extends SparkSpec {
     assert(spark.conf.get(key) == before, "conf must restore on failure")
   }
 
+  test("two concurrent materialized builds each plan at their OWN count") {
+    // the round-11 claim ("per-session lock makes scoped builds safe
+    // under concurrency") exercised: two threads race into
+    // materialized() with different counts; each cached plan must have
+    // been planned at ITS OWN count (cached plans keep their planned
+    // partitioning — canChangeCachedPlanOutputPartitioning defaults
+    // false), and the session conf must restore to the pre-race value.
+    import spark.implicits._
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def runner(n: Int, mod: Int): Thread = new Thread(() =>
+      try {
+        barrier.await()
+        val df = Partitioning.materialized(spark, n) {
+          spark.range(10000).toDF("x").groupBy(col("x") % mod).count()
+        }
+        results.put(n, df.rdd.getNumPartitions)
+        df.unpersist(blocking = false)
+      } catch { case t: Throwable => errors.add(t) })
+    val ts = Seq(runner(17, 97), runner(23, 89))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent build threw: ${errors.peek()}")
+    assert(results.get(17) == 17,
+      s"build A must plan at its own 17, got ${results.get(17)}")
+    assert(results.get(23) == 23,
+      s"build B must plan at its own 23, got ${results.get(23)}")
+    assert(spark.conf.get(key) == before,
+      "the race must not leak either scoped count into the session")
+  }
+
   test("an action inside the scope plans its exchanges at the scoped count") {
     import spark.implicits._
     val n = Partitioning.withShufflePartitions(spark, 6) {

@@ -138,6 +138,52 @@ class StreamsSpec extends SparkSpec {
            batch.exceptAll(streamed).isEmpty)
   }
 
+  test("bloom dedup: redelivered stream collapses to the batch table") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.bloomDedupAvailableNow(spark, sfDir)
+    val batch = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    // exact at this scale: the default Bloom sizing (2^26 bits, k=4)
+    // puts the expected false-drop count at ~1e-4 even for sf0.1
+    assert(streamed.count() == batch.count(),
+      "bloom dedup must collapse every redelivery at gate scale")
+    assert(streamed.exceptAll(batch).isEmpty &&
+           batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("bloom dedup state is the fixed allocation, not per-key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // an UNDERSIZED Bloom (2^10 bits/shard, 1 shard) over many distinct
+    // keys must show the documented failure mode: false POSITIVES drop
+    // genuinely-new keys (output < distinct), never false negatives
+    // (no duplicate survives). This is the deliberate trade the fixed
+    // state buys; the default sizing makes it negligible at gate scale.
+    val n = 4000L
+    val ev = spark.range(n)
+      .select(col("id").as("event_id"), lit("e").as("event_type"),
+              lit(1.0).as("value"))
+    val dir = java.nio.file.Files.createTempDirectory("bloomst").toString
+    ev.union(ev).write.mode("overwrite")
+      .parquet(s"$dir/events_small.parquet")
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .parquet(s"$dir/events_small.parquet")
+    val out = Streams.runBounded(
+      Streams.bloomDedupStream(stream, shards = 1,
+        log2BitsPerShard = 10).toDF(), OutputMode.Update())
+    val ids = out.select("event_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.length == ids.distinct.length,
+      "false negatives are impossible: no duplicate may survive")
+    assert(ids.length < n,
+      s"a 1024-bit bloom over $n keys must show false drops, " +
+        s"got ${ids.length}")
+    // and at the DEFAULT sizing the same corpus is exact
+    val exact = Streams.runBounded(
+      Streams.bloomDedupStream(stream).toDF(), OutputMode.Update())
+    assert(exact.count() == n, "default sizing must be exact here")
+  }
+
   test("RocksDB default and HDFSBacked state stores produce identical results") {
     // The bounded runs default to the RocksDBStateStoreProvider (the
     // production backend for 100 TB keyed state); the -Dgraft.stream.

@@ -244,6 +244,21 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 
+  /** Replicate a documents corpus VERBATIM `reps`× (id offsets only) —
+    * the exact-duplicate-heavy corpus shape the collapse and the probe
+    * defend against. Shared by the dupscale and probebias modes. */
+  private def dupify(spark: SparkSession, src: String, out: String,
+                     reps: Int): Unit =
+    if (!new java.io.File(s"$out/documents.parquet").isDirectory) {
+      spark.read.parquet(s"$src/documents.parquet")
+        .select(col("*"),
+          explode(array((0 until reps).map(lit): _*)).as("rep"))
+        .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -305,11 +320,16 @@ object ScaleSmoke {
     // Test/runMain graft.tools.ScaleSmoke stream
     if (args.headOption.contains("stream")) {
       System.setProperty("graft.stream.measureState", "1")
-      val gates = Seq(
+      val allGates = Seq(
         "q35_stream_hourly", "q36_stream_sessionize", "q42_stream_enrich",
         "q46_stream_funnel", "q68_stream_dedup", "q96_stream_dedup_hourly",
         "q106_stream_session_window", "q116_stream_funnel_outer",
-        "q121_stream_minhash", "q128_stream_hll", "q159_stream_histogram")
+        "q121_stream_minhash", "q128_stream_hll", "q159_stream_histogram",
+        "q206_stream_dedup_bloom")
+      // optional gate-prefix filter: ScaleSmoke stream q68 q206
+      val gates =
+        if (args.length <= 1) allGates
+        else allGates.filter(g => args.drop(1).exists(g.startsWith))
       println(f"[scale] ${"query"}%-26s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s ${"state1x"}%9s ${"state10x"}%9s ${"sratio"}%6s")
       for (name <- gates) {
         time(name, Base) // warm the streaming machinery + JIT
@@ -377,6 +397,37 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // probebias mode: measured-vs-true duplicate fraction under the
+    // sampled probe (ProbeSampleKey) at p = 1.0 / 0.1 / 0.01, on a
+    // dup-LIGHT corpus (the 10× replica, ~0.2% dups) and the dup-HEAVY
+    // dupscale corpus (~90% dups, 10-member groups). The sample splits
+    // each size-g dup group Binomial(g, p), so the bias is DOWNWARD and
+    // largest where groups are small and p is low — the numbers certify
+    // the documented direction and that the collapse DECISION (≥5%)
+    // never flips on the corpus shape it matters for.
+    // Test/runMain graft.tools.ScaleSmoke probebias
+    if (args.headOption.contains("probebias")) {
+      if (!new java.io.File(s"$Out/documents.parquet").isDirectory)
+        generate(spark)
+      dupify(spark, Out, "target/dupscale_a", 10)
+      val key = graft.ext.Dedup.ProbeSampleKey
+      println(f"[scale] ${"corpus"}%-12s ${"p"}%6s ${"measured"}%9s ${"t"}%7s")
+      for ((tag, dir) <- Seq(("duplight10x", Out),
+                             ("dupheavy", "target/dupscale_a"))) {
+        for (p <- Seq("1.0", "0.1", "0.01")) {
+          coldStart()
+          if (p != "1.0") spark.conf.set(key, p)
+          try {
+            val t0 = System.nanoTime()
+            val f = graft.ext.Dedup.dupFractionDir(spark, dir, Nil)
+            val t = (System.nanoTime() - t0) / 1e9
+            println(f"[scale] $tag%-12s $p%6s $f%9.4f $t%6.2fs")
+          } finally if (p != "1.0") spark.conf.unset(key)
+        }
+      }
+      spark.stop()
+      return
+    }
     // dupscale mode: the collapse certification AT SCALE (round-11
     // verdict item 5). Two corpora with the SAME raw size but 10×
     // different distinct-doc counts:
@@ -388,21 +439,11 @@ object ScaleSmoke {
     // minhash direct vs collapsed on both.
     // Test/runMain graft.tools.ScaleSmoke dupscale
     if (args.headOption.contains("dupscale")) {
-      def dupify(src: String, out: String, reps: Int): Unit =
-        if (!new java.io.File(s"$out/documents.parquet").isDirectory) {
-          spark.read.parquet(s"$src/documents.parquet")
-            .select(col("*"),
-              explode(array((0 until reps).map(lit): _*)).as("rep"))
-            .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
-              col("text"), col("lang"), col("source"), col("n_chars"))
-            .repartition(32)
-            .write.mode("overwrite").parquet(s"$out/documents.parquet")
-        }
       // corpus A needs the scale10 replica's documents
       if (!new java.io.File(s"$Out/documents.parquet").isDirectory)
         generate(spark)
-      dupify(Out, "target/dupscale_a", 10)
-      dupify(Base, "target/dupscale_b", 100)
+      dupify(spark, Out, "target/dupscale_a", 10)
+      dupify(spark, Base, "target/dupscale_b", 100)
       println(f"[scale] ${"corpus"}%-10s ${"raw"}%9s ${"distinct"}%9s ${"candRep"}%9s ${"candRaw"}%12s ${"t_coll"}%8s ${"t_dir"}%8s")
       for ((tag, dir) <- Seq(("A_10pct", "target/dupscale_a"),
                              ("B_1pct", "target/dupscale_b"))) {
@@ -440,12 +481,56 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // annrecall mode: the ANN quality-vs-scale certification — mean
+    // recall@k of the IVF index against exact brute force, swept over
+    // nProbe, at 1×/10×/100× (the scale100 replica carries embeddings).
+    // "A 100 TB corpus is searchable from the index" needs a recall
+    // curve as the corpus grows, not just a latency one: the replica
+    // grows by ADDING cells (cell populations stay sf0.1-sized), so a
+    // fixed-nProbe search probes a shrinking FRACTION of the corpus —
+    // recall holding up across decades is the claim under test.
+    // Test/runMain graft.tools.ScaleSmoke annrecall
+    if (args.headOption.contains("annrecall")) {
+      if (!new java.io.File(s"$Out/embeddings.parquet").isDirectory)
+        generate(spark)
+      if (!new java.io.File(s"$Out100/embeddings.parquet").isDirectory)
+        generate(spark, Out100, factor = 100, withEvents = false)
+      val nQ = 20
+      println(f"[scale] ${"corpus"}%-6s ${"cells"}%5s ${"nAsg"}%4s ${"k"}%3s ${"nProbe"}%6s ${"recall@k"}%9s ${"t_sweep"}%8s")
+      // rows: the default index (nAssign=3) across decades, a scaled-
+      // cells variant per decade, and single-assign stress rows (no
+      // boundary overlap — the config where straddling shows first)
+      val rows = Seq(
+        ("1x", Base, 24, 3, 10), ("10x", Out, 24, 3, 10),
+        ("10x", Out, 76, 3, 10), ("100x", Out100, 24, 3, 10),
+        ("100x", Out100, 240, 3, 10),
+        ("10x", Out, 76, 1, 10), ("100x", Out100, 240, 1, 10),
+        ("100x", Out100, 240, 1, 50))
+      for ((tag, dir, cells, nAsg, k) <- rows) {
+        for (nProbe <- Seq(1, 2, 4, 8)) {
+          coldStart()
+          val t0 = System.nanoTime()
+          val mean = graft.ext.Similarity
+            .ivfRecall(spark, dir, nQueries = nQ, k = k,
+                       numCells = cells, nProbe = nProbe, nAssign = nAsg)
+            .agg(avg(col("recall"))).head().getDouble(0)
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] $tag%-6s $cells%5d $nAsg%4d $k%3d $nProbe%6d $mean%9.4f $t%7.2fs")
+        }
+      }
+      spark.stop()
+      return
+    }
     // lmvocab mode: the CCNet model-table decade probe — row counts of
     // the bigram/history model tables for the open-vocab q118 LM vs the
     // bounded top-V+OOV q205 LM at 1×/10×/100×. The open tables grow
     // with the (suffixed) replica vocabulary; the bounded tables must
     // stay FLAT. Test/runMain graft.tools.ScaleSmoke lmvocab
     if (args.headOption.contains("lmvocab")) {
+      // optional topV (default 512): a smaller cap saturates at an
+      // earlier decade, showing the constant tail sooner
+      val topV = args.drop(1).headOption.flatMap(_.toIntOption)
+        .getOrElse(512)
       if (!new java.io.File(s"$Out100/documents.parquet").isDirectory) {
         val t0 = System.nanoTime()
         generate(spark, Out100, factor = 100, withEvents = false)
@@ -462,12 +547,14 @@ object ScaleSmoke {
         val (openBc, openHc) = (obc.count(), ohc.count())
         coldStart()
         val (_, bbc, bhc, _) =
-          graft.ext.TextAnalysis.bigramLmParts(spark, dir, "en", Some(512))
+          graft.ext.TextAnalysis.bigramLmParts(spark, dir, "en", Some(topV))
         val (bndBc, bndHc) = (bbc.count(), bhc.count())
         def timeBuckets(bounded: Boolean): Double = {
           coldStart()
           val t0 = System.nanoTime()
-          (if (bounded) graft.ext.TextAnalysis.ccnetBucketsBounded(spark, dir)
+          (if (bounded)
+             graft.ext.TextAnalysis.ccnetBucketsBounded(spark, dir,
+               topV = topV)
            else graft.ext.TextAnalysis.ccnetBuckets(spark, dir)).count()
           (System.nanoTime() - t0) / 1e9
         }
