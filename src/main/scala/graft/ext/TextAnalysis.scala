@@ -526,9 +526,37 @@ object TextAnalysis {
     * to ~1 ULP; averages over ≥1 bigram keep 4-decimal stability — same
     * rounding contract as the cosine gates). */
   def bigramLmScore(spark: SparkSession, dir: String,
-                    trainLang: String = "en"): DataFrame = {
-    val (bi, bc, hc, v) = bigramLmParts(spark, dir, trainLang, None)
-    lmScoreTail(bi, bc, hc, v)
+                    trainLang: String = "en"): DataFrame =
+    lmScoredCached(spark, dir, trainLang, None)
+
+  /** Per-(session, dir, trainLang, vocab-bound) memo of the scored
+    * (doc_id, n_bigrams, nll) frame — the q197 docwCache pattern: an
+    * LM score is a per-corpus model artifact computed once and then
+    * consumed by every policy (the raw q118 score, the q202 terciles,
+    * any future hard filter), not recomputed per consumer. The frame
+    * is corpus-row-count-sized but THREE columns wide; it rides
+    * [[TrackedPersist]], so any family's cold sweep drains it and the
+    * onClear hook keeps this map from serving an unpersisted frame. */
+  private[ext] val lmScoreCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, String, Int), DataFrame]()
+  TrackedPersist.onClear(() => lmScoreCache.clear())
+
+  private def lmScoredCached(spark: SparkSession, dir: String,
+                             trainLang: String,
+                             topV: Option[Int]): DataFrame = {
+    lmScoreCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) lmScoreCache.remove(k)
+    }
+    lmScoreCache.getOrElseUpdate(
+      (spark, dir, trainLang, topV.getOrElse(-1)), {
+        val (bi, bc, hc, v) = bigramLmParts(spark, dir, trainLang, topV)
+        val p = lmScoreTail(bi, bc, hc, v)
+          .transform(TrackedPersist.persistTracked)
+        // materialize eagerly so the corpus-sized bigram explode can be
+        // garbage-collected; only the skinny score table stays cached
+        p.count()
+        p
+      })
   }
 
   /** Sentinel the bounded-vocab LM maps out-of-vocabulary tokens to —
@@ -555,10 +583,8 @@ object TextAnalysis {
     * plan against tables that no longer grow with the data. */
   def bigramLmScoreBounded(spark: SparkSession, dir: String,
                            trainLang: String = "en",
-                           topV: Int = 512): DataFrame = {
-    val (bi, bc, hc, v) = bigramLmParts(spark, dir, trainLang, Some(topV))
-    lmScoreTail(bi, bc, hc, v)
-  }
+                           topV: Int = 512): DataFrame =
+    lmScoredCached(spark, dir, trainLang, Some(topV))
 
   /** The LM's building blocks — (scored bigram stream, bigram-count
     * model, history-count model, 1-row smoothing-V frame) — shared by

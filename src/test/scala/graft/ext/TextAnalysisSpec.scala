@@ -250,6 +250,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hc.count() <= 65L, "history model exceeds V+1")
   }
 
+  test("LM score memo: one scoring pass per corpus; sweep-safe, keyed by bound") {
+    graft.ext.TrackedPersist.clear() // also clears lmScoreCache via hook
+    val a = TextAnalysis.bigramLmScore(spark, sfDir)
+    assert(TextAnalysis.bigramLmScore(spark, sfDir) eq a,
+      "second consumer must ride the memoized scored frame")
+    assert(!(TextAnalysis.bigramLmScoreBounded(spark, sfDir) eq a),
+      "bounded and open vocab are different models, different entries")
+    // another family's cold sweep unpersists tracked frames — the memo
+    // must drop its entry rather than serve an unpersisted frame that
+    // silently recomputes the corpus scoring on every later action
+    graft.ext.Dedup.clearMemos()
+    val fresh = TextAnalysis.bigramLmScore(spark, sfDir)
+    assert(!(fresh eq a), "cold sweep must invalidate the memo")
+    assert(fresh.storageLevel.useMemory || fresh.storageLevel.useDisk,
+      "re-memoized frame must be persisted again")
+  }
+
   test("ccnetBucketsBounded: tercile invariants hold over the bounded LM") {
     val rows = TextAnalysis.ccnetBucketsBounded(spark, sfDir).collect()
     assert(rows.nonEmpty)
