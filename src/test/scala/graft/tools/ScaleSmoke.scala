@@ -244,6 +244,24 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 
+  /** Events-only replication (same offsets as [[generate]]'s events
+    * block) — the third decade for the streaming-state certification:
+    * an events.parquet-only dir is all the dedup stream gates read. */
+  private def replicateEvents(spark: SparkSession, out: String,
+                              factor: Int): Unit =
+    if (!new java.io.File(s"$out/events.parquet").isDirectory) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val reps = explode(array((0 until factor).map(lit): _*)).as("rep")
+      spark.read.parquet(s"$Base/events.parquet").select(col("*"), reps)
+        .select(
+          (col("event_id") + col("rep") * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep") * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
   /** Replicate a documents corpus VERBATIM `reps`× (id offsets only) —
     * the exact-duplicate-heavy corpus shape the collapse and the probe
     * defend against. Shared by the dupscale and probebias modes. */
@@ -327,6 +345,9 @@ object ScaleSmoke {
         "q121_stream_minhash", "q128_stream_hll", "q159_stream_histogram",
         "q206_stream_dedup_bloom")
       // optional gate-prefix filter: ScaleSmoke stream q68 q206
+      // add literal "x100" to also run the SELECTED gates at a third
+      // decade (events-only 100× replica, 10M rows) — only gates that
+      // read NOTHING but events (the dedup pair q68/q206) qualify
       val gates =
         if (args.length <= 1) allGates
         else allGates.filter(g => args.drop(1).exists(g.startsWith))
@@ -344,6 +365,18 @@ object ScaleSmoke {
         val r = t10 / math.max(t1, 1e-9)
         val sr = s10.toDouble / math.max(s1, 1L)
         println(f"[scale] $name%-26s $t1%7.2fs $t10%7.2fs $r%6.1f ${s1 / 1024}%8dK ${s10 / 1024}%8dK $sr%6.1f")
+      }
+      if (args.contains("x100")) {
+        val ev100 = "target/scale100ev"
+        replicateEvents(spark, ev100, 100)
+        println(f"[scale] ${"query"}%-26s ${"t100x"}%8s ${"state100x"}%10s")
+        for (name <- gates) {
+          coldStart()
+          graft.streaming.Streams.resetStateBytesProbe()
+          val (t, _) = time(name, ev100)
+          val s = graft.streaming.Streams.stateBytesProbe
+          println(f"[scale] $name%-26s $t%7.2fs ${s / 1024}%9dK")
+        }
       }
       System.clearProperty("graft.stream.measureState")
       spark.stop()
