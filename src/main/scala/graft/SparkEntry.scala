@@ -663,6 +663,10 @@ object SparkEntry {
     // corpus size; documented FP rate, exact at gate scale)
     "q206_stream_dedup_bloom" -> ((s: SparkSession, d: String) =>
       streaming.Streams.bloomDedupAvailableNow(s, d)),
+    // streaming CONTENT dedup (fingerprint-keyed Bloom): the ingest
+    // filter answering "seen this exact content?" with bounded state
+    "q207_stream_doc_dedup" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.bloomDocDedupAvailableNow(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1351,5 +1355,16 @@ object SparkEntry {
     "q205_ccnet_bounded" -> ext.TextAnalysis.ccnetBucketsBoundedOracleSql(),
     "q206_stream_dedup_bloom" ->
       "SELECT event_id, event_type, value FROM events",
+    "q207_stream_doc_dedup" ->
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(regexp_replace(
+        |        lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1""".stripMargin,
   )
 }

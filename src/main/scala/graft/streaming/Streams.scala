@@ -606,6 +606,33 @@ object Streams {
         GroupStateTimeout.NoTimeout())(updateBloom(log2BitsPerShard))
   }
 
+  /** Probe-then-set: true iff `key` was NOT yet in the filter (its k
+    * bits are then set — membership is recorded as a side effect).
+    * k positions via splitmix64 double hashing (h2 forced odd ⇒ full
+    * period over the power-of-two bit space). */
+  private def bloomCheckAndSet(bits: Array[Byte], mask: Int,
+                               key: Long): Boolean = {
+    val h1 = mix64(key)
+    val h2 = mix64(h1) | 1L
+    var allSet = true
+    var i = 0
+    while (i < BloomK) {
+      val p = (((h1 + i * h2) >>> 8) & mask).toInt
+      if ((bits(p >>> 3) & (1 << (p & 7))) == 0) allSet = false
+      i += 1
+    }
+    if (allSet) false
+    else {
+      i = 0
+      while (i < BloomK) {
+        val p = (((h1 + i * h2) >>> 8) & mask).toInt
+        bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte
+        i += 1
+      }
+      true
+    }
+  }
+
   private def updateBloom(log2Bits: Int)(
       shard: Int, events: Iterator[BloomEvent],
       state: GroupState[BloomShard]): Iterator[DedupOut] = {
@@ -614,24 +641,8 @@ object Streams {
       .getOrElse(new Array[Byte](1 << (log2Bits - 3)))
     val out = Seq.newBuilder[DedupOut]
     events.toArray.sortBy(_.event_id).foreach { e =>
-      val h1 = mix64(e.event_id)
-      val h2 = mix64(h1) | 1L // odd ⇒ full-period double hashing
-      var allSet = true
-      var i = 0
-      while (i < BloomK) {
-        val p = (((h1 + i * h2) >>> 8) & mask).toInt
-        if ((bits(p >>> 3) & (1 << (p & 7))) == 0) allSet = false
-        i += 1
-      }
-      if (!allSet) {
-        i = 0
-        while (i < BloomK) {
-          val p = (((h1 + i * h2) >>> 8) & mask).toInt
-          bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte
-          i += 1
-        }
+      if (bloomCheckAndSet(bits, mask, e.event_id))
         out += DedupOut(e.event_id, e.event_type, e.value)
-      }
     }
     state.update(BloomShard(bits))
     out.result().iterator
@@ -647,6 +658,70 @@ object Streams {
                OutputMode.Update())
       .select(col("event_id"), col("event_type"), col("value"))
   }
+
+  case class BloomDoc(shard: Int, key: Long, doc_id: Long, fp: String)
+  case class DocDedupOut(doc_id: Long, fp: String)
+
+  /** Streaming CONTENT dedup with bounded state — the ingest-pipeline
+    * twin of batch fingerprint dedup (q25): "have we already ingested
+    * this exact content?" answered at arrival time from the same
+    * fixed-allocation sharded Bloom as [[bloomDedupStream]], keyed on
+    * the 60-bit rebase of md5(normalized text) instead of the event
+    * id. One survivor per content fingerprint; state is the Bloom
+    * allocation at ANY corpus size, where the exact formulation
+    * (q82's incremental index, q68-style per-key state) grows with
+    * distinct content.
+    *
+    * ORDERING CONTRACT (the [[minhashDedupStream]] one, recorded in
+    * DEVIATIONS.md): rows sort by doc_id within each micro-batch, so
+    * with the gate's single AvailableNow batch the survivor is the
+    * GLOBAL min doc_id per fingerprint — exactly the batch q25
+    * keep-min rule, which makes the gate oracle-exact (Bloom FPs are
+    * ≈0 at gate scale, same math as q206). Cross-batch arrival keeps
+    * "one survivor per content" but the survivor is the first to
+    * ARRIVE — what a production ingest filter actually wants. */
+  def bloomDocDedupStream(docs: DataFrame, shards: Int = 32,
+                          log2BitsPerShard: Int = 21)
+      : Dataset[DocDedupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("fp",
+        md5(graft.ext.TextAnalysis.normalized(col("text"))))
+      .withColumn("key",
+        conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+      .select(pmod(col("key"), lit(shards)).cast("int").as("shard"),
+              col("key"), col("doc_id"), col("fp"))
+      .as[BloomDoc]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateDocBloom(log2BitsPerShard))
+  }
+
+  private def updateDocBloom(log2Bits: Int)(
+      shard: Int, docs: Iterator[BloomDoc],
+      state: GroupState[BloomShard]): Iterator[DocDedupOut] = {
+    val mask = (1 << log2Bits) - 1
+    val bits = state.getOption.map(_.bits)
+      .getOrElse(new Array[Byte](1 << (log2Bits - 3)))
+    val out = Seq.newBuilder[DocDedupOut]
+    docs.toArray.sortBy(_.doc_id).foreach { d =>
+      if (bloomCheckAndSet(bits, mask, d.key))
+        out += DocDedupOut(d.doc_id, d.fp)
+    }
+    state.update(BloomShard(bits))
+    out.result().iterator
+  }
+
+  /** Bounded gate run: the static documents dir streamed through the
+    * content Bloom — output must equal the batch keep-min-per-
+    * fingerprint survivor set (the q25 grouping, one row per group). */
+  def bloomDocDedupAvailableNow(spark: SparkSession,
+                                dir: String): DataFrame =
+    runBounded(bloomDocDedupStream(readDocumentsStream(spark, dir)).toDF(),
+               OutputMode.Update())
+      .select(col("doc_id"), col("fp"))
 
   /** Static events dir sessionized as a stream; cumulative counts are
     * monotone, so max-per-user over all updates equals the batch

@@ -151,6 +151,24 @@ class StreamsSpec extends SparkSpec {
            batch.exceptAll(streamed).isEmpty)
   }
 
+  test("bloom doc dedup: one survivor per content fingerprint, keep-min") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.bloomDocDedupAvailableNow(spark, sfDir)
+    val batch = graft.Tables.load(spark, sfDir, "documents")
+      .withColumn("fp",
+        md5(graft.ext.TextAnalysis.normalized(col("text"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"))
+    assert(streamed.count() == batch.count(),
+      "survivor count must equal the distinct-fingerprint count")
+    assert(streamed.exceptAll(batch).isEmpty &&
+           batch.exceptAll(streamed).isEmpty,
+      "single-batch id-ordered delivery must keep the min doc per fp")
+  }
+
   test("bloom dedup state is the fixed allocation, not per-key") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -343,7 +343,7 @@ object ScaleSmoke {
         "q46_stream_funnel", "q68_stream_dedup", "q96_stream_dedup_hourly",
         "q106_stream_session_window", "q116_stream_funnel_outer",
         "q121_stream_minhash", "q128_stream_hll", "q159_stream_histogram",
-        "q206_stream_dedup_bloom")
+        "q206_stream_dedup_bloom", "q207_stream_doc_dedup")
       // optional gate-prefix filter: ScaleSmoke stream q68 q206
       // add literal "x100" to also run the SELECTED gates at a third
       // decade (events-only 100× replica, 10M rows) — only gates that
