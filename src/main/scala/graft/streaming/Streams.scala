@@ -610,8 +610,8 @@ object Streams {
     * bits are then set — membership is recorded as a side effect).
     * k positions via splitmix64 double hashing (h2 forced odd ⇒ full
     * period over the power-of-two bit space). */
-  private def bloomCheckAndSet(bits: Array[Byte], mask: Int,
-                               key: Long): Boolean = {
+  private[graft] def bloomCheckAndSet(bits: Array[Byte], mask: Int,
+                                      key: Long): Boolean = {
     val h1 = mix64(key)
     val h2 = mix64(h1) | 1L
     var allSet = true
