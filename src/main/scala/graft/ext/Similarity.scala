@@ -819,7 +819,15 @@ object Similarity {
     * real 100 TB corpus the brute side runs over a fixed query SAMPLE —
     * which is exactly what the bounded `nQueries` query batch is.
     *
-    * Output: (qid, hits, recall), recall rounded to 4 decimals. */
+    * Output: (qid, hits, recall), recall rounded to 4 decimals.
+    *
+    * The index knobs (numCells/nProbe/nAssign) exist for the recall
+    * SWEEP (`ScaleSmoke annrecall`, SCALE.md round-12 table), which
+    * checks recall values directly against the in-query brute-force
+    * baseline; [[ivfRecallOracleSql]] replays ONLY the default config
+    * — the q117 gate's — because the oracle embeds the default probe
+    * plan as literals. Non-default sweeps are self-validating (the
+    * exact top-k is computed inside the same query), not oracle-gated. */
   def ivfRecall(spark: SparkSession, dir: String,
                 nQueries: Int = 5, k: Int = 10, numCells: Int = 24,
                 nProbe: Int = 4, nAssign: Int = 3): DataFrame = {
