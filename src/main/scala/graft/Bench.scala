@@ -141,15 +141,23 @@ object Bench {
     // weather, so cross-window comparisons stop inviting misreads
     // (the r10 "regression" and the r11 driver/builder 204.5-vs-170.2
     // gap were both pure window drift).
+    // The floors are quiet-window constants measured at sf0.1 on this
+    // host; against any other scale they would compute a confidently
+    // wrong factor, so the fields are emitted as JSON null unless the
+    // bench ran at sf0.1.
     val canaryFloors = Seq("q01_filter_project" -> 0.14,
                            "q05_groupby_agg" -> 0.34)
-    val canaryRatios = canaryFloors.flatMap { case (n, floor) =>
-      results.get(n).filter(_ > 0.0).map(_ / floor)
-    }
-    val canaryFactor =
-      if (canaryRatios.isEmpty) 1.0
-      else math.max(1.0, canaryRatios.sum / canaryRatios.size)
-    val canaryNormTotal = total / canaryFactor
+    val canaryRatios =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Nil
+      else canaryFloors.flatMap { case (n, floor) =>
+        results.get(n).filter(_ > 0.0).map(_ / floor)
+      }
+    val canaryFactorOpt =
+      if (canaryRatios.isEmpty) None
+      else Some(math.max(1.0, canaryRatios.sum / canaryRatios.size))
+    val canaryFactor = canaryFactorOpt.fold("null")(_.toString)
+    val canaryNormTotal =
+      canaryFactorOpt.fold("null")(f => (total / f).toString)
     val peaks = storagePeaks.mkString("[", ",", "]")
     val canaryJson = canaryDiff.fold("\"ok\"")(d =>
       "\"DRIFT: " + d.replaceAll("[\"\\\\\\n]", " ").take(400) + "\"")

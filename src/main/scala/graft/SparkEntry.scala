@@ -667,6 +667,16 @@ object SparkEntry {
     // filter answering "seen this exact content?" with bounded state
     "q207_stream_doc_dedup" -> ((s: SparkSession, d: String) =>
       streaming.Streams.bloomDocDedupAvailableNow(s, d)),
+    // q206 under PRODUCTION delivery: events redelivered across 6
+    // micro-batches (maxFilesPerTrigger=1) — certifies cross-batch
+    // Bloom state continuity against the same order-insensitive oracle
+    "q208_stream_dedup_multibatch" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.bloomDedupMultiBatch(s, d)),
+    // q207 under production delivery: survivor fingerprint SET is
+    // delivery-order-invariant — one survivor per distinct content,
+    // duplicates dropped across batch boundaries
+    "q209_stream_doc_dedup_multibatch" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.bloomDocDedupMultiBatch(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1366,5 +1376,11 @@ object SparkEntry {
         |      ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1""".stripMargin,
+    "q208_stream_dedup_multibatch" ->
+      "SELECT event_id, event_type, value FROM events",
+    "q209_stream_doc_dedup_multibatch" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(
+        |  lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
   )
 }

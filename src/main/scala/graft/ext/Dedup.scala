@@ -235,7 +235,7 @@ object Dedup {
     .TrieMap[(SparkSession, String, Double, String), Double]()
   private[graft] def dupFractionDir(spark: SparkSession, dir: String,
                                     extraKeys: Seq[String]): Double = {
-    sweepStopped(dupFracCache)
+    sweepStopped(dupFracCache)(_._1)
     val scopeKey = extraKeys.mkString(",")
     val frac = effectiveSampleFrac(spark).getOrElse(1.0)
     dupFracCache.get((spark, dir, frac, scopeKey)).getOrElse {
@@ -574,7 +574,7 @@ object Dedup {
     .TrieMap[(SparkSession, String, Double), DataFrame]()
   def containmentEstimateCached(spark: SparkSession,
                                 dir: String): DataFrame = {
-    sweepStopped(containEstCache)
+    sweepStopped(containEstCache)(_._1)
     containEstCache.getOrElseUpdate((spark, dir, 0.0),
       materializedScoped(spark, dir, BandPathExpansion)(
         containmentEstimate(spark, dir)))
@@ -631,11 +631,11 @@ object Dedup {
     * and stops many sessions (test suites, notebooks) would retain a
     * DataFrame + session reference per stopped session forever. Swept
     * lazily on every memo access; the maps hold a handful of entries. */
-  private def sweepStopped[K <: Product, V](
-      m: scala.collection.concurrent.TrieMap[K, V]): Unit =
+  private def sweepStopped[K, V](
+      m: scala.collection.concurrent.TrieMap[K, V])
+      (session: K => SparkSession): Unit =
     m.keys.foreach { k =>
-      if (k.productElement(0).asInstanceOf[SparkSession]
-            .sparkContext.isStopped) m.remove(k)
+      if (session(k).sparkContext.isStopped) m.remove(k)
     }
 
   /** Drop every memoized pair table and its cached blocks (benchmark
@@ -662,7 +662,7 @@ object Dedup {
     // keyed by the session too (reference identity): a DataFrame is bound
     // to its session, so a memo hit from a different/stopped session
     // would fail or reuse stale plans — each session builds its own entry
-    sweepStopped(pairsCache)
+    sweepStopped(pairsCache)(_._1)
     pairsCache.getOrElseUpdate((spark, dir, threshold),
       materializedScoped(spark, dir, BandPathExpansion)(
         minhashLsh(spark, dir, threshold)))
@@ -934,7 +934,7 @@ object Dedup {
     .TrieMap[(SparkSession, String, Double), DataFrame]()
   def containmentPairsCached(spark: SparkSession, dir: String,
                              threshold: Double = 0.9): DataFrame = {
-    sweepStopped(containCache)
+    sweepStopped(containCache)(_._1)
     containCache.getOrElseUpdate((spark, dir, threshold),
       materializedScoped(spark, dir, TokenPathExpansion)(
         containmentPairs(spark, dir, threshold)))
@@ -1093,7 +1093,7 @@ object Dedup {
     .TrieMap[(SparkSession, String, Double), DataFrame]()
   def jaccardPairsCached(spark: SparkSession, dir: String,
                          threshold: Double = 0.5): DataFrame = {
-    sweepStopped(exactPairsCache)
+    sweepStopped(exactPairsCache)(_._1)
     exactPairsCache.getOrElseUpdate((spark, dir, threshold), {
       // a cached set at a LOWER threshold is a strict superset (the
       // prefix filter only ever drops pairs BELOW its threshold), so a

@@ -170,6 +170,13 @@ object Streams {
   private[graft] def resetStateBytesProbe(): Unit = stateBytesAcc.set(0L)
   private[graft] def stateBytesProbe: Long = stateBytesAcc.get()
 
+  /** Number of micro-batches the most recent [[runBounded]] executed
+    * (from the terminated query's last progress). The multi-batch
+    * certification gates require this to be ≥ their staged file count
+    * — a silent collapse into one batch would certify nothing. */
+  private val lastBatchesAcc = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private[graft] def lastRunBatches: Long = lastBatchesAcc.get()
+
   private[graft] def runBounded(df: DataFrame, mode: OutputMode,
                          statePartitions: Int = 4,
                          noDataBatch: Boolean = false): DataFrame = {
@@ -251,6 +258,8 @@ object Streams {
           .option("checkpointLocation", s"$ckptBase/graft_ckpt_$name")
           .outputMode(mode).trigger(Trigger.AvailableNow()).start()
         started.awaitTermination()
+        lastBatchesAcc.set(
+          Option(started.lastProgress).fold(-1L)(_.batchId + 1L))
         started
       } finally {
         prevNoData.fold(
@@ -597,6 +606,11 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      // NULL event_id cannot enter the non-nullable Long encoder field;
+      // the batch twin (q68's dropDuplicates) would instead keep one
+      // NULL-keyed row — disagreement only on NULL ids, which the
+      // events contract excludes
+      .filter(col("event_id").isNotNull)
       .select(pmod(col("event_id"), lit(shards)).cast("int").as("shard"),
               col("event_id"), col("event_type"), col("value"))
       .as[BloomEvent]
@@ -608,8 +622,12 @@ object Streams {
 
   /** Probe-then-set: true iff `key` was NOT yet in the filter (its k
     * bits are then set — membership is recorded as a side effect).
-    * k positions via splitmix64 double hashing (h2 forced odd ⇒ full
-    * period over the power-of-two bit space). */
+    * k positions via splitmix64 double hashing, masked directly to the
+    * power-of-two bit space: h2 forced odd makes the probe stride
+    * invertible mod 2^log2Bits, so the k probe positions of one key
+    * are pairwise distinct (the classic Kirsch–Mitzenmacher
+    * double-hashing guarantee). splitmix64 avalanches every output
+    * bit, so the low bits used here are full-quality. */
   private[graft] def bloomCheckAndSet(bits: Array[Byte], mask: Int,
                                       key: Long): Boolean = {
     val h1 = mix64(key)
@@ -617,7 +635,7 @@ object Streams {
     var allSet = true
     var i = 0
     while (i < BloomK) {
-      val p = (((h1 + i * h2) >>> 8) & mask).toInt
+      val p = ((h1 + i * h2) & mask).toInt
       if ((bits(p >>> 3) & (1 << (p & 7))) == 0) allSet = false
       i += 1
     }
@@ -625,7 +643,7 @@ object Streams {
     else {
       i = 0
       while (i < BloomK) {
-        val p = (((h1 + i * h2) >>> 8) & mask).toInt
+        val p = ((h1 + i * h2) & mask).toInt
         bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte
         i += 1
       }
@@ -666,8 +684,15 @@ object Streams {
     * twin of batch fingerprint dedup (q25): "have we already ingested
     * this exact content?" answered at arrival time from the same
     * fixed-allocation sharded Bloom as [[bloomDedupStream]], keyed on
-    * the 60-bit rebase of md5(normalized text) instead of the event
-    * id. One survivor per content fingerprint; state is the Bloom
+    * xxhash64 of the full 128-bit md5(normalized text) — every md5 bit
+    * participates in the Bloom key, so key collisions between distinct
+    * fingerprints sit at the 64-bit birthday bound (~n²/2^65), below
+    * the Bloom FP rate itself — instead of the event id. NULL text
+    * rows are dropped at entry (the keyed-state encoder's Long key
+    * cannot represent them; the batch twin q25 instead groups all
+    * NULL fingerprints as one — a disagreement only on NULL content,
+    * which the ingest contract excludes). One survivor per content
+    * fingerprint; state is the Bloom
     * allocation at ANY corpus size, where the exact formulation
     * (q82's incremental index, q68-style per-key state) grows with
     * distinct content.
@@ -686,10 +711,10 @@ object Streams {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      .filter(col("text").isNotNull)
       .withColumn("fp",
         md5(graft.ext.TextAnalysis.normalized(col("text"))))
-      .withColumn("key",
-        conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+      .withColumn("key", xxhash64(col("fp")))
       .select(pmod(col("key"), lit(shards)).cast("int").as("shard"),
               col("key"), col("doc_id"), col("fp"))
       .as[BloomDoc]
@@ -722,6 +747,127 @@ object Streams {
     runBounded(bloomDocDedupStream(readDocumentsStream(spark, dir)).toDF(),
                OutputMode.Update())
       .select(col("doc_id"), col("fp"))
+
+  // ---- Bloom sizing + multi-batch certification ----------------------
+
+  /** Bloom allocation from an FP budget: the smallest per-shard
+    * power-of-two bit count giving at least `bitsPerKey` bits per
+    * expected distinct key across `shards` shards (production sizing;
+    * with the kernel's k=4 probes, 10 bits/key puts the per-check FP
+    * at (1−e^(−0.4))^4 ≈ 1.2%, and the power-of-two round-up only
+    * lowers it). Clamped to [10, 30] — 2^30 bits = 128 MiB per shard
+    * is past any sane single-filter deployment; shard count is the
+    * scale-out axis beyond that. */
+  def log2BitsPerShardFor(expectedKeys: Long, bitsPerKey: Int = 10,
+                          shards: Int = 32): Int = {
+    require(expectedKeys > 0 && bitsPerKey > 0 && shards > 0,
+      s"positive sizing inputs required: keys=$expectedKeys " +
+        s"bits/key=$bitsPerKey shards=$shards")
+    val perShard =
+      math.max(1L, math.ceil(expectedKeys.toDouble * bitsPerKey / shards).toLong)
+    val log2 = 64 - java.lang.Long.numberOfLeadingZeros(perShard - 1L)
+    math.min(30, math.max(10, log2.toInt))
+  }
+
+  /** Stage `table` from `dir` for cross-batch redelivery: the selected
+    * columns are written as `nFiles` part files TWICE (copy A, then
+    * copy B with later modification times), so a maxFilesPerTrigger=1
+    * stream over the staging dir runs 2×nFiles micro-batches in which
+    * every row is redelivered in a DIFFERENT batch than its first
+    * arrival — the at-least-once delivery shape a single AvailableNow
+    * batch cannot exercise. Staged once per (dir, table, nFiles);
+    * the marker file keys idempotence. */
+  private def stageRedelivered(spark: SparkSession, dir: String,
+                               table: String, cols: Seq[String],
+                               nFiles: Int): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir/$table/$nFiles".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+               else System.getProperty("java.io.tmpdir")
+    val out = s"$base/graft_stage_${table}_$key"
+    val marker = new java.io.File(s"$out/_staged")
+    if (!marker.isFile) {
+      val df = spark.read.parquet(s"$dir/$table.parquet")
+        .select(cols.map(col): _*).repartition(nFiles)
+      df.write.mode("overwrite").parquet(out)
+      df.write.mode("append").parquet(out)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    out
+  }
+
+  /** Fail loudly if the redelivered run silently collapsed into fewer
+    * micro-batches than files — the certification is ABOUT cross-batch
+    * state continuity, so a one-batch run proving nothing must not
+    * pass as green. */
+  private def requireMultiBatch(nFiles: Int): Unit = {
+    val batches = lastRunBatches
+    require(batches >= 2L * nFiles,
+      s"multi-batch certification degenerated to $batches micro-batches " +
+        s"(need ≥ ${2 * nFiles}) — maxFilesPerTrigger not honored?")
+  }
+
+  /** MULTI-BATCH certification of [[bloomDedupStream]] (q206's
+    * production delivery shape): the events table redelivered across
+    * 2×nFiles micro-batches via maxFilesPerTrigger=1, so every event's
+    * duplicate arrives in a LATER batch than its original. Green means
+    * (a) the Bloom state persists across batches — later-batch
+    * duplicates are dropped, (b) every distinct event survives exactly
+    * once, against the same order-insensitive oracle as q206 (a plain
+    * SELECT of events): the survivor SET is delivery-order-invariant
+    * because every copy of an event carries the same attributes. This
+    * replaces the single-batch ordering contract with a cross-batch
+    * certification for the event-keyed gate. */
+  def bloomDedupMultiBatch(spark: SparkSession, dir: String,
+                           nFiles: Int = 3): DataFrame = {
+    val src = stageRedelivered(spark, dir, "events",
+      Seq("event_id", "event_type", "value"), nFiles)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    // statePartitions=2: the multi-batch run pays per-(batch × store)
+    // lifecycle cost 6× over, so fewer stores win here where the
+    // single-batch gates' default of 4 wins there
+    val out = runBounded(bloomDedupStream(stream).toDF(),
+                         OutputMode.Update(), statePartitions = 2)
+      .select(col("event_id"), col("event_type"), col("value"))
+    requireMultiBatch(nFiles)
+    out
+  }
+
+  /** MULTI-BATCH certification of [[bloomDocDedupStream]] (q207's
+    * production delivery shape): documents redelivered across 2×nFiles
+    * micro-batches. The surviving doc_id per fingerprint IS
+    * arrival-order-dependent across batches (first to arrive — the
+    * ingest-filter semantics), so the certified output is the survivor
+    * fingerprint SET, which delivery order cannot change: exactly one
+    * survivor per distinct content fingerprint (cross-batch duplicates
+    * dropped), none missing. Oracle: SELECT DISTINCT md5(normalized)
+    * over the batch table. */
+  def bloomDocDedupMultiBatch(spark: SparkSession, dir: String,
+                              nFiles: Int = 3): DataFrame = {
+    val src = stageRedelivered(spark, dir, "documents",
+      Seq("doc_id", "text"), nFiles)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val out = runBounded(bloomDocDedupStream(stream).toDF(),
+                         OutputMode.Update(), statePartitions = 2)
+      .select(col("fp"))
+    requireMultiBatch(nFiles)
+    out
+  }
 
   /** Static events dir sessionized as a stream; cumulative counts are
     * monotone, so max-per-user over all updates equals the batch
