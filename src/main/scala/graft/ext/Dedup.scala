@@ -284,7 +284,22 @@ object Dedup {
     spark.conf.getOption(ProbeSampleKey)
       .map(_.toDouble).filter(f => f > 0.0 && f < 1.0)
 
-  private def dupFractions(spark: SparkSession, docs: DataFrame,
+  /** Below this HLL++ estimate a scope's distinct count is recomputed
+    * EXACTLY: Spark's HLL++ (rsd 0.05) systematically OVERestimates by
+    * ~6.7% in the few-hundred-to-few-thousand band (console-verified
+    * 5,059 → 5,400) — which can push the estimate past the row count
+    * and read as a NEGATIVE duplicate fraction — and still carries
+    * ±2% at ~50k (measured −1.9% on the 10× replica: true fraction
+    * 0.0016 read as 0.0203), noise the same order as the 5% collapse
+    * threshold. Exact count(distinct) is cheap everywhere under this
+    * bound (the partial aggregates collapse to ≤100k rows per
+    * partition); the price is one extra corpus scan, paid only when
+    * the distinct count is small enough that the decision would
+    * otherwise be noise-dominated, and amortized by the probe memo
+    * across the five operators that share it. */
+  private[ext] val ExactDistinctThreshold = 100000L
+
+  private[ext] def dupFractions(spark: SparkSession, docs: DataFrame,
                            scopes: Seq[Seq[String]])
       : Seq[(Seq[String], Double)] = {
     val sampleFrac = effectiveSampleFrac(spark)
@@ -300,8 +315,24 @@ object Dedup {
     }
     val probe = probed.agg(aggs.head, aggs.tail: _*).head()
     val n = probe.getLong(0)
+    val approx = scopes.indices.map(i => probe.getLong(i + 1))
+    // exact-distinct fallback (see ExactDistinctThreshold): one extra
+    // pass, only for the scopes whose estimate landed in the small-
+    // cardinality band where HLL++ overshoots — exact distinct is ≤ n
+    // by construction, so these scopes can never read negative
+    val needExact =
+      scopes.indices.filter(i => approx(i) < ExactDistinctThreshold)
+    val exact: Map[Int, Long] =
+      if (needExact.isEmpty || n == 0L) Map.empty
+      else {
+        val exAggs = needExact.map(i => countDistinct(keys(i)).as(s"e$i"))
+        val row = probed.agg(exAggs.head, exAggs.tail: _*).head()
+        needExact.zipWithIndex
+          .map { case (i, j) => i -> row.getLong(j) }.toMap
+      }
     scopes.zipWithIndex.map { case (sc, i) =>
-      sc -> (if (n == 0L) 0.0 else 1.0 - probe.getLong(i + 1).toDouble / n)
+      val d = exact.getOrElse(i, approx(i))
+      sc -> (if (n == 0L) 0.0 else 1.0 - d.toDouble / n)
     }
   }
 
@@ -312,17 +343,19 @@ object Dedup {
   /** The collapse decision, with the probe short-circuited when the
     * conf pins the outcome: a threshold <= 0 forces collapse and > 1
     * forces direct WITHOUT running (or consulting) the corpus probe —
-    * both because the probe job is pure waste then, and because the
-    * HLL distinct estimate can overshoot n on a dup-free corpus
-    * (frac < 0), which would otherwise defeat a forced-on gate
-    * silently. The measured fraction is clamped to [0, 1] for the
-    * same reason. */
+    * the probe job is pure waste then. No clamp on the measured
+    * fraction any more (round 13): below [[ExactDistinctThreshold]]
+    * the probe is exact (never negative), and above it a residual
+    * HLL overshoot of a few percent on a dup-free corpus reads as a
+    * small negative fraction, which compares against the positive
+    * threshold exactly as zero would — the raw value stays honest
+    * in logs instead of being silently rewritten. */
   private def shouldCollapse(spark: SparkSession,
                              frac: => Double): Boolean = {
     val minFrac = collapseMinFrac(spark)
     if (minFrac <= 0.0) true
     else if (minFrac > 1.0) false
-    else math.min(1.0, math.max(0.0, frac)) >= minFrac
+    else frac >= minFrac
   }
 
   /** The shared exact-duplicate collapse for every pair family (the

@@ -674,4 +674,26 @@ class DedupSpec extends SparkSpec {
       Dedup.clearMemos()
     }
   }
+
+  test("probe hands off to exact distinct below the HLL overshoot band") {
+    import spark.implicits._
+    // 6,000 distinct texts × 2 copies: distinct count sits squarely in
+    // the band where HLL++ (rsd 0.05) overshoots by several percent —
+    // the HLL path would read 1 − est/12000 ≠ 0.5 almost surely, and
+    // historically read NEGATIVE on the all-distinct variant. The
+    // exact fallback must return the fraction EXACTLY.
+    val dup = (1 to 6000).flatMap(i => Seq(
+      (i.toLong * 2 - 1, s"unique text body number $i with padding"),
+      (i.toLong * 2, s"unique text body number $i with padding")))
+      .toDF("doc_id", "text")
+    val fDup = Dedup.dupFractions(spark, dup, Seq(Nil)).head._2
+    assert(fDup == 0.5, s"exact path must read exactly 0.5, got $fDup")
+    // all-distinct variant at 5,059 docs (the console-verified HLL
+    // overshoot cardinality): must be exactly 0, never negative
+    val uniq = (1 to 5059)
+      .map(i => (i.toLong, s"singular document $i about topic ${i % 97}"))
+      .toDF("doc_id", "text")
+    val fUniq = Dedup.dupFractions(spark, uniq, Seq(Nil)).head._2
+    assert(fUniq == 0.0, s"all-distinct corpus must read 0.0, got $fUniq")
+  }
 }

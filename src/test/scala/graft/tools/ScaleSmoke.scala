@@ -382,6 +382,44 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // bloomfp mode: MEASURED Bloom false-positive rate at the third
+    // decade (10M distinct event keys) under two sizings — the default
+    // gate allocation (32×2^21 bits) and the FP-budget knob
+    // (log2BitsPerShardFor at 10 bits/key). Every input key is distinct
+    // and false negatives are impossible, so the survivor deficit is
+    // EXACTLY the false-drop count; fp_formula is the per-check rate at
+    // final fill (the measured average over the stream sits below it
+    // because early checks probe an emptier filter).
+    // Test/runMain graft.tools.ScaleSmoke bloomfp
+    if (args.headOption.contains("bloomfp")) {
+      val ev100 = "target/scale100ev"
+      replicateEvents(spark, ev100, 100)
+      val distinct = spark.read.parquet(s"$ev100/events.parquet")
+        .select("event_id").distinct().count()
+      val autoLog2 =
+        graft.streaming.Streams.log2BitsPerShardFor(distinct, 10, 32)
+      println(s"[scale] bloomfp: n=$distinct distinct keys; " +
+        s"sizings: default 2^21, budget 2^$autoLog2 (10 bits/key)")
+      println(f"[scale] ${"sizing"}%-14s ${"alloc"}%7s ${"survivors"}%10s ${"false_drops"}%11s ${"fp_measured"}%12s ${"fp_formula"}%11s ${"t"}%7s")
+      for ((label, log2) <- Seq("default_2^21" -> 21,
+                                s"budget_2^$autoLog2" -> autoLog2)) {
+        coldStart()
+        val t0 = System.nanoTime()
+        val survivors = graft.streaming.Streams.runBounded(
+          graft.streaming.Streams.bloomDedupStream(
+            graft.streaming.Streams.readEventsStream(spark, ev100),
+            shards = 32, log2BitsPerShard = log2).toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Update()).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val drops = distinct - survivors
+        val mBits = 32.0 * (1L << log2)
+        val fpFinal = math.pow(1 - math.exp(-4.0 * distinct / mBits), 4)
+        val allocMb = 32L * (1L << log2) / 8 / 1024 / 1024
+        println(f"[scale] $label%-14s $allocMb%5dMB $survivors%10d $drops%11d ${drops.toDouble / distinct}%12.6f $fpFinal%11.6f $t%6.1fs")
+      }
+      spark.stop()
+      return
+    }
     // dup10 mode: the collapse-value measurement. The standard replica
     // is DELIBERATELY dup-free across replicas (cross-replica jaccard
     // 0), so the adaptive exact-duplicate collapse never engages there;
