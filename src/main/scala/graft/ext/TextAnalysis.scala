@@ -338,24 +338,31 @@ object TextAnalysis {
     * repetition-free. Exact integer arithmetic end to end (int counts,
     * one int/int division at the edge).
     *
-    * Scale: one (doc, gram) distinct shuffle, one gram-keyed df
-    * aggregate (vocabulary-sized, with map-side combine), one gram-keyed
-    * join back — the same two-shuffle shape as TF-IDF (q55); nothing is
-    * ever corpus x corpus. */
+    * Scale (round-13 rebase): grams are md5-top-60-bit FINGERPRINTS,
+    * not strings — the q25/q207 rebasing pattern, mirrored in the
+    * oracle so both engines share the (negligible, ~V²/2^61) collision
+    * structure and the gate stays hash-exact. Two wins over the string
+    * formulation: (1) `HashShingles` dedupes per doc INSIDE the
+    * codegen'd expression, deleting the (doc, gram) distinct shuffle
+    * outright; (2) the vocabulary aggregate and the join back shuffle
+    * fixed 8-byte longs instead of unbounded gram strings. What
+    * remains is one vocabulary-keyed agg (map-side combined) and one
+    * long-keyed join — the TF-IDF shape on the cheapest possible key;
+    * nothing is ever corpus × corpus. */
   def gramNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     gramNoveltyDf(Tables.load(spark, dir, "documents"), n)
 
   /** Same operator over any (doc_id, text) frame. */
   def gramNoveltyDf(docs: DataFrame, n: Int = 3): DataFrame = {
+    // sorted-distinct per-doc gram hashes straight off the scan —
+    // (doc_id, h) pairs are distinct by construction, no shuffle
     val grams = docs
       .select(col("doc_id"),
-              explode(graft.functions.StringNGrams.ngrams(
-                split(normalized(col("text")), " "), n)).as("g"))
-      .filter(col("g") =!= "")
-      .select(col("doc_id"), col("g")).distinct()
-    val dfreq = grams.groupBy(col("g"))
+              explode(graft.functions.HashShingles.md5Shingles(
+                split(normalized(col("text")), " "), n)).as("h"))
+    val dfreq = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("gdf"))
-    grams.join(dfreq, "g")
+    grams.join(dfreq, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct_grams"),
            sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("shared_grams"))
@@ -365,25 +372,30 @@ object TextAnalysis {
   }
 
   def gramNoveltyOracleSql(n: Int = 3): String = {
-    val gram = (1 to n).map(i => s"ws[i + ${i - 1}]").mkString(" || ' ' || ")
+    // md5-top-60-bit fold of the space-joined n-gram — byte-identical
+    // to HashShingles' AlgoMd5Top60 value (15 hex nibbles, big-endian)
+    val fold = "list_reduce([CAST(strpos('0123456789abcdef', " +
+      "substr(hx, p, 1)) - 1 AS BIGINT) for p in range(1, 16)], " +
+      "(a, b) -> a * 16 + b)"
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
        |    AS ws
        |  FROM documents),
        |grams AS (
-       |  SELECT DISTINCT doc_id, $gram AS g
-       |  FROM (SELECT doc_id, ws,
-       |          unnest(generate_series(1, len(ws) - ${n - 1})) AS i
-       |        FROM toks WHERE len(ws) >= $n)
-       |  WHERE $gram <> ''),
-       |dfreq AS (SELECT g, count(*) AS gdf FROM grams GROUP BY g)
+       |  SELECT DISTINCT doc_id, $fold AS h
+       |  FROM (SELECT doc_id,
+       |          md5(array_to_string(ws[i:i + ${n - 1}], ' ')) AS hx
+       |        FROM (SELECT doc_id, ws,
+       |                unnest(generate_series(1, len(ws) - ${n - 1})) AS i
+       |              FROM toks WHERE len(ws) >= $n))),
+       |dfreq AS (SELECT h, count(*) AS gdf FROM grams GROUP BY h)
        |SELECT doc_id, count(*) AS n_distinct_grams,
        |  CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS shared_grams,
        |  CAST(count(*) - sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END)
        |       AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
-       |FROM grams JOIN dfreq USING (g)
+       |FROM grams JOIN dfreq USING (h)
        |GROUP BY doc_id""".stripMargin
   }
 

@@ -32,14 +32,23 @@ object ProfileQ84 {
         val c = df.count()
         println(f"PROFILE q84 $tag $name ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
       }
-      val grams = docs
+      // legacy string formulation (pre-round-13), kept as the A/B
+      // reference: explode strings → (doc, gram) DISTINCT shuffle
+      val gramsStr = docs
         .select(col("doc_id"),
                 explode(graft.functions.StringNGrams.ngrams(
                   split(graft.ext.TextAnalysis.normalized(col("text")), " "), 3)).as("g"))
         .filter(col("g") =!= "")
         .select(col("doc_id"), col("g")).distinct()
-      time("1_gram_distinct")(grams)
-      time("2_df_aggregate")(grams.groupBy(col("g")).agg(count(lit(1)).as("gdf")))
+      time("0_string_distinct")(gramsStr)
+      // round-13 hashed formulation: per-doc distinct md5-60bit grams
+      // straight off the scan, no distinct shuffle
+      val grams = docs
+        .select(col("doc_id"),
+                explode(graft.functions.HashShingles.md5Shingles(
+                  split(graft.ext.TextAnalysis.normalized(col("text")), " "), 3)).as("h"))
+      time("1_gram_hashed")(grams)
+      time("2_df_aggregate")(grams.groupBy(col("h")).agg(count(lit(1)).as("gdf")))
       time("3_full_query")(graft.ext.TextAnalysis.gramNoveltyDf(docs))
     }
 
