@@ -592,6 +592,152 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // pipeline mode: the END-TO-END 100× dress rehearsal — the
+    // q63/q193/q197/q100 chain (quality clean → minhash near-dup
+    // removal → DSIR select → deterministic shard) composed as ONE run
+    // over the 500k-doc replica, with a REAL parquet materialization
+    // at every stage boundary (the production shape: each stage's
+    // output is the next stage's input table, so every dir-based
+    // operator runs unchanged on its predecessor's output). Reports
+    // wall-clock, rows in→out, boundary bytes, and the cached-storage
+    // peak per stage, plus the composed total.
+    // Test/runMain graft.tools.ScaleSmoke pipeline
+    if (args.headOption.contains("pipeline")) {
+      if (!new java.io.File(s"$Out100/documents.parquet").isDirectory)
+        generate(spark, Out100, factor = 100, withEvents = false)
+      val base = "target/pipeline100"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(base)) // fresh rehearsal every invocation
+      def du(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).fold(0L)(_.map(du).sum)
+        else f.length
+      coldStart()
+      println(f"[scale] ${"stage"}%-8s ${"rows_out"}%9s ${"bytes_out"}%10s ${"storage_pk"}%10s ${"t"}%8s")
+      var totalT = 0.0
+      def stage(name: String, outDir: String)(build: => DataFrame): Long = {
+        val t0 = System.nanoTime()
+        build.repartition(32).write.mode("overwrite")
+          .parquet(s"$outDir/documents.parquet")
+        val rows = spark.read.parquet(s"$outDir/documents.parquet").count()
+        val t = (System.nanoTime() - t0) / 1e9
+        totalT += t
+        val bytes = du(new java.io.File(outDir))
+        val pk = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+        println(f"[scale] $name%-8s $rows%9d ${bytes / 1024 / 1024}%8dMB ${pk / 1024 / 1024}%8dMB $t%7.1fs")
+        rows
+      }
+      val nIn = spark.read.parquet(s"$Out100/documents.parquet").count()
+      // 1. clean: the q45/q63 quality front (token-count + stopword
+      //    rules), survivors carry the full documents schema forward
+      val cleanDir = s"$base/clean"
+      stage("clean", cleanDir) {
+        spark.read.parquet(s"$Out100/documents.parquet")
+          .join(graft.ext.TextAnalysis.qualityFilter(spark, Out100)
+                  .select("doc_id"),
+                Seq("doc_id"), "left_semi")
+      }
+      // 2. dedup: q193's minhash-LSH near-dup removal (collapse-gated
+      //    pair pipeline → cluster-min survivors) over the CLEANED table
+      val dedupDir = s"$base/dedup"
+      stage("dedup", dedupDir) {
+        spark.read.parquet(s"$cleanDir/documents.parquet")
+          .join(graft.ext.Dedup.dedupedCorpus(spark, cleanDir)
+                  .select("doc_id"),
+                Seq("doc_id"), "left_semi")
+      }
+      // 3. select: q197's DSIR importance selection over the DEDUPED
+      //    pool — keep the top 10% by importance weight
+      val selDir = s"$base/select"
+      val poolN = spark.read.parquet(s"$dedupDir/documents.parquet").count()
+      val selK = math.max(1L, poolN / 10L).toInt
+      stage("select", selDir) {
+        spark.read.parquet(s"$dedupDir/documents.parquet")
+          .join(graft.ext.Selection.dsirSelect(spark, dedupDir, k = selK)
+                  .filter(col("selected") === 1L).select("doc_id"),
+                Seq("doc_id"), "left_semi")
+      }
+      // 4. shard: q100's deterministic shuffle-shard of the SELECTED
+      //    corpus (the delivery step) — the output is the per-shard
+      //    manifest, bounded by the shard count
+      val t0s = System.nanoTime()
+      val shards = graft.ext.Splits
+        .shuffleShards(spark, selDir, nShards = 32).collect()
+      val tS = (System.nanoTime() - t0s) / 1e9
+      totalT += tS
+      val chk = shards.map(_.getLong(2)).sum
+      println(f"[scale] shard    ${shards.length}%9d ${"-"}%10s ${"-"}%10s $tS%7.1fs")
+      println(f"[scale] pipeline: $nIn%d docs in → ${shards.map(_.getLong(1)).sum}%d sharded out, " +
+        f"order_chk=$chk%d, total ${totalT}%.1f s, boundary bytes ${du(new java.io.File(base)) / 1024 / 1024}%d MB")
+      spark.stop()
+      return
+    }
+    // annhard mode: ANN recall on a HARD distribution. The standard
+    // replica decorrelates by circular shift, which makes cells cleanly
+    // separable — recall 1.0 at nAssign=3 says as much about the
+    // replica geometry as about the index (round-12 verdict). This
+    // corpus is a 24-component Gaussian MIXTURE with shared boundary
+    // mass (σ=1 noise on N(0,1)^64 centers → ~45° angular cluster
+    // radius vs ~90° center separation): growing the corpus ADDS
+    // POINTS to the same mixture (more data, same distribution — the
+    // production shape), while the index's cell count grows with the
+    // decade, so cells subdivide true clusters and a query's true
+    // neighbors straddle cell boundaries. Recall must start below 1.0
+    // at nProbe=1 and be RECOVERED by the nProbe lever.
+    // Deterministic: fixed-seed centers, xxhash64 Box-Muller noise.
+    // Test/runMain graft.tools.ScaleSmoke annhard [sigma]
+    if (args.headOption.contains("annhard")) {
+      val dim = 64; val comps = 24
+      val sigma = args.drop(1).headOption.flatMap(_.toDoubleOption)
+        .getOrElse(1.0)
+      val rnd = new scala.util.Random(13)
+      val centers = Array.fill(comps, dim)(rnd.nextGaussian())
+      val centersCol = array(centers.map(c =>
+        array(c.map(v => lit(v)): _*)): _*)
+      def gen(out: String, n: Long): Unit =
+        if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
+          val two40 = (1L << 40).toDouble
+          def unif(salt: Int)(i: org.apache.spark.sql.Column) =
+            (pmod(xxhash64(col("vec_id"), lit(salt), i), lit(1L << 40))
+              .cast("double") + lit(0.5)) / lit(two40)
+          val noise = transform(sequence(lit(0), lit(dim - 1)), i =>
+            sqrt(lit(-2.0) * log(unif(1)(i))) *
+              cos(lit(2.0 * math.Pi) * unif(2)(i)))
+          spark.range(n).select(col("id").as("vec_id"))
+            .withColumn("comp",
+              pmod(xxhash64(col("vec_id"), lit(3)), lit(comps)).cast("int"))
+            .select(col("vec_id"),
+              zip_with(element_at(centersCol, col("comp") + 1), noise,
+                (c, z) => (c + lit(sigma) * z).cast("float"))
+                .as("embedding"),
+              col("comp").as("label"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        }
+      println(s"[scale] annhard: $comps-component mixture, dim=$dim, " +
+        s"sigma=$sigma, cells scale with decade")
+      println(f"[scale] ${"corpus"}%-6s ${"n"}%7s ${"cells"}%5s ${"nAsg"}%4s ${"nProbe"}%6s ${"recall@10"}%9s ${"t"}%7s")
+      val decades = Seq(("1x", 2000L, 24), ("10x", 20000L, 76),
+                        ("100x", 200000L, 240))
+      for ((tag, n, cells) <- decades) {
+        val dir = s"target/annhard_${sigma}_$tag"
+        gen(dir, n)
+        for (nAsg <- Seq(3); nProbe <- Seq(1, 2, 4, 8, 16)) {
+          coldStart()
+          val t0 = System.nanoTime()
+          val mean = graft.ext.Similarity
+            .ivfRecall(spark, dir, nQueries = 20, k = 10,
+                       numCells = cells, nProbe = nProbe, nAssign = nAsg)
+            .agg(avg(col("recall"))).head().getDouble(0)
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] $tag%-6s $n%7d $cells%5d $nAsg%4d $nProbe%6d $mean%9.4f $t%6.2fs")
+        }
+      }
+      spark.stop()
+      return
+    }
     // lmvocab mode: the CCNet model-table decade probe — row counts of
     // the bigram/history model tables for the open-vocab q118 LM vs the
     // bounded top-V+OOV q205 LM at 1×/10×/100×. The open tables grow
