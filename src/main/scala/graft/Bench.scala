@@ -91,6 +91,10 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // release the streaming gates' memory-sink row buffers — they
+        // accumulate across passes otherwise (one full output per gate
+        // per pass pinned on the driver heap)
+        streaming.Streams.dropBoundedSinks(spark)
       }
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()

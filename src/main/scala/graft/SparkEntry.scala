@@ -677,6 +677,11 @@ object SparkEntry {
     // duplicates dropped across batch boundaries
     "q209_stream_doc_dedup_multibatch" -> ((s: SparkSession, d: String) =>
       streaming.Streams.bloomDocDedupMultiBatch(s, d)),
+    // TIME-horizon-bounded dedup: two rotating Bloom generations per
+    // shard ("seen in the last N hours?") — state bounded by allocation
+    // AND by time; the production answer to a fixed filter filling up
+    "q210_stream_dedup_windowed" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.bloomDedupWindowedAvailableNow(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1382,5 +1387,7 @@ object SparkEntry {
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(
         |  lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "q210_stream_dedup_windowed" ->
+      "SELECT event_id, event_type, value FROM events",
   )
 }

@@ -43,6 +43,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }
+      // the dump is durable on disk now — release the streaming gates'
+      // memory-sink buffers instead of pinning every output to end of run
+      streaming.Streams.dropBoundedSinks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -177,6 +177,19 @@ object Streams {
   private val lastBatchesAcc = new java.util.concurrent.atomic.AtomicLong(-1L)
   private[graft] def lastRunBatches: Long = lastBatchesAcc.get()
 
+  /** Drop the memory-sink temp views left by bounded runs, releasing
+    * their buffered rows. Each bounded gate pins its FULL output in
+    * the session (the MemorySink's row buffer lives behind the temp
+    * view, untouched by cache clearing) — harmless per gate, but
+    * ADDITIVE across a benchmark sweep: the 100× stream smoke
+    * accumulated ~30M buffered rows across nine runs and drove the
+    * driver heap into GC collapse before this sweep existed. Call
+    * between timed runs, after the previous result is consumed. */
+  private[graft] def dropBoundedSinks(spark: SparkSession): Unit =
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_stream_"))
+      .foreach(spark.catalog.dropTempView(_))
+
   private[graft] def runBounded(df: DataFrame, mode: OutputMode,
                          statePartitions: Int = 4,
                          noDataBatch: Boolean = false): DataFrame = {
@@ -651,6 +664,22 @@ object Streams {
     }
   }
 
+  /** Probe-only membership test (no set) — the companion of
+    * [[bloomCheckAndSet]] for the rotating filter's PREVIOUS
+    * generation, which is read-only by construction. */
+  private[graft] def bloomContains(bits: Array[Byte], mask: Int,
+                                   key: Long): Boolean = {
+    val h1 = mix64(key)
+    val h2 = mix64(h1) | 1L
+    var i = 0
+    while (i < BloomK) {
+      val p = ((h1 + i * h2) & mask).toInt
+      if ((bits(p >>> 3) & (1 << (p & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
   private def updateBloom(log2Bits: Int)(
       shard: Int, events: Iterator[BloomEvent],
       state: GroupState[BloomShard]): Iterator[DedupOut] = {
@@ -673,6 +702,96 @@ object Streams {
   def bloomDedupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val ev = readEventsStream(spark, dir)
     runBounded(bloomDedupStream(ev.union(ev)).toDF(),
+               OutputMode.Update())
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  // ---- time-horizon-bounded (rotating) Bloom dedup -------------------
+
+  case class TimedBloomEvent(shard: Int, ts_us: Long, event_id: Long,
+                             event_type: String, value: Double)
+  case class RotState(genStart: Long, cur: Array[Byte], prev: Array[Byte])
+
+  /** Rotating two-generation Bloom dedup — the TIME-horizon-bounded
+    * production variant of [[bloomDedupStream]]: a fixed filter on an
+    * unbounded-time stream eventually fills (the documented resize
+    * guidance); real deployments instead dedup within a horizon
+    * ("seen in the last N hours?") by rotating generations. Each shard
+    * keeps a CURRENT filter for the event-time bucket
+    * `floor(ts / horizon)` and the PREVIOUS bucket's filter; an event
+    * is a duplicate iff its key probes positive in either, so the
+    * effective lookback is [horizon, 2·horizon) — the standard
+    * two-generation approximation of a sliding window. When event time
+    * enters a new bucket the current filter retires to previous and a
+    * fresh one starts (a jump of ≥2 buckets clears both), so state is
+    * EXACTLY 2 × the allocation per shard — bounded by allocation AND
+    * by time, at any corpus size and any stream age.
+    *
+    * Semantics notes (DEVIATIONS.md): a re-seen key refreshes into the
+    * current generation (its horizon extends — dedup, not sampling); a
+    * key re-arriving BEYOND the lookback is re-admitted (by design —
+    * that is what a horizon means); an event arriving out of order
+    * behind the current bucket is checked against the live generations
+    * (rotation never runs backward). The q210 gate redelivers every
+    * event at an identical timestamp, always inside the lookback, so
+    * the gate oracle (the q206 plain SELECT) is exact; the
+    * rotation/re-admission semantics are pinned by spec. */
+  def bloomDedupWindowed(events: DataFrame, horizonHours: Int = 6,
+                         shards: Int = 32,
+                         log2BitsPerShard: Int = 21): Dataset[DedupOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonUs = horizonHours.toLong * 3600L * 1000000L
+    events
+      .filter(col("event_id").isNotNull && col("ts").isNotNull)
+      .select(pmod(col("event_id"), lit(shards)).cast("int").as("shard"),
+              unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+              col("event_id"), col("event_type"), col("value"))
+      .as[TimedBloomEvent]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(
+        updateRotating(log2BitsPerShard, horizonUs))
+  }
+
+  private def updateRotating(log2Bits: Int, horizonUs: Long)(
+      shard: Int, events: Iterator[TimedBloomEvent],
+      state: GroupState[RotState]): Iterator[DedupOut] = {
+    val mask = (1 << log2Bits) - 1
+    def fresh() = new Array[Byte](1 << (log2Bits - 3))
+    var st = state.getOption.getOrElse(RotState(Long.MinValue, fresh(), fresh()))
+    val out = Seq.newBuilder[DedupOut]
+    events.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      val bucket = Math.floorDiv(e.ts_us, horizonUs) * horizonUs
+      if (st.genStart == Long.MinValue)
+        st = st.copy(genStart = bucket)
+      else if (bucket > st.genStart) {
+        st = if (bucket - st.genStart >= 2L * horizonUs)
+          RotState(bucket, fresh(), fresh()) // gap: both generations aged out
+        else RotState(bucket, fresh(), st.cur)
+      }
+      val inPrev = bloomContains(st.prev, mask, e.event_id)
+      // probe-and-set the current generation regardless: a re-seen key
+      // refreshes, extending its dedup horizon from THIS sighting
+      val newInCur = bloomCheckAndSet(st.cur, mask, e.event_id)
+      if (newInCur && !inPrev)
+        out += DedupOut(e.event_id, e.event_type, e.value)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Bounded gate run of the windowed Bloom dedup: the q206 redelivered
+    * setup (duplicates at identical timestamps — always inside the
+    * lookback), so the output must collapse to exactly the batch events
+    * table while the state is 2 × the fixed allocation. The sf0.1
+    * events span multiple 6-hour buckets, so the gate DOES exercise
+    * rotation; re-admission beyond the lookback is spec-territory. */
+  def bloomDedupWindowedAvailableNow(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    val ev = readEventsStream(spark, dir)
+    runBounded(bloomDedupWindowed(ev.union(ev)).toDF(),
                OutputMode.Update())
       .select(col("event_id"), col("event_type"), col("value"))
   }

@@ -90,6 +90,37 @@ class MultiBatchBloomSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed Bloom: dedup within lookback, re-admission beyond, gap clears") {
+    val input = MemoryStream[RawEvent]
+    def at(min: Long, id: Long) = RawEvent(id,
+      new Timestamp(1767225600000L + min * 60000L), 1L, "click", 1.0, "")
+    // horizon 1h → lookback [1h, 2h)
+    val q = Streams.bloomDedupWindowed(input.toDF(), horizonHours = 1,
+        shards = 2, log2BitsPerShard = 12).toDF()
+      .writeStream.format("memory").queryName("bloom_windowed")
+      .outputMode("update").start()
+    try {
+      // bucket B0: keys 1, 2 emitted; 1 redelivered in-bucket → dropped
+      input.addData(at(0, 1), at(10, 2), at(20, 1))
+      q.processAllAvailable()
+      // bucket B1 (rotation): 1 still within lookback → dropped AND
+      // refreshed into the current generation; 3 new → emitted
+      input.addData(at(70, 1), at(75, 3))
+      q.processAllAvailable()
+      // bucket B2: 1 was refreshed in B1 → still dropped; 2 was last
+      // seen in B0 (beyond the lookback) → RE-ADMITTED
+      input.addData(at(130, 1), at(135, 2))
+      q.processAllAvailable()
+      // gap ≥ 2 buckets (B5): both generations aged out → 3 re-admitted
+      input.addData(at(310, 3))
+      q.processAllAvailable()
+      val ids = spark.table("bloom_windowed")
+        .select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 2L, 3L, 3L),
+        s"windowed semantics violated: $ids")
+    } finally q.stop()
+  }
+
   test("log2BitsPerShardFor: FP-budget sizing, power-of-two round-up, clamps") {
     // 10M keys × 10 bits / 32 shards = 3,125,000 → 2^22 per shard
     assert(Streams.log2BitsPerShardFor(10000000L, 10, 32) == 22)

@@ -39,6 +39,7 @@ object QueryProbe {
         graft.ext.PageRank.clearMemos()
         graft.ext.Selection.clearMemos()
         spark.sharedState.cacheManager.clearCache()
+        graft.streaming.Streams.dropBoundedSinks(spark)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9 -> n

@@ -332,6 +332,10 @@ object ScaleSmoke {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // streaming gates leave their memory-sink row buffers behind the
+      // graft_stream_* temp views — additive across a sweep (the 100×
+      // leg OOMed the driver before this drop existed)
+      graft.streaming.Streams.dropBoundedSinks(spark)
     }
     // stream mode: the bounded streaming family at 1× and 10×, with
     // RocksDB state-store footprint per gate —
@@ -343,7 +347,8 @@ object ScaleSmoke {
         "q46_stream_funnel", "q68_stream_dedup", "q96_stream_dedup_hourly",
         "q106_stream_session_window", "q116_stream_funnel_outer",
         "q121_stream_minhash", "q128_stream_hll", "q159_stream_histogram",
-        "q206_stream_dedup_bloom", "q207_stream_doc_dedup")
+        "q206_stream_dedup_bloom", "q207_stream_doc_dedup",
+        "q210_stream_dedup_windowed")
       // optional gate-prefix filter: ScaleSmoke stream q68 q206
       // add literal "x100" to also run the SELECTED gates at a third
       // decade (events-only 100× replica, 10M rows) — only gates that
