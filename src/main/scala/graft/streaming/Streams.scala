@@ -951,11 +951,12 @@ object Streams {
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-    // statePartitions=2: the multi-batch run pays per-(batch × store)
-    // lifecycle cost 6× over, so fewer stores win here where the
-    // single-batch gates' default of 4 wins there
+    // statePartitions=1: the multi-batch run pays per-(batch × store)
+    // lifecycle cost 6× over and its Bloom state is a handful of small
+    // blobs, so one store wins here (cold A/B probes: 4.21→3.92 s)
+    // where the single-batch gates' bigger-state default of 4 wins there
     val out = runBounded(bloomDedupStream(stream).toDF(),
-                         OutputMode.Update(), statePartitions = 2)
+                         OutputMode.Update(), statePartitions = 1)
       .select(col("event_id"), col("event_type"), col("value"))
     requireMultiBatch(nFiles)
     out
@@ -982,7 +983,7 @@ object Streams {
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
     val out = runBounded(bloomDocDedupStream(stream).toDF(),
-                         OutputMode.Update(), statePartitions = 2)
+                         OutputMode.Update(), statePartitions = 1)
       .select(col("fp"))
     requireMultiBatch(nFiles)
     out
