@@ -682,6 +682,14 @@ object SparkEntry {
     // AND by time; the production answer to a fixed filter filling up
     "q210_stream_dedup_windowed" -> ((s: SparkSession, d: String) =>
       streaming.Streams.bloomDedupWindowedAvailableNow(s, d)),
+    // CCNet-style cross-corpus PARAGRAPH dedup: segment → hash →
+    // global first occurrence → reassemble surviving paragraphs
+    "q211_paragraph_dedup" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.paragraphDedup(s, d)),
+    // per-source token-budget cap (mixture-plan enactment) via the
+    // q64 hierarchical prefix sum — exact, replayable selection
+    "q212_source_token_cap" -> ((s: SparkSession, d: String) =>
+      ext.Sampling.sourceTokenCap(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1389,5 +1397,7 @@ object SparkEntry {
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q210_stream_dedup_windowed" ->
       "SELECT event_id, event_type, value FROM events",
+    "q211_paragraph_dedup" -> ext.Dedup.paragraphDedupOracleSql(),
+    "q212_source_token_cap" -> ext.Sampling.sourceTokenCapOracleSql(),
   )
 }

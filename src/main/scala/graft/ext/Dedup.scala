@@ -1551,4 +1551,93 @@ object Dedup {
        |  round(min(jac), 4) AS min_jac,
        |  round(max(jac), 4) AS max_jac
        |FROM pairs GROUP BY 1""".stripMargin
+
+  // ---- cross-corpus paragraph dedup (CCNet's dedup unit) -------------
+
+  /** CCNet-style paragraph-level dedup (Wenzek et al. 2020 §3: the
+    * dedup unit is the paragraph, not the document — boilerplate is
+    * removed from documents that otherwise survive). The corpus has no
+    * paragraph breaks, so the segmentation rule is fixed-length
+    * pseudo-paragraphs: non-overlapping `paraLen`-token windows over the
+    * normalized token stream. The operator's substance — segment, hash,
+    * keep the global first occurrence, reassemble each document from its
+    * surviving paragraphs in original order — is segmentation-agnostic.
+    *
+    * Scale shape, stage by stage:
+    *   1. segment: per-row expression work (`transform` over a slice
+    *      sequence), no shuffle, no token-level explode — one row per
+    *      paragraph, not per token;
+    *   2. first-occurrence survivor per content hash:
+    *      `groupBy(md5(para)).agg(min(struct(doc_id, pos, para)))` — ONE
+    *      shuffle keyed on the hash with map-side partial aggregation,
+    *      so a boilerplate paragraph appearing a billion times at 100 TB
+    *      collapses to one row per input partition before the exchange
+    *      (the skewed-key trap a `row_number` window over the hash would
+    *      hit head-on);
+    *   3. reassemble: `groupBy(doc_id)` + sorted `collect_list` — shuffle
+    *      keyed on doc_id, group size bounded by paragraphs-per-document
+    *      (document length / paraLen), a per-row bound independent of
+    *      corpus size.
+    *
+    * Documents whose every paragraph already appeared elsewhere drop out
+    * entirely — the document-level dedup (q24/q25) falls out as the
+    * special case. Output: surviving doc_id, paragraphs kept, and the
+    * reassembled text. */
+  def paragraphDedup(spark: SparkSession, dir: String,
+                     paraLen: Int = 8): DataFrame = {
+    require(paraLen > 0, "paraLen must be positive")
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+              split(TextAnalysis.normalized(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) > 0 && col("ts").getItem(0) =!= "")
+    val paras = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(ts) / $paraLen.0) as int) - 1),
+           |  i -> array_join(slice(ts, i * $paraLen + 1, $paraLen), ' '))"""
+          .stripMargin)))
+      .toDF("doc_id", "pos", "para")
+    val survivors = paras
+      .groupBy(md5(col("para")).as("h"))
+      .agg(min(struct(col("doc_id"), col("pos"), col("para"))).as("occ"))
+      .select(col("occ.doc_id").as("doc_id"),
+              col("occ.pos").as("pos"), col("occ.para").as("para"))
+    survivors
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+           array_join(
+             expr("transform(array_sort(collect_list(struct(pos, para)))," +
+                  " s -> s.para)"),
+             " ").as("text_kept"))
+  }
+
+  /** DuckDB oracle for [[paragraphDedup]]: same segmentation via
+    * `list_transform` + list slicing, the survivor rule as a
+    * `row_number` window (fine at oracle scale), reassembly as an
+    * ordered `string_agg`. */
+  def paragraphDedupOracleSql(paraLen: Int = 8): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS ts
+       |  FROM documents),
+       |ok AS (SELECT * FROM toks WHERE len(ts) > 0 AND ts[1] <> ''),
+       |plist AS (
+       |  SELECT doc_id,
+       |    list_transform(range(CAST(ceil(len(ts) / $paraLen.0) AS BIGINT)),
+       |      i -> array_to_string(
+       |        ts[CAST(i * $paraLen + 1 AS BIGINT):
+       |           CAST(i * $paraLen + $paraLen AS BIGINT)], ' ')) AS ps
+       |  FROM ok),
+       |paras AS (
+       |  SELECT doc_id, unnest(range(len(ps))) AS pos, unnest(ps) AS para
+       |  FROM plist),
+       |ranked AS (
+       |  SELECT doc_id, pos, para,
+       |    row_number() OVER (PARTITION BY md5(para)
+       |                       ORDER BY doc_id, pos) AS rn
+       |  FROM paras)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |  string_agg(para, ' ' ORDER BY pos) AS text_kept
+       |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin
 }

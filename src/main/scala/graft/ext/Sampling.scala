@@ -306,6 +306,52 @@ object Sampling {
               col("target_tokens"), col("epochs"))
   }
 
+  /** Per-source token-budget capping — the ENACTMENT of a mixture
+    * plan's `target_tokens` at the document level: each source keeps
+    * its documents in deterministic doc_id order until the cap is
+    * exhausted (a document is kept iff it fits ENTIRELY inside the
+    * budget — no partial documents). This is the standard over-
+    * represented-domain cap (C4 / Gopher keep per-domain shares
+    * bounded) expressed as an exact, replayable selection rather than
+    * a probabilistic downsample: re-running on a re-partitioned corpus
+    * yields the identical keep set.
+    *
+    * The decision needs each document's running token offset within
+    * its source — a prefix sum over an UNBOUNDED partition, which is
+    * exactly [[Packing.packedDocs]]'s job; this operator reuses that
+    * hierarchical computation (bucketed partial sums, no task ever
+    * windows a whole source) and adds one integer comparison. */
+  def sourceTokenCap(spark: SparkSession, dir: String,
+                     capTokens: Long = 2000L): DataFrame =
+    Packing.packedDocs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+              col("start_off"),
+              (col("start_off") + col("n_toks") <= capTokens)
+                .cast("int").cast("long").as("kept"))
+
+  /** DuckDB oracle for [[sourceTokenCap]] — the plain single-window
+    * prefix sum (same semantics, oracle-scale execution). */
+  def sourceTokenCapOracleSql(capTokens: Long = 2000L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |      AS ts
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_toks
+       |  FROM toks WHERE len(ts) > 0 AND ts[1] <> ''),
+       |off AS (
+       |  SELECT doc_id, source, n_toks,
+       |    CAST(coalesce(sum(n_toks) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_off
+       |  FROM n)
+       |SELECT doc_id, source, n_toks, start_off,
+       |  CAST(start_off + n_toks <= $capTokens AS BIGINT) AS kept
+       |FROM off""".stripMargin
+
   def mixturePlanOracleSql(budgetTokens: Long = 50000L,
                            capTokens: Long = 5000L): String =
     s"""WITH c AS (

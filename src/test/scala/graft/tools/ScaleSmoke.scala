@@ -95,6 +95,8 @@ object ScaleSmoke {
     "q203_hard_negatives",
     // round-12: bounded-vocab CCNet (model tables flat across decades)
     "q205_ccnet_bounded",
+    // round-13: paragraph dedup + source token cap (documents-based)
+    "q211_paragraph_dedup", "q212_source_token_cap",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
