@@ -690,6 +690,10 @@ object SparkEntry {
     // q64 hierarchical prefix sum — exact, replayable selection
     "q212_source_token_cap" -> ((s: SparkSession, d: String) =>
       ext.Sampling.sourceTokenCap(s, d)),
+    // iterative BPE merge training over the vocabulary frame — the
+    // tokenizer-trainer loop (q69 is its first iteration's statistic)
+    "q213_bpe_merges" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.bpeMerges(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1399,5 +1403,6 @@ object SparkEntry {
       "SELECT event_id, event_type, value FROM events",
     "q211_paragraph_dedup" -> ext.Dedup.paragraphDedupOracleSql(),
     "q212_source_token_cap" -> ext.Sampling.sourceTokenCapOracleSql(),
+    "q213_bpe_merges" -> ext.TextAnalysis.bpeMergesOracleSql(),
   )
 }

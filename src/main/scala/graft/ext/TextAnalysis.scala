@@ -274,6 +274,125 @@ object TextAnalysis {
       .select(col("pair"), col("n_occ"), col("rnk"))
   }
 
+  /** Iterative BPE merge TRAINING (Sennrich et al. 2016) — the actual
+    * tokenizer-trainer loop, of which [[bpePairCounts]] is the first
+    * iteration's statistic: repeat `nMerges` times { count adjacent
+    * symbol pairs weighted by word frequency; merge the most frequent
+    * pair corpus-wide }. Returns the learned merge table
+    * (step, lhs, rhs, n_occ) — deterministic via the
+    * (count desc, pair asc) tie-break both engines share.
+    *
+    * Scale shape: the trainer never touches the corpus after the first
+    * collapse — all iterations run over the VOCABULARY frame (distinct
+    * word → count, persisted once), the same reduction real BPE
+    * trainers use. Per iteration: one vocab-keyed pair aggregation
+    * (bounded by vocab size, not corpus size) + a top-1 reduce to the
+    * driver (one row) + a map-side fold applying the merge. The fold
+    * chain re-evaluates t folds at step t — O(k²) expression work over
+    * a vocab-bounded frame for k merges, the price of keeping the
+    * symbol table distributed (a 100 TB corpus still has a ~10M-row
+    * vocabulary; collecting it would be the real scale bug).
+    *
+    * The merge application is a left-to-right greedy fold seeded with
+    * the word's first symbol — `aggregate` in Spark, `list_reduce` in
+    * DuckDB (which seeds from the first element natively), so both
+    * engines replay the identical merge semantics including the
+    * overlapping-run case ("aaa" + (a,a) → "aa","a"). */
+  def bpeMerges(spark: SparkSession, dir: String,
+                nMerges: Int = 6): DataFrame = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val wordCounts = Tables.load(spark, dir, "documents")
+      .select(explode(split(normalized(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      var syms = wordCounts.select(col("n"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("s"))
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var done = false
+      for (t <- 1 to nMerges if !done) {
+        val best = syms
+          .filter(size(col("s")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(s) - 1), i -> " +
+            "struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"))
+            .as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("n")).as("n_occ"))
+          .orderBy(col("n_occ").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+                           best(0).getLong(2))
+          merges += ((t.toLong, l, r, c))
+          // greedy left-to-right merge as an empty-seeded fold (the
+          // first element always lands in the ELSE arm, so this equals
+          // DuckDB's first-element-seeded list_reduce; symbols are
+          // [a-z0-9] — safe to inline as SQL literals). The lambda
+          // references `s` exactly ONCE: CollapseProject inlines the
+          // previous step's expression at every reference, so an
+          // n-reference fold grows the chained tree n^k — the
+          // single-reference form keeps it linear in k.
+          syms = syms.withColumn("s", expr(
+            s"""aggregate(s, cast(array() as array<string>),
+               |  (acc, x) -> CASE WHEN size(acc) > 0
+               |                    AND element_at(acc, -1) = '$l'
+               |                    AND x = '$r'
+               |    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+               |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        }
+      }
+      val out = spark.createDataFrame(merges.toSeq)
+        .toDF("step", "lhs", "rhs", "n_occ")
+      out.count() // force evaluation while the vocab is still persisted
+      out
+    } finally { wordCounts.unpersist(); () }
+  }
+
+  /** DuckDB oracle for [[bpeMerges]]: the same loop UNROLLED — each
+    * step is a pair-count CTE + a top-1 CTE + a `list_reduce` merge
+    * application cross-joined against the top-1 row (so the lambda
+    * references plain columns, not subqueries). */
+  def bpeMergesOracleSql(nMerges: Int = 6): String = {
+    val s0 =
+      """wc AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |s0 AS (
+        |  SELECT n, list_transform(range(1, length(w) + 1),
+        |    i -> substr(w, CAST(i AS INT), 1)) AS s
+        |  FROM wc)""".stripMargin
+    val steps = (1 to nMerges).map { t =>
+      val prev = s"s${t - 1}"
+      s"""p$t AS (
+         |  SELECT s[i] AS lhs, s[i + 1] AS rhs, n
+         |  FROM (SELECT n, s, unnest(range(1, len(s))) AS i
+         |        FROM $prev WHERE len(s) >= 2)),
+         |b$t AS (
+         |  SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS n_occ
+         |  FROM p$t GROUP BY lhs, rhs
+         |  ORDER BY n_occ DESC, lhs, rhs LIMIT 1),
+         |s$t AS (
+         |  SELECT n, list_reduce(list_transform(s, x -> [x]),
+         |    (acc, x) -> CASE WHEN acc[-1] = b.lhs AND x[1] = b.rhs
+         |      THEN acc[1:len(acc) - 1] || [b.lhs || b.rhs]
+         |      ELSE acc || x END) AS s
+         |  FROM $prev, b$t b)""".stripMargin
+    }
+    val union = (1 to nMerges).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS step, lhs, rhs, n_occ FROM b$t"
+    }.mkString("\nUNION ALL ")
+    s"WITH $s0,\n${steps.mkString(",\n")}\n$union"
+  }
+
   /** Per-document duplicate word-n-gram stats — the Gopher/RefinedWeb
     * repetition rule at n-gram granularity: a document whose 3-grams are
     * mostly repeats of each other is boilerplate even when its unigram

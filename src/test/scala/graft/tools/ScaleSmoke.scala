@@ -95,8 +95,9 @@ object ScaleSmoke {
     "q203_hard_negatives",
     // round-12: bounded-vocab CCNet (model tables flat across decades)
     "q205_ccnet_bounded",
-    // round-13: paragraph dedup + source token cap (documents-based)
-    "q211_paragraph_dedup", "q212_source_token_cap",
+    // round-13: paragraph dedup, source token cap, BPE trainer
+    // (documents-based)
+    "q211_paragraph_dedup", "q212_source_token_cap", "q213_bpe_merges",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
@@ -646,16 +647,31 @@ object ScaleSmoke {
                   .select("doc_id"),
                 Seq("doc_id"), "left_semi")
       }
-      // 2. dedup: q193's minhash-LSH near-dup removal (collapse-gated
-      //    pair pipeline → cluster-min survivors) over the CLEANED table
+      // 2. paradedup: q211's cross-corpus paragraph dedup over the
+      //    cleaned table — boilerplate removed BEFORE near-dup
+      //    detection (the CCNet ordering: shared boilerplate otherwise
+      //    inflates minhash similarity between unrelated docs).
+      //    Surviving docs carry their reassembled text forward.
+      val paraDir = s"$base/paradedup"
+      stage("paradedup", paraDir) {
+        spark.read.parquet(s"$cleanDir/documents.parquet")
+          .drop("text", "n_chars")
+          .join(graft.ext.Dedup.paragraphDedup(spark, cleanDir)
+                  .select(col("doc_id"), col("text_kept").as("text")),
+                Seq("doc_id"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+      // 3. dedup: q193's minhash-LSH near-dup removal (collapse-gated
+      //    pair pipeline → cluster-min survivors) over the
+      //    paragraph-deduped table
       val dedupDir = s"$base/dedup"
       stage("dedup", dedupDir) {
-        spark.read.parquet(s"$cleanDir/documents.parquet")
-          .join(graft.ext.Dedup.dedupedCorpus(spark, cleanDir)
+        spark.read.parquet(s"$paraDir/documents.parquet")
+          .join(graft.ext.Dedup.dedupedCorpus(spark, paraDir)
                   .select("doc_id"),
                 Seq("doc_id"), "left_semi")
       }
-      // 3. select: q197's DSIR importance selection over the DEDUPED
+      // 4. select: q197's DSIR importance selection over the DEDUPED
       //    pool — keep the top 10% by importance weight
       val selDir = s"$base/select"
       val poolN = spark.read.parquet(s"$dedupDir/documents.parquet").count()
@@ -666,7 +682,7 @@ object ScaleSmoke {
                   .filter(col("selected") === 1L).select("doc_id"),
                 Seq("doc_id"), "left_semi")
       }
-      // 4. shard: q100's deterministic shuffle-shard of the SELECTED
+      // 5. shard: q100's deterministic shuffle-shard of the SELECTED
       //    corpus (the delivery step) — the output is the per-shard
       //    manifest, bounded by the shard count
       val t0s = System.nanoTime()
