@@ -694,6 +694,10 @@ object SparkEntry {
     // tokenizer-trainer loop (q69 is its first iteration's statistic)
     "q213_bpe_merges" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.bpeMerges(s, d)),
+    // apply side of the BPE trainer: per-source token counts under the
+    // learned merges (fertility = n_tokens / n_words)
+    "q214_bpe_encode" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.bpeEncode(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1404,5 +1408,6 @@ object SparkEntry {
     "q211_paragraph_dedup" -> ext.Dedup.paragraphDedupOracleSql(),
     "q212_source_token_cap" -> ext.Sampling.sourceTokenCapOracleSql(),
     "q213_bpe_merges" -> ext.TextAnalysis.bpeMergesOracleSql(),
+    "q214_bpe_encode" -> ext.TextAnalysis.bpeEncodeOracleSql(),
   )
 }

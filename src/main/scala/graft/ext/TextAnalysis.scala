@@ -307,49 +307,100 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .persist()
     try {
-      var syms = wordCounts.select(col("n"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-          .as("s"))
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, Long)]
-      var done = false
-      for (t <- 1 to nMerges if !done) {
-        val best = syms
-          .filter(size(col("s")) >= 2)
-          .select(col("n"), explode(expr(
-            "transform(sequence(1, size(s) - 1), i -> " +
-            "struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"))
-            .as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum(col("n")).as("n_occ"))
-          .orderBy(col("n_occ").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        if (best.isEmpty) done = true
-        else {
-          val (l, r, c) = (best(0).getString(0), best(0).getString(1),
-                           best(0).getLong(2))
-          merges += ((t.toLong, l, r, c))
-          // greedy left-to-right merge as an empty-seeded fold (the
-          // first element always lands in the ELSE arm, so this equals
-          // DuckDB's first-element-seeded list_reduce; symbols are
-          // [a-z0-9] — safe to inline as SQL literals). The lambda
-          // references `s` exactly ONCE: CollapseProject inlines the
-          // previous step's expression at every reference, so an
-          // n-reference fold grows the chained tree n^k — the
-          // single-reference form keeps it linear in k.
-          syms = syms.withColumn("s", expr(
-            s"""aggregate(s, cast(array() as array<string>),
-               |  (acc, x) -> CASE WHEN size(acc) > 0
-               |                    AND element_at(acc, -1) = '$l'
-               |                    AND x = '$r'
-               |    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
-               |    ELSE concat(acc, array(x)) END)""".stripMargin))
-        }
-      }
-      val out = spark.createDataFrame(merges.toSeq)
+      val (merges, _) = bpeTrainLoop(wordCounts, nMerges)
+      val out = spark.createDataFrame(merges)
         .toDF("step", "lhs", "rhs", "n_occ")
       out.count() // force evaluation while the vocab is still persisted
       out
+    } finally { wordCounts.unpersist(); () }
+  }
+
+  /** The shared trainer loop behind [[bpeMerges]] and [[bpeEncode]]:
+    * runs `nMerges` iterations over a persisted `(w, n)` vocabulary
+    * frame, returning the learned merge rows and the symbol frame
+    * `(w, n, s)` with every merge applied — the trained tokenizer's
+    * segmentation of each vocabulary word. */
+  private def bpeTrainLoop(wordCounts: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var syms = wordCounts.select(col("w"), col("n"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("s"))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var done = false
+    for (t <- 1 to nMerges if !done) {
+      val best = syms
+        .filter(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> " +
+          "struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+                         best(0).getLong(2))
+        merges += ((t.toLong, l, r, c))
+        // greedy left-to-right merge as an empty-seeded fold (the
+        // first element always lands in the ELSE arm, so this equals
+        // DuckDB's first-element-seeded list_reduce; symbols are
+        // [a-z0-9] — safe to inline as SQL literals). The lambda
+        // references `s` exactly ONCE: CollapseProject inlines the
+        // previous step's expression at every reference, so an
+        // n-reference fold grows the chained tree n^k — the
+        // single-reference form keeps it linear in k.
+        syms = syms.withColumn("s", expr(
+          s"""aggregate(s, cast(array() as array<string>),
+             |  (acc, x) -> CASE WHEN size(acc) > 0
+             |                    AND element_at(acc, -1) = '$l'
+             |                    AND x = '$r'
+             |    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+             |    ELSE concat(acc, array(x)) END)""".stripMargin))
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  /** BPE ENCODING with the merges [[bpeMerges]] learns — the apply
+    * side of the trainer, producing the statistic a tokenizer owner
+    * actually reads off a corpus: per-source token counts and hence
+    * fertility (BPE tokens per word). Output: one row per source with
+    * `(n_docs, n_words, n_tokens)`, all exact integers.
+    *
+    * Scale shape mirrors training: the fold chain is applied to the
+    * VOCABULARY frame only (each distinct word segmented once), then a
+    * word-keyed shuffle join carries `tokens(w)` back onto the
+    * corpus-sized word stream — the standard replace-quadratic-with-
+    * vocab-lookup reduction. The final `collect` is bounded by the
+    * source dimension (corpus metadata, a handful of rows), the same
+    * bounded-output shape as the other audited collect sites. */
+  def bpeEncode(spark: SparkSession, dir: String,
+                nMerges: Int = 6): DataFrame = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val docWords = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(normalized(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val wordCounts = docWords
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val (_, syms) = bpeTrainLoop(wordCounts, nMerges)
+      val wordTok = syms.select(col("w"), size(col("s")).cast("long").as("toks"))
+      val rows = docWords.join(wordTok, Seq("w"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_words"),
+             sum(col("toks")).as("n_tokens"))
+        .orderBy(col("source"))
+        .collect() // bounded by the source dimension
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      spark.createDataFrame(rows)
+        .toDF("source", "n_docs", "n_words", "n_tokens")
     } finally { wordCounts.unpersist(); () }
   }
 
@@ -358,18 +409,32 @@ object TextAnalysis {
     * application cross-joined against the top-1 row (so the lambda
     * references plain columns, not subqueries). */
   def bpeMergesOracleSql(nMerges: Int = 6): String = {
-    val s0 =
+    val wc =
       """wc AS (
         |  SELECT w, count(*) AS n FROM (
         |    SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
         |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
         |      AS w
         |    FROM documents)
-        |  WHERE w <> '' GROUP BY w),
-        |s0 AS (
-        |  SELECT n, list_transform(range(1, length(w) + 1),
-        |    i -> substr(w, CAST(i AS INT), 1)) AS s
-        |  FROM wc)""".stripMargin
+        |  WHERE w <> '' GROUP BY w)""".stripMargin
+    val union = (1 to nMerges).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS step, lhs, rhs, n_occ FROM b$t"
+    }.mkString("\nUNION ALL ")
+    s"WITH $wc,\n${bpeStepCtes(nMerges, carryW = false)}\n$union"
+  }
+
+  /** The unrolled trainer CTE chain shared by the q213/q214 oracles:
+    * assumes `wc(w, n)` is already defined; emits `s0` (char split)
+    * then `p_t`/`b_t`/`s_t` per step. `carryW` threads the word
+    * through every `s_t` so the encode oracle can join segmentations
+    * back onto the corpus word stream. */
+  private def bpeStepCtes(nMerges: Int, carryW: Boolean): String = {
+    val wCol = if (carryW) "w, " else ""
+    val s0 =
+      s"""s0 AS (
+         |  SELECT ${wCol}n, list_transform(range(1, length(w) + 1),
+         |    i -> substr(w, CAST(i AS INT), 1)) AS s
+         |  FROM wc)""".stripMargin
     val steps = (1 to nMerges).map { t =>
       val prev = s"s${t - 1}"
       s"""p$t AS (
@@ -381,16 +446,38 @@ object TextAnalysis {
          |  FROM p$t GROUP BY lhs, rhs
          |  ORDER BY n_occ DESC, lhs, rhs LIMIT 1),
          |s$t AS (
-         |  SELECT n, list_reduce(list_transform(s, x -> [x]),
+         |  SELECT ${wCol}n, list_reduce(list_transform(s, x -> [x]),
          |    (acc, x) -> CASE WHEN acc[-1] = b.lhs AND x[1] = b.rhs
          |      THEN acc[1:len(acc) - 1] || [b.lhs || b.rhs]
          |      ELSE acc || x END) AS s
          |  FROM $prev, b$t b)""".stripMargin
     }
-    val union = (1 to nMerges).map { t =>
-      s"SELECT CAST($t AS BIGINT) AS step, lhs, rhs, n_occ FROM b$t"
-    }.mkString("\nUNION ALL ")
-    s"WITH $s0,\n${steps.mkString(",\n")}\n$union"
+    s"$s0,\n${steps.mkString(",\n")}"
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: retrain the merges with the
+    * shared CTE chain (carrying the word), then join each word's final
+    * segmentation back onto the per-document word stream and aggregate
+    * by source. */
+  def bpeEncodeOracleSql(nMerges: Int = 6): String = {
+    val dw =
+      """dw AS (
+        |  SELECT doc_id, source, w FROM (
+        |    SELECT doc_id, source,
+        |      unnest(string_split(trim(regexp_replace(regexp_replace(
+        |        lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |wc AS (SELECT w, count(*) AS n FROM dw GROUP BY w)""".stripMargin
+    s"""WITH $dw,
+       |${bpeStepCtes(nMerges, carryW = true)}
+       |SELECT source,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(s)) AS BIGINT) AS n_tokens
+       |FROM dw JOIN s$nMerges USING (w)
+       |GROUP BY source""".stripMargin
   }
 
   /** Per-document duplicate word-n-gram stats — the Gopher/RefinedWeb

@@ -98,6 +98,7 @@ object ScaleSmoke {
     // round-13: paragraph dedup, source token cap, BPE trainer
     // (documents-based)
     "q211_paragraph_dedup", "q212_source_token_cap", "q213_bpe_merges",
+    "q214_bpe_encode",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
