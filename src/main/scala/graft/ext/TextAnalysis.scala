@@ -299,29 +299,43 @@ object TextAnalysis {
     * engines replay the identical merge semantics including the
     * overlapping-run case ("aaa" + (a,a) → "aa","a"). */
   def bpeMerges(spark: SparkSession, dir: String,
-                nMerges: Int = 6): DataFrame = {
+                nMerges: Int = 6): DataFrame =
+    spark.createDataFrame(learnedMerges(spark, dir, nMerges))
+      .toDF("step", "lhs", "rhs", "n_occ")
+
+  /** Per-(session, dir, nMerges) memo of the learned merge table — the
+    * trainer artifact both q213 (the table itself) and q214 (the
+    * encode) consume; like every model-artifact memo in this file
+    * (lmScoreCache, the IVF-PQ index) the training runs once per
+    * corpus and each policy reads the result. The value is driver-side
+    * and tiny (k rows), but it still rides the [[TrackedPersist]]
+    * onClear hook so a cold sweep measures a full retrain. */
+  private[ext] val bpeMergeCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Int), Seq[(Long, String, String, Long)]]()
+  TrackedPersist.onClear(() => bpeMergeCache.clear())
+
+  private def learnedMerges(spark: SparkSession, dir: String,
+                            nMerges: Int): Seq[(Long, String, String, Long)] = {
     require(nMerges >= 1, "nMerges must be positive")
-    val wordCounts = Tables.load(spark, dir, "documents")
-      .select(explode(split(normalized(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .persist()
-    try {
-      val (merges, _) = bpeTrainLoop(wordCounts, nMerges)
-      val out = spark.createDataFrame(merges)
-        .toDF("step", "lhs", "rhs", "n_occ")
-      out.count() // force evaluation while the vocab is still persisted
-      out
-    } finally { wordCounts.unpersist(); () }
+    bpeMergeCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) bpeMergeCache.remove(k)
+    }
+    bpeMergeCache.getOrElseUpdate((spark, dir, nMerges), {
+      val wordCounts = Tables.load(spark, dir, "documents")
+        .select(explode(split(normalized(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .persist()
+      try bpeTrainLoop(wordCounts, nMerges)
+      finally { wordCounts.unpersist(); () }
+    })
   }
 
-  /** The shared trainer loop behind [[bpeMerges]] and [[bpeEncode]]:
-    * runs `nMerges` iterations over a persisted `(w, n)` vocabulary
-    * frame, returning the learned merge rows and the symbol frame
-    * `(w, n, s)` with every merge applied — the trained tokenizer's
-    * segmentation of each vocabulary word. */
-  private def bpeTrainLoop(wordCounts: DataFrame, nMerges: Int)
-      : (Seq[(Long, String, String, Long)], DataFrame) = {
+  /** The trainer loop behind [[learnedMerges]]: runs `nMerges`
+    * iterations over a persisted `(w, n)` vocabulary frame, returning
+    * the learned merge rows. */
+  private def bpeTrainLoop(wordCounts: DataFrame,
+                           nMerges: Int): Seq[(Long, String, String, Long)] = {
     var syms = wordCounts.select(col("w"), col("n"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("s"))
@@ -344,25 +358,28 @@ object TextAnalysis {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1),
                          best(0).getLong(2))
         merges += ((t.toLong, l, r, c))
-        // greedy left-to-right merge as an empty-seeded fold (the
-        // first element always lands in the ELSE arm, so this equals
-        // DuckDB's first-element-seeded list_reduce; symbols are
-        // [a-z0-9] — safe to inline as SQL literals). The lambda
-        // references `s` exactly ONCE: CollapseProject inlines the
-        // previous step's expression at every reference, so an
-        // n-reference fold grows the chained tree n^k — the
-        // single-reference form keeps it linear in k.
-        syms = syms.withColumn("s", expr(
-          s"""aggregate(s, cast(array() as array<string>),
-             |  (acc, x) -> CASE WHEN size(acc) > 0
-             |                    AND element_at(acc, -1) = '$l'
-             |                    AND x = '$r'
-             |    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
-             |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        syms = syms.withColumn("s", mergeFoldExpr(l, r))
       }
     }
-    (merges.toSeq, syms)
+    merges.toSeq
   }
+
+  /** Greedy left-to-right application of ONE merge as an empty-seeded
+    * fold (the first element always lands in the ELSE arm, so this
+    * equals DuckDB's first-element-seeded list_reduce; symbols are
+    * [a-z0-9] — safe to inline as SQL literals). The lambda references
+    * `s` exactly ONCE: CollapseProject inlines the previous step's
+    * expression at every reference, so an n-reference fold grows the
+    * chained tree n^k — the single-reference form keeps it linear
+    * in k. */
+  private def mergeFoldExpr(l: String, r: String)
+      : org.apache.spark.sql.Column = expr(
+    s"""aggregate(s, cast(array() as array<string>),
+       |  (acc, x) -> CASE WHEN size(acc) > 0
+       |                    AND element_at(acc, -1) = '$l'
+       |                    AND x = '$r'
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+       |    ELSE concat(acc, array(x)) END)""".stripMargin)
 
   /** BPE ENCODING with the merges [[bpeMerges]] learns — the apply
     * side of the trainer, producing the statistic a tokenizer owner
@@ -379,29 +396,32 @@ object TextAnalysis {
     * bounded-output shape as the other audited collect sites. */
   def bpeEncode(spark: SparkSession, dir: String,
                 nMerges: Int = 6): DataFrame = {
-    require(nMerges >= 1, "nMerges must be positive")
+    val merges = learnedMerges(spark, dir, nMerges)
     val docWords = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(split(normalized(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
-    val wordCounts = docWords
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .persist()
-    try {
-      val (_, syms) = bpeTrainLoop(wordCounts, nMerges)
-      val wordTok = syms.select(col("w"), size(col("s")).cast("long").as("toks"))
-      val rows = docWords.join(wordTok, Seq("w"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-             count(lit(1)).as("n_words"),
-             sum(col("toks")).as("n_tokens"))
-        .orderBy(col("source"))
-        .collect() // bounded by the source dimension
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .toSeq
-      spark.createDataFrame(rows)
-        .toDF("source", "n_docs", "n_words", "n_tokens")
-    } finally { wordCounts.unpersist(); () }
+    // segment each DISTINCT word once (the learned merges applied in
+    // order, map-side), then carry tokens(w) back onto the corpus via
+    // a word-keyed join — the replace-quadratic-with-vocab-lookup
+    // reduction every real tokenizer applier uses
+    val syms = merges.foldLeft(
+      docWords.select(col("w")).distinct().withColumn("s",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))) {
+      case (d, (_, l, r, _)) => d.withColumn("s", mergeFoldExpr(l, r))
+    }
+    val wordTok = syms.select(col("w"), size(col("s")).cast("long").as("toks"))
+    val rows = docWords.join(wordTok, Seq("w"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_words"),
+           sum(col("toks")).as("n_tokens"))
+      .orderBy(col("source"))
+      .collect() // bounded by the source dimension
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    spark.createDataFrame(rows)
+      .toDF("source", "n_docs", "n_words", "n_tokens")
   }
 
   /** DuckDB oracle for [[bpeMerges]]: the same loop UNROLLED — each
