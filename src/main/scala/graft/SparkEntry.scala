@@ -694,6 +694,10 @@ object SparkEntry {
     // tokenizer-trainer loop (q69 is its first iteration's statistic)
     "q213_bpe_merges" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.bpeMerges(s, d)),
+    // streaming paragraph dedup (q211's unit × q206's bounded Bloom),
+    // certified across redelivered micro-batches
+    "q215_stream_para_dedup_multibatch" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.paragraphDedupMultiBatch(s, d)),
     // apply side of the BPE trainer: per-source token counts under the
     // learned merges (fertility = n_tokens / n_words)
     "q214_bpe_encode" -> ((s: SparkSession, d: String) =>
@@ -1409,5 +1413,7 @@ object SparkEntry {
     "q212_source_token_cap" -> ext.Sampling.sourceTokenCapOracleSql(),
     "q213_bpe_merges" -> ext.TextAnalysis.bpeMergesOracleSql(),
     "q214_bpe_encode" -> ext.TextAnalysis.bpeEncodeOracleSql(),
+    "q215_stream_para_dedup_multibatch" ->
+      ext.Dedup.paragraphFingerprintsOracleSql(),
   )
 }

@@ -1585,18 +1585,7 @@ object Dedup {
     * reassembled text. */
   def paragraphDedup(spark: SparkSession, dir: String,
                      paraLen: Int = 8): DataFrame = {
-    require(paraLen > 0, "paraLen must be positive")
-    val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-              split(TextAnalysis.normalized(col("text")), " ").as("ts"))
-      .filter(size(col("ts")) > 0 && col("ts").getItem(0) =!= "")
-    val paras = toks
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(
-           |  sequence(0, cast(ceil(size(ts) / $paraLen.0) as int) - 1),
-           |  i -> array_join(slice(ts, i * $paraLen + 1, $paraLen), ' '))"""
-          .stripMargin)))
-      .toDF("doc_id", "pos", "para")
+    val paras = paragraphs(Tables.load(spark, dir, "documents"), paraLen)
     val survivors = paras
       .groupBy(md5(col("para")).as("h"))
       .agg(min(struct(col("doc_id"), col("pos"), col("para"))).as("occ"))
@@ -1609,6 +1598,25 @@ object Dedup {
              expr("transform(array_sort(collect_list(struct(pos, para)))," +
                   " s -> s.para)"),
              " ").as("text_kept"))
+  }
+
+  /** Shared CCNet paragraph segmentation: normalized text → fixed-length
+    * pseudo-paragraphs, one row per (doc_id, pos, para). Single source
+    * of truth for the dedup unit, consumed by the batch dedup (q211)
+    * and the streaming Bloom variant (q215) — narrow ops only, so it
+    * applies unchanged to a streaming DataFrame. */
+  private[graft] def paragraphs(docs: DataFrame, paraLen: Int): DataFrame = {
+    require(paraLen > 0, "paraLen must be positive")
+    docs
+      .select(col("doc_id"),
+              split(TextAnalysis.normalized(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) > 0 && col("ts").getItem(0) =!= "")
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(ts) / $paraLen.0) as int) - 1),
+           |  i -> array_join(slice(ts, i * $paraLen + 1, $paraLen), ' '))"""
+          .stripMargin)))
+      .toDF("doc_id", "pos", "para")
   }
 
   /** DuckDB oracle for [[paragraphDedup]]: same segmentation via
@@ -1640,4 +1648,24 @@ object Dedup {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
        |  string_agg(para, ' ' ORDER BY pos) AS text_kept
        |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin
+
+  /** DuckDB oracle for the streaming paragraph dedup (q215): the same
+    * segmentation, reduced to the distinct paragraph-fingerprint set —
+    * the delivery-order-invariant survivor formulation the multi-batch
+    * gate certifies. */
+  def paragraphFingerprintsOracleSql(paraLen: Int = 8): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |ok AS (SELECT * FROM toks WHERE len(ts) > 0 AND ts[1] <> ''),
+       |plist AS (
+       |  SELECT doc_id,
+       |    list_transform(range(CAST(ceil(len(ts) / $paraLen.0) AS BIGINT)),
+       |      i -> array_to_string(
+       |        ts[CAST(i * $paraLen + 1 AS BIGINT):
+       |           CAST(i * $paraLen + $paraLen AS BIGINT)], ' ')) AS ps
+       |  FROM ok)
+       |SELECT DISTINCT md5(unnest(ps)) AS pfp FROM plist""".stripMargin
 }

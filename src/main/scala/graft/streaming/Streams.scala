@@ -989,6 +989,89 @@ object Streams {
     out
   }
 
+  case class BloomPara(shard: Int, key: Long, doc_id: Long, pos: Int,
+                       pfp: String)
+  case class ParaDedupOut(pfp: String)
+
+  /** Streaming PARAGRAPH dedup with bounded state — the q211 dedup
+    * unit (CCNet's, Wenzek et al. 2020 §3) pushed to ingest time with
+    * the q206/q207 Bloom kernel: documents are segmented into the same
+    * fixed-length pseudo-paragraphs as the batch operator (shared
+    * [[graft.ext.Dedup.paragraphs]] — the unit cannot drift), each
+    * paragraph's md5 is keyed through xxhash64 into the sharded
+    * fixed-allocation Bloom, and only first-seen paragraphs survive.
+    * State is the Bloom allocation at ANY corpus size — the boilerplate
+    * table a 100 TB crawl carries (the q211 skew case) costs no state
+    * growth at all, because a repeated paragraph never sets new bits.
+    *
+    * Output is the surviving paragraph FINGERPRINT (one per distinct
+    * paragraph). Which document contributed the survivor is
+    * arrival-order-dependent across batches (first to arrive — ingest
+    * semantics); the fingerprint SET is delivery-order-invariant,
+    * which is what the multi-batch gate certifies. Rows sort by
+    * (doc_id, pos) within each micro-batch, so a single AvailableNow
+    * batch reproduces q211's global first-occurrence survivor
+    * (same ordering contract as [[bloomDocDedupStream]]). */
+  def bloomParaDedupStream(docs: DataFrame, paraLen: Int = 8,
+                           shards: Int = 32, log2BitsPerShard: Int = 21)
+      : Dataset[ParaDedupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ext.Dedup.paragraphs(docs.filter(col("text").isNotNull), paraLen)
+      .withColumn("pfp", md5(col("para")))
+      .withColumn("key", xxhash64(col("pfp")))
+      .select(pmod(col("key"), lit(shards)).cast("int").as("shard"),
+              col("key"), col("doc_id"), col("pos").cast("int").as("pos"),
+              col("pfp"))
+      .as[BloomPara]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateParaBloom(log2BitsPerShard))
+  }
+
+  private def updateParaBloom(log2Bits: Int)(
+      shard: Int, paras: Iterator[BloomPara],
+      state: GroupState[BloomShard]): Iterator[ParaDedupOut] = {
+    val mask = (1 << log2Bits) - 1
+    val bits = state.getOption.map(_.bits)
+      .getOrElse(new Array[Byte](1 << (log2Bits - 3)))
+    val out = Seq.newBuilder[ParaDedupOut]
+    paras.toArray.sortBy(p => (p.doc_id, p.pos)).foreach { p =>
+      if (bloomCheckAndSet(bits, mask, p.key))
+        out += ParaDedupOut(p.pfp)
+    }
+    state.update(BloomShard(bits))
+    out.result().iterator
+  }
+
+  /** MULTI-BATCH certification of [[bloomParaDedupStream]] (q215):
+    * documents redelivered across 2×nFiles micro-batches via
+    * maxFilesPerTrigger=1 — every paragraph's duplicate (both the
+    * cross-document boilerplate the operator exists for AND the whole
+    * redelivered copy) arrives in a LATER batch than its original, so
+    * green means the Bloom state persists across batches and exactly
+    * one survivor per distinct paragraph emerges. Oracle: SELECT
+    * DISTINCT md5(paragraph) over the batch segmentation. Shares the
+    * q209 staging (same table, same columns). */
+  def paragraphDedupMultiBatch(spark: SparkSession, dir: String,
+                               nFiles: Int = 3): DataFrame = {
+    val src = stageRedelivered(spark, dir, "documents",
+      Seq("doc_id", "text"), nFiles)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val out = runBounded(bloomParaDedupStream(stream).toDF(),
+                         OutputMode.Update(), statePartitions = 1)
+      .select(col("pfp"))
+    requireMultiBatch(nFiles)
+    out
+  }
+
   /** Static events dir sessionized as a stream; cumulative counts are
     * monotone, so max-per-user over all updates equals the batch
     * sessionization (q33's oracle). */

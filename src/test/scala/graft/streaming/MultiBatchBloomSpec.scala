@@ -72,6 +72,37 @@ class MultiBatchBloomSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomParaDedupStream: paragraph-level survivors across batches") {
+    val input = MemoryStream[RawDoc]
+    // paraLen 3 → "w1 w2 w3" is one paragraph
+    val q = Streams.bloomParaDedupStream(input.toDF(), paraLen = 3,
+        shards = 4, log2BitsPerShard = 12).toDF()
+      .writeStream.format("memory").queryName("bloompara_xbatch")
+      .outputMode("update").start()
+    try {
+      // doc 10: paragraphs P1 P2; doc 20 shares P2 (cross-doc
+      // boilerplate) and adds P3 — but arrives in a LATER batch
+      val p1 = "alpha beta gamma"; val p2 = "delta epsilon zeta"
+      val p3 = "eta theta iota"
+      input.addData(RawDoc(10, s"$p1 $p2", "en", "s", 0L))
+      q.processAllAvailable()
+      input.addData(RawDoc(20, s"$p2 $p3", "en", "s", 0L),
+                    RawDoc(30, null, "en", "s", 0L))
+      q.processAllAvailable()
+      // batch 3: a full redelivery of doc 10 → nothing new
+      input.addData(RawDoc(40, s"$p1 $p2", "en", "s", 0L))
+      q.processAllAvailable()
+      val got = spark.table("bloompara_xbatch")
+        .select("pfp").as[String].collect().toSeq
+      val expected = Seq(p1, p2, p3).map { s =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      assert(got.sorted == expected.sorted,
+        s"expected one survivor per distinct paragraph, got $got")
+    } finally q.stop()
+  }
+
   test("null event_id rows are filtered, not fatal") {
     val input = MemoryStream[RawEvent]
     val withNull = input.toDF()

@@ -352,7 +352,7 @@ object ScaleSmoke {
         "q106_stream_session_window", "q116_stream_funnel_outer",
         "q121_stream_minhash", "q128_stream_hll", "q159_stream_histogram",
         "q206_stream_dedup_bloom", "q207_stream_doc_dedup",
-        "q210_stream_dedup_windowed")
+        "q210_stream_dedup_windowed", "q215_stream_para_dedup_multibatch")
       // optional gate-prefix filter: ScaleSmoke stream q68 q206
       // add literal "x100" to also run the SELECTED gates at a third
       // decade (events-only 100× replica, 10M rows) — only gates that
