@@ -683,12 +683,45 @@ object ScaleSmoke {
                   .filter(col("selected") === 1L).select("doc_id"),
                 Seq("doc_id"), "left_semi")
       }
-      // 5. shard: q100's deterministic shuffle-shard of the SELECTED
+      // 5. cap: q212's per-source token-budget enactment over the
+      //    SELECTED pool — the mixture-flattening delivery step: every
+      //    source keeps its docs in doc_id order while they fit ONE
+      //    shared budget (half the median source's token mass, so
+      //    heavy sources get trimmed and light ones ride free).
+      //    Replayable on any partitioning (q64's hierarchical prefix
+      //    sum underneath).
+      val capDir = s"$base/cap"
+      val medianSrc = graft.ext.Sampling
+        .sourceTokenCap(spark, selDir, capTokens = Long.MaxValue)
+        .groupBy(col("source")).agg(sum(col("n_toks")).as("t"))
+        .agg(expr("percentile_approx(t, 0.5, 10000)")).collect()(0).getLong(0)
+      val budget = math.max(1L, medianSrc / 2L)
+      stage("cap", capDir) {
+        spark.read.parquet(s"$selDir/documents.parquet")
+          .join(graft.ext.Sampling.sourceTokenCap(spark, selDir, budget)
+                  .filter(col("kept") === 1L).select("doc_id"),
+                Seq("doc_id"), "left_semi")
+      }
+      // 6. fertility: q214's per-source token accounting under the
+      //    corpus-trained BPE — the number a training run budgets by.
+      //    Output is bounded by the source dimension (no stage write).
+      val t0f = System.nanoTime()
+      val fert = graft.ext.TextAnalysis.bpeEncode(spark, capDir)
+        .agg(sum(col("n_docs")), sum(col("n_words")), sum(col("n_tokens")))
+        .collect()(0)
+      val tF = (System.nanoTime() - t0f) / 1e9
+      totalT += tF
+      println(f"[scale] fertility: budget/src=$budget%d tokens; delivered " +
+        f"docs=${fert.getLong(0)}%d words=${fert.getLong(1)}%d " +
+        f"bpe_tokens=${fert.getLong(2)}%d " +
+        f"(fertility ${fert.getLong(2).toDouble / fert.getLong(1)}%.3f), " +
+        f"$tF%.1f s")
+      // 7. shard: q100's deterministic shuffle-shard of the CAPPED
       //    corpus (the delivery step) — the output is the per-shard
       //    manifest, bounded by the shard count
       val t0s = System.nanoTime()
       val shards = graft.ext.Splits
-        .shuffleShards(spark, selDir, nShards = 32).collect()
+        .shuffleShards(spark, capDir, nShards = 32).collect()
       val tS = (System.nanoTime() - t0s) / 1e9
       totalT += tS
       val chk = shards.map(_.getLong(2)).sum
