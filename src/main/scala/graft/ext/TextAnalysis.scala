@@ -288,10 +288,11 @@ object TextAnalysis {
     * trainers use. Per iteration: one vocab-keyed pair aggregation
     * (bounded by vocab size, not corpus size) + a top-1 reduce to the
     * driver (one row) + a map-side fold applying the merge. The fold
-    * chain re-evaluates t folds at step t — O(k²) expression work over
-    * a vocab-bounded frame for k merges, the price of keeping the
-    * symbol table distributed (a 100 TB corpus still has a ~10M-row
-    * vocabulary; collecting it would be the real scale bug).
+    * chain is depth-capped (see [[bpeTrainLoop]]): the symbol frame is
+    * re-materialized every few merges, so total work is O(k·vocab) —
+    * linear in the merge budget — while the symbol table stays
+    * distributed (a 100 TB corpus still has a ~10M-row vocabulary;
+    * collecting it would be the real scale bug).
     *
     * The merge application is a left-to-right greedy fold seeded with
     * the word's first symbol — `aggregate` in Spark, `list_reduce` in
@@ -333,35 +334,63 @@ object TextAnalysis {
 
   /** The trainer loop behind [[learnedMerges]]: runs `nMerges`
     * iterations over a persisted `(w, n)` vocabulary frame, returning
-    * the learned merge rows. */
-  private def bpeTrainLoop(wordCounts: DataFrame,
-                           nMerges: Int): Seq[(Long, String, String, Long)] = {
+    * the learned merge rows.
+    *
+    * Chain-depth bound: without it, iteration t re-evaluates all t
+    * accumulated fold expressions from the raw character split —
+    * O(k²) fold work over the vocab for k merges. Every
+    * `foldChainCap` merges the symbol frame is MATERIALIZED (persist +
+    * count through [[TrackedPersist]], previous materialization
+    * released) and the chain rebased on it, so no evaluation ever runs
+    * more than `foldChainCap` folds and total work is O(k·vocab) —
+    * linear in the merge budget, which is what lets the trainer take a
+    * production-sized k instead of a demo-sized one. The extra cost is
+    * one vocab-sized 3-column cache per cap window. */
+  private def bpeTrainLoop(wordCounts: DataFrame, nMerges: Int,
+                           foldChainCap: Int = 4)
+      : Seq[(Long, String, String, Long)] = {
+    require(foldChainCap >= 1, "foldChainCap must be positive")
     var syms = wordCounts.select(col("w"), col("n"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("s"))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
-    var done = false
-    for (t <- 1 to nMerges if !done) {
-      val best = syms
-        .filter(size(col("s")) >= 2)
-        .select(col("n"), explode(expr(
-          "transform(sequence(1, size(s) - 1), i -> " +
-          "struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"))
-          .as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("n")).as("n_occ"))
-        .orderBy(col("n_occ").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
-                         best(0).getLong(2))
-        merges += ((t.toLong, l, r, c))
-        syms = syms.withColumn("s", mergeFoldExpr(l, r))
+    var chainDepth = 0
+    var owned: Option[DataFrame] = None
+    try {
+      var done = false
+      for (t <- 1 to nMerges if !done) {
+        val best = syms
+          .filter(size(col("s")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(s) - 1), i -> " +
+            "struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"))
+            .as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("n")).as("n_occ"))
+          .orderBy(col("n_occ").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+                           best(0).getLong(2))
+          merges += ((t.toLong, l, r, c))
+          syms = syms.withColumn("s", mergeFoldExpr(l, r))
+          chainDepth += 1
+          if (chainDepth >= foldChainCap && t < nMerges) {
+            val mat = TrackedPersist.persistTracked(syms)
+            mat.count() // materialize before releasing the parent cache
+            owned.foreach(_.unpersist(blocking = false))
+            owned = Some(mat)
+            syms = mat
+            chainDepth = 0
+          }
+        }
       }
+      merges.toSeq
+    } finally {
+      owned.foreach(_.unpersist(blocking = false)); ()
     }
-    merges.toSeq
   }
 
   /** Greedy left-to-right application of ONE merge as an empty-seeded
