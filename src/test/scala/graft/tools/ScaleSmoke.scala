@@ -611,6 +611,31 @@ object ScaleSmoke {
     // wall-clock, rows in→out, boundary bytes, and the cached-storage
     // peak per stage, plus the composed total.
     // Test/runMain graft.tools.ScaleSmoke pipeline
+    // bpek mode: the trainer-linearity measurement — wall-clock for k
+    // BPE merges with the production fold-chain cap (4) vs effectively
+    // uncapped (the pre-fix O(k²) shape, where iteration t re-evaluates
+    // all t folds from the raw character split AND Catalyst re-analyzes
+    // a t-deep nested-aggregate expression). Same learned merges either
+    // way (BpeMergesSpec pins equality); this measures cost only.
+    // Test/runMain graft.tools.ScaleSmoke bpek
+    if (args.headOption.contains("bpek")) {
+      graft.ext.TextAnalysis.bpeMerges(spark, Base, 2).count() // JIT warmup
+      println(f"[scale] ${"k"}%4s ${"t_cap4"}%8s ${"t_uncapped"}%11s ${"ratio"}%6s")
+      for (k <- Seq(8, 16, 32, 64)) {
+        coldStart()
+        val t0 = System.nanoTime()
+        graft.ext.TextAnalysis.bpeMerges(spark, Base, k).count()
+        val tCap = (System.nanoTime() - t0) / 1e9
+        coldStart()
+        val t1 = System.nanoTime()
+        graft.ext.TextAnalysis
+          .bpeMerges(spark, Base, k, foldChainCap = 1 << 20).count()
+        val tUn = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] $k%4d $tCap%7.1fs $tUn%10.1fs ${tUn / tCap}%6.2f")
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("pipeline")) {
       if (!new java.io.File(s"$Out100/documents.parquet").isDirectory)
         generate(spark, Out100, factor = 100, withEvents = false)
