@@ -359,7 +359,6 @@ object TextAnalysis {
                            foldChainCap: Int = 4)
       : Seq[(Long, String, String, Long)] = {
     require(foldChainCap >= 1, "foldChainCap must be positive")
-    val spark = wordCounts.sparkSession
     var syms = wordCounts.select(col("w"), col("n"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("s"))
@@ -388,14 +387,8 @@ object TextAnalysis {
           syms = syms.withColumn("s", mergeFoldExpr(l, r))
           chainDepth += 1
           if (chainDepth >= foldChainCap && t < nMerges) {
-            val schema = syms.schema
-            val rows = syms.rdd.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            rows.count() // materialize before releasing the predecessor
-            owned.foreach(_.unpersist(blocking = false))
-            owned = Some(rows)
-            syms = spark.createDataFrame(rows, schema)
-            chainDepth = 0
+            val (flat, rdd) = rebaseFlat(syms, owned)
+            syms = flat; owned = Some(rdd); chainDepth = 0
           }
         }
       }
@@ -435,8 +428,9 @@ object TextAnalysis {
     * vocab-lookup reduction. The final `collect` is bounded by the
     * source dimension (corpus metadata, a handful of rows), the same
     * bounded-output shape as the other audited collect sites. */
-  def bpeEncode(spark: SparkSession, dir: String,
-                nMerges: Int = 6): DataFrame = {
+  def bpeEncode(spark: SparkSession, dir: String, nMerges: Int = 6,
+                foldChainCap: Int = 4): DataFrame = {
+    require(foldChainCap >= 1, "foldChainCap must be positive")
     val merges = learnedMerges(spark, dir, nMerges)
     val docWords = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -445,24 +439,53 @@ object TextAnalysis {
     // segment each DISTINCT word once (the learned merges applied in
     // order, map-side), then carry tokens(w) back onto the corpus via
     // a word-keyed join — the replace-quadratic-with-vocab-lookup
-    // reduction every real tokenizer applier uses
-    val syms = merges.foldLeft(
-      docWords.select(col("w")).distinct().withColumn("s",
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))) {
-      case (d, (_, l, r, _)) => d.withColumn("s", mergeFoldExpr(l, r))
-    }
-    val wordTok = syms.select(col("w"), size(col("s")).cast("long").as("toks"))
-    val rows = docWords.join(wordTok, Seq("w"))
-      .groupBy(col("source"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-           count(lit(1)).as("n_words"),
-           sum(col("toks")).as("n_tokens"))
-      .orderBy(col("source"))
-      .collect() // bounded by the source dimension
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSeq
-    spark.createDataFrame(rows)
-      .toDF("source", "n_docs", "n_words", "n_tokens")
+    // reduction every real tokenizer applier uses. The fold chain gets
+    // the same depth cap as training: one evaluation is O(k·vocab)
+    // compute either way, but Catalyst's ANALYSIS of a k-deep nested
+    // tree is not — a production merge budget needs the rebase here too.
+    var owned: Option[org.apache.spark.rdd.RDD[Row]] = None
+    try {
+      var syms = docWords.select(col("w")).distinct().withColumn("s",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      var chainDepth = 0
+      for (((_, l, r, _), i) <- merges.zipWithIndex) {
+        syms = syms.withColumn("s", mergeFoldExpr(l, r))
+        chainDepth += 1
+        if (chainDepth >= foldChainCap && i < merges.size - 1) {
+          val (flat, rdd) = rebaseFlat(syms, owned)
+          syms = flat; owned = Some(rdd); chainDepth = 0
+        }
+      }
+      val wordTok = syms.select(col("w"),
+        size(col("s")).cast("long").as("toks"))
+      val rows = docWords.join(wordTok, Seq("w"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_words"),
+             sum(col("toks")).as("n_tokens"))
+        .orderBy(col("source"))
+        .collect() // bounded by the source dimension
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      spark.createDataFrame(rows)
+        .toDF("source", "n_docs", "n_words", "n_tokens")
+    } finally { owned.foreach(_.unpersist(blocking = false)); () }
+  }
+
+  /** Lineage truncation for an iterative frame: persist the RDD[Row],
+    * release the predecessor window's RDD, and rebuild the DataFrame
+    * as a flat `LogicalRDD` — no CacheManager entry, no checkpoint
+    * machinery (see [[bpeTrainLoop]] for why the alternatives measure
+    * pathological). */
+  private def rebaseFlat(df: DataFrame,
+                         prev: Option[org.apache.spark.rdd.RDD[Row]])
+      : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+    val schema = df.schema
+    val rows = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count() // materialize before releasing the predecessor
+    prev.foreach(_.unpersist(blocking = false))
+    (df.sparkSession.createDataFrame(rows, schema), rows)
   }
 
   /** DuckDB oracle for [[bpeMerges]]: the same loop UNROLLED — each
