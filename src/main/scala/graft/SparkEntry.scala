@@ -702,6 +702,13 @@ object SparkEntry {
     // learned merges (fertility = n_tokens / n_words)
     "q214_bpe_encode" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.bpeEncode(s, d)),
+    // ExactSubstr REMOVAL — the rewrite enactment of q89's audit
+    "q216_substr_remove" -> ((s: SparkSession, d: String) =>
+      ext.SubstrDup.substrRemove(s, d)),
+    // mixture-epoch expansion — the (doc, epoch) materialization of a
+    // capped-proportional plan (q162 allocation × q212 prefix rule)
+    "q217_epoch_expand" -> ((s: SparkSession, d: String) =>
+      ext.Sampling.epochExpand(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1415,5 +1422,7 @@ object SparkEntry {
     "q214_bpe_encode" -> ext.TextAnalysis.bpeEncodeOracleSql(),
     "q215_stream_para_dedup_multibatch" ->
       ext.Dedup.paragraphFingerprintsOracleSql(),
+    "q216_substr_remove" -> ext.SubstrDup.substrRemoveOracleSql(),
+    "q217_epoch_expand" -> ext.Sampling.epochExpandOracleSql(),
   )
 }

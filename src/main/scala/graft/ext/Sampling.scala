@@ -352,6 +352,123 @@ object Sampling {
        |  CAST(start_off + n_toks <= $capTokens AS BIGINT) AS kept
        |FROM off""".stripMargin
 
+  /** Mixture-epoch EXPANSION — the document-level enactment of a
+    * capped-proportional plan (q162's allocation discipline with
+    * scale-relative knobs): each source's token target is
+    * `min(total·capNum/capDen, n_tokens·budgetX)`; the source's docs
+    * appear once per FULL epoch (`target div n_tokens` of them), and
+    * the remainder budget keeps docs in doc_id order while they fit
+    * entirely (the q212 prefix rule) as one final PARTIAL epoch. This
+    * is the repeated-corpus materialization a trainer's shard step
+    * consumes: every (doc, epoch) row the run will see, exactly once.
+    *
+    * Knobs are RELATIVE to the corpus (multiples of total tokens), not
+    * absolute counts, so the same defaults exercise full-epoch
+    * repetition AND the cap at every scale decade — with near-uniform
+    * sources, uncapped sources repeat budgetX times while sources above
+    * capNum/capDen·total÷budgetX of the corpus are capped into a
+    * partial epoch.
+    *
+    * Scale: [[Packing.packedDocs]]'s hierarchical prefix sum (no
+    * whole-source window task) + a bounded per-source plan broadcast;
+    * the explode multiplies rows by the plan's epochs — output volume
+    * IS the training budget, by design (at 100 TB one would fuse this
+    * with the q100 shard shuffle rather than land it, but the row set
+    * is identical). All-integer arithmetic; DECIMAL(38,0) guards the
+    * share products exactly as [[mixturePlan]]. */
+  def epochExpand(spark: SparkSession, dir: String,
+                  budgetX: Int = 2, capNum: Int = 1,
+                  capDen: Int = 10): DataFrame =
+    epochExpandOf(Tables.load(spark, dir, "documents"),
+      budgetX, capNum, capDen,
+      Some(graft.ops.Partitioning.forTable(spark, dir, "documents", 0.5)))
+
+  /** Same operator over any (doc_id, source, text) frame. */
+  def epochExpandOf(documents: DataFrame,
+                    budgetX: Int = 2, capNum: Int = 1,
+                    capDen: Int = 10,
+                    numParts: Option[Int] = None): DataFrame = {
+    require(budgetX > 0 && capNum > 0 && capDen > 0,
+            "budgetX, capNum, capDen must be positive")
+    val packed = Packing
+      .packedDocsOf(documents, numParts = numParts)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+              col("start_off"))
+    val counts = packed.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("n_tokens"))
+    val total = counts.agg(sum(col("n_tokens")).as("total_tokens"))
+    val plan = counts.crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        least(
+          expr(s"CAST((CAST(total_tokens AS DECIMAL(38,0)) * $capNum)" +
+               s" div $capDen AS BIGINT)"),
+          expr(s"CAST(CAST(n_tokens AS DECIMAL(38,0)) * $budgetX" +
+               s" AS BIGINT)")))
+      .withColumn("full_epochs", expr("target_tokens div n_tokens"))
+      .withColumn("rem_tokens",
+        col("target_tokens") - col("full_epochs") * col("n_tokens"))
+      .select(col("source"), col("full_epochs"), col("rem_tokens"))
+    val j = packed.join(broadcast(plan), "source")
+    val fullRows = j.filter(col("full_epochs") > 0)
+      .select(col("doc_id"), col("source"),
+              explode(sequence(lit(0L), col("full_epochs") - 1))
+                .as("epoch"),
+              col("n_toks"))
+    val partRows = j.filter(col("rem_tokens") > 0 &&
+        col("start_off") + col("n_toks") <= col("rem_tokens"))
+      .select(col("doc_id"), col("source"),
+              col("full_epochs").as("epoch"), col("n_toks"))
+    fullRows.unionByName(partRows)
+  }
+
+  /** DuckDB oracle for [[epochExpand]] — the plain single-window prefix
+    * sum plus the integer plan and a range() unnest per full epoch. */
+  def epochExpandOracleSql(budgetX: Int = 2, capNum: Int = 1,
+                           capDen: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |      AS ts
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_toks
+       |  FROM toks WHERE len(ts) > 0 AND ts[1] <> ''),
+       |off AS (
+       |  SELECT doc_id, source, n_toks,
+       |    CAST(coalesce(sum(n_toks) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_off
+       |  FROM n),
+       |c AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |      FROM n GROUP BY source),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM c),
+       |plan AS (
+       |  SELECT source, n_tokens,
+       |    CAST(least((CAST(total_tokens AS HUGEINT) * $capNum) // $capDen,
+       |               CAST(n_tokens AS HUGEINT) * $budgetX) AS BIGINT)
+       |      AS target_tokens
+       |  FROM c, t),
+       |p2 AS (
+       |  SELECT source, n_tokens, target_tokens,
+       |    CAST(target_tokens // n_tokens AS BIGINT) AS full_epochs,
+       |    CAST(target_tokens - (target_tokens // n_tokens) * n_tokens
+       |         AS BIGINT) AS rem_tokens
+       |  FROM plan),
+       |fullr AS (
+       |  SELECT o.doc_id, o.source,
+       |    CAST(unnest(range(p.full_epochs)) AS BIGINT) AS epoch, o.n_toks
+       |  FROM off o JOIN p2 p USING (source) WHERE p.full_epochs > 0),
+       |partr AS (
+       |  SELECT o.doc_id, o.source,
+       |    CAST(p.full_epochs AS BIGINT) AS epoch, o.n_toks
+       |  FROM off o JOIN p2 p USING (source)
+       |  WHERE p.rem_tokens > 0 AND o.start_off + o.n_toks <= p.rem_tokens)
+       |SELECT doc_id, source, epoch, n_toks FROM fullr
+       |UNION ALL
+       |SELECT doc_id, source, epoch, n_toks FROM partr""".stripMargin
+
   def mixturePlanOracleSql(budgetTokens: Long = 50000L,
                            capTokens: Long = 5000L): String =
     s"""WITH c AS (

@@ -109,4 +109,121 @@ object SubstrDup {
        |  CAST(coalesce(r.max_run + ${k - 1}, 0) AS BIGINT)
        |    AS max_dup_run_tokens
        |FROM stats s LEFT JOIN runs r USING (doc_id)""".stripMargin
+
+  /** Exact-substring duplication REMOVAL — the enactment of the q89
+    * audit (Lee et al. ACL'22 §4.2 apply it as a rewrite, not just a
+    * report): every token covered by at least one cross-doc-duplicated
+    * k-window is deleted from the document's (normalized) token stream,
+    * and the survivors are re-joined in order. Because a duplicated
+    * window covers exactly k consecutive tokens, the shortest removable
+    * span is k tokens — this is the reference method at word-k-gram
+    * granularity instead of suffix-array 50-byte granularity (the
+    * deviation is documented in DEVIATIONS.md; the detection basis is
+    * identical to q89's, so audit and rewrite cannot disagree).
+    *
+    * Output: one row per document — token count, removed-token count,
+    * and the cleaned text ('' when everything was duplicated; the full
+    * normalized text when nothing was). Docs shorter than k tokens have
+    * no windows and pass through unchanged.
+    *
+    * Scale: the q89 TF-IDF shuffle shape (positional-gram explode,
+    * distinct-doc document frequency, gram-keyed join-back) plus one
+    * doc-keyed position join and doc-local windows — everything linear
+    * in corpus size; the coverage window frame is k rows, never
+    * corpus-bounded, and the rebuild aggregate is arrival-bounded per
+    * doc. */
+  def substrRemove(spark: SparkSession, dir: String,
+                   k: Int = 8): DataFrame =
+    substrRemoveDf(Tables.load(spark, dir, "documents"), k,
+      Some(graft.ops.Partitioning.forTable(spark, dir, "documents", 5.0)))
+
+  def substrRemoveDf(docs: DataFrame, k: Int = 8,
+                     numParts: Option[Int] = None): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    // token stream (same normalization basis as the gram hashes, so
+    // positions line up by construction)
+    val toks = base
+      .select(col("doc_id"),
+              split(TextAnalysis.normalized(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) > 0 && col("ws").getItem(0) =!= "")
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tok")))
+    val gh0 = Winnow.gramHashesOf(base, k)
+    val gh = numParts.fold(gh0)(n => gh0.repartition(n, col("gh")))
+    val gdf = gh.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    // dup flag per WINDOW-START position; token positions past n-k get
+    // no row and join as null (no window starts there)
+    val dupw = gh.join(gdf, "gh")
+      .select(col("doc_id"), col("pos"), (col("gdf") >= 2).as("win_dup"))
+    // token at pos p is covered iff a dup window starts in [p-k+1, p];
+    // toks is dense in pos, so a k-row frame IS that position range
+    val covFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(k - 1), 0)
+    val covered = toks.join(dupw, Seq("doc_id", "pos"), "left")
+      .withColumn("covered",
+        max(when(coalesce(col("win_dup"), lit(false)), 1).otherwise(0))
+          .over(covFrame) === 1)
+    val stats = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"))
+    val clean = covered.filter(!col("covered"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(expr("transform(array_sort(" +
+        "collect_list(struct(pos, tok))), x -> x.tok)"), " ")
+        .as("ct"))
+    base.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+              coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+              coalesce(col("ct"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB oracle for [[substrRemove]]: the q89 detection CTEs plus
+    * the k-row coverage window and an ordered string_agg rebuild. */
+  def substrRemoveOracleSql(k: Int = 8): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS w FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': w[i]}
+       |    for i in range(1, len(w) + 1)]) AS u
+       |  FROM ws WHERE len(w) > 0 AND w[1] <> ''),
+       |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM toks),
+       |gh0 AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1,
+       |    'gh': substr(md5(array_to_string(w[i:i+${k - 1}], ' ')), 1, 16)}
+       |    for i in range(1, len(w) - ${k - 2})]) AS u
+       |  FROM ws WHERE len(w) >= $k),
+       |gh AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM gh0),
+       |gdf AS (SELECT gh, count(*) AS gdf
+       |        FROM (SELECT DISTINCT doc_id, gh FROM gh) GROUP BY gh),
+       |dupw AS (
+       |  SELECT gh.doc_id, gh.pos, gdf.gdf >= 2 AS win_dup
+       |  FROM gh JOIN gdf USING (gh)),
+       |cov AS (
+       |  SELECT t.doc_id, t.pos, t.tok,
+       |    max(CASE WHEN coalesce(d.win_dup, false) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |            ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) = 1
+       |      AS covered
+       |  FROM tok t LEFT JOIN dupw d
+       |    ON t.doc_id = d.doc_id AND t.pos = d.pos),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_removed
+       |  FROM cov GROUP BY doc_id),
+       |clean AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+       |  FROM cov WHERE NOT covered GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(s.n_removed, 0) AS BIGINT) AS n_removed,
+       |  coalesce(c.ct, '') AS clean_text
+       |FROM documents d
+       |LEFT JOIN stats s ON d.doc_id = s.doc_id
+       |LEFT JOIN clean c ON d.doc_id = c.doc_id""".stripMargin
 }

@@ -129,4 +129,70 @@ class SamplingSpec extends SparkSpec {
     // never exceeds budget + one cap per source
     assert(rows.map(_.getLong(3)).sum <= 50000L + 5000L * rows.length)
   }
+
+  test("epochExpand: hand fixture replays the allocation exactly") {
+    // two sources: srcA 30 tokens (3 docs × 10), srcB 10 tokens
+    // (2 docs × 5); total 40. budgetX=2, cap=1/2 → cap 20.
+    //   srcA: target min(20, 60) = 20 → 0 full epochs... no: 20 div 30
+    //     = 0 full, rem 20 → partial keeps docs while start+n ≤ 20:
+    //     docs 1 (0..10) and 2 (10..20) kept, doc 3 dropped.
+    //   srcB: target min(20, 20) = 20 → 2 full epochs, rem 0.
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val five = (1 to 5).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", ten), (2L, "srcA", ten), (3L, "srcA", ten),
+      (4L, "srcB", five), (5L, "srcB", five))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.epochExpandOf(docs, budgetX = 2,
+        capNum = 1, capDen = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "srcA", 0L, 10L), (2L, "srcA", 0L, 10L),
+      (4L, "srcB", 0L, 5L), (5L, "srcB", 0L, 5L),
+      (4L, "srcB", 1L, 5L), (5L, "srcB", 1L, 5L)))
+  }
+
+  test("epochExpand: corpus invariants — budget respected per source") {
+    val out = Sampling.epochExpand(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // delivered tokens per source never exceed the target =
+    // min(total/10, 2·n_tokens), and miss it by less than one doc
+    // (the prefix rule drops at most the first non-fitting doc's worth)
+    val delivered = out.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("got"),
+           max(col("epoch")).as("max_epoch"))
+    val plan = graft.ext.Packing.packedDocs(spark, sfDir)
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("n_tokens"))
+    val total = plan.agg(sum(col("n_tokens"))).head.getLong(0)
+    val joined = delivered.join(plan, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (got, maxEpoch, n) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      val target = math.min(total / 10, 2L * n)
+      assert(got <= target)
+      // highest epoch index: full epochs − 1, +1 when the partial
+      // epoch materialized at least one doc
+      assert(maxEpoch >= target / n - 1 && maxEpoch <= target / n)
+    }
+    // both shapes must occur at this corpus: a source with 2 full
+    // epochs (uncapped) and a source with a partial epoch (capped)
+    val fulls = joined.count(r => r.getLong(2) == 1L &&
+      math.min(total / 10, 2L * r.getLong(3)) == 2L * r.getLong(3))
+    val capped = joined.count(r =>
+      math.min(total / 10, 2L * r.getLong(3)) < 2L * r.getLong(3))
+    assert(fulls > 0 && capped > 0)
+    out.unpersist()
+  }
+
+  test("epochExpand is deterministic across repartitionings") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val a = Sampling.epochExpandOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = Sampling.epochExpandOf(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+  }
 }

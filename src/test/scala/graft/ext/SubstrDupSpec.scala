@@ -67,4 +67,54 @@ class SubstrDupSpec extends SparkSpec {
       col("max_dup_run_tokens") - 7 > col("n_dup_windows")).count() == 0)
     out.unpersist()
   }
+
+  private def removed(rows: Seq[(Long, String)], k: Int = 8) =
+    SubstrDup.substrRemoveDf(rows.toDF("doc_id", "text"), k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+  test("removal deletes exactly the covered span, nothing else") {
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val tailA = "alpha beta gamma delta epsilon zeta eta theta"
+    val headB = "iota kappa lambda mu nu xi omicron pi"
+    val out = removed(Seq((1L, s"$shared $tailA"), (2L, s"$headB $shared")))
+    // doc 1: the 10 shared tokens are covered; the 8-token tail survives
+    assert(out(1L) == ((18L, 10L, tailA)))
+    // doc 2: head survives, shared tail removed
+    assert(out(2L) == ((18L, 10L, headB)))
+  }
+
+  test("removal: doc shorter than k and non-dup doc pass through") {
+    val short = "only three tokens"
+    val uniq = "completely unrelated vocabulary with nine distinct fresh words"
+    val other = "some other doc that shares nothing with either of them"
+    val out = removed(Seq((1L, short), (2L, uniq), (3L, other)))
+    assert(out(1L) == ((3L, 0L, short)))
+    assert(out(2L)._2 == 0L && out(2L)._3 == uniq)
+  }
+
+  test("removal: identical docs are emptied entirely") {
+    val t = (1 to 12).map(i => s"t$i").mkString(" ")
+    val out = removed(Seq((1L, t), (2L, t)))
+    assert(out(1L) == ((12L, 12L, "")))
+    assert(out(2L) == ((12L, 12L, "")))
+  }
+
+  test("removal conserves tokens on the real corpus") {
+    val out = SubstrDup.substrRemove(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // survivors in clean_text = n_tokens - n_removed, for every doc
+    val survived = when(col("clean_text") === "", 0L)
+      .otherwise(size(split(col("clean_text"), " ")).cast("long"))
+    assert(out.filter(survived =!= col("n_tokens") - col("n_removed"))
+      .count() == 0)
+    // the audit and the rewrite share a detection basis: a doc removes
+    // tokens iff q89 reports dup windows on it
+    val audit = SubstrDup.substrDupStats(spark, sfDir)
+      .select(col("doc_id"), col("n_dup_windows"))
+    assert(out.join(audit, "doc_id")
+      .filter((col("n_removed") > 0) =!= (col("n_dup_windows") > 0))
+      .count() == 0)
+    out.unpersist()
+  }
 }
