@@ -709,6 +709,12 @@ object SparkEntry {
     // capped-proportional plan (q162 allocation × q212 prefix rule)
     "q217_epoch_expand" -> ((s: SparkSession, d: String) =>
       ext.Sampling.epochExpand(s, d)),
+    // streaming count-min heavy hitters — completes the streaming
+    // sketch trio (q128 HLL distincts, q159 histogram quantiles);
+    // counter adds commute, so the stream-built table IS the batch
+    // table and the q110 oracle certifies it verbatim
+    "q218_stream_cms" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.cmsTopTokensAvailableNow(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1424,5 +1430,6 @@ object SparkEntry {
       ext.Dedup.paragraphFingerprintsOracleSql(),
     "q216_substr_remove" -> ext.SubstrDup.substrRemoveOracleSql(),
     "q217_epoch_expand" -> ext.Sampling.epochExpandOracleSql(),
+    "q218_stream_cms" -> ext.Sketches.cmsOracleSql(),
   )
 }

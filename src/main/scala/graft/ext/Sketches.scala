@@ -285,17 +285,40 @@ object Sketches {
     * arithmetic in the md5 domain: both engines agree bit-for-bit. */
   def cmsTopTokens(spark: SparkSession, dir: String,
                    k: Int = 20): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
+    val toks = corpusTokens(spark, dir)
+    cmsEstimates(cmsCounters(toks), cmsTopTruth(toks, k))
+  }
+
+  /** The corpus token stream shared by the batch and streaming CMS
+    * gates (one `token` column, empty tokens dropped). */
+  private[graft] def corpusTokens(spark: SparkSession,
+                                  dir: String): DataFrame =
+    tokensOf(Tables.load(spark, dir, "documents"))
+
+  private[graft] def tokensOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(TextAnalysis.normalized(col("text")), " "))
         .as("token"))
       .filter(col("token") =!= "")
-    val counters = toks
+
+  /** The d×w counter table of a `token` stream — the mergeable sketch
+    * itself (adds commute, so ANY split/order of the stream builds the
+    * identical table; the streaming gate rides on exactly this). */
+  private[graft] def cmsCounters(toks: DataFrame): DataFrame =
+    toks
       .select(posexplode(array((0 until CmsD).map(j =>
         cmsBucket(col("token"), j)): _*)).as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cell"))
-    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
+
+  /** Deterministic true-top-k point-query set (count desc, token asc). */
+  private[graft] def cmsTopTruth(toks: DataFrame, k: Int): DataFrame =
+    toks.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
       .orderBy(col("n_true").desc, col("token")).limit(k)
+
+  /** Point queries: min over the d cells each token hashes to. */
+  private[graft] def cmsEstimates(counters: DataFrame,
+                                  top: DataFrame): DataFrame =
     top
       .select(col("token"), col("n_true"),
               posexplode(array((0 until CmsD).map(j =>
@@ -304,7 +327,6 @@ object Sketches {
       .groupBy(col("token"))
       .agg(max(col("n_true")).as("n_true"), min(col("cell")).as("n_est"))
       .select(col("token"), col("n_true"), col("n_est"))
-  }
 
   // ---- AMS (count-sketch) join-cardinality estimation ---------------
 

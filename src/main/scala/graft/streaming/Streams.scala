@@ -1249,4 +1249,27 @@ object Streams {
       .select(col("event_type"), col("n_set"), col("n_zero_regs"),
               col("denom_scaled"), col("est"), col("est_corrected"))
   }
+
+  /** STREAMING count-min heavy hitters — the frequency member of the
+    * streaming sketch family, completing the trio with the q128 HLL
+    * (distincts) and the q159 histogram (quantiles): the STREAM folds
+    * the token firehose into the fixed d×w = 4×512 counter table with
+    * one Complete-mode aggregation (state bounded at 2048 cells
+    * FOREVER), and counter adds commute, so any arrival order builds
+    * the batch table bit-for-bit — certified by reusing the batch q110
+    * oracle verbatim. The point-query set (true top-k) comes from the
+    * BATCH side, like q159's bin bounds: a production dashboard queries
+    * the sketch with keys it already knows, it does not enumerate the
+    * stream. The final min-of-d-cells fold is the consumer's bounded
+    * per-refresh step over the bounded run's output. */
+  def cmsTopTokensAvailableNow(spark: SparkSession, dir: String,
+                               k: Int = 20): DataFrame = {
+    val counters = graft.ext.Sketches
+      .cmsCounters(graft.ext.Sketches.tokensOf(
+        readDocumentsStream(spark, dir)))
+    graft.ext.Sketches.cmsEstimates(
+      runBounded(counters, OutputMode.Complete()),
+      graft.ext.Sketches.cmsTopTruth(
+        graft.ext.Sketches.corpusTokens(spark, dir), k))
+  }
 }

@@ -133,8 +133,8 @@ class SamplingSpec extends SparkSpec {
   test("epochExpand: hand fixture replays the allocation exactly") {
     // two sources: srcA 30 tokens (3 docs × 10), srcB 10 tokens
     // (2 docs × 5); total 40. budgetX=2, cap=1/2 → cap 20.
-    //   srcA: target min(20, 60) = 20 → 0 full epochs... no: 20 div 30
-    //     = 0 full, rem 20 → partial keeps docs while start+n ≤ 20:
+    //   srcA: target min(20, 60) = 20 → 20 div 30 = 0 full epochs,
+    //     rem 20 → the partial epoch keeps docs while start+n ≤ 20:
     //     docs 1 (0..10) and 2 (10..20) kept, doc 3 dropped.
     //   srcB: target min(20, 20) = 20 → 2 full epochs, rem 0.
     val ten = (1 to 10).map(i => s"w$i").mkString(" ")

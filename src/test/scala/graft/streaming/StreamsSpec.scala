@@ -383,6 +383,15 @@ class StreamsSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream-built CMS heavy hitters equal the batch gate bit-for-bit") {
+    val stream = Streams.cmsTopTokensAvailableNow(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.ext.Sketches.cmsTopTokens(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming gopher census equals the batch rule aggregate") {
     val stream = Streams.gopherKeepAvailableNow(spark, sfDir)
       .collect().map(r =>
