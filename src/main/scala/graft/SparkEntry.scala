@@ -715,6 +715,12 @@ object SparkEntry {
     // table and the q110 oracle certifies it verbatim
     "q218_stream_cms" -> ((s: SparkSession, d: String) =>
       streaming.Streams.cmsTopTokensAvailableNow(s, d)),
+    // consecutive-duplicate-token collapse — map-side cleaning rewrite
+    "q219_collapse_repeats" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.collapseRepeats(s, d)),
+    // per-source first-fail attribution across the Gopher rule cascade
+    "q220_gopher_funnel" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.gopherFunnel(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1431,5 +1437,7 @@ object SparkEntry {
     "q216_substr_remove" -> ext.SubstrDup.substrRemoveOracleSql(),
     "q217_epoch_expand" -> ext.Sampling.epochExpandOracleSql(),
     "q218_stream_cms" -> ext.Sketches.cmsOracleSql(),
+    "q219_collapse_repeats" -> ext.TextAnalysis.collapseRepeatsOracleSql(),
+    "q220_gopher_funnel" -> ext.TextAnalysis.gopherFunnelOracleSql(),
   )
 }

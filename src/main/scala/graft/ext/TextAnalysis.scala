@@ -1170,7 +1170,8 @@ object TextAnalysis {
     * into Structured Streaming (see
     * [[graft.streaming.Streams.gopherKeepAvailableNow]]). */
   def withGopherFlags(docs: DataFrame, minWords: Int = 50,
-                      maxWords: Int = 100000): DataFrame = {
+                      maxWords: Int = 100000,
+                      stopMin: Int = 2): DataFrame = {
     // explicit whitespace class, NOT \s+: Java's \s and RE2's \s
     // disagree on e.g. vertical tab U+000B, so the oracle uses the
     // same literal class — the tokenizers agree by construction
@@ -1216,7 +1217,8 @@ object TextAnalysis {
         (col("__n_symbol") * 10 <= col("n_words")).cast("int"))
       .withColumn("r_alpha",
         (col("__n_alpha") * 10 >= col("n_words") * 8).cast("int"))
-      .withColumn("r_stop", (col("n_stop_distinct") >= 2).cast("int"))
+      .withColumn("r_stop",
+        (col("n_stop_distinct") >= stopMin).cast("int"))
       .withColumn("keep",
         (col("r_word_count") * col("r_mean_len") * col("r_symbol") *
          col("r_alpha") * col("r_stop")).cast("int"))
@@ -1224,7 +1226,8 @@ object TextAnalysis {
   }
 
   def gopherRulesOracleSql(minWords: Int = 50,
-                           maxWords: Int = 100000): String =
+                           maxWords: Int = 100000,
+                           stopMin: Int = 2): String =
     s"""WITH w AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
@@ -1262,13 +1265,13 @@ object TextAnalysis {
        |       AND n_chars <= 10 * n_words AS INT) AS r_mean_len,
        |  CAST(n_symbol_words * 10 <= n_words AS INT) AS r_symbol,
        |  CAST(n_alpha_words * 10 >= n_words * 8 AS INT) AS r_alpha,
-       |  CAST(n_stop_distinct >= 2 AS INT) AS r_stop,
+       |  CAST(n_stop_distinct >= $stopMin AS INT) AS r_stop,
        |  CAST((n_words >= $minWords AND n_words <= $maxWords)
        |    AND (n_words > 0 AND n_chars >= 3 * n_words
        |         AND n_chars <= 10 * n_words)
        |    AND n_symbol_words * 10 <= n_words
        |    AND n_alpha_words * 10 >= n_words * 8
-       |    AND n_stop_distinct >= 2 AS INT) AS keep
+       |    AND n_stop_distinct >= $stopMin AS INT) AS keep
        |FROM f""".stripMargin
 
   /** Oracle for the STREAMING Gopher census
@@ -1279,6 +1282,125 @@ object TextAnalysis {
     s"""WITH g AS (${gopherRulesOracleSql(minWords, maxWords)})
        |SELECT d.source, count(*) AS n_docs,
        |  CAST(sum(g.keep) AS BIGINT) AS n_keep
+       |FROM g JOIN documents d ON d.doc_id = g.doc_id
+       |GROUP BY d.source""".stripMargin
+
+  /** Consecutive-duplicate-token collapse — the stutter/boilerplate
+    * repeat cleaner ("batch batch batch" → "batch"): runs of the same
+    * normalized token collapse to one copy, with per-doc audit counts.
+    * This is the REWRITE companion of the q56/q75 repetition audits
+    * (Gopher's duplicated-unigram signal), and the corpus exercises it
+    * naturally (repeated adjacent tokens occur in the synthetic text).
+    *
+    * Scale: a PURE map — the keep decision is an indexed array filter
+    * inside one projection, no shuffle, no window, no join
+    * (plan-asserted); at 100 TB this runs at scan speed and fuses into
+    * whole-stage codegen alongside any other per-doc cleaning step. */
+  def collapseRepeats(spark: SparkSession, dir: String): DataFrame =
+    collapseRepeatsDf(Tables.load(spark, dir, "documents"))
+
+  def collapseRepeatsDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+              split(normalized(col("text")), " ").as("ws"))
+      .withColumn("ws",
+        when(size(col("ws")) === 1 && col("ws").getItem(0) === "",
+             array().cast("array<string>"))
+          .otherwise(col("ws")))
+      .withColumn("kept",
+        // when(), not ||: element_at(ws, 0) would raise under ANSI —
+        // the branch must not evaluate for the first element
+        filter(col("ws"), (w, i) =>
+          when(i === 0, lit(true))
+            .otherwise(w =!= element_at(col("ws"), i))))
+      .select(col("doc_id"),
+              size(col("ws")).cast("long").as("n_tokens"),
+              (size(col("ws")) - size(col("kept"))).cast("long")
+                .as("n_collapsed"),
+              array_join(col("kept"), " ").as("clean_text"))
+
+  /** DuckDB oracle for [[collapseRepeats]]: the same indexed filter as
+    * a list comprehension (1-based; element i survives iff i = 1 or it
+    * differs from element i−1). */
+  def collapseRepeatsOracleSql(): String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+      |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+      |    AS w0 FROM documents),
+      |w2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w0) = 1 AND w0[1] = '' THEN []
+      |         ELSE w0 END AS w
+      |  FROM ws),
+      |k AS (
+      |  SELECT doc_id, w,
+      |    [w[i] for i in range(1, len(w) + 1)
+      |     if i = 1 OR w[i] <> w[i - 1]] AS kept
+      |  FROM w2)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(w) - len(kept) AS BIGINT) AS n_collapsed,
+      |  array_to_string(kept, ' ') AS clean_text
+      |FROM k""".stripMargin
+
+  /** Quality-filter FUNNEL attribution — the report a cleaning
+    * pipeline's operator actually tunes against: each rejected doc is
+    * attributed to the FIRST rule it fails in the paper's order
+    * (word count → mean length → symbol → alpha → stop words), so the
+    * per-source counts answer "which rule costs me which fraction of
+    * which source" (sum of the five fail columns + kept = n_docs,
+    * spec-asserted). The rules are [[withGopherFlags]]'s verbatim —
+    * the funnel cannot drift from the q201/q204 gates.
+    *
+    * `stopMin` defaults to 1 here (not the paper's 2): the synthetic
+    * corpus vocabulary contains one stop word, so at 2 every document
+    * fails the stop rule and the funnel degenerates to a single
+    * column; at 1 the corpus exercises kept + two distinct rejection
+    * rules at every scale. Production corpora use the paper threshold.
+    *
+    * Scale: map-side flags + one bounded groupBy — the q204 shape. */
+  def gopherFunnel(spark: SparkSession, dir: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   stopMin: Int = 1): DataFrame = {
+    val f = withGopherFlags(Tables.load(spark, dir, "documents"),
+                            minWords, maxWords, stopMin)
+    val pass = (c: String) => col(c) === 1
+    f.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("keep").cast("long")).as("n_kept"),
+      sum((!pass("r_word_count")).cast("long")).as("n_fail_word_count"),
+      sum((pass("r_word_count") && !pass("r_mean_len")).cast("long"))
+        .as("n_fail_mean_len"),
+      sum((pass("r_word_count") && pass("r_mean_len") &&
+           !pass("r_symbol")).cast("long")).as("n_fail_symbol"),
+      sum((pass("r_word_count") && pass("r_mean_len") &&
+           pass("r_symbol") && !pass("r_alpha")).cast("long"))
+        .as("n_fail_alpha"),
+      sum((pass("r_word_count") && pass("r_mean_len") &&
+           pass("r_symbol") && pass("r_alpha") && !pass("r_stop"))
+        .cast("long")).as("n_fail_stop"))
+  }
+
+  /** DuckDB oracle for [[gopherFunnel]]: the shared rule CTE plus the
+    * same first-fail CASE cascade. */
+  def gopherFunnelOracleSql(minWords: Int = 50, maxWords: Int = 100000,
+                            stopMin: Int = 1): String =
+    s"""WITH g AS (${gopherRulesOracleSql(minWords, maxWords, stopMin)})
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(g.keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN g.r_word_count = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_fail_word_count,
+       |  CAST(sum(CASE WHEN g.r_word_count = 1 AND g.r_mean_len = 0
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_len,
+       |  CAST(sum(CASE WHEN g.r_word_count = 1 AND g.r_mean_len = 1
+       |       AND g.r_symbol = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fail_symbol,
+       |  CAST(sum(CASE WHEN g.r_word_count = 1 AND g.r_mean_len = 1
+       |       AND g.r_symbol = 1 AND g.r_alpha = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_fail_alpha,
+       |  CAST(sum(CASE WHEN g.r_word_count = 1 AND g.r_mean_len = 1
+       |       AND g.r_symbol = 1 AND g.r_alpha = 1 AND g.r_stop = 0
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
        |FROM g JOIN documents d ON d.doc_id = g.doc_id
        |GROUP BY d.source""".stripMargin
 

@@ -376,4 +376,71 @@ class TextAnalysisSpec extends SparkSpec {
       assert(maxHead <= minTail + 1e-9, s"$lang head > tail")
     }
   }
+
+  test("collapseRepeats: runs collapse to one copy, in order") {
+    import spark.implicits._
+    val out = TextAnalysis.collapseRepeatsDf(Seq(
+        (1L, "a a a b a"), (2L, "x y z"), (3L, ""),
+        (4L, "w w W w. w"))   // normalization merges case/punct forms
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((5L, 2L, "a b a")))
+    assert(out(2L) == ((3L, 0L, "x y z")))
+    assert(out(3L) == ((0L, 0L, "")))
+    assert(out(4L) == ((5L, 4L, "w")))
+  }
+
+  test("collapseRepeats is map-side only and idempotent on the corpus") {
+    val out = TextAnalysis.collapseRepeats(spark, sfDir).cache()
+    // pure projection: no shuffle anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    // the corpus exercises it naturally
+    assert(out.filter(col("n_collapsed") > 0).count() > 0)
+    // re-collapsing the cleaned text collapses nothing
+    val again = TextAnalysis.collapseRepeatsDf(
+      out.select(col("doc_id"), col("clean_text").as("text")))
+    assert(again.filter(col("n_collapsed") > 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("gopherFunnel: first-fail attribution partitions every source") {
+    val rows = TextAnalysis.gopherFunnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = (2 to 7).map(r.getLong)
+      assert(parts.sum == r.getLong(1),
+             s"${r.getString(0)}: $parts != ${r.getLong(1)}")
+    }
+    // the corpus must exercise kept AND at least two rejection rules
+    assert(rows.map(_.getLong(2)).sum > 0)
+    assert(rows.map(_.getLong(3)).sum > 0)
+    assert(rows.map(r => (4 to 7).map(r.getLong).sum).sum > 0)
+  }
+
+  test("gopherFunnel: each rule claims its own fixture doc") {
+    import spark.implicits._
+    def rep(w: String) = Seq.fill(60)(w).mkString(" ")
+    val docs = Seq(
+      (1L, "s", "too short"),                        // word count
+      (2L, "s", rep("x")),                           // mean len < 3
+      (3L, "s", rep("the#tag is") + " " + rep("with extra")), // symbol
+      (4L, "s", rep("the 123 45 678 with")),         // alpha < 80%
+      (5L, "s", rep("hello world nothing")),         // no stop words
+      (6L, "s", rep("the quick fox with runs")))     // kept
+      .toDF("doc_id", "source", "text")
+    val f = TextAnalysis.withGopherFlags(docs, stopMin = 1)
+      .select(col("doc_id"), col("r_word_count"), col("r_mean_len"),
+              col("r_symbol"), col("r_alpha"), col("r_stop"),
+              col("keep"))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 6).map(r.getInt)).toMap
+    assert(f(1L)(0) == 0)                       // fails word count
+    assert(f(2L)(0) == 1 && f(2L)(1) == 0)      // fails mean length
+    assert(f(3L)(0) == 1 && f(3L)(1) == 1 && f(3L)(2) == 0)
+    assert(f(4L)(0) == 1 && f(4L)(3) == 0)
+    assert(f(5L)(4) == 0 && f(5L)(0) == 1)
+    assert(f(6L)(5) == 1)                       // survives the cascade
+  }
 }

@@ -98,7 +98,8 @@ object ScaleSmoke {
     // round-13: paragraph dedup, source token cap, BPE trainer
     // (documents-based)
     "q211_paragraph_dedup", "q212_source_token_cap", "q213_bpe_merges",
-    "q214_bpe_encode",
+    "q214_bpe_encode", "q216_substr_remove", "q217_epoch_expand",
+    "q218_stream_cms",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
