@@ -721,6 +721,12 @@ object SparkEntry {
     // per-source first-fail attribution across the Gopher rule cascade
     "q220_gopher_funnel" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.gopherFunnel(s, d)),
+    // dedup-weighted diversity sampling: keep-prob ~ 1/cluster_size
+    "q221_diversity_sample" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.diversitySample(s, d)),
+    // closed-vocabulary <unk> rewrite — enacts q122's frozen vocab
+    "q222_vocab_prune" -> ((s: SparkSession, d: String) =>
+      ext.TextAnalysis.vocabPrune(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1439,5 +1445,7 @@ object SparkEntry {
     "q218_stream_cms" -> ext.Sketches.cmsOracleSql(),
     "q219_collapse_repeats" -> ext.TextAnalysis.collapseRepeatsOracleSql(),
     "q220_gopher_funnel" -> ext.TextAnalysis.gopherFunnelOracleSql(),
+    "q221_diversity_sample" -> ext.Dedup.diversitySampleOracleSql(),
+    "q222_vocab_prune" -> ext.TextAnalysis.vocabPruneOracleSql(),
   )
 }

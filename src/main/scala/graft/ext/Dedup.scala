@@ -1201,6 +1201,77 @@ object Dedup {
        |  CAST(sum(sz) AS BIGINT) AS n_docs
        |FROM szs GROUP BY sz""".stripMargin
 
+  /** Dedup-WEIGHTED diversity sampling — the soft alternative to
+    * hard survivor dedup: every document keeps a chance ≈ 1/cluster_size
+    * of surviving (singletons always survive), so each near-dup cluster
+    * contributes ~1 expected doc while WHICH copy survives varies by
+    * hash — the downweight-duplicates policy used when a pipeline wants
+    * the natural distribution thinned, not canonicalized. The keep rule
+    * is exact rational arithmetic on the md5 of the doc_id
+    * (`u · size < 2^32` with u the first-8-hex-digits integer —
+    * P(keep) = ⌈2^32/size⌉/2^32), so the decision is a pure function of
+    * (doc_id, cluster size): reproducible across runs, partitionings,
+    * and engines, and the DuckDB oracle replays every bit.
+    *
+    * Scale: reuses the shared exact-pair persist + label-prop loop; one
+    * cluster-keyed size aggregate + join-back (cluster count ≪ corpus),
+    * then map-side hashing. */
+  def diversitySample(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8): DataFrame = {
+    val labels = clusterLabels(jaccardPairsCached(spark, dir, threshold)
+      .select(col("a_id"), col("b_id")))
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val withLab = docs
+      .join(labels, docs("doc_id") === labels("id"), "left_outer")
+      .select(col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("cluster"))
+    val sizes = withLab.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withLab.join(sizes, "cluster")
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+              (col("u") * col("cluster_size") < lit(1L << 32))
+                .cast("int").cast("long").as("kept"))
+  }
+
+  /** DuckDB oracle for [[diversitySample]]: the q93 recursive closure
+    * for labels, sizes per cluster, and the identical integer keep
+    * rule off the parsed md5 prefix. */
+  def diversitySampleOracleSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents),
+       |p AS (SELECT a_id, b_id FROM (
+       | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+       | WHERE jac >= $threshold),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION SELECT b_id, a_id FROM p),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+       |wl AS (
+       |  SELECT doc_id, coalesce(lab.label, doc_id) AS cluster
+       |  FROM documents LEFT JOIN lab ON documents.doc_id = lab.id),
+       |szs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       |        FROM wl GROUP BY cluster)
+       |SELECT wl.doc_id, wl.cluster, szs.cluster_size,
+       |  CAST(list_reduce([CAST(strpos('0123456789abcdef', substr(
+       |      md5(CAST(wl.doc_id AS VARCHAR)), p, 1)) - 1
+       |    AS BIGINT) for p in range(1, 9)],
+       |    (a, b) -> a * 16 + b) * szs.cluster_size < ${1L << 32}
+       |    AS BIGINT) AS kept
+       |FROM wl JOIN szs USING (cluster)""".stripMargin
+
   /** Quality-ranked cluster survivor — the production dedup policy:
     * within each near-dup cluster keep the FULLEST copy (most word
     * tokens; ties to the smallest doc_id), not the smallest id.

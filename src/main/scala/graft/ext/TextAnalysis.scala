@@ -1496,6 +1496,89 @@ object TextAnalysis {
               round(col("n_oov") / col("n_tokens"), 4).as("oov_rate"))
   }
 
+  /** Vocabulary-prune REWRITE — the enactment of q122's frozen
+    * frequency-cut vocabulary: every out-of-vocabulary token becomes
+    * the `<unk>` placeholder and the text is rebuilt, with per-doc unk
+    * counts (the step that actually materializes a closed-vocab corpus
+    * for a fixed tokenizer). The vocabulary is the top-`vocabSize`
+    * tokens by (count desc, token asc) — the same deterministic cut as
+    * q122, so both engines freeze the identical set.
+    *
+    * `vocabSize` defaults to 24 here (not q122's 1000): the synthetic
+    * corpus has a 31-token vocabulary, so any cut ≥ 31 makes the
+    * rewrite the identity; at 24 the gate exercises real replacement
+    * at every scale. Production uses the tokenizer's true size.
+    *
+    * Scale: one bounded vocabulary aggregate (vocabulary-sized, built
+    * with the q122 TakeOrdered cut), BROADCAST membership join on the
+    * exploded token stream, doc-local ordered rebuild — corpus passes
+    * are linear, nothing keys on the corpus but the doc_id rebuild. */
+  def vocabPrune(spark: SparkSession, dir: String,
+                 vocabSize: Int = 24): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+    val toks = base
+      .select(col("doc_id"),
+              split(normalized(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) > 0 && col("ws").getItem(0) =!= "")
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tk")))
+    val vocab = toks.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tk")).limit(vocabSize)
+      .select(col("tk"), lit(1).as("iv"))
+    val mapped = toks.join(broadcast(vocab), Seq("tk"), "left_outer")
+      .select(col("doc_id"), col("pos"),
+              when(col("iv").isNull, lit("<unk>")).otherwise(col("tk"))
+                .as("mt"),
+              col("iv").isNull.as("oov"))
+    val stats = mapped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("oov"), 1L).otherwise(0L)).as("n_unk"))
+    val clean = mapped.groupBy(col("doc_id"))
+      .agg(array_join(expr("transform(array_sort(" +
+        "collect_list(struct(pos, mt))), x -> x.mt)"), " ")
+        .as("pruned_text"))
+    base.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+              coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+              coalesce(col("pruned_text"), lit("")).as("pruned_text"))
+  }
+
+  /** DuckDB oracle for [[vocabPrune]]: the q122 vocabulary CTE, the
+    * same CASE mapping per position, and an ordered string_agg. */
+  def vocabPruneOracleSql(vocabSize: Int = 24): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
+       |    AS w FROM documents),
+       |toks0 AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'tk': w[i]}
+       |    for i in range(1, len(w) + 1)]) AS u
+       |  FROM ws WHERE len(w) > 0 AND w[1] <> ''),
+       |toks AS (SELECT doc_id, u.pos AS pos, u.tk AS tk FROM toks0),
+       |c AS (SELECT tk, count(*) AS n FROM toks GROUP BY tk),
+       |v AS (SELECT tk AS vtk FROM c ORDER BY n DESC, tk LIMIT $vocabSize),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN vtk IS NULL THEN '<unk>' ELSE tk END AS mt,
+       |    vtk IS NULL AS oov
+       |  FROM toks LEFT JOIN v ON vtk = tk),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+       |  FROM m GROUP BY doc_id),
+       |clean AS (
+       |  SELECT doc_id, string_agg(mt, ' ' ORDER BY pos) AS pruned_text
+       |  FROM m GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(s.n_unk, 0) AS BIGINT) AS n_unk,
+       |  coalesce(c2.pruned_text, '') AS pruned_text
+       |FROM documents d
+       |LEFT JOIN stats s ON d.doc_id = s.doc_id
+       |LEFT JOIN clean c2 ON d.doc_id = c2.doc_id""".stripMargin
+
   def vocabCoverageOracleSql(vocabSize: Int = 1000): String =
     s"""WITH tok AS (
        |  SELECT source,

@@ -696,4 +696,32 @@ class DedupSpec extends SparkSpec {
     val fUniq = Dedup.dupFractions(spark, uniq, Seq(Nil)).head._2
     assert(fUniq == 0.0, s"all-distinct corpus must read 0.0, got $fUniq")
   }
+
+  test("diversitySample: singletons survive; keep rule replays exactly") {
+    val rows = Dedup.diversitySample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every doc appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // singleton clusters always keep their doc
+    assert(rows.filter(_._3 == 1L).forall(_._4 == 1L))
+    // the keep bit is the documented pure function of (doc_id, size)
+    def md5u(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    rows.foreach { case (id, _, sz, kept) =>
+      val expect = if (md5u(id) * sz < (1L << 32)) 1L else 0L
+      assert(kept == expect, s"doc $id size $sz")
+    }
+    // multi-doc clusters exist and each cluster keeps FAR fewer than
+    // all members (the thinning is real): expected keeps/cluster ~ 1
+    val multi = rows.filter(_._3 >= 2L).groupBy(_._2)
+    assert(multi.nonEmpty)
+    val keptMulti = multi.values.map(_.count(_._4 == 1L)).sum
+    assert(keptMulti <= 2 * multi.size,
+           s"$keptMulti kept across ${multi.size} multi-doc clusters")
+  }
 }

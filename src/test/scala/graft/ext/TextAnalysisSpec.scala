@@ -405,6 +405,22 @@ class TextAnalysisSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("vocabPrune: OOV tokens become <unk>, in place, counts exact") {
+    val out = TextAnalysis.vocabPrune(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // rebuild conserves positions: pruned text has n_tokens tokens
+    val n = when(col("pruned_text") === "", 0L)
+      .otherwise(size(split(col("pruned_text"), " ")).cast("long"))
+    assert(out.filter(n =!= col("n_tokens")).count() == 0)
+    // n_unk counts exactly the <unk> tokens in the rebuilt text
+    val unkCount = size(filter(split(col("pruned_text"), " "),
+      t => t === "<unk>")).cast("long")
+    assert(out.filter(col("n_unk") =!= unkCount).count() == 0)
+    // the 24-cut leaves real replacements on the 31-token vocabulary
+    assert(out.filter(col("n_unk") > 0).count() > 0)
+    out.unpersist()
+  }
+
   test("gopherFunnel: first-fail attribution partitions every source") {
     val rows = TextAnalysis.gopherFunnel(spark, sfDir).collect()
     assert(rows.nonEmpty)
