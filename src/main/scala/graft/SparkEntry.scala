@@ -727,6 +727,10 @@ object SparkEntry {
     // closed-vocabulary <unk> rewrite — enacts q122's frozen vocab
     "q222_vocab_prune" -> ((s: SparkSession, d: String) =>
       ext.TextAnalysis.vocabPrune(s, d)),
+    // streaming ingest pipeline: quality -> sample -> Bloom dedup in
+    // ONE query (only the dedup holds state)
+    "q223_stream_ingest" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.ingestPipelineAvailableNow(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1447,5 +1451,6 @@ object SparkEntry {
     "q220_gopher_funnel" -> ext.TextAnalysis.gopherFunnelOracleSql(),
     "q221_diversity_sample" -> ext.Dedup.diversitySampleOracleSql(),
     "q222_vocab_prune" -> ext.TextAnalysis.vocabPruneOracleSql(),
+    "q223_stream_ingest" -> streaming.Streams.ingestPipelineOracleSql(),
   )
 }

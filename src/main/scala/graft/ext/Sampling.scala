@@ -25,26 +25,25 @@ object Sampling {
   /** Keep-threshold hex digit per source: short source names ("src0"…)
     * sample at 12/16 = 75%, longer ones ("src10"…) at 4/16 = 25% — a
     * stand-in mixture policy; real pipelines pass a rate table. */
-  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val keyHex = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val thresholdHex =
+  /** The mixture keep predicate — a pure row-local expression shared
+    * by the batch sample, the audit view, and the streaming ingest
+    * pipeline (q223), so the policy cannot drift between them. */
+  private[graft] def mixtureKeep: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1) <
       when(length(col("source")) <= 4, lit("c")).otherwise(lit("4"))
+
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .filter(keyHex < thresholdHex)
+      .filter(mixtureKeep)
       .select(col("doc_id"), col("source"))
-  }
 
   /** Per-source kept/total counts for the same mixture — the audit view
     * a pipeline logs next to the sampled corpus. */
-  def mixtureRates(spark: SparkSession, dir: String): DataFrame = {
-    val keyHex = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val thresholdHex =
-      when(length(col("source")) <= 4, lit("c")).otherwise(lit("4"))
+  def mixtureRates(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_total"),
-           sum(when(keyHex < thresholdHex, 1L).otherwise(0L)).as("n_kept"))
-  }
+           sum(when(mixtureKeep, 1L).otherwise(0L)).as("n_kept"))
 
   /** Temperature-based mixture reweighting: sampling weight per source
     * ∝ n_docs^alpha, normalized — alpha < 1 upweights small curated

@@ -1272,4 +1272,52 @@ object Streams {
       graft.ext.Sketches.cmsTopTruth(
         graft.ext.Sketches.corpusTokens(spark, dir), k))
   }
+
+  /** STREAMING INGEST PIPELINE — the cleaning steps a crawl actually
+    * runs AT ingest time, composed into ONE streaming query: Gopher
+    * quality filter (stateless flags, q204's rules at stopMin=1 so the
+    * synthetic corpus yields survivors) → deterministic mixture sample
+    * (the q41 md5 keep rule, shared via `Sampling.mixtureKeep` so the
+    * policy cannot drift from the batch gates) → content dedup against
+    * the bounded Bloom state (the certified q207 kernel). Everything
+    * upstream of the dedup is a pure row-local expression, so the only
+    * state is the Bloom allocation — the whole pipeline admits a doc
+    * within one micro-batch of its arrival at O(8.4 MB) memory forever.
+    *
+    * The gate's single AvailableNow batch delivers id-ordered, so the
+    * survivor per fingerprint is the batch keep-min rule and the oracle
+    * replays the full composition (rules → sample → min-per-fp). */
+  def ingestPipelineAvailableNow(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val survivors = graft.ext.TextAnalysis
+      .withGopherFlags(readDocumentsStream(spark, dir), stopMin = 1)
+      .filter(col("keep") === 1)
+      .filter(graft.ext.Sampling.mixtureKeep)
+      .select(col("doc_id"), col("text"))
+    runBounded(bloomDocDedupStream(survivors).toDF(), OutputMode.Update())
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** DuckDB oracle for [[ingestPipelineAvailableNow]]: the gopher rule
+    * CTE (stopMin=1) → the md5 mixture predicate → keep-min per
+    * content fingerprint. */
+  def ingestPipelineOracleSql(): String =
+    s"""WITH g AS (
+       |${graft.ext.TextAnalysis.gopherRulesOracleSql(stopMin = 1)}),
+       |s AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d JOIN g ON g.doc_id = d.doc_id
+       |  WHERE g.keep = 1
+       |    AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <
+       |        CASE WHEN length(d.source) <= 4 THEN 'c' ELSE '4' END),
+       |f AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+       |  FROM s)
+       |SELECT doc_id, fp FROM (
+       |  SELECT doc_id, fp,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM f) t
+       |WHERE rn = 1""".stripMargin
 }

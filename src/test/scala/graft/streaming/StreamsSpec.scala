@@ -392,6 +392,26 @@ class StreamsSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming ingest pipeline equals the batch composition") {
+    import org.apache.spark.sql.functions._
+    val stream = Streams.ingestPipelineAvailableNow(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.ext.TextAnalysis
+      .withGopherFlags(graft.Tables.load(spark, sfDir, "documents"),
+                       stopMin = 1)
+      .filter(col("keep") === 1)
+      .filter(graft.ext.Sampling.mixtureKeep)
+      .groupBy(md5(graft.ext.TextAnalysis.normalized(col("text")))
+        .as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+    // the composition really filters: fewer survivors than documents
+    val total = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(stream.size < total)
+  }
+
   test("streaming gopher census equals the batch rule aggregate") {
     val stream = Streams.gopherKeepAvailableNow(spark, sfDir)
       .collect().map(r =>
