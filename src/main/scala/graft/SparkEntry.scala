@@ -731,6 +731,13 @@ object SparkEntry {
     // ONE query (only the dedup holds state)
     "q223_stream_ingest" -> ((s: SparkSession, d: String) =>
       streaming.Streams.ingestPipelineAvailableNow(s, d)),
+    // perceptual-hash (dHash) image near-dup census over real decodes
+    "q224_image_dhash" -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.imageDhashCensus(s, d)),
+    // the composed ingest pipeline certified across redelivered
+    // micro-batches (fingerprint set is delivery-order-invariant)
+    "q225_stream_ingest_multibatch" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.ingestPipelineMultiBatch(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1452,5 +1459,8 @@ object SparkEntry {
     "q221_diversity_sample" -> ext.Dedup.diversitySampleOracleSql(),
     "q222_vocab_prune" -> ext.TextAnalysis.vocabPruneOracleSql(),
     "q223_stream_ingest" -> streaming.Streams.ingestPipelineOracleSql(),
+    "q224_image_dhash" -> ext.Multimodal.imageDhashCensusOracleSql(),
+    "q225_stream_ingest_multibatch" ->
+      streaming.Streams.ingestPipelineMultiBatchOracleSql(),
   )
 }

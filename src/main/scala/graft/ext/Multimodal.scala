@@ -320,6 +320,17 @@ object Multimodal {
     * bit-deterministic across JVMs and engines. */
   def bilinearGraySum(img: java.awt.image.BufferedImage,
                       tw: Int, th: Int): Long = {
+    val g = bilinearGrayGrid(img, tw, th)
+    var sum = 0L; var i = 0
+    while (i < g.length) { sum += g(i); i += 1 }
+    sum
+  }
+
+  /** The resampled grid itself (row-major, rounded per cell exactly as
+    * [[bilinearGraySum]] always has) — shared by the sum gate and the
+    * dHash census so the two kernels cannot drift. */
+  private[ext] def bilinearGrayGrid(img: java.awt.image.BufferedImage,
+                                    tw: Int, th: Int): Array[Int] = {
     val w = img.getWidth; val h = img.getHeight
     val lum = new Array[Int](w * h)
     var i = 0
@@ -334,7 +345,7 @@ object Multimodal {
       }
       y += 1
     }
-    var sum = 0L
+    val out = new Array[Int](tw * th)
     var ty = 0
     while (ty < th) {
       val sy = (2 * ty + 1) * h / (2.0 * th) - 0.5
@@ -349,12 +360,13 @@ object Multimodal {
         val fx = cx - x0
         val top = (1 - fx) * lum(y0 * w + x0) + fx * lum(y0 * w + x1)
         val bot = (1 - fx) * lum(y1 * w + x0) + fx * lum(y1 * w + x1)
-        sum += math.floor((1 - fy) * top + fy * bot + 0.5).toLong
+        out(ty * tw + tx) =
+          math.floor((1 - fy) * top + fy * bot + 0.5).toInt
         tx += 1
       }
       ty += 1
     }
-    sum
+    out
   }
 
   /** Real image RESIZE (the preprocessing step between decode and a
@@ -423,6 +435,89 @@ object Multimodal {
        |SELECT format, count(DISTINCT doc_id) AS n,
        |       CAST(sum(v) AS BIGINT) AS sum_resized_gray
        |FROM px GROUP BY 1""".stripMargin
+
+  /** Perceptual-hash (dHash) near-duplicate CENSUS over the decoded
+    * images — the multimodal member of the dedup family: decode each
+    * payload, resample to the fixed 8×8 grid with the SAME bilinear
+    * kernel as q95 ([[bilinearGrayGrid]], shared so the kernels cannot
+    * drift), and take the difference hash — bit (x, y) = 1 iff
+    * gray(x+1, y) > gray(x, y), 7×8 = 56 bits as a bit string. dHash
+    * is brightness-invariant by construction (a constant offset
+    * cancels in every adjacent comparison), which is the point of a
+    * perceptual hash: the gradient payloads differ per id by base
+    * brightness and collide exactly by sampling shape — the census
+    * groups them. Output is one row per distinct hash (count + min
+    * id): bounded by the perceptual-hash space, NEVER by corpus size —
+    * emitting pairs would be quadratic in group size, the census is
+    * the scale-safe form of the same audit.
+    *
+    * The oracle replays the resample analytically (the q95 dyadic
+    * argument: every 8×8 sample of the affine ramp is exact in
+    * doubles), then the comparisons and the grouping. */
+  /** The 56-bit dHash of one decoded image (8×8 grid, 7 adjacent
+    * comparisons per row, row-major). */
+  private[ext] def dhashOf(img: java.awt.image.BufferedImage): String = {
+    val g = bilinearGrayGrid(img, 8, 8)
+    val sb = new StringBuilder(56)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        sb.append(if (g(y * 8 + x + 1) > g(y * 8 + x)) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
+  def imageDhashCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = gradientMediaTable(spark, dir).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null)
+            throw new IllegalArgumentException(
+              "payload is not a decodable image")
+          (r.media_id, dhashOf(img))
+        }
+      }.toDF("media_id", "dhash")
+    hashed.groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_images"),
+           min(col("media_id")).as("min_media_id"))
+  }
+
+  /** Oracle for [[imageDhashCensus]]: the q95 analytic resample per
+    * (doc, x, y), adjacent-comparison bits folded in (y, x) order, and
+    * the same census grouping. */
+  def imageDhashCensusOracleSql(): String =
+    s"""WITH g8 AS (SELECT unnest(generate_series(0, 7)) AS i),
+       |d AS (SELECT doc_id,
+       |        CAST(doc_id % 64 AS BIGINT) AS base,
+       |        CAST(doc_id % 13 AS BIGINT) + 4 AS w,
+       |        CAST(doc_id % 7 AS BIGINT) + 4 AS h
+       |      FROM documents),
+       |px AS (SELECT d.doc_id, gy.i AS y, gx.i AS x,
+       |         CAST(floor(d.base
+       |           + 2 * least(greatest(
+       |               (2*gx.i + 1) * d.w / 16.0 - 0.5, 0), d.w - 1)
+       |           + 4 * least(greatest(
+       |               (2*gy.i + 1) * d.h / 16.0 - 0.5, 0), d.h - 1)
+       |           + 0.5) AS BIGINT) AS v
+       |       FROM d, g8 gx, g8 gy),
+       |bits AS (
+       |  SELECT a.doc_id,
+       |    string_agg(CASE WHEN b.v > a.v THEN '1' ELSE '0' END, ''
+       |               ORDER BY a.y, a.x) AS dhash
+       |  FROM px a JOIN px b
+       |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 7
+       |  GROUP BY a.doc_id)
+       |SELECT dhash, count(*) AS n_images,
+       |  CAST(min(doc_id) AS BIGINT) AS min_media_id
+       |FROM bits GROUP BY dhash""".stripMargin
 
   // ---- audio: real WAV encode→decode via javax.sound (JDK-native) ---
 

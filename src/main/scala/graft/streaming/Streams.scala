@@ -1298,6 +1298,54 @@ object Streams {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Multi-batch certification of the ingest pipeline — the q208/q209
+    * redelivery harness applied to the COMPOSITION: every document is
+    * delivered twice across 2×nFiles micro-batches
+    * (maxFilesPerTrigger=1), and the surviving fingerprint SET must be
+    * delivery-order-invariant. The stateless stages (quality, sample)
+    * are row-local — redelivered copies make identical decisions — and
+    * the Bloom guarantees no fingerprint is admitted twice across
+    * batches, so the certified columns are exactly the distinct
+    * fingerprints of the filtered sample (which doc carried each one
+    * is first-arrival, excluded, as in q209). */
+  def ingestPipelineMultiBatch(spark: SparkSession, dir: String,
+                               nFiles: Int = 3): DataFrame = {
+    val src = stageRedelivered(spark, dir, "documents",
+      Seq("doc_id", "text", "source"), nFiles)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("source", StringType))))
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val survivors = graft.ext.TextAnalysis
+      .withGopherFlags(stream, stopMin = 1)
+      .filter(col("keep") === 1)
+      .filter(graft.ext.Sampling.mixtureKeep)
+      .select(col("doc_id"), col("text"))
+    val out = runBounded(bloomDocDedupStream(survivors).toDF(),
+                         OutputMode.Update(), statePartitions = 1)
+      .select(col("fp"))
+    requireMultiBatch(nFiles)
+    out
+  }
+
+  /** Oracle for [[ingestPipelineMultiBatch]]: the distinct content
+    * fingerprints of the quality-passing mixture sample —
+    * delivery-order-invariant by construction. */
+  def ingestPipelineMultiBatchOracleSql(): String =
+    s"""WITH g AS (
+       |${graft.ext.TextAnalysis.gopherRulesOracleSql(stopMin = 1)})
+       |SELECT DISTINCT
+       |  md5(trim(regexp_replace(regexp_replace(lower(d.text),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+       |FROM documents d JOIN g ON g.doc_id = d.doc_id
+       |WHERE g.keep = 1
+       |  AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <
+       |      CASE WHEN length(d.source) <= 4 THEN 'c' ELSE '4' END""".stripMargin
+
   /** DuckDB oracle for [[ingestPipelineAvailableNow]]: the gopher rule
     * CTE (stopMin=1) → the md5 mixture predicate → keep-min per
     * content fingerprint. */

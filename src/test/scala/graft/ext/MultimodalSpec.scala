@@ -263,4 +263,31 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.VideoCodec.grayFor(id, f).toLong).sum, s"id=$id")
     }
   }
+
+  private def decoded(id: Long) = javax.imageio.ImageIO.read(
+    new java.io.ByteArrayInputStream(Multimodal.Codec.encodeGradient(id)))
+
+  test("dHash is brightness-invariant and shape-sensitive") {
+    // ids 91 apart share (w, h) but differ in base brightness:
+    // the perceptual hash must agree while the pixel sums differ
+    assert(Multimodal.dhashOf(decoded(3L)) ==
+           Multimodal.dhashOf(decoded(3L + 91L)))
+    assert(Multimodal.bilinearGraySum(decoded(3L), 8, 8) !=
+           Multimodal.bilinearGraySum(decoded(3L + 91L), 8, 8))
+    // shape sensitivity is asserted globally by the census test below
+    // (more than one distinct hash across the 91 sampling shapes)
+  }
+
+  test("dHash census conserves images and is bounded by shapes") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.imageDhashCensus(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length > 1)
+    // one gradient image per document; 91 (w, h) shapes bound the space
+    assert(out.length <= 91)
+    val total = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(out.map(_.getLong(1)).sum == total)
+    // every hash is a 56-char bit string
+    assert(out.forall(r => r.getString(0).length == 56 &&
+      r.getString(0).forall(c => c == '0' || c == '1')))
+  }
 }

@@ -103,6 +103,24 @@ class MultiBatchBloomSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest pipeline multi-batch: set equals the batch composition") {
+    import org.apache.spark.sql.functions._
+    val stream = Streams.ingestPipelineMultiBatch(spark, sfDir)
+      .collect().map(_.getString(0))
+    // no fingerprint admitted twice despite full redelivery
+    assert(stream.length == stream.distinct.length)
+    val batch = graft.ext.TextAnalysis
+      .withGopherFlags(graft.Tables.load(spark, sfDir, "documents"),
+                       stopMin = 1)
+      .filter(col("keep") === 1)
+      .filter(graft.ext.Sampling.mixtureKeep)
+      .select(md5(graft.ext.TextAnalysis.normalized(col("text")))
+        .as("fp"))
+      .distinct().collect().map(_.getString(0))
+    assert(stream.toSet == batch.toSet)
+    assert(stream.nonEmpty)
+  }
+
   test("null event_id rows are filtered, not fatal") {
     val input = MemoryStream[RawEvent]
     val withNull = input.toDF()
