@@ -738,6 +738,10 @@ object SparkEntry {
     // micro-batches (fingerprint set is delivery-order-invariant)
     "q225_stream_ingest_multibatch" -> ((s: SparkSession, d: String) =>
       streaming.Streams.ingestPipelineMultiBatch(s, d)),
+    // incremental NEAR-dup admission: new batch probed against the
+    // standing corpus LSH index (delta-sized daily work)
+    "q226_incr_near_dedup" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.incrementalNearDedup(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1462,5 +1466,6 @@ object SparkEntry {
     "q224_image_dhash" -> ext.Multimodal.imageDhashCensusOracleSql(),
     "q225_stream_ingest_multibatch" ->
       streaming.Streams.ingestPipelineMultiBatchOracleSql(),
+    "q226_incr_near_dedup" -> ext.Dedup.incrementalNearDedupOracleSql(),
   )
 }

@@ -1272,6 +1272,95 @@ object Dedup {
        |    AS BIGINT) AS kept
        |FROM wl JOIN szs USING (cluster)""".stripMargin
 
+  /** Incremental NEAR-dup admission — the daily-ingest companion of
+    * q82's exact-fingerprint incremental dedup: probe each NEW-batch
+    * document (sources past src9, q82's convention) against the
+    * STANDING corpus's LSH index and report whether it is novel, how
+    * many corpus near-dups it hits, and a deterministic match witness
+    * (min corpus doc_id at shingle-jaccard ≥ threshold). The batch
+    * never joins against itself and the corpus never self-joins: band
+    * keys cross only batch×corpus, which is the entire point — daily
+    * work scales with the DELTA, not the corpus (the corpus side
+    * contributes its standing signature/band table, maintained
+    * incrementally in production).
+    *
+    * Scale: two shingle scans (delta-sized and corpus-sized — the
+    * latter is the standing index a real deployment keeps
+    * materialized), one band-keyed join whose fan-out is bounded by
+    * bucket structure, and an output-bound verify (the q26 argument);
+    * mega-buckets from exact-dup groups get the same collapse defense
+    * as [[minhashLsh]] in production — at gate scale the dup fraction
+    * is below the collapse threshold, like q26's direct path. */
+  def incrementalNearDedup(spark: SparkSession, dir: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isNew = length(col("source")) > 4
+    val shC = shingledOf(docs.filter(!isNew)
+        .select(col("doc_id"), col("text")))
+      .transform(TrackedPersist.persistTracked)
+    val shB = shingledOf(docs.filter(isNew)
+        .select(col("doc_id"), col("text")))
+      .transform(TrackedPersist.persistTracked)
+    def bandsOf(sh: DataFrame) = signatures(sh)
+      .select(col("doc_id"), explode(bandStructs(col("sig"))).as("bk"))
+    val cand = bandsOf(shB).as("l")
+      .join(bandsOf(shC).as("r"), col("l.bk") === col("r.bk"))
+      .select(col("l.doc_id").as("b_id"), col("r.doc_id").as("c_id"))
+      .distinct()
+    val matches = cand
+      .join(shB.select(col("doc_id").as("b_id"),
+                       col("shingles").as("sb")), "b_id")
+      .join(shC.select(col("doc_id").as("c_id"),
+                       col("shingles").as("sc")), "c_id")
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sb"), col("sc")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sb")) + size(col("sc")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("c_id")).as("match_id"))
+    docs.filter(isNew).select(col("doc_id"))
+      .join(matches, col("doc_id") === col("b_id"), "left_outer")
+      .select(col("doc_id"),
+              col("b_id").isNull.cast("int").cast("long").as("novel"),
+              coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+              col("match_id"))
+  }
+
+  /** DuckDB oracle for [[incrementalNearDedup]]: the q26 signature +
+    * banding CTEs with the candidate join restricted to batch×corpus,
+    * exact shingle-jaccard verify, min-witness aggregation. */
+  def incrementalNearDedupOracleSql(threshold: Double = 0.5): String =
+    s"""WITH $minhashCtes,
+       |half AS (SELECT doc_id, length(source) > 4 AS is_new
+       |         FROM documents),
+       |candi AS (
+       |  SELECT DISTINCT lb.doc_id AS b_id, rc.doc_id AS c_id
+       |  FROM bands lb
+       |  JOIN half hb ON hb.doc_id = lb.doc_id AND hb.is_new
+       |  JOIN bands rc ON rc.b = lb.b AND rc.bk = lb.bk
+       |  JOIN half hc ON hc.doc_id = rc.doc_id AND NOT hc.is_new),
+       |ver AS (
+       |  SELECT b_id, c_id FROM (
+       |    SELECT b_id, c_id,
+       |      CAST(len(list_intersect(lb.hs, lc.hs)) AS DOUBLE) /
+       |        (len(lb.hs) + len(lc.hs) - len(list_intersect(lb.hs, lc.hs)))
+       |        AS jac
+       |    FROM candi JOIN sh lb ON lb.doc_id = candi.b_id
+       |               JOIN sh lc ON lc.doc_id = candi.c_id) v
+       |  WHERE jac >= $threshold),
+       |agg AS (
+       |  SELECT b_id, CAST(count(*) AS BIGINT) AS n_dups,
+       |    CAST(min(c_id) AS BIGINT) AS match_id
+       |  FROM ver GROUP BY b_id)
+       |SELECT d.doc_id,
+       |  CAST(a.b_id IS NULL AS BIGINT) AS novel,
+       |  CAST(coalesce(a.n_dups, 0) AS BIGINT) AS n_dups,
+       |  a.match_id
+       |FROM documents d
+       |JOIN half h ON h.doc_id = d.doc_id AND h.is_new
+       |LEFT JOIN agg a ON a.b_id = d.doc_id""".stripMargin
+
   /** Quality-ranked cluster survivor — the production dedup policy:
     * within each near-dup cluster keep the FULLEST copy (most word
     * tokens; ties to the smallest doc_id), not the smallest id.

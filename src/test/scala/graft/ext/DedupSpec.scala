@@ -697,6 +697,42 @@ class DedupSpec extends SparkSpec {
     assert(fUniq == 0.0, s"all-distinct corpus must read 0.0, got $fUniq")
   }
 
+  test("incrementalNearDedup agrees with the global pair set's cross-half slice") {
+    val srcLen = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), (length(col("source")) > 4).as("is_new"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the global verified pairs, restricted to batch×corpus, must
+    // reproduce q226's counts and min-witnesses exactly (same bands,
+    // same verify, same threshold)
+    val cross = Dedup.minhashLshCached(spark, sfDir, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (srcLen(a), srcLen(b)) match {
+          case (true, false) => Some(a -> b)
+          case (false, true) => Some(b -> a)
+          case _             => None
+        }
+      }
+    val expected = cross.groupBy(_._1).map { case (d, ps) =>
+      d -> (ps.length.toLong, ps.map(_._2).min) }
+    val out = Dedup.incrementalNearDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // one row per NEW doc, none for corpus docs
+    assert(out.keySet == srcLen.filter(_._2).keySet)
+    out.foreach { case (d, (novel, nDups, witness)) =>
+      expected.get(d) match {
+        case Some((n, w)) =>
+          assert(novel == 0L && nDups == n && witness.contains(w), s"doc $d")
+        case None =>
+          assert(novel == 1L && nDups == 0L && witness.isEmpty, s"doc $d")
+      }
+    }
+    // non-vacuity: the corpus actually has cross-half near-dups
+    assert(expected.nonEmpty)
+  }
+
   test("diversitySample: singletons survive; keep rule replays exactly") {
     val rows = Dedup.diversitySample(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
