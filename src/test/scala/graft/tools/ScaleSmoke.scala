@@ -101,7 +101,7 @@ object ScaleSmoke {
     "q214_bpe_encode", "q216_substr_remove", "q217_epoch_expand",
     "q218_stream_cms", "q219_collapse_repeats", "q220_gopher_funnel",
     "q221_diversity_sample", "q222_vocab_prune", "q223_stream_ingest",
-    "q224_image_dhash",
+    "q224_image_dhash", "q226_incr_near_dedup",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
@@ -343,6 +343,47 @@ object ScaleSmoke {
       // graft_stream_* temp views — additive across a sweep (the 100×
       // leg OOMed the driver before this drop existed)
       graft.streaming.Streams.dropBoundedSinks(spark)
+    }
+    // rewrite mode: FULL-materialization timing for the rewrite gates
+    // (one output row per input row). The default count() action lets
+    // Catalyst prune the rebuilt text columns and even eliminate the
+    // final outer joins (unique join keys), so a count-based sample
+    // times the PRUNED plan, not the operator — q216 read "0.44 s at
+    // 100×" under count(), which is how this mode was discovered. The
+    // noop sink forces every column of every row to materialize.
+    // Test/runMain graft.tools.ScaleSmoke rewrite [gateprefix...]
+    if (args.headOption.contains("rewrite")) {
+      val defaults = Seq("q216_substr_remove", "q219_collapse_repeats",
+        "q222_vocab_prune", "q58_chunking", "q59_pii_redact")
+      val names =
+        if (args.length > 1)
+          graft.SparkEntry.queries.keys.toSeq
+            .filter(n => args.drop(1).exists(n.startsWith)).sorted
+        else defaults
+      if (!new java.io.File(s"$Out100/documents.parquet").isDirectory) {
+        val t0 = System.nanoTime()
+        generate(spark, Out100, factor = 100, withEvents = false)
+        println(f"[scale] generated $Out100 in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      def timeFull(name: String, dir: String): Double = {
+        val fn = graft.SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale] ${"query"}%-22s ${"t1x"}%8s ${"t10x"}%8s ${"t100x"}%8s ${"r10"}%5s ${"r100"}%6s  (noop sink)")
+      for (n <- names) {
+        timeFull(n, Base)
+        coldStart()
+        val t1 = timeFull(n, Base)
+        coldStart()
+        val t10 = timeFull(n, Out)
+        coldStart()
+        val t100 = timeFull(n, Out100)
+        println(f"[scale] $n%-22s $t1%7.2fs $t10%7.2fs $t100%7.2fs ${t10 / math.max(t1, 1e-9)}%5.1f ${t100 / math.max(t1, 1e-9)}%6.1f")
+      }
+      spark.stop()
+      return
     }
     // stream mode: the bounded streaming family at 1× and 10×, with
     // RocksDB state-store footprint per gate —
