@@ -74,6 +74,8 @@ object Bench {
     def storageBytes(): Long =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
     val storagePeaks = new Array[Long](reps)
+    val noopGates = Set("q81_hash_split", "q216_substr_remove",
+      "q219_collapse_repeats", "q222_vocab_prune")
     val samples = (1 to reps).map { pass =>
       if (pass > 1) {
         ext.Dedup.clearMemos()
@@ -98,7 +100,20 @@ object Bench {
       }
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // Rewrite gates (one output row per input row) are timed
+        // against the noop sink: under count() Catalyst prunes their
+        // rebuilt columns and eliminates the final outer joins
+        // (unique keys), so the count would time the pruned plan, not
+        // the operator (see SCALE.md, "rewrite-gate full-
+        // materialization"). Legacy rewrite gates inside the shared63
+        // comparison set (q58/q59) keep count() so the cross-round
+        // subtotal stays like-for-like; their honest decades live in
+        // `ScaleSmoke rewrite`.
+        try {
+          if (noopGates(name))
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          else { fn(spark, sfDir).count(); () }
+        } catch { case _: Throwable => () }
         storagePeaks(pass - 1) =
           math.max(storagePeaks(pass - 1), storageBytes())
         name -> (System.nanoTime() - t0) / 1e9

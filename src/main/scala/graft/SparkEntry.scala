@@ -742,6 +742,10 @@ object SparkEntry {
     // standing corpus LSH index (delta-sized daily work)
     "q226_incr_near_dedup" -> ((s: SparkSession, d: String) =>
       ext.Dedup.incrementalNearDedup(s, d)),
+    // epoch-aware training order: per-epoch reshuffle from hashing
+    // (doc, epoch) jointly; first-100-slots gate (TakeOrdered)
+    "q227_epoch_order" -> ((s: SparkSession, d: String) =>
+      ext.Sampling.epochOrder(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1467,5 +1471,6 @@ object SparkEntry {
     "q225_stream_ingest_multibatch" ->
       streaming.Streams.ingestPipelineMultiBatchOracleSql(),
     "q226_incr_near_dedup" -> ext.Dedup.incrementalNearDedupOracleSql(),
+    "q227_epoch_order" -> ext.Sampling.epochOrderOracleSql(),
   )
 }

@@ -420,6 +420,53 @@ object Sampling {
     fullRows.unionByName(partRows)
   }
 
+  /** Epoch-aware TRAINING ORDER — the global schedule over the
+    * expanded (doc, epoch) stream: each row's position is a seeded
+    * hash of (doc_id, epoch) JOINTLY, so the standard
+    * shuffle-each-epoch-independently discipline falls out of the key
+    * itself — the same document lands at uncorrelated positions in
+    * each of its epochs, with no per-epoch RNG state to carry. The
+    * gate emits the first `topK` schedule slots (TakeOrdered — never a
+    * full sort, the q112 gate pattern); full materialization is a
+    * range partition on the key (the q100 shape). Pure function of
+    * (doc_id, epoch, plan knobs): identical on any partitioning and
+    * replayable by the oracle. */
+  def epochOrder(spark: SparkSession, dir: String,
+                 budgetX: Int = 2, capNum: Int = 1, capDen: Int = 10,
+                 topK: Int = 100): DataFrame = {
+    val exp = epochExpand(spark, dir, budgetX, capNum, capDen)
+    val key = conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string"))), 1, 15), 16, 10).cast("long")
+    val top = exp.withColumn("k", key)
+      .orderBy(col("k"), col("doc_id"), col("epoch")).limit(topK)
+    top.withColumn("pos",
+        row_number().over(Window.orderBy(
+          col("k"), col("doc_id"), col("epoch"))).cast("long"))
+      .select(col("pos"), col("doc_id"), col("source"), col("epoch"))
+  }
+
+  /** DuckDB oracle for [[epochOrder]]: the expansion replay wrapped in
+    * the same md5-fold key and row_number cut. */
+  def epochOrderOracleSql(budgetX: Int = 2, capNum: Int = 1,
+                          capDen: Int = 10, topK: Int = 100): String =
+    s"""WITH exp AS (
+       |${epochExpandOracleSql(budgetX, capNum, capDen)}),
+       |keyed AS (
+       |  SELECT doc_id, source, epoch,
+       |    list_reduce([CAST(strpos('0123456789abcdef', substr(
+       |        md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |            CAST(epoch AS VARCHAR)), p, 1)) - 1
+       |      AS BIGINT) for p in range(1, 16)],
+       |      (a, b) -> a * 16 + b) AS k
+       |  FROM exp)
+       |SELECT pos, doc_id, source, epoch FROM (
+       |  SELECT doc_id, source, epoch,
+       |    CAST(row_number() OVER (ORDER BY k, doc_id, epoch) AS BIGINT)
+       |      AS pos
+       |  FROM keyed) t
+       |WHERE pos <= $topK""".stripMargin
+
   /** DuckDB oracle for [[epochExpand]] — the plain single-window prefix
     * sum plus the integer plan and a range() unnest per full epoch. */
   def epochExpandOracleSql(budgetX: Int = 2, capNum: Int = 1,

@@ -186,6 +186,25 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("epochOrder: schedule replays the md5 total order, epochs mix") {
+    val rows = Sampling.epochOrder(spark, sfDir, topK = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == 200)
+    assert(rows.map(_._1).toSeq == (1L to 200L))
+    // positions follow the documented pure key exactly
+    def key(id: Long, e: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$e".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val keys = rows.map(r => (key(r._2, r._4), r._2, r._4)).toSeq
+    assert(keys == keys.sorted)
+    // the head of the schedule interleaves epochs (per-epoch reshuffle:
+    // repeat copies are not clustered)
+    assert(rows.map(_._4).distinct.length >= 2)
+  }
+
   test("epochExpand is deterministic across repartitionings") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("text"))

@@ -354,7 +354,8 @@ object ScaleSmoke {
     // Test/runMain graft.tools.ScaleSmoke rewrite [gateprefix...]
     if (args.headOption.contains("rewrite")) {
       val defaults = Seq("q216_substr_remove", "q219_collapse_repeats",
-        "q222_vocab_prune", "q58_chunking", "q59_pii_redact")
+        "q222_vocab_prune", "q58_chunking", "q59_pii_redact",
+        "q81_hash_split")
       val names =
         if (args.length > 1)
           graft.SparkEntry.queries.keys.toSeq
@@ -396,7 +397,8 @@ object ScaleSmoke {
         "q106_stream_session_window", "q116_stream_funnel_outer",
         "q121_stream_minhash", "q128_stream_hll", "q159_stream_histogram",
         "q206_stream_dedup_bloom", "q207_stream_doc_dedup",
-        "q210_stream_dedup_windowed", "q215_stream_para_dedup_multibatch")
+        "q210_stream_dedup_windowed", "q215_stream_para_dedup_multibatch",
+        "q223_stream_ingest")
       // optional gate-prefix filter: ScaleSmoke stream q68 q206
       // add literal "x100" to also run the SELECTED gates at a third
       // decade (events-only 100× replica, 10M rows) — only gates that
@@ -731,13 +733,28 @@ object ScaleSmoke {
                 Seq("doc_id"))
           .withColumn("n_chars", length(col("text")).cast("long"))
       }
+      // 2b. substr: q216's ExactSubstr removal over the para-deduped
+      //     table — the Lee et al. ordering (strip cross-doc
+      //     duplicated runs BEFORE near-dup detection, so residual
+      //     boilerplate does not inflate minhash similarity between
+      //     otherwise-unrelated docs); fully-duplicated docs drop out
+      val substrDir = s"$base/substr"
+      stage("substr", substrDir) {
+        spark.read.parquet(s"$paraDir/documents.parquet")
+          .drop("text", "n_chars")
+          .join(graft.ext.SubstrDup.substrRemove(spark, paraDir)
+                  .filter(col("clean_text") =!= "")
+                  .select(col("doc_id"), col("clean_text").as("text")),
+                Seq("doc_id"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
       // 3. dedup: q193's minhash-LSH near-dup removal (collapse-gated
       //    pair pipeline → cluster-min survivors) over the
-      //    paragraph-deduped table
+      //    substring-cleaned table
       val dedupDir = s"$base/dedup"
       stage("dedup", dedupDir) {
-        spark.read.parquet(s"$paraDir/documents.parquet")
-          .join(graft.ext.Dedup.dedupedCorpus(spark, paraDir)
+        spark.read.parquet(s"$substrDir/documents.parquet")
+          .join(graft.ext.Dedup.dedupedCorpus(spark, substrDir)
                   .select("doc_id"),
                 Seq("doc_id"), "left_semi")
       }
