@@ -746,6 +746,13 @@ object SparkEntry {
     // (doc, epoch) jointly; first-100-slots gate (TakeOrdered)
     "q227_epoch_order" -> ((s: SparkSession, d: String) =>
       ext.Sampling.epochOrder(s, d)),
+    // exact per-source stratified split (hierarchical md5 rank)
+    "q228_stratified_split" -> ((s: SparkSession, d: String) =>
+      ext.Splits.stratifiedSplit(s, d)),
+    // q88's anomaly rule at ingest: stream-built hourly rollup through
+    // the shared batch stats + z-filter tail
+    "q229_stream_anomalies" -> ((s: SparkSession, d: String) =>
+      streaming.Streams.hourlyAnomaliesAvailableNow(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1472,5 +1479,7 @@ object SparkEntry {
       streaming.Streams.ingestPipelineMultiBatchOracleSql(),
     "q226_incr_near_dedup" -> ext.Dedup.incrementalNearDedupOracleSql(),
     "q227_epoch_order" -> ext.Sampling.epochOrderOracleSql(),
+    "q228_stratified_split" -> ext.Splits.stratifiedSplitOracleSql(),
+    "q229_stream_anomalies" -> ext.Events.hourlyAnomaliesOracleSql(),
   )
 }

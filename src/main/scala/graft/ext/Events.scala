@@ -152,10 +152,17 @@ object Events {
     * per-type moment sums aggregate the already-tiny hourly table; the
     * stats join broadcasts (type cardinality is bounded). */
   def hourlyAnomalies(spark: SparkSession, dir: String,
-                      sigma: Double = 2.0): DataFrame = {
-    val hourly = Tables.load(spark, dir, "events")
+                      sigma: Double = 2.0): DataFrame =
+    anomaliesOf(Tables.load(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")), sigma)
+
+  /** The stats + z-filter tail of [[hourlyAnomalies]] over ANY
+    * (event_type, h, c) hourly frame — shared with the streaming twin
+    * ([[graft.streaming.Streams.hourlyAnomaliesAvailableNow]]) so the
+    * two engines' anomaly rule cannot drift. */
+  private[graft] def anomaliesOf(hourly: DataFrame,
+                                 sigma: Double): DataFrame = {
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
            // Σc² in DECIMAL(38,0): an int64 c·c wraps silently once an

@@ -42,6 +42,73 @@ object Splits {
        |       ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** EXACT stratified split — the companion of [[hashSplit]] for the
+    * case where proportions must hold EXACTLY per source (small eval
+    * sets: a 1/16-hash split of a 200-doc source can miss its val
+    * share by several docs; this one is off by at most the ⌈⌉ of the
+    * cut). Docs rank within their source by (md5(doc_id), doc_id) —
+    * a deterministic shuffle order — and the rank cuts at
+    * ⌈trainPct·n/100⌉ / ⌈(trainPct+valPct)·n/100⌉.
+    *
+    * Scale: the rank is HIERARCHICAL (the q64/q126 discipline): docs
+    * bucket by the top 8 bits of their own key (so (bucket, key) order
+    * IS key order), per-(source, bucket) bases come from a bounded
+    * 256-rows-per-source table, and the intra-bucket row_number
+    * windows over ~n/256 rows — no task ever windows a whole source.
+    * Assignment is a pure function of (doc_id, source composition):
+    * identical on any partitioning, replayed by the oracle's plain
+    * single-window rank. */
+  def stratifiedSplit(spark: SparkSession, dir: String,
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+            "percentages must satisfy 0 < train, 0 <= val, train+val < 100")
+    import org.apache.spark.sql.expressions.Window
+    val hex = md5(col("doc_id").cast("string"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+              substring(hex, 1, 2).as("b"),
+              conv(substring(hex, 1, 15), 16, 10).cast("long").as("k"))
+    val bases = docs.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("base", coalesce(sum(col("bc")).over(
+        Window.partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("b"), col("base"))
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    docs.join(broadcast(bases), Seq("source", "b"))
+      .withColumn("r", col("base") +
+        row_number().over(Window.partitionBy(col("source"), col("b"))
+          .orderBy(col("k"), col("doc_id"))).cast("long") - 1L)
+      .join(broadcast(totals), "source")
+      .select(col("doc_id"), col("source"),
+        when(col("r") * 100 < col("n") * trainPct, "train")
+          .when(col("r") * 100 < col("n") * (trainPct + valPct), "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** DuckDB oracle for [[stratifiedSplit]]: the plain single-window
+    * per-source rank over the same md5 key, same integer cuts. */
+  def stratifiedSplitOracleSql(trainPct: Int = 80,
+                               valPct: Int = 10): String =
+    s"""WITH k AS (
+       |  SELECT doc_id, source,
+       |    list_reduce([CAST(strpos('0123456789abcdef', substr(
+       |        md5(CAST(doc_id AS VARCHAR)), p, 1)) - 1
+       |      AS BIGINT) for p in range(1, 16)],
+       |      (a, b) -> a * 16 + b) AS k
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY k, doc_id) - 1
+       |      AS r,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM k)
+       |SELECT doc_id, source,
+       |  CASE WHEN r * 100 < n * $trainPct THEN 'train'
+       |       WHEN r * 100 < n * ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM r""".stripMargin
+
   /** Deterministic global shuffle + sharding — the delivery step of a
     * training pipeline: order the corpus by a seeded hash (reproducible,
     * uncorrelated with crawl/source order), assign each doc to one of

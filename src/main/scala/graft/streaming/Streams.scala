@@ -1298,6 +1298,34 @@ object Streams {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** STREAMING hourly anomaly detection — the q88 alerting rule run
+    * at ingest time: the hourly rollup builds FROM the stream (one
+    * Complete-mode windowed count, the q35 state shape — bounded at
+    * types × hours), and the per-type stats + z-filter are the shared
+    * batch tail ([[graft.ext.Events.anomaliesOf]] — the rule cannot
+    * drift between engines). Count adds commute, so any arrival order
+    * builds the batch hourly table exactly and the unchanged q88
+    * oracle certifies the whole chain. Production shape: the stats
+    * side comes from yesterday's batch profile and the z-filter runs
+    * per micro-batch; the gate computes stats from the same bounded
+    * run so the oracle is self-contained. */
+  def hourlyAnomaliesAvailableNow(spark: SparkSession, dir: String,
+                                  sigma: Double = 2.0): DataFrame = {
+    val hourlyStream = readEventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+              col("window.start").cast("timestamp_ntz").as("h"),
+              col("c"))
+    val hourly = runBounded(hourlyStream, OutputMode.Complete())
+    // anomaliesOf self-joins its input (stats side vs row side); the
+    // memory-sink view cannot deduplicate conflicting attribute refs
+    // across a self-join, so rebase the bounded output on its RDD
+    // (tiny: types × hours rows)
+    graft.ext.Events.anomaliesOf(
+      spark.createDataFrame(hourly.rdd, hourly.schema), sigma)
+  }
+
   /** Multi-batch certification of the ingest pipeline — the q208/q209
     * redelivery harness applied to the COMPOSITION: every document is
     * delivered twice across 2×nFiles micro-batches

@@ -120,4 +120,36 @@ class SplitsSpec extends SparkSpec {
     assert(copies <= batchSize)
     kept.unpersist()
   }
+
+  test("stratifiedSplit: exact per-source proportions, stable, md5-ordered") {
+    val rows = Splits.stratifiedSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // per-source counts are EXACTLY the ceil cuts
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      val train = rs.count(_._3 == "train").toLong
+      val value = rs.count(_._3 == "val").toLong
+      def cut(p: Long) = (n * p + 99L) / 100L   // #{r : 100r < p·n}
+      assert(train == cut(80L), s"$src train $train != ${cut(80L)}")
+      assert(train + value == cut(90L), s"$src val")
+    }
+    // the hierarchical rank equals the naive single-window rank: the
+    // split of each doc matches a driver-side recompute
+    def key(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val n = rs.length.toLong
+      val ordered = rs.sortBy(r => (key(r._1), r._1))
+      ordered.zipWithIndex.foreach { case ((id, src, split), r) =>
+        val expect = if (100L * r < 80L * n) "train"
+                     else if (100L * r < 90L * n) "val" else "test"
+        assert(split == expect, s"doc $id in $src at rank $r")
+      }
+    }
+  }
 }

@@ -392,6 +392,17 @@ class StreamsSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming hourly anomalies equal the batch q88 rule") {
+    val stream = Streams.hourlyAnomaliesAvailableNow(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.ext.Events.hourlyAnomalies(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming ingest pipeline equals the batch composition") {
     import org.apache.spark.sql.functions._
     val stream = Streams.ingestPipelineAvailableNow(spark, sfDir)
