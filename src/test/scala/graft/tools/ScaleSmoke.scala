@@ -101,7 +101,8 @@ object ScaleSmoke {
     "q214_bpe_encode", "q216_substr_remove", "q217_epoch_expand",
     "q218_stream_cms", "q219_collapse_repeats", "q220_gopher_funnel",
     "q221_diversity_sample", "q222_vocab_prune", "q223_stream_ingest",
-    "q224_image_dhash", "q226_incr_near_dedup",
+    "q224_image_dhash", "q226_incr_near_dedup", "q227_epoch_order",
+    "q228_stratified_split", "q229_stream_anomalies",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
