@@ -113,7 +113,15 @@ object Bench {
           if (noopGates(name))
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           else { fn(spark, sfDir).count(); () }
-        } catch { case _: Throwable => () }
+        } catch { case e: Throwable =>
+          // keep the sweep alive, but NEVER silently: a crashed gate's
+          // time-to-failure would otherwise enter the per-gate min and
+          // deflate the round total with no trace (correctness is
+          // Verify's job, but the bench artifact must not look green
+          // over a gate that never ran to completion)
+          System.err.println(
+            s"[bench] $name FAILED pass $pass: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         storagePeaks(pass - 1) =
           math.max(storagePeaks(pass - 1), storageBytes())
         name -> (System.nanoTime() - t0) / 1e9

@@ -1287,10 +1287,14 @@ object Dedup {
     * Scale: two shingle scans (delta-sized and corpus-sized — the
     * latter is the standing index a real deployment keeps
     * materialized), one band-keyed join whose fan-out is bounded by
-    * bucket structure, and an output-bound verify (the q26 argument);
-    * mega-buckets from exact-dup groups get the same collapse defense
-    * as [[minhashLsh]] in production — at gate scale the dup fraction
-    * is below the collapse threshold, like q26's direct path. */
+    * bucket structure, and an output-bound verify (the q26 argument).
+    * KNOWN LIMIT: this operator runs the DIRECT band join only — it
+    * does not implement [[minhashLsh]]'s exact-duplicate collapse, so
+    * a boilerplate document with k corpus copies and m batch copies
+    * produces k·m candidates per matching band. On a dup-heavy corpus
+    * pre-collapse both sides to fingerprint representatives before
+    * probing (the minhashLsh defense); at gate scale the dup fraction
+    * is far below where that matters. */
   def incrementalNearDedup(spark: SparkSession, dir: String,
                            threshold: Double = 0.5): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

@@ -22,12 +22,13 @@ import graft.Tables
   */
 object Sampling {
 
-  /** Keep-threshold hex digit per source: short source names ("src0"…)
-    * sample at 12/16 = 75%, longer ones ("src10"…) at 4/16 = 25% — a
-    * stand-in mixture policy; real pipelines pass a rate table. */
   /** The mixture keep predicate — a pure row-local expression shared
     * by the batch sample, the audit view, and the streaming ingest
-    * pipeline (q223), so the policy cannot drift between them. */
+    * pipeline (q223), so the policy cannot drift between them. The
+    * policy: keep when the first hex digit of md5(doc_id) falls below
+    * the source's threshold digit — short source names ("src0"…)
+    * sample at 12/16 = 75%, longer ones ("src10"…) at 4/16 = 25%, a
+    * stand-in mixture; real pipelines pass a rate table. */
   private[graft] def mixtureKeep: org.apache.spark.sql.Column =
     substring(md5(col("doc_id").cast("string")), 1, 1) <
       when(length(col("source")) <= 4, lit("c")).otherwise(lit("4"))

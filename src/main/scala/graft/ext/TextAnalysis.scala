@@ -308,11 +308,15 @@ object TextAnalysis {
     * trainer artifact both q213 (the table itself) and q214 (the
     * encode) consume; like every model-artifact memo in this file
     * (lmScoreCache, the IVF-PQ index) the training runs once per
-    * corpus and each policy reads the result. The value is driver-side
-    * and tiny (k rows), but it still rides the [[TrackedPersist]]
-    * onClear hook so a cold sweep measures a full retrain. */
+    * corpus and each policy reads the result. The fold-chain cap is
+    * deliberately NOT part of the key: it changes training COST only —
+    * BpeMergesSpec pins that the learned table is identical at any cap
+    * — so two callers with different caps share one artifact. The
+    * value is driver-side and tiny (k rows), but it still rides the
+    * [[TrackedPersist]] onClear hook so a cold sweep measures a full
+    * retrain. */
   private[ext] val bpeMergeCache = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, Int, Int),
+    .TrieMap[(SparkSession, String, Int),
              Seq[(Long, String, String, Long)]]()
   TrackedPersist.onClear(() => bpeMergeCache.clear())
 
@@ -323,7 +327,7 @@ object TextAnalysis {
     bpeMergeCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) bpeMergeCache.remove(k)
     }
-    bpeMergeCache.getOrElseUpdate((spark, dir, nMerges, foldChainCap), {
+    bpeMergeCache.getOrElseUpdate((spark, dir, nMerges), {
       val wordCounts = Tables.load(spark, dir, "documents")
         .select(explode(split(normalized(col("text")), " ")).as("w"))
         .filter(col("w") =!= "")
@@ -431,7 +435,7 @@ object TextAnalysis {
   def bpeEncode(spark: SparkSession, dir: String, nMerges: Int = 6,
                 foldChainCap: Int = 4): DataFrame = {
     require(foldChainCap >= 1, "foldChainCap must be positive")
-    val merges = learnedMerges(spark, dir, nMerges)
+    val merges = learnedMerges(spark, dir, nMerges, foldChainCap)
     val docWords = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(split(normalized(col("text")), " ")).as("w"))
