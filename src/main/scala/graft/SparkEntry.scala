@@ -753,6 +753,10 @@ object SparkEntry {
     // the shared batch stats + z-filter tail
     "q229_stream_anomalies" -> ((s: SparkSession, d: String) =>
       streaming.Streams.hourlyAnomaliesAvailableNow(s, d)),
+    // cross-modal agreement audit: text near-dup pairs joined to their
+    // embedding cosine (catches stale/mis-keyed embedding tables)
+    "q230_crossmodal_audit" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.crossModalAudit(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1481,5 +1485,7 @@ object SparkEntry {
     "q227_epoch_order" -> ext.Sampling.epochOrderOracleSql(),
     "q228_stratified_split" -> ext.Splits.stratifiedSplitOracleSql(),
     "q229_stream_anomalies" -> ext.Events.hourlyAnomaliesOracleSql(),
+    "q230_crossmodal_audit" ->
+      ext.Similarity.crossModalAuditOracleSql(),
   )
 }

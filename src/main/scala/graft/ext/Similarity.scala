@@ -42,6 +42,73 @@ object Similarity {
   def l2normalize(emb: Column): Column =
     graft.functions.VectorOps.l2normalize(emb)
 
+  /** Cross-modal agreement audit — the joint (text-similarity,
+    * embedding-similarity) table over the exact near-dup pair set:
+    * for every same-source pair at word-jaccard ≥ `jacThreshold`, the
+    * cosine of the two documents' embedding vectors (vec_id aligns
+    * with doc_id in the corpus contract). This is the consistency
+    * check a multimodal pipeline runs before trusting either signal
+    * for dedup: text-near-dup pairs whose embeddings disagree mean the
+    * embedding table is stale, mis-keyed, or not derived from this
+    * text — on the synthetic corpus the audit PROVES exactly that (max
+    * cosine 0.41 across 1,506 verbatim-level text dups; the embeddings
+    * are label-clustered, not text-derived), which is the deviation
+    * the audit exists to surface.
+    *
+    * Scale: rides the shared exact-pair persist (output-bound pair
+    * volume); two id-keyed joins carry the embedding vectors to the
+    * pairs (at 100 TB the pair side is ≪ corpus — broadcast-able);
+    * cosine is the codegen'd sequential-fold kernel, 4-dp-rounded in
+    * the output (the q29 cross-engine contract). */
+  def crossModalAudit(spark: SparkSession, dir: String,
+                      jacThreshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.jaccardPairsCached(spark, dir, jacThreshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.select(col("vec_id").as("a_id"),
+                       col("embedding").as("ea")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"),
+                       col("embedding").as("eb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+              round(col("jac"), 4).as("jac_r"),
+              round(cosine(col("ea"), col("eb")), 4).as("cos_r"))
+  }
+
+  /** DuckDB oracle for [[crossModalAudit]]: the exact-pair CTE joined
+    * to a `list_reduce` replay of the engine kernel's SEQUENTIAL
+    * double dot product (float elements cast to double, left-to-right
+    * accumulation from the first product — `dotOrNull`'s exact fold,
+    * so the cosine is bit-identical and the 4-dp rounding cannot tie
+    * apart; DuckDB's own `list_cosine_similarity` accumulates
+    * differently and flipped 4 half-ULP rounding ties at sf0.1). */
+  def crossModalAuditOracleSql(jacThreshold: Double = 0.8): String = {
+    def dotSql(a: String, b: String): String =
+      s"""list_reduce([CAST($a.embedding[i] AS DOUBLE) *
+         |      CAST($b.embedding[i] AS DOUBLE)
+         |    for i in range(1, len($a.embedding) + 1)],
+         |    (x, y) -> x + y)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents),
+       |p AS (SELECT a_id, b_id, jac FROM (
+       | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+       | WHERE jac >= $jacThreshold)
+       |SELECT p.a_id, p.b_id, round(p.jac, 4) AS jac_r,
+       |  round(${dotSql("ea", "eb")}
+       |    / sqrt(${dotSql("ea", "ea")})
+       |    / sqrt(${dotSql("eb", "eb")}), 4) AS cos_r
+       |FROM p JOIN embeddings ea ON ea.vec_id = p.a_id
+       |       JOIN embeddings eb ON eb.vec_id = p.b_id""".stripMargin
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * rank the whole corpus (self excluded). The query side is broadcast;
     * the corpus is scanned once. Output: (qid, nid, rank). */

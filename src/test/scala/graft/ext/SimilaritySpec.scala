@@ -304,4 +304,32 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2).toSeq,
       "deterministic across calls")
   }
+
+  test("crossModalAudit: one row per near-dup pair, cosine recomputed") {
+    val out = Similarity.crossModalAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                 r.getDouble(3)))
+    assert(out.nonEmpty)
+    // exactly the cached pair set, each pair once
+    val pairs = Dedup.jaccardPairsCached(spark, sfDir, 0.8)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet == pairs)
+    assert(out.length == pairs.size)
+    // cosines are valid and, on this corpus, prove the embeddings are
+    // NOT text-derived (no text-dup pair reaches 0.9)
+    assert(out.forall(t => t._4 >= -1.0001 && t._4 <= 1.0001))
+    assert(out.forall(_._4 < 0.9))
+    // driver-side recompute of a few cosines against the gate values
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    out.take(5).foreach { case (a, b, _, cosR) =>
+      val (ea, eb) = (emb(a), emb(b))
+      val d = ea.zip(eb).map { case (x, y) => x * y }.sum
+      val c = d / math.sqrt(ea.map(x => x * x).sum) /
+        math.sqrt(eb.map(x => x * x).sum)
+      assert(math.abs(c - cosR) < 5e-4, s"pair ($a,$b)")
+    }
+  }
 }

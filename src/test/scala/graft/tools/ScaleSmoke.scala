@@ -103,6 +103,7 @@ object ScaleSmoke {
     "q221_diversity_sample", "q222_vocab_prune", "q223_stream_ingest",
     "q224_image_dhash", "q226_incr_near_dedup", "q227_epoch_order",
     "q228_stratified_split", "q229_stream_anomalies",
+    "q230_crossmodal_audit",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
