@@ -38,8 +38,12 @@ object SubstrDup {
       // a fixed count turns the 100× run into a spill benchmark)
       Some(graft.ops.Partitioning.forTable(spark, dir, "documents", 5.0)))
 
-  def substrDupStatsDf(docs: DataFrame, k: Int = 8,
-                       numParts: Option[Int] = None): DataFrame = {
+  /** The q89 detection basis shared by the audit and the removal
+    * rewrite (q216): per WINDOW-START position, is the k-window at
+    * that position duplicated in another doc? Output (doc_id, pos,
+    * dup). */
+  private[ext] def dupWindows(docs: DataFrame, k: Int,
+                              numParts: Option[Int]): DataFrame = {
     val gh0 = Winnow.gramHashesOf(docs.select(col("doc_id"), col("text")), k)
     // explicit gram-keyed repartition (not a conf scope: the gate's
     // action runs outside any scope, so the declared plan must carry
@@ -49,10 +53,14 @@ object SubstrDup {
     // document frequency of each gram VALUE (distinct docs containing it)
     val gdf = gh.select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    gh.join(gdf, "gh")
+      .select(col("doc_id"), col("pos"), (col("gdf") >= 2).as("dup"))
+  }
+
+  def substrDupStatsDf(docs: DataFrame, k: Int = 8,
+                       numParts: Option[Int] = None): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val marked = gh.join(gdf, "gh")
-      .select(col("doc_id"), col("pos"),
-              (col("gdf") >= 2).as("dup"))
+    val marked = dupWindows(docs, k, numParts)
       // run id for consecutive dup positions: the count of NON-dup
       // positions at-or-before pos is constant exactly across a dup run
       .withColumn("run_id",
@@ -73,10 +81,11 @@ object SubstrDup {
           .as("max_dup_run_tokens"))
   }
 
-  /** DuckDB oracle: the same positional pipeline, value-for-value (the
-    * gram basis is the q83 md5-hex form, engine-exact by construction). */
-  def substrDupStatsOracleSql(k: Int = 8): String =
-    s"""WITH ws AS (
+  /** Shared oracle detection CTEs (ws → gh0 → gh → gdf) — the SQL twin
+    * of [[dupWindows]], used verbatim by both the audit and the
+    * removal oracles. */
+  private def gramCtes(k: Int): String =
+    s"""ws AS (
        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
        |    AS w FROM documents),
@@ -87,7 +96,12 @@ object SubstrDup {
        |  FROM ws WHERE len(w) >= $k),
        |gh AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM gh0),
        |gdf AS (SELECT gh, count(*) AS gdf
-       |        FROM (SELECT DISTINCT doc_id, gh FROM gh) GROUP BY gh),
+       |        FROM (SELECT DISTINCT doc_id, gh FROM gh) GROUP BY gh)""".stripMargin
+
+  /** DuckDB oracle: the same positional pipeline, value-for-value (the
+    * gram basis is the q83 md5-hex form, engine-exact by construction). */
+  def substrDupStatsOracleSql(k: Int = 8): String =
+    s"""WITH ${gramCtes(k)},
        |marked AS (
        |  SELECT gh.doc_id, gh.pos, gdf.gdf >= 2 AS dup,
        |    sum(CASE WHEN gdf.gdf >= 2 THEN 0 ELSE 1 END)
@@ -147,14 +161,11 @@ object SubstrDup {
               split(TextAnalysis.normalized(col("text")), " ").as("ws"))
       .filter(size(col("ws")) > 0 && col("ws").getItem(0) =!= "")
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tok")))
-    val gh0 = Winnow.gramHashesOf(base, k)
-    val gh = numParts.fold(gh0)(n => gh0.repartition(n, col("gh")))
-    val gdf = gh.select(col("doc_id"), col("gh")).distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
-    // dup flag per WINDOW-START position; token positions past n-k get
-    // no row and join as null (no window starts there)
-    val dupw = gh.join(gdf, "gh")
-      .select(col("doc_id"), col("pos"), (col("gdf") >= 2).as("win_dup"))
+    // dup flag per WINDOW-START position (the shared q89 basis); token
+    // positions past n-k get no row and join as null (no window starts
+    // there)
+    val dupw = dupWindows(base, k, numParts)
+      .withColumnRenamed("dup", "win_dup")
     // token at pos p is covered iff a dup window starts in [p-k+1, p];
     // toks is dense in pos, so a k-row frame IS that position range
     val covFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -183,23 +194,12 @@ object SubstrDup {
   /** DuckDB oracle for [[substrRemove]]: the q89 detection CTEs plus
     * the k-row coverage window and an ordered string_agg rebuild. */
   def substrRemoveOracleSql(k: Int = 8): String =
-    s"""WITH ws AS (
-       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
-       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')
-       |    AS w FROM documents),
+    s"""WITH ${gramCtes(k)},
        |toks AS (
        |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': w[i]}
        |    for i in range(1, len(w) + 1)]) AS u
        |  FROM ws WHERE len(w) > 0 AND w[1] <> ''),
        |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM toks),
-       |gh0 AS (
-       |  SELECT doc_id, unnest([{'pos': i - 1,
-       |    'gh': substr(md5(array_to_string(w[i:i+${k - 1}], ' ')), 1, 16)}
-       |    for i in range(1, len(w) - ${k - 2})]) AS u
-       |  FROM ws WHERE len(w) >= $k),
-       |gh AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM gh0),
-       |gdf AS (SELECT gh, count(*) AS gdf
-       |        FROM (SELECT DISTINCT doc_id, gh FROM gh) GROUP BY gh),
        |dupw AS (
        |  SELECT gh.doc_id, gh.pos, gdf.gdf >= 2 AS win_dup
        |  FROM gh JOIN gdf USING (gh)),
