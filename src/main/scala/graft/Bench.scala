@@ -109,26 +109,34 @@ object Bench {
         // comparison set (q58/q59) keep count() so the cross-round
         // subtotal stays like-for-like; their honest decades live in
         // `ScaleSmoke rewrite`.
-        try {
-          if (noopGates(name))
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          else { fn(spark, sfDir).count(); () }
-        } catch { case e: Throwable =>
-          // keep the sweep alive, but NEVER silently: a crashed gate's
-          // time-to-failure would otherwise enter the per-gate min and
-          // deflate the round total with no trace (correctness is
-          // Verify's job, but the bench artifact must not look green
-          // over a gate that never ran to completion)
-          System.err.println(
-            s"[bench] $name FAILED pass $pass: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        }
+        val ok =
+          try {
+            if (noopGates(name))
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            else { fn(spark, sfDir).count(); () }
+            true
+          } catch { case e: Throwable =>
+            // keep the sweep alive, but NEVER silently: the failure is
+            // shouted here AND recorded per-gate below, so a crashed
+            // gate's time-to-failure never enters the per-gate min or
+            // the round total, and the JSON artifact cannot look green
+            // over a gate that never ran to completion
+            System.err.println(
+              s"[bench] $name FAILED pass $pass: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
         storagePeaks(pass - 1) =
           math.max(storagePeaks(pass - 1), storageBytes())
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }.toMap
     }
-    val results = names.map { case (name, _) =>
-      name -> samples.map(_(name)).min
+    // A gate that crashed on ANY pass is excluded from min/total and
+    // listed in failed_gates (its queries entry is the -1 sentinel).
+    val failedGates = names.map(_._1)
+      .filter(n => samples.exists(s => !s(n)._2))
+    val results = names.collect {
+      case (name, _) if !failedGates.contains(name) =>
+        name -> samples.map(_(name)._1).min
     }.toMap
     // Fixed round-5 comparison set: the total alone moves every round as
     // gates are added, so cross-round perf tracking pins this subtotal
@@ -157,8 +165,11 @@ object Bench {
       "q87_corpus_card", "q88_hourly_anomalies")
     val sharedSub = results.collect {
       case (n, v) if shared63(n) => v }.sum
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
+        failedGates.map(n => s"\"" + n + "\":-1"))
       .mkString("{", ",", "}")
+    val failedJson =
+      failedGates.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Contention self-report (r11 protocol): q01/q05 are the pure-CPU
     // contention canaries with pinned quiet-window floors (0.14/0.34 s).
@@ -189,7 +200,7 @@ object Bench {
     val canaryJson = canaryDiff.fold("\"ok\"")(d =>
       "\"DRIFT: " + d.replaceAll("[\"\\\\\\n]", " ").take(400) + "\"")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63_subtotal":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"storage_peak_bytes":$peaks,"schema_canary":$canaryJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63_subtotal":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"storage_peak_bytes":$peaks,"schema_canary":$canaryJson,"failed_gates":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt log prefixes — also write the JSON to a
     // file so machine consumers don't have to scrape the build log
     println(json)
@@ -206,7 +217,7 @@ object Bench {
     // stderr AND into a stable BENCH_SUMMARY.json file, so a machine
     // consumer has three independent capture paths.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"n_queries":${results.size},"schema_canary":${if (canaryDiff.isEmpty) "\"ok\"" else "\"DRIFT\""},"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"n_queries":${results.size},"failed_gates":$failedJson,"schema_canary":${if (canaryDiff.isEmpty) "\"ok\"" else "\"DRIFT\""},"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       (compact + "\n").getBytes("UTF-8"))

@@ -757,6 +757,21 @@ object SparkEntry {
     // embedding cosine (catches stale/mis-keyed embedding tables)
     "q230_crossmodal_audit" -> ((s: SparkSession, d: String) =>
       ext.Similarity.crossModalAudit(s, d)),
+    // the audit's AGREEING direction: text-DERIVED embeddings (hashed
+    // bag-of-words, computed in-query in both engines) make text dups
+    // cluster at cosine 1 — q230's disagreement outcome is not the
+    // only one the operator can certify
+    "q231_crossmodal_agree" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.crossModalAgree(s, d)),
+    // q226 with the exact-dup collapse FORCED on: the standing-index
+    // probe plan (one row per distinct fingerprint on BOTH sides) must
+    // replay the direct oracle row-for-row (the q193 pattern)
+    "q232_incr_near_dedup_collapsed" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.incrementalNearDedupCollapsed(s, d)),
+    // two-batch standing-index maintenance: batch 1 probed + novel
+    // docs ADMITTED, batch 2 probed against the UPDATED index
+    "q233_neardup_index_2batch" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.nearDupIndexTwoBatch(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1487,5 +1502,11 @@ object SparkEntry {
     "q229_stream_anomalies" -> ext.Events.hourlyAnomaliesOracleSql(),
     "q230_crossmodal_audit" ->
       ext.Similarity.crossModalAuditOracleSql(),
+    "q231_crossmodal_agree" ->
+      ext.Similarity.crossModalAgreeOracleSql(),
+    "q232_incr_near_dedup_collapsed" ->
+      ext.Dedup.incrementalNearDedupOracleSql(),
+    "q233_neardup_index_2batch" ->
+      ext.Dedup.nearDupIndexTwoBatchOracleSql(),
   )
 }

@@ -232,13 +232,17 @@ object Dedup {
     * a later full-scan read never inherits a sampled (downward-biased)
     * value. */
   private[ext] val dupFracCache = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, Double, String), Double]()
+    .TrieMap[(SparkSession, String, Double, Long, String), Double]()
   private[graft] def dupFractionDir(spark: SparkSession, dir: String,
                                     extraKeys: Seq[String]): Double = {
     sweepStopped(dupFracCache)(_._1)
     val scopeKey = extraKeys.mkString(",")
     val frac = effectiveSampleFrac(spark).getOrElse(1.0)
-    dupFracCache.get((spark, dir, frac, scopeKey)).getOrElse {
+    // the exact-fallback threshold is part of the key: a probe taken
+    // under one threshold (HLL-only vs exact path) must never be
+    // served after the knob changes
+    val thr = exactProbeThreshold(spark)
+    dupFracCache.get((spark, dir, frac, thr, scopeKey)).getOrElse {
       val docs = Tables.load(spark, dir, "documents")
       // the caller's scope is a hard requirement — failing loudly here
       // beats the NoSuchElementException a silent filter would produce
@@ -257,9 +261,9 @@ object Dedup {
       val scopes = (Seq(Seq.empty[String], Seq("source")) :+ extraKeys)
         .distinct.filter(_.forall(docs.columns.contains))
       dupFractions(spark, docs, scopes).foreach { case (sc, f) =>
-        dupFracCache.put((spark, dir, frac, sc.mkString(",")), f)
+        dupFracCache.put((spark, dir, frac, thr, sc.mkString(",")), f)
       }
-      dupFracCache((spark, dir, frac, scopeKey))
+      dupFracCache((spark, dir, frac, thr, scopeKey))
     }
   }
   private def dupFraction(docs: DataFrame, extraKeys: Seq[String]): Double =
@@ -299,9 +303,19 @@ object Dedup {
     * across the five operators that share it. */
   private[ext] val ExactDistinctThreshold = 100000L
 
+  /** Conf knob overriding [[ExactDistinctThreshold]] (the measured
+    * crossover lives in SCALE.md "dup-probe exact-fallback cost");
+    * "0" disables the exact fallback entirely (HLL-only probe). */
+  private[graft] val ExactProbeThresholdKey =
+    "spark.graft.dedup.exactProbeThreshold"
+  private def exactProbeThreshold(spark: SparkSession): Long =
+    spark.conf.getOption(ExactProbeThresholdKey)
+      .map(_.toLong).getOrElse(ExactDistinctThreshold)
+
   private[ext] def dupFractions(spark: SparkSession, docs: DataFrame,
                            scopes: Seq[Seq[String]])
       : Seq[(Seq[String], Double)] = {
+    val exactBelow = exactProbeThreshold(spark)
     val sampleFrac = effectiveSampleFrac(spark)
     val probed = sampleFrac.fold(docs)(f =>
       docs.filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
@@ -321,7 +335,7 @@ object Dedup {
     // cardinality band where HLL++ overshoots — exact distinct is ≤ n
     // by construction, so these scopes can never read negative
     val needExact =
-      scopes.indices.filter(i => approx(i) < ExactDistinctThreshold)
+      scopes.indices.filter(i => approx(i) < exactBelow)
     val exact: Map[Int, Long] =
       if (needExact.isEmpty || n == 0L) Map.empty
       else {
@@ -1272,6 +1286,105 @@ object Dedup {
        |    AS BIGINT) AS kept
        |FROM wl JOIN szs USING (cluster)""".stripMargin
 
+  /** Standing near-dup LSH INDEX over a (doc_id, text) corpus — ONE
+    * row per distinct normalized-text fingerprint:
+    * `(fp, n_docs, min_id, shingles, sig)`. This is the table a
+    * production deployment keeps materialized between ingest batches:
+    * the q193 exact-duplicate collapse applied to the index itself, so
+    * a boilerplate page with k corpus copies occupies one index row
+    * (its band keys appear once, not k times) and a probe join's
+    * fan-out tracks DISTINCT corpus content, never raw copy counts.
+    * Groups too short to shingle are dropped — they can never produce
+    * a verified match, exactly as they never enter the direct
+    * pipeline's shingle table.
+    *
+    * Scale: one fp-keyed shuffle of 24-byte rows over the corpus, then
+    * shingle/signature work over DISTINCT docs only. */
+  private[graft] def nearDupIndexOf(docs: DataFrame): DataFrame = {
+    val groups = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              md5(TextAnalysis.normalized(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+      .transform(TrackedPersist.persistTracked)
+    // representative shingles + signature — identical for every group
+    // member, so one row carries the whole group's LSH geometry
+    val repIdx = shingledOf(docs.join(
+        groups.select(col("min_id").as("doc_id")), Seq("doc_id"),
+        "left_semi"))
+      .select(col("doc_id").as("min_id"), col("shingles"),
+        graft.functions.MinHashSig.minhashSig(
+          col("shingles"), perms.map(_._1), perms.map(_._2)).as("sig"))
+    groups.join(repIdx, Seq("min_id"))
+      .select(col("fp"), col("n_docs"), col("min_id"), col("shingles"),
+              col("sig"))
+  }
+
+  /** Probe a NEW (doc_id, text) batch against a standing
+    * [[nearDupIndexOf]] index: per batch document — is it novel, how
+    * many standing-corpus documents it near-duplicates (shingle
+    * jaccard ≥ threshold among LSH band candidates), and the minimum
+    * matching corpus doc_id as a deterministic witness.
+    *
+    * BOTH sides are collapsed: the batch probes one representative per
+    * distinct batch fingerprint and the index holds one row per
+    * distinct corpus fingerprint, so the band join's candidate volume
+    * is (distinct batch)×(distinct corpus)-shaped — a boilerplate
+    * document with k corpus copies and m batch copies contributes ONE
+    * candidate, not k·m (the round-13 known limit, closed). Counts and
+    * witnesses expand back through the group stats: every member of a
+    * matched batch group reports Σ n_docs over matched corpus groups
+    * and the min matching min_id, which equals the direct pipeline's
+    * per-doc answer because identical normalized text ⇒ identical
+    * shingles ⇒ identical band keys and jaccard. */
+  private[graft] def probeNearDupIndex(index: DataFrame, batch: DataFrame,
+                                       threshold: Double): DataFrame = {
+    val idx = index.transform(TrackedPersist.persistTracked)
+    val bKeyed = batch
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              md5(TextAnalysis.normalized(col("text"))).as("bfp"))
+    val bReps = bKeyed.groupBy(col("bfp"))
+      .agg(min(col("doc_id")).as("bmin"))
+    val bRepSh = shingledOf(batch.join(
+        bReps.select(col("bmin").as("doc_id")), Seq("doc_id"),
+        "left_semi"))
+      .join(bKeyed, "doc_id")
+      .select(col("bfp"), col("shingles").as("sb"),
+        graft.functions.MinHashSig.minhashSig(
+          col("shingles"), perms.map(_._1), perms.map(_._2)).as("bsig"))
+      .transform(TrackedPersist.persistTracked)
+    // band keys carry ONLY the fingerprint — the shingle arrays ride
+    // the verify joins, keyed by fp, exactly as the direct pipeline
+    // keeps them out of its band explode
+    val cand = bRepSh
+      .select(col("bfp"), explode(bandStructs(col("bsig"))).as("bk"))
+      .join(idx.select(col("fp"),
+              explode(bandStructs(col("sig"))).as("bk")), "bk")
+      .select(col("bfp"), col("fp")).distinct()
+    val matches = cand
+      .join(bRepSh.select(col("bfp"), col("sb")), "bfp")
+      .join(idx.select(col("fp"), col("shingles").as("sc"),
+                       col("n_docs"), col("min_id")), "fp")
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sb"), col("sc")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sb")) + size(col("sc")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("bfp"))
+      .agg(sum(col("n_docs")).as("n_dups"),
+           min(col("min_id")).as("match_id"))
+    batch
+      .select(col("doc_id"),
+              md5(TextAnalysis.normalized(col("text"))).as("bfp"))
+      .join(matches, Seq("bfp"), "left_outer")
+      .select(col("doc_id"),
+              col("n_dups").isNull.cast("int").cast("long").as("novel"),
+              coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+              col("match_id"))
+  }
+
   /** Incremental NEAR-dup admission — the daily-ingest companion of
     * q82's exact-fingerprint incremental dedup: probe each NEW-batch
     * document (sources past src9, q82's convention) against the
@@ -1280,31 +1393,44 @@ object Dedup {
     * (min corpus doc_id at shingle-jaccard ≥ threshold). The batch
     * never joins against itself and the corpus never self-joins: band
     * keys cross only batch×corpus, which is the entire point — daily
-    * work scales with the DELTA, not the corpus (the corpus side
-    * contributes its standing signature/band table, maintained
-    * incrementally in production).
+    * work scales with the DELTA, not the corpus.
     *
-    * Scale: two shingle scans (delta-sized and corpus-sized — the
-    * latter is the standing index a real deployment keeps
-    * materialized), one band-keyed join whose fan-out is bounded by
-    * bucket structure, and an output-bound verify (the q26 argument).
-    * KNOWN LIMIT: this operator runs the DIRECT band join only — it
-    * does not implement [[minhashLsh]]'s exact-duplicate collapse, so
-    * a boilerplate document with k corpus copies and m batch copies
-    * produces k·m candidates per matching band. On a dup-heavy corpus
-    * pre-collapse both sides to fingerprint representatives before
-    * probing (the minhashLsh defense); at gate scale the dup fraction
-    * is far below where that matters. */
+    * Routing mirrors [[minhashLsh]]: the measured dup-fraction probe
+    * decides between the direct batch×corpus band join (dup-light —
+    * the gate corpus) and the COLLAPSED path through
+    * [[nearDupIndexOf]]/[[probeNearDupIndex]] (dup-heavy — the normal
+    * shape for a daily ingest batch at 100 TB, where yesterday's
+    * boilerplate arrives again today and a direct join would produce
+    * k·m candidates per boilerplate band). Both paths are
+    * row-identical; q232 replays this oracle through the forced
+    * collapsed plan. */
   def incrementalNearDedup(spark: SparkSession, dir: String,
                            threshold: Double = 0.5): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val isNew = length(col("source")) > 4
-    val shC = shingledOf(docs.filter(!isNew)
-        .select(col("doc_id"), col("text")))
-      .transform(TrackedPersist.persistTracked)
-    val shB = shingledOf(docs.filter(isNew)
-        .select(col("doc_id"), col("text")))
-      .transform(TrackedPersist.persistTracked)
+    val corpus = docs.filter(!isNew).select(col("doc_id"), col("text"))
+    val batch = docs.filter(isNew).select(col("doc_id"), col("text"))
+    if (shouldCollapse(spark, dupFractionDir(spark, dir, Nil)))
+      probeNearDupIndex(nearDupIndexOf(corpus), batch, threshold)
+    else incrementalNearDedupDirect(corpus, batch, threshold)
+  }
+
+  /** [[incrementalNearDedup]] with the exact-duplicate collapse FORCED
+    * on (the q193 gate pattern): the index-probe plan must replay the
+    * direct oracle row-for-row. */
+  def incrementalNearDedupCollapsed(spark: SparkSession, dir: String,
+                                    threshold: Double = 0.5): DataFrame =
+    withForcedCollapse(spark)(incrementalNearDedup(spark, dir, threshold))
+
+  /** The direct (uncollapsed) batch×corpus probe — correct and cheapest
+    * on dup-light corpora, where the fp-group shuffles would buy
+    * nothing. */
+  private[graft] def incrementalNearDedupDirect(corpus: DataFrame,
+                                                batch: DataFrame,
+                                                threshold: Double)
+      : DataFrame = {
+    val shC = shingledOf(corpus).transform(TrackedPersist.persistTracked)
+    val shB = shingledOf(batch).transform(TrackedPersist.persistTracked)
     def bandsOf(sh: DataFrame) = signatures(sh)
       .select(col("doc_id"), explode(bandStructs(col("sig"))).as("bk"))
     val cand = bandsOf(shB).as("l")
@@ -1323,11 +1449,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("b_id"))
       .agg(count(lit(1)).as("n_dups"), min(col("c_id")).as("match_id"))
-    docs.filter(isNew).select(col("doc_id"))
+    batch.select(col("doc_id"))
       .join(matches, col("doc_id") === col("b_id"), "left_outer")
       .select(col("doc_id"),
               col("b_id").isNull.cast("int").cast("long").as("novel"),
               coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+              col("match_id"))
+  }
+
+  /** Two-batch standing-index MAINTENANCE certification (gate q233):
+    * index the standing corpus (src0–src9), probe batch 1
+    * (src10–src14), ADMIT batch 1's novel documents into the index
+    * (append their collapsed signature rows — the q82
+    * incremental-exact pattern, near-dup edition), then probe batch 2
+    * (src15–src19) against the UPDATED index. A batch-2 near-dup of a
+    * batch-1 admission is caught by state the admission step wrote —
+    * the property that makes the index incremental rather than
+    * recomputed per run (the testdata carries such pairs at both gate
+    * scales, so the admission path is exercised, not just compiled).
+    * Output: both batches' probe rows tagged with their batch number.
+    *
+    * Admitted fingerprints can never collide with standing ones: an
+    * equal fp means jaccard 1.0 ≥ threshold, so the document was
+    * matched, not novel — the union needs no re-grouping. */
+  def nearDupIndexTwoBatch(spark: SparkSession, dir: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    def side(f: Column) = docs.filter(f).select(col("doc_id"), col("text"))
+    val corpus = side(length(col("source")) <= 4)
+    val batch1 = side(length(col("source")) > 4 && srcNum <= 14)
+    val batch2 = side(length(col("source")) > 4 && srcNum >= 15)
+    val idx0 = nearDupIndexOf(corpus)
+    val probe1 = probeNearDupIndex(idx0, batch1, threshold)
+      .transform(TrackedPersist.persistTracked)
+    val admitted = batch1.join(
+      probe1.filter(col("novel") === 1L).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val idx1 = idx0.unionByName(nearDupIndexOf(admitted))
+    val probe2 = probeNearDupIndex(idx1, batch2, threshold)
+    probe1.withColumn("batch", lit(1L))
+      .unionByName(probe2.withColumn("batch", lit(2L)))
+      .select(col("doc_id"), col("batch"), col("novel"), col("n_dups"),
               col("match_id"))
   }
 
@@ -1364,6 +1527,60 @@ object Dedup {
        |FROM documents d
        |JOIN half h ON h.doc_id = d.doc_id AND h.is_new
        |LEFT JOIN agg a ON a.b_id = d.doc_id""".stripMargin
+
+  /** DuckDB oracle for [[nearDupIndexTwoBatch]]: the q26 signature +
+    * banding CTEs, probed batch-1-vs-corpus, then batch-2 against
+    * corpus ∪ batch-1's novel survivors — the per-document replay of
+    * the engine's collapsed index + admission (group counts expand to
+    * exactly these per-doc counts). */
+  def nearDupIndexTwoBatchOracleSql(threshold: Double = 0.5): String = {
+    val jac =
+      """CAST(len(list_intersect(lb.hs, lc.hs)) AS DOUBLE) /
+        |        (len(lb.hs) + len(lc.hs) - len(list_intersect(lb.hs, lc.hs)))""".stripMargin
+    s"""WITH $minhashCtes,
+       |side AS (SELECT doc_id,
+       |    CASE WHEN length(source) <= 4 THEN 0
+       |         WHEN CAST(substr(source, 4) AS INT) <= 14 THEN 1
+       |         ELSE 2 END AS grp
+       |  FROM documents),
+       |cand1 AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+       |  FROM bands b JOIN side sb ON sb.doc_id = b.doc_id AND sb.grp = 1
+       |  JOIN bands c ON c.b = b.b AND c.bk = b.bk
+       |  JOIN side sc ON sc.doc_id = c.doc_id AND sc.grp = 0),
+       |ver1 AS (SELECT b_id, c_id FROM (
+       |    SELECT b_id, c_id, $jac AS jac
+       |    FROM cand1 JOIN sh lb ON lb.doc_id = cand1.b_id
+       |               JOIN sh lc ON lc.doc_id = cand1.c_id) v
+       |  WHERE jac >= $threshold),
+       |agg1 AS (SELECT b_id, CAST(count(*) AS BIGINT) AS n_dups,
+       |    CAST(min(c_id) AS BIGINT) AS match_id
+       |  FROM ver1 GROUP BY b_id),
+       |out1 AS (SELECT d.doc_id, CAST(1 AS BIGINT) AS batch,
+       |    CAST(a.b_id IS NULL AS BIGINT) AS novel,
+       |    CAST(coalesce(a.n_dups, 0) AS BIGINT) AS n_dups, a.match_id
+       |  FROM documents d JOIN side s ON s.doc_id = d.doc_id AND s.grp = 1
+       |  LEFT JOIN agg1 a ON a.b_id = d.doc_id),
+       |c2 AS (SELECT doc_id FROM side WHERE grp = 0
+       |       UNION ALL SELECT doc_id FROM out1 WHERE novel = 1),
+       |cand2 AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+       |  FROM bands b JOIN side sb ON sb.doc_id = b.doc_id AND sb.grp = 2
+       |  JOIN bands c ON c.b = b.b AND c.bk = b.bk
+       |  JOIN c2 ON c2.doc_id = c.doc_id),
+       |ver2 AS (SELECT b_id, c_id FROM (
+       |    SELECT b_id, c_id, $jac AS jac
+       |    FROM cand2 JOIN sh lb ON lb.doc_id = cand2.b_id
+       |               JOIN sh lc ON lc.doc_id = cand2.c_id) v
+       |  WHERE jac >= $threshold),
+       |agg2 AS (SELECT b_id, CAST(count(*) AS BIGINT) AS n_dups,
+       |    CAST(min(c_id) AS BIGINT) AS match_id
+       |  FROM ver2 GROUP BY b_id),
+       |out2 AS (SELECT d.doc_id, CAST(2 AS BIGINT) AS batch,
+       |    CAST(a.b_id IS NULL AS BIGINT) AS novel,
+       |    CAST(coalesce(a.n_dups, 0) AS BIGINT) AS n_dups, a.match_id
+       |  FROM documents d JOIN side s ON s.doc_id = d.doc_id AND s.grp = 2
+       |  LEFT JOIN agg2 a ON a.b_id = d.doc_id)
+       |SELECT * FROM out1 UNION ALL SELECT * FROM out2""".stripMargin
+  }
 
   /** Quality-ranked cluster survivor — the production dedup policy:
     * within each near-dup cluster keep the FULLEST copy (most word

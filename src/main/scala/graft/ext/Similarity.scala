@@ -109,6 +109,103 @@ object Similarity {
        |       JOIN embeddings eb ON eb.vec_id = p.b_id""".stripMargin
   }
 
+  /** The [[crossModalAudit]]'s AGREEING direction (q231): the same
+    * joint (text-jaccard, embedding-cosine) table, but over embeddings
+    * DERIVED from the text itself — a 16-dim signed hashed
+    * bag-of-words (word w adds ±1 to dimension md5(w)[0], sign from
+    * md5(w)[1] parity; exact integer sums, so the vector is
+    * order-independent and both engines compute it bit-identically).
+    * On text-derived embeddings the audit must PASS: exact text dups
+    * get identical vectors (cosine exactly 1) and near-dups cluster
+    * near 1 — the outcome q230 certifies the absence of on the
+    * synthetic label-clustered embeddings. Zero-norm vectors (a doc
+    * whose word signs cancel) yield NULL cosine rather than a
+    * division-by-zero artifact.
+    *
+    * Scale: the embedding is a row-local codegen'd expression over the
+    * word set — no extra shuffle; the audit itself rides the shared
+    * exact-pair persist exactly as q230 does. */
+  def crossModalAgree(spark: SparkSession, dir: String,
+                      jacThreshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.jaccardPairsCached(spark, dir, jacThreshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+    val emb = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), bowEmbedding(col("text")).as("e"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    pairs
+      .join(emb.select(col("doc_id").as("a_id"), col("e").as("ea")), "a_id")
+      .join(emb.select(col("doc_id").as("b_id"), col("e").as("eb")), "b_id")
+      .withColumn("na", idot(col("ea"), col("ea")))
+      .withColumn("nb", idot(col("eb"), col("eb")))
+      .select(col("a_id"), col("b_id"),
+              round(col("jac"), 4).as("jac_r"),
+              when(col("na") === 0L || col("nb") === 0L, lit(null))
+                .otherwise(round(idot(col("ea"), col("eb")).cast("double") /
+                  sqrt(col("na").cast("double")) /
+                  sqrt(col("nb").cast("double")), 4)).as("cos_r"))
+  }
+
+  /** 16-dim signed hashed bag-of-words over a text column — the
+    * deterministic text-derived embedding [[crossModalAgree]] audits
+    * against. Exact long arithmetic end to end; every engine with md5
+    * reproduces it value-for-value. */
+  private[ext] def bowEmbedding(textCol: Column): Column = {
+    val ws = array_distinct(filter(
+      split(TextAnalysis.normalized(textCol), " "), w => w =!= lit("")))
+    transform(sequence(lit(0), lit(15)), d =>
+      aggregate(ws, lit(0L), (acc, w) => {
+        val h = md5(w)
+        val bucket = conv(substring(h, 1, 1), 16, 10).cast("long")
+        val sign = when(
+          conv(substring(h, 2, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L))
+        acc + when(bucket === d.cast("long"), sign).otherwise(lit(0L))
+      }))
+  }
+
+  /** DuckDB oracle for [[crossModalAgree]]: the exact-pair CTE joined
+    * to a list-comprehension replay of the hashed bag-of-words (md5
+    * hex digits are engine-portable; sums are exact BIGINTs, so the
+    * doubles entering the cosine are identical). */
+  def crossModalAgreeOracleSql(jacThreshold: Double = 0.8): String = {
+    val bow =
+      """[coalesce(list_sum([CASE
+        |      WHEN strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1 = dd
+        |      THEN (CASE WHEN (strpos('0123456789abcdef',
+        |                              substr(md5(w), 2, 1)) - 1) % 2 = 0
+        |            THEN 1 ELSE -1 END)
+        |      ELSE 0 END for w in ws]), 0)
+        |    for dd in range(0, 16)]""".stripMargin
+    def dotSql(a: String, b: String): String =
+      s"list_sum([$a.e[i] * $b.e[i] for i in range(1, 17)])"
+    s"""WITH d AS (SELECT doc_id, source,
+       |  list_distinct(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+       |    AS ws
+       | FROM documents),
+       |p AS (SELECT a_id, b_id, jac FROM (
+       | SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  CAST(len(list_intersect(l.ws, r.ws)) AS DOUBLE) /
+       |   (len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws))) AS jac
+       | FROM d l, d r
+       | WHERE l.source = r.source AND l.doc_id < r.doc_id) q
+       | WHERE jac >= $jacThreshold),
+       |e AS (SELECT doc_id, $bow AS e FROM (
+       |  SELECT doc_id, list_distinct(list_filter(string_split(trim(
+       |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
+       |    'g'), ' +', ' ', 'g')), ' '), w -> w != '')) AS ws
+       |  FROM documents) t)
+       |SELECT p.a_id, p.b_id, round(p.jac, 4) AS jac_r,
+       |  CASE WHEN ${dotSql("ea", "ea")} = 0 OR ${dotSql("eb", "eb")} = 0
+       |    THEN NULL
+       |    ELSE round(CAST(${dotSql("ea", "eb")} AS DOUBLE)
+       |      / sqrt(CAST(${dotSql("ea", "ea")} AS DOUBLE))
+       |      / sqrt(CAST(${dotSql("eb", "eb")} AS DOUBLE)), 4) END AS cos_r
+       |FROM p JOIN e ea ON ea.doc_id = p.a_id
+       |       JOIN e eb ON eb.doc_id = p.b_id""".stripMargin
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * rank the whole corpus (self excluded). The query side is broadcast;
     * the corpus is scanned once. Output: (qid, nid, rank). */

@@ -636,12 +636,14 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupFracCache.isEmpty)
     Dedup.dupFractionDir(spark, sfDir, Nil)
     val scopes = Dedup.dupFracCache.keys
-      .collect { case (s, d, _, scope) if s == spark && d == sfDir => scope }
+      .collect { case (s, d, _, _, scope) if s == spark && d == sfDir =>
+        scope }
       .toSet
     assert(scopes == Set("", "source"),
       s"one probe must fill both scopes, got $scopes")
     // and the source-scope read is a pure cache hit (same map entry)
-    val before = Dedup.dupFracCache((spark, sfDir, 1.0, "source"))
+    val before = Dedup.dupFracCache(
+      (spark, sfDir, 1.0, Dedup.ExactDistinctThreshold, "source"))
     assert(Dedup.dupFractionDir(spark, sfDir, Seq("source")) == before)
   }
 
@@ -664,7 +666,7 @@ class DedupSpec extends SparkSpec {
       spark.conf.unset(Dedup.ProbeSampleKey)
       Dedup.dupFractionDir(spark, sfDir, Nil)
       val fracs = Dedup.dupFracCache.keys.collect {
-        case (s, d, f, "") if s == spark && d == sfDir => f
+        case (s, d, f, _, "") if s == spark && d == sfDir => f
       }.toSet
       assert(fracs == Set(0.5, 1.0),
         s"probe memo must be keyed by sample fraction, got $fracs")

@@ -1,0 +1,116 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The standing near-dup index (q226/q232/q233 machinery): collapsed
+  * probe exactness on dup-heavy input — the round-13 verdict's k·m
+  * candidate-blowup gap — and the two-batch admission contract (a
+  * batch-2 near-dup of a batch-1 admission is caught by state the
+  * admission step wrote). */
+class NearDupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long word sequences so 3-gram shingle sets are rich enough for the
+  // LSH bands to fire deterministically on near-identical texts
+  private val baseA =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val baseB =
+    "one two three four five six seven eight nine ten " +
+    "eleven twelve thirteen fourteen fifteen sixteen"
+  private val baseC =
+    "red orange yellow green blue indigo violet cyan magenta white " +
+    "black brown silver golden copper bronze"
+  private def nearOf(t: String): String = t + " coda"
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("dup-heavy collapsed probe is row-identical to the direct join") {
+    // boilerplate doc with k=4 corpus copies and m=3 batch copies —
+    // the shape whose direct band join carries k·m candidates
+    val corpus = docs(
+      (1L, baseA), (2L, baseA), (3L, baseA), (4L, baseA),
+      (5L, baseB), (6L, "tiny"), (7L, null))
+    val batch = docs(
+      (10L, baseA), (11L, baseA), (12L, baseA),
+      (13L, nearOf(baseB)), (14L, baseC), (15L, null))
+    val direct = Dedup.incrementalNearDedupDirect(corpus, batch, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val collapsed = Dedup.probeNearDupIndex(
+        Dedup.nearDupIndexOf(corpus), batch, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(collapsed == direct)
+    // and the direct answer is the intended one: every baseA batch copy
+    // reports all 4 corpus copies with witness 1; the near-dup of baseB
+    // reports 1 dup with witness 5; baseC and null are novel
+    val byId = Dedup.probeNearDupIndex(
+        Dedup.nearDupIndexOf(corpus), batch, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(byId(10L) == ((0L, 4L, Some(1L))))
+    assert(byId(11L) == ((0L, 4L, Some(1L))))
+    assert(byId(12L) == ((0L, 4L, Some(1L))))
+    assert(byId(13L) == ((0L, 1L, Some(5L))))
+    assert(byId(14L) == ((1L, 0L, None)))
+    assert(byId(15L) == ((1L, 0L, None)))
+  }
+
+  test("index collapses to one row per distinct fingerprint") {
+    val corpus = docs(
+      (1L, baseA), (2L, baseA), (3L, baseA), (4L, baseA),
+      (5L, baseB), (6L, "tiny"), (7L, null))
+    val idx = Dedup.nearDupIndexOf(corpus).collect()
+    // two shingleable distinct texts; "tiny" (unshingleable) and null
+    // text are dropped — they can never produce a verified match
+    assert(idx.length == 2)
+    val byMin = idx.map(r =>
+      r.getLong(2) -> r.getLong(1)).toMap // min_id -> n_docs
+    assert(byMin == Map(1L -> 4L, 5L -> 1L))
+  }
+
+  test("two-batch admission: batch-2 near-dup of a batch-1 admission " +
+       "is caught by the UPDATED index") {
+    val corpus = docs((1L, baseA))
+    val batch1 = docs(
+      (10L, baseB),          // novel -> admitted
+      (11L, nearOf(baseA)))  // matches corpus -> NOT admitted
+    val batch2 = docs(
+      (20L, nearOf(baseB)),  // near-dup of the batch-1 ADMISSION
+      (21L, nearOf(baseA)),  // still matches the standing corpus
+      (22L, baseC))          // novel
+    val idx0 = Dedup.nearDupIndexOf(corpus)
+    val probe1 = Dedup.probeNearDupIndex(idx0, batch1, 0.5)
+    val admitted = batch1.join(
+      probe1.filter(col("novel") === 1L).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(admitted.collect().map(_.getLong(0)).toSeq == Seq(10L))
+    val idx1 = idx0.unionByName(Dedup.nearDupIndexOf(admitted))
+    val byId = Dedup.probeNearDupIndex(idx1, batch2, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(byId(20L) == ((0L, 1L, Some(10L))),
+      "the admission write must make doc 10 findable")
+    assert(byId(21L) == ((0L, 1L, Some(1L))))
+    assert(byId(22L) == ((1L, 0L, None)))
+    // negative control: WITHOUT the admission, doc 20 reads novel —
+    // the catch above is state, not coincidence
+    val stale = Dedup.probeNearDupIndex(idx0, batch2, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stale(20L) == 1L)
+  }
+
+  test("the composed two-batch gate output is internally consistent") {
+    val out = Dedup.nearDupIndexTwoBatch(spark, sfDir)
+      .collect()
+    val batches = out.map(_.getLong(1)).toSet
+    assert(batches == Set(1L, 2L))
+    // novel==1 rows carry n_dups 0 and a null witness; matched rows
+    // the inverse
+    out.foreach { r =>
+      if (r.getLong(2) == 1L) { assert(r.getLong(3) == 0L && r.isNullAt(4)) }
+      else assert(r.getLong(3) >= 1L && !r.isNullAt(4))
+    }
+  }
+}

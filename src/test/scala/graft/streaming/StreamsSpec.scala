@@ -393,12 +393,18 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("streaming hourly anomalies equal the batch q88 rule") {
-    val stream = Streams.hourlyAnomaliesAvailableNow(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    // all four columns, INCLUDING the hour bucket — an hour-bucket
+    // misalignment between window(ts, '1 hour') and date_trunc('hour')
+    // must fail here, not only via the q229 oracle gate. The stream
+    // side emits timestamp_ntz and the batch side timestamp, so both
+    // are cast to ntz (same session tz) for a comparable JVM type.
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", col("h").cast("timestamp_ntz"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1), r.getLong(2), r.getDouble(3)))
       .toSet
-    val batch = graft.ext.Events.hourlyAnomalies(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
-      .toSet
+    val stream = rows(Streams.hourlyAnomaliesAvailableNow(spark, sfDir))
+    val batch = rows(graft.ext.Events.hourlyAnomalies(spark, sfDir))
     assert(stream == batch)
     assert(stream.nonEmpty)
   }
