@@ -1457,6 +1457,40 @@ object Dedup {
               col("match_id"))
   }
 
+  /** Diagnostic for the scale certification (SCALE.md incremental
+    * dup-heavy table): the batch×corpus band-candidate counts of the
+    * direct plan vs the collapsed index probe. The collapse's claim is
+    * that its candidate volume tracks DISTINCT fingerprints per side
+    * while the direct join's tracks raw copy products (k·m per
+    * boilerplate band). */
+  private[graft] def incrCandidateCounts(corpus: DataFrame,
+                                         batch: DataFrame): (Long, Long) = {
+    def bandsOf(sh: DataFrame) = signatures(sh)
+      .select(col("doc_id"), explode(bandStructs(col("sig"))).as("bk"))
+    val raw = bandsOf(shingledOf(batch)).as("l")
+      .join(bandsOf(shingledOf(corpus)).as("r"),
+            col("l.bk") === col("r.bk"))
+      .select(col("l.doc_id").as("b_id"), col("r.doc_id").as("c_id"))
+      .distinct().count()
+    val idx = nearDupIndexOf(corpus)
+    val bk = batch.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              md5(TextAnalysis.normalized(col("text"))).as("bfp"))
+    val bReps = bk.groupBy(col("bfp")).agg(min(col("doc_id")).as("bmin"))
+    val bRepBands = shingledOf(batch.join(
+        bReps.select(col("bmin").as("doc_id")), Seq("doc_id"),
+        "left_semi"))
+      .join(bk, "doc_id")
+      .select(col("bfp"), explode(bandStructs(
+        graft.functions.MinHashSig.minhashSig(
+          col("shingles"), perms.map(_._1), perms.map(_._2)))).as("bk"))
+    val collapsed = bRepBands
+      .join(idx.select(col("fp"),
+              explode(bandStructs(col("sig"))).as("bk")), "bk")
+      .select(col("bfp"), col("fp")).distinct().count()
+    (raw, collapsed)
+  }
+
   /** Two-batch standing-index MAINTENANCE certification (gate q233):
     * index the standing corpus (src0–src9), probe batch 1
     * (src10–src14), ADMIT batch 1's novel documents into the index

@@ -300,28 +300,31 @@ object TextAnalysis {
     * engines replay the identical merge semantics including the
     * overlapping-run case ("aaa" + (a,a) → "aa","a"). */
   def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 6,
-                foldChainCap: Int = 4): DataFrame =
-    spark.createDataFrame(learnedMerges(spark, dir, nMerges, foldChainCap))
+                foldChainCap: Int = 4, batchSize: Int = 64): DataFrame =
+    spark.createDataFrame(
+        learnedMerges(spark, dir, nMerges, foldChainCap, batchSize))
       .toDF("step", "lhs", "rhs", "n_occ")
 
   /** Per-(session, dir, nMerges) memo of the learned merge table — the
     * trainer artifact both q213 (the table itself) and q214 (the
     * encode) consume; like every model-artifact memo in this file
     * (lmScoreCache, the IVF-PQ index) the training runs once per
-    * corpus and each policy reads the result. The fold-chain cap is
-    * deliberately NOT part of the key: it changes training COST only —
-    * BpeMergesSpec pins that the learned table is identical at any cap
-    * — so two callers with different caps share one artifact. The
-    * value is driver-side and tiny (k rows), but it still rides the
-    * [[TrackedPersist]] onClear hook so a cold sweep measures a full
-    * retrain. */
+    * corpus and each policy reads the result. The fold-chain cap and
+    * batch size are deliberately NOT part of the key: they change
+    * training COST only — BpeMergesSpec trains the same corpus at
+    * multiple (cap, batch) combinations and asserts the learned table
+    * identical (the batched selection's guards make the equality
+    * structural, not empirical; see [[bpeTrainLoop]]) — so two callers
+    * with different knobs share one artifact. The value is driver-side
+    * and tiny (k rows), but it still rides the [[TrackedPersist]]
+    * onClear hook so a cold sweep measures a full retrain. */
   private[ext] val bpeMergeCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Int),
              Seq[(Long, String, String, Long)]]()
   TrackedPersist.onClear(() => bpeMergeCache.clear())
 
   private def learnedMerges(spark: SparkSession, dir: String, nMerges: Int,
-                            foldChainCap: Int = 4)
+                            foldChainCap: Int = 4, batchSize: Int = 64)
       : Seq[(Long, String, String, Long)] = {
     require(nMerges >= 1, "nMerges must be positive")
     bpeMergeCache.keys.foreach { k =>
@@ -333,7 +336,7 @@ object TextAnalysis {
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         .persist()
-      try bpeTrainLoop(wordCounts, nMerges, foldChainCap)
+      try bpeTrainLoop(wordCounts, nMerges, foldChainCap, batchSize)
       finally { wordCounts.unpersist(); () }
     })
   }
@@ -359,21 +362,80 @@ object TextAnalysis {
     * overall — and involves neither the CacheManager nor the
     * checkpoint machinery. The previous window's RDD is unpersisted
     * as soon as its successor is materialized. */
-  private def bpeTrainLoop(wordCounts: DataFrame, nMerges: Int,
-                           foldChainCap: Int = 4)
+  /** Round counter of the last [[bpeTrainLoop]] run (diagnostic for
+    * `ScaleSmoke bpek` — the batched-selection claim is FEWER ROUNDS,
+    * i.e. fewer full vocab-table aggregations, at equal learned
+    * merges). */
+  @volatile private[graft] var lastTrainRounds: Int = 0
+
+  /** BATCHED merge selection: one ranked pair-count slice per round
+    * accepts a PREFIX of up to `batchSize` merges whose sequential
+    * equivalence is GUARANTEED, not assumed. Candidates are walked in
+    * the round's (count desc, lhs, rhs) order; the round stops at the
+    * first candidate failing either guard:
+    *
+    *  1. instance-overlap compatibility — the EXACT condition under
+    *     which two merges interact. Merging p=(l,r) changes candidate
+    *     q's count or pattern only when their instances can overlap or
+    *     a merged-output symbol is involved: q.rhs == p.lhs (the
+    *     "x l | r" destruction), q.lhs == p.rhs ("l r | y"), or any of
+    *     q.lhs / q.rhs / q's output colliding with p's output (or q's
+    *     output with p's symbols — a created symbol must not form new
+    *     instances of an earlier accepted pattern). Same-lhs and
+    *     same-rhs pairs — (e,r) vs (o,r), the overwhelmingly common
+    *     adjacency in natural text — are provably independent: their
+    *     instances cannot share a position, so counts transfer
+    *     unchanged and the combined fold replays sequential
+    *     application exactly. (Plain symbol-disjointness was measured
+    *     at ~1.5 merges/round on sf0.1; this test reaches the batch
+    *     cap.)
+    *  2. count-gap floor — each accepted count strictly exceeds every
+    *     upper bound on pairs the batch's earlier merges can CREATE:
+    *     a new pair (x, lr) inherits count ≤ count(x, l) and (lr, y)
+    *     ≤ count(r, y), read off the same slice (off-slice pairs are
+    *     bounded by the slice minimum); if that free floor truncates
+    *     the compatibility prefix, ONE trigram aggregation measures
+    *     the exact ceilings ([[trigramBounds]] — uniformly tighter) to
+    *     extend the batch. Either way a freshly created symbol can
+    *     never jump the queue.
+    *
+    * The PREFIX rule (stop at the first rejected candidate, never
+    * skip-and-continue) covers the remaining hazard: a skipped
+    * conflicting pair may keep its full count (merging (e,r) does not
+    * decay (o,e) occurrences not followed by r) and would be overtaken
+    * out of order — the exact divergence a skip-based variant produced
+    * on this corpus at step 2. Under 1+2+prefix, sequential BPE
+    * provably picks exactly the accepted pairs in accepted order, so
+    * the learned table is IDENTICAL at any batch size (BpeMergesSpec
+    * pins it against sequential and an independent in-memory trainer;
+    * `ScaleSmoke bpek` re-asserts equality at k=64 on sf0.1 with every
+    * cost measurement). Worst case degrades to one merge per round —
+    * plain sequential BPE.
+    *
+    * The batch applies as ONE combined fold ([[mergeBatchFoldExpr]]):
+    * compatibility makes left-to-right application of the merge SET
+    * equal to sequential per-merge folds, and the fold chain grows by
+    * one per ROUND, so the rebase cap now bounds rounds, not merges. */
+  private[ext] def bpeTrainLoop(wordCounts: DataFrame, nMerges: Int,
+                                foldChainCap: Int = 4, batchSize: Int = 64)
       : Seq[(Long, String, String, Long)] = {
     require(foldChainCap >= 1, "foldChainCap must be positive")
+    require(batchSize >= 1, "batchSize must be positive")
     var syms = wordCounts.select(col("w"), col("n"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("s"))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var chainDepth = 0
+    var rounds = 0
     var owned: Option[org.apache.spark.rdd.RDD[Row]] = None
     try {
       var done = false
-      for (t <- 1 to nMerges if !done) {
-        val best = syms
+      var t = 1
+      while (t <= nMerges && !done) {
+        val want = math.min(batchSize, nMerges - t + 1)
+        val sliceN = math.max(8 * want, 32)
+        val top = syms
           .filter(size(col("s")) >= 2)
           .select(col("n"), explode(expr(
             "transform(sequence(1, size(s) - 1), i -> " +
@@ -382,24 +444,128 @@ object TextAnalysis {
           .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
           .agg(sum(col("n")).as("n_occ"))
           .orderBy(col("n_occ").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        if (best.isEmpty) done = true
+          .limit(sliceN).collect() // bounded: ≤ 8·batchSize rows
+        rounds += 1
+        if (top.isEmpty) done = true
         else {
-          val (l, r, c) = (best(0).getString(0), best(0).getString(1),
-                           best(0).getLong(2))
-          merges += ((t.toLong, l, r, c))
-          syms = syms.withColumn("s", mergeFoldExpr(l, r))
+          val rows = top.map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2)))
+          // phase A: the longest COMPATIBILITY prefix (instance-overlap
+          // test only; the count-gap guard follows in phase B with
+          // measured trigram ceilings)
+          val lhs = scala.collection.mutable.Set.empty[String]
+          val rhs = scala.collection.mutable.Set.empty[String]
+          val outs = scala.collection.mutable.Set.empty[String]
+          val tentative = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, Long)]
+          var stopA = false
+          var i = 0
+          while (!stopA && i < rows.length && tentative.size < want) {
+            val (l, r, c) = rows(i)
+            val out = l + r
+            val compatible = tentative.isEmpty ||
+              (!rhs(l) && !outs(l) &&       // "x l | r" destruction / new sym
+               !lhs(r) && !outs(r) &&       // "l r | y" destruction / new sym
+               !lhs(out) && !rhs(out) && !outs(out)) // created-instance clash
+            if (compatible) {
+              tentative += ((l, r, c))
+              lhs += l; rhs += r; outs += out
+            } else stopA = true // prefix rule — never skip-and-continue
+            i += 1
+          }
+          // phase B: the count-gap floor — each accepted count must
+          // strictly exceed every ceiling on pairs the batch's earlier
+          // merges can CREATE. Two ceilings, cheapest first:
+          //   free: a created (x, l·r) inherits count ≤ count(x, l)
+          //   and (l·r, y) ≤ count(r, y) — read off the slice, with
+          //   off-slice pairs bounded by the slice minimum;
+          //   measured: only if the free floor truncates the compat
+          //   prefix, one trigram aggregation measures the exact
+          //   ceilings T(x, l, r)/T(l, r, y) (uniformly ≤ the free
+          //   bound, so re-truncating can only extend the batch).
+          val cMin = if (rows.length == sliceN) rows.last._3 else 0L
+          def truncate(bound: (String, String, Long) => Long)
+              : Seq[(String, String, Long)] = {
+            val acc = scala.collection.mutable.ArrayBuffer
+              .empty[(String, String, Long)]
+            var floor = 0L
+            var stopB = false
+            for (p @ (l, r, c) <- tentative if !stopB) {
+              if (acc.isEmpty || c > floor) {
+                acc += p
+                floor = math.max(floor, bound(l, r, c))
+              } else stopB = true
+            }
+            acc.toSeq
+          }
+          val cheap = truncate((l, r, _) =>
+            rows.iterator.collect {
+              case (ql, qr, qc) if qr == l || ql == r => qc
+            }.foldLeft(cMin)(math.max))
+          val accepted =
+            if (cheap.size == tentative.size) cheap
+            else {
+              val tb = trigramBounds(syms,
+                tentative.map(a => (a._1, a._2)).toSeq)
+              truncate((l, r, _) => tb.getOrElse((l, r), 0L))
+            }
+          for (((l, r, c), j) <- accepted.zipWithIndex)
+            merges += (((t + j).toLong, l, r, c))
+          syms = syms.withColumn("s",
+            mergeBatchFoldExpr(accepted.toSeq.map(a => (a._1, a._2))))
+          t += accepted.size
           chainDepth += 1
-          if (chainDepth >= foldChainCap && t < nMerges) {
+          if (chainDepth >= foldChainCap && t <= nMerges) {
             val (flat, rdd) = rebaseFlat(syms, owned)
             syms = flat; owned = Some(rdd); chainDepth = 0
           }
         }
       }
+      lastTrainRounds = rounds
       merges.toSeq
     } finally {
       owned.foreach(_.unpersist(blocking = false)); ()
     }
+  }
+
+  /** The measured created-pair ceilings for a round's candidate merge
+    * patterns: for each (l, r), the max over x of T(x, l, r) and over
+    * y of T(l, r, y) — frequency-weighted trigram counts over the
+    * vocabulary frame. Any pair instance a merge (l, r) creates maps
+    * 1:1 onto such a trigram occurrence (including self-runs: an
+    * (lr, lr) instance needs "l r l r", counted under max_x T(x, l, r)
+    * with x = r), so the returned maxima are sound upper bounds on any
+    * created pair's count. One vocab pass: both keyings union before
+    * the aggregate; output is ≤ |patterns| rows. */
+  private def trigramBounds(syms: DataFrame,
+                            patterns: Seq[(String, String)])
+      : Map[(String, String), Long] = {
+    val patSet = patterns.map { case (l, r) => s"$l|$r" }
+    val tri = syms
+      .filter(size(col("s")) >= 3)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, size(s) - 2), i -> struct(" +
+        "element_at(s, i) AS x, element_at(s, i + 1) AS y, " +
+        "element_at(s, i + 2) AS z))")).as("g"))
+      .select(col("n"), col("g.x").as("x"), col("g.y").as("y"),
+              col("g.z").as("z"))
+    val keyed = tri
+      .select(concat_ws("|", col("y"), col("z")).as("k"),
+              col("x").as("other"), col("n"))
+      .unionByName(tri
+        .select(concat_ws("|", col("x"), col("y")).as("k"),
+                col("z").as("other"), col("n")))
+      .filter(col("k").isin(patSet: _*))
+    keyed
+      .groupBy(col("k"), col("other"))
+      .agg(sum(col("n")).as("tt"))
+      .groupBy(col("k")).agg(max(col("tt")).as("b"))
+      .collect()
+      .map { r =>
+        val parts = r.getString(0).split("\\|")
+        ((parts(0), parts(1)), r.getLong(1))
+      }
+      .toMap
   }
 
   /** Greedy left-to-right application of ONE merge as an empty-seeded
@@ -418,6 +584,30 @@ object TextAnalysis {
        |                    AND x = '$r'
        |    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
        |    ELSE concat(acc, array(x)) END)""".stripMargin)
+
+  /** One combined fold applying a whole symbol-disjoint merge BATCH
+    * (see [[bpeTrainLoop]]): the '(last,next)' lookup key goes through
+    * a literal map (symbols are [a-z0-9] concatenations, so '|' is a
+    * safe delimiter). Disjointness — including merged outputs — makes
+    * this single left-to-right pass equal to applying the batch's
+    * merges as sequential per-merge folds: no merge can create or
+    * consume another batch member's pattern. `s` is still referenced
+    * exactly once (the CollapseProject linearity constraint). */
+  private def mergeBatchFoldExpr(ms: Seq[(String, String)])
+      : org.apache.spark.sql.Column =
+    if (ms.size == 1) mergeFoldExpr(ms.head._1, ms.head._2)
+    else {
+      val entries = ms
+        .map { case (l, r) => s"'$l|$r', '$l$r'" }.mkString(", ")
+      expr(
+        s"""aggregate(s, cast(array() as array<string>),
+           |  (acc, x) -> CASE WHEN size(acc) > 0 AND map_contains_key(
+           |      map($entries), concat(element_at(acc, -1), '|', x))
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |      array(element_at(map($entries),
+           |        concat(element_at(acc, -1), '|', x))))
+           |    ELSE concat(acc, array(x)) END)""".stripMargin)
+    }
 
   /** BPE ENCODING with the merges [[bpeMerges]] learns — the apply
     * side of the trainer, producing the statistic a tokenizer owner

@@ -55,6 +55,76 @@ class BpeMergesSpec extends SparkSpec {
     assert(got == model())
   }
 
+  test("learned table identical at any (foldChainCap, batchSize)") {
+    // the memo key deliberately excludes both knobs — this is the spec
+    // that makes that exclusion safe (clear the memo between runs so
+    // every combination actually retrains)
+    def train(cap: Int, batch: Int): Seq[String] = {
+      TextAnalysis.bpeMergeCache.clear()
+      TextAnalysis.bpeMerges(spark, sfDir, NMerges,
+          foldChainCap = cap, batchSize = batch)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val ref = train(4, 1)        // sequential at the production cap
+    assert(train(1, 1) == ref,   "rebase every round")
+    assert(train(4, 64) == ref,  "batched production default")
+    assert(train(2, 8) == ref,   "mid-size batch across rebases")
+    TextAnalysis.bpeMergeCache.clear()
+  }
+
+  test("batched default equals sequential at k=32 on the corpus") {
+    val wc = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(TextAnalysis.normalized(col("text")), " "))
+        .as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val seq1 = TextAnalysis.bpeTrainLoop(wc, 32, 4, 1)
+      val b64 = TextAnalysis.bpeTrainLoop(wc, 32, 4, 64)
+      assert(b64 == seq1)
+      assert(TextAnalysis.lastTrainRounds < 32,
+        "the batch must actually compress rounds on this corpus")
+    } finally { wc.unpersist(); () }
+  }
+
+  test("independent-pair vocabulary fills the whole batch in one round") {
+    import spark.implicits._
+    // 18×18 two-letter words from DISJOINT lhs/rhs alphabets with
+    // strictly descending counts: no candidate's symbol can appear on
+    // the other side of another, no word carries a trigram, so the
+    // compatibility prefix runs to the batch cap and the created-pair
+    // floor is zero — 64 merges in ONE vocab aggregation. This pins
+    // that the round compression is bounded by the CORPUS (the gate
+    // corpus's spelling chains), not by the selection mechanism.
+    val ls = "abcdefghijklmnopqr"
+    val rs = "stuvwxyz0123456789"
+    val wc = (for (i <- 0 until 18; j <- 0 until 18)
+      yield (s"${ls(i)}${rs(j)}", 100000L - (i * 18 + j) * 10L))
+      .toDF("w", "n")
+    val seq1 = TextAnalysis.bpeTrainLoop(wc, 64, 4, 1)
+    val b64 = TextAnalysis.bpeTrainLoop(wc, 64, 4, 64)
+    assert(b64 == seq1)
+    assert(TextAnalysis.lastTrainRounds == 1,
+      s"expected one round, got ${TextAnalysis.lastTrainRounds}")
+  }
+
+  test("batched selection degrades safely on adversarial interacting " +
+       "pairs") {
+    import spark.implicits._
+    // top pairs share symbols ((a,a)/(a,b)/(b,a)) and merging (a,a)
+    // creates (aa,·) pairs that can outrank later candidates — every
+    // batch guard (disjointness, count gap, prefix stop) fires, and
+    // the batched trainer must still equal sequential step for step
+    val wc = Seq(("aaab", 100L), ("aabb", 90L), ("abab", 80L),
+                 ("baaa", 70L), ("ccdd", 60L), ("cdcd", 55L),
+                 ("dcba", 50L))
+      .toDF("w", "n")
+    val seq1 = TextAnalysis.bpeTrainLoop(wc, 8, 4, 1)
+    val b64 = TextAnalysis.bpeTrainLoop(wc, 8, 4, 64)
+    assert(b64 == seq1)
+  }
+
   test("merged symbols grow: a later merge can consume an earlier one") {
     // with enough steps some merge's lhs or rhs is itself multi-char —
     // the property that distinguishes a TRAINER from pair counting

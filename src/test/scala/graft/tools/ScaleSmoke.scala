@@ -286,6 +286,42 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
+  /** Mean recall@k of the COMPOSED widened-probe + exact-rerank plan
+    * (q107's ADC shortlist at `depth`, re-scored by exact cosine —
+    * the q108 architecture with the metric matched to the brute-force
+    * cosine ground truth): the corpus-wide scan stays in the 2-byte
+    * code domain even at a widened nProbe, and full vectors are read
+    * for only nQ×depth rows. */
+  private def rerankRecall(spark: SparkSession, dir: String, nQ: Int,
+                           k: Int, cells: Int, nProbe: Int,
+                           depth: Int): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val brute = graft.ext.Similarity.bruteForceTopK(spark, dir, nQ, k)
+      .select(col("qid"), col("nid"))
+    val shortlist = graft.ext.Similarity
+      .ivfPqTopK(spark, dir, nQ, depth, cells, nProbe)
+      .select(col("qid"), col("nid"))
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rer = shortlist
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+            "nid")
+      .join(broadcast(queries), "qid")
+      .withColumn("cs", graft.ext.Similarity.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cs").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("aqid"), col("nid").as("anid"))
+    brute
+      .join(rer, brute("qid") === col("aqid") &&
+                 brute("nid") === col("anid"), "left_outer")
+      .groupBy(brute("qid"))
+      .agg((count(col("anid")) / k.toDouble).as("recall"))
+      .agg(avg(col("recall"))).head().getDouble(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -525,6 +561,54 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // incrdup mode: the q226 collapse certification AT SCALE (round-13
+    // verdict item 1) — on the verbatim-10× dup-heavy corpus
+    // (dupscale_a, 10-member exact-dup groups on BOTH the standing and
+    // batch sides), the collapsed index probe's band-candidate count
+    // must track DISTINCT fingerprints while the direct join's tracks
+    // raw copy products (k·m ≈ 100× per boilerplate band), and the two
+    // plans must return row-identical output (xor checksum).
+    // Test/runMain graft.tools.ScaleSmoke incrdup
+    if (args.headOption.contains("incrdup")) {
+      if (!new java.io.File(s"$Out/documents.parquet").isDirectory)
+        generate(spark)
+      dupify(spark, Out, "target/dupscale_a", 10)
+      val dir = "target/dupscale_a"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val isNew = length(col("source")) > 4
+      val corpus = docs.filter(!isNew).select(col("doc_id"), col("text"))
+      val batch = docs.filter(isNew).select(col("doc_id"), col("text"))
+      val fp = md5(graft.ext.TextAnalysis.normalized(col("text")))
+      val (nC, dC) = (corpus.count(), corpus.select(fp).distinct().count())
+      val (nB, dB) = (batch.count(), batch.select(fp).distinct().count())
+      coldStart()
+      val (candRaw, candRep) =
+        graft.ext.Dedup.incrCandidateCounts(corpus, batch)
+      println(s"[scale] incrdup corpus=$nC (distinct $dC) " +
+        s"batch=$nB (distinct $dB)")
+      println(f"[scale] incrdup candidates: direct=$candRaw collapsed=$candRep ratio=${candRaw.toDouble / math.max(candRep, 1L)}%.1f (copy product ${nC.toDouble / dC * nB / dB}%.0f)")
+      val key = graft.ext.Dedup.CollapseDupFractionKey
+      def timed(frac: String): (Double, Long, Long) = {
+        spark.conf.set(key, frac)
+        try {
+          coldStart()
+          val t0 = System.nanoTime()
+          val r = graft.ext.Dedup.incrementalNearDedup(spark, dir)
+            .agg(count(lit(1)), expr(
+              "bit_xor(xxhash64(doc_id, novel, n_dups, match_id))"))
+            .head()
+          ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+        } finally spark.conf.unset(key)
+      }
+      timed("0.0") // warm JIT/codegen on the cheap side
+      val (tc, rowsC, chkC) = timed("0.0")
+      val (td, rowsD, chkD) = timed("1.1")
+      assert(rowsD == rowsC && chkD == chkC,
+        s"direct ($rowsD, $chkD) != collapsed ($rowsC, $chkC)")
+      println(f"[scale] incrdup t_direct=$td%.1fs t_collapsed=$tc%.1fs speedup=${td / math.max(tc, 1e-9)}%.1fx rows=$rowsD checksums_match=true")
+      spark.stop()
+      return
+    }
     // probebias mode: measured-vs-true duplicate fraction under the
     // sampled probe (ProbeSampleKey) at p = 1.0 / 0.1 / 0.01, on a
     // dup-LIGHT corpus (the 10× replica, ~0.2% dups) and the dup-HEAVY
@@ -668,18 +752,26 @@ object ScaleSmoke {
     // Test/runMain graft.tools.ScaleSmoke bpek
     if (args.headOption.contains("bpek")) {
       graft.ext.TextAnalysis.bpeMerges(spark, Base, 2).count() // JIT warmup
-      println(f"[scale] ${"k"}%4s ${"t_cap4"}%8s ${"t_uncapped"}%11s ${"ratio"}%6s")
+      println(f"[scale] ${"k"}%4s ${"t_seq"}%8s ${"rounds"}%7s ${"t_b64"}%8s ${"rounds"}%7s ${"t_uncapped"}%11s ${"speedup_b64"}%12s")
       for (k <- Seq(8, 16, 32, 64)) {
-        coldStart()
-        val t0 = System.nanoTime()
-        graft.ext.TextAnalysis.bpeMerges(spark, Base, k).count()
-        val tCap = (System.nanoTime() - t0) / 1e9
-        coldStart()
-        val t1 = System.nanoTime()
-        graft.ext.TextAnalysis
-          .bpeMerges(spark, Base, k, foldChainCap = 1 << 20).count()
-        val tUn = (System.nanoTime() - t1) / 1e9
-        println(f"[scale] $k%4d $tCap%7.1fs $tUn%10.1fs ${tUn / tCap}%6.2f")
+        def timed(batch: Int, cap: Int = 4): (Double, Int, Seq[String]) = {
+          coldStart()
+          val t0 = System.nanoTime()
+          val table = graft.ext.TextAnalysis
+            .bpeMerges(spark, Base, k, foldChainCap = cap,
+                       batchSize = batch)
+            .collect().map(_.toString).toSeq
+          ((System.nanoTime() - t0) / 1e9,
+           graft.ext.TextAnalysis.lastTrainRounds, table)
+        }
+        val (tSeq, rSeq, tabSeq) = timed(1)
+        val (tB, rB, tabB) = timed(64)
+        val (tUn, _, _) = timed(1, cap = 1 << 20)
+        // batched selection must learn the IDENTICAL table (the
+        // empirical per-corpus certification of the skip rule)
+        assert(tabB == tabSeq,
+          s"k=$k: batched table diverged from sequential")
+        println(f"[scale] $k%4d $tSeq%7.1fs $rSeq%7d $tB%7.1fs $rB%7d $tUn%10.1fs ${tSeq / math.max(tB, 1e-9)}%11.1fx")
       }
       spark.stop()
       return
@@ -879,6 +971,24 @@ object ScaleSmoke {
           val t = (System.nanoTime() - t0) / 1e9
           println(f"[scale] $tag%-6s $n%7d $cells%5d $nAsg%4d $nProbe%6d $mean%9.4f $t%6.2fs")
         }
+      }
+      // the stated recovery lever, DEMONSTRATED (round-13 verdict
+      // item 3): widened ADC probe + exact rerank of a bounded
+      // shortlist on the 100× mixture. Widening nProbe is cheap in
+      // the code domain (2 B/vector vs 256 B raw ≈ 1/128 of the
+      // bytes), and the exact reads are nQ×depth rows — so ≥0.99
+      // recall costs a fraction of the pure-nProbe full-vector scan.
+      val (tag100, _, cells100) = decades.last
+      val dir100 = s"target/annhard_${sigma}_$tag100"
+      println(f"[scale] ${"rerank"}%-6s ${"nProbe"}%6s ${"depth"}%6s ${"recall@10"}%9s ${"exact_reads/q"}%13s ${"cell_frac"}%9s ${"t"}%7s")
+      for ((nProbe, depth) <- Seq((16, 400), (32, 400), (32, 1000),
+                                  (48, 1000))) {
+        coldStart()
+        val t0 = System.nanoTime()
+        val r = rerankRecall(spark, dir100, 20, 10, cells100, nProbe,
+                             depth)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] 100x   $nProbe%6d $depth%6d $r%9.4f $depth%13d ${nProbe.toDouble / cells100}%9.3f $t%6.2fs")
       }
       spark.stop()
       return
