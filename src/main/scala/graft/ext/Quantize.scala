@@ -87,8 +87,10 @@ object Quantize {
     * lowest-index tie-breaks, empty cells keep their centroid. */
   private[ext] def pqTrain(embeddings: DataFrame, dim: Int,
                            iters: Int = 5,
-                           sampleN: Int = 4096): Array[Array[Array[Double]]] = {
-    val sub = dim / PqM
+                           sampleN: Int = 4096,
+                           pqM: Int = PqM,
+                           pqK: Int = PqK): Array[Array[Array[Double]]] = {
+    val sub = dim / pqM
     // drop malformed vectors (null / shorter than dim) before slicing —
     // one bad row must not crash training, and padding it with zeros
     // would bias the centroids instead
@@ -103,8 +105,8 @@ object Quantize {
       s"pqTrain: no embeddings of dimension >= $dim to train on")
     // effective K: can't have more centroids than training vectors
     // (first-K init would read past the sample)
-    val k0 = math.min(PqK, sample.length)
-    Array.tabulate(PqM) { m =>
+    val k0 = math.min(pqK, sample.length)
+    Array.tabulate(pqM) { m =>
       val xs = sample.map(v => v.slice(m * sub, (m + 1) * sub))
       var cents = xs.take(k0).map(_.clone())
       for (_ <- 1 to iters) {
@@ -134,7 +136,7 @@ object Quantize {
     * pattern: training is the bounded driver-side step, encode is pure
     * map work). */
   private val bookCache = scala.collection.concurrent
-    .TrieMap[(SparkSession, String), Array[Array[Array[Double]]]]()
+    .TrieMap[(SparkSession, String, Int, Int), Array[Array[Array[Double]]]]()
 
   def clearMemos(): Unit = bookCache.clear()
 
@@ -148,7 +150,7 @@ object Quantize {
     * deterministic (sorted bounded sample, first-K init, lowest-index
     * tie-breaks), so the literals are a reproducible function of the
     * table, not run-local state. */
-  @volatile private var lastBookKey: (SparkSession, String) = null
+  @volatile private var lastBookKey: (SparkSession, String, Int, Int) = null
 
   /** PQ encode: per vector, the M argmin-distance codes plus the total
     * squared reconstruction error. Encoding is a single map-side
@@ -171,14 +173,15 @@ object Quantize {
 
   /** Per-(session, dir) cached codebooks (train-once index-build
     * pattern); shared with the IVF-PQ ADC search in [[Similarity]]. */
-  private[ext] def trainedBooksCached(
-      spark: SparkSession, embs: DataFrame,
-      dir: String): Array[Array[Array[Double]]] = {
+  private[graft] def trainedBooksCached(
+      spark: SparkSession, embs: DataFrame, dir: String,
+      pqM: Int = PqM, pqK: Int = PqK): Array[Array[Array[Double]]] = {
     bookCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) bookCache.remove(k)
     }
-    val books = bookCache.getOrElseUpdate((spark, dir), pqTrain(embs, 64))
-    lastBookKey = (spark, dir)
+    val books = bookCache.getOrElseUpdate((spark, dir, pqM, pqK),
+      pqTrain(embs, 64, pqM = pqM, pqK = pqK))
+    if (pqM == PqM && pqK == PqK) lastBookKey = (spark, dir, pqM, pqK)
     books
   }
 
@@ -187,7 +190,7 @@ object Quantize {
   private[ext] def pqShape: (Int, Int) = (PqM, PqK)
   private[ext] def booksFor(spark: SparkSession,
                             dir: String): Option[Array[Array[Array[Double]]]] =
-    bookCache.get((spark, dir))
+    bookCache.get((spark, dir, PqM, PqK))
 
   /** DuckDB oracle for [[pqCodes]]: the trained codebooks are embedded
     * as literal lists (Java's shortest-round-trip double formatting
@@ -257,10 +260,10 @@ object Quantize {
     * codebook entries — the building block for both the encode (argmin)
     * and the query side of ADC search (the table is the "distance
     * table" of Jégou et al.'s asymmetric distance computation). */
-  private[ext] def pqDistTables(books: Array[Array[Array[Double]]],
-                                dim: Int): Seq[Column] = {
-    val sub = dim / PqM
-    (0 until PqM).map { m =>
+  private[graft] def pqDistTables(books: Array[Array[Array[Double]]],
+                                  dim: Int): Seq[Column] = {
+    val sub = dim / books.length
+    books.indices.map { m =>
       val subCol = slice(col("embedding"), m * sub + 1, sub)
       array(books(m).indices.map(k => sqDist(subCol, books(m)(k))): _*)
     }

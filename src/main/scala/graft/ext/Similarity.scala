@@ -536,7 +536,7 @@ object Similarity {
     * map from serving an unpersisted frame after any family's cold
     * sweep. */
   private val ivfPqIndexCache = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, Int, Int), DataFrame]()
+    .TrieMap[(SparkSession, String, Int, Int, Int), DataFrame]()
   TrackedPersist.onClear(() => ivfPqIndexCache.clear())
 
   private def ivfPqIndexCached(spark: SparkSession, dir: String,
@@ -547,7 +547,9 @@ object Similarity {
     ivfPqIndexCache.keys.foreach { key =>
       if (key._1.sparkContext.isStopped) ivfPqIndexCache.remove(key)
     }
-    ivfPqIndexCache.getOrElseUpdate((spark, dir, numCells, nAssign), {
+    ivfPqIndexCache.getOrElseUpdate(
+        (spark, dir, numCells, nAssign,
+         books.length * 100000 + books.head.length), {
       val codeParts = Quantize.pqCodeCols(books, Dim)
       val df = withIvfCellsMulti(corpus, col("embedding"), cents, nAssign)
         .select(col("vec_id").as("nid") +: col("cell") +:
@@ -585,12 +587,12 @@ object Similarity {
     * literal centroids + codebooks. */
   def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
                 k: Int = 10, numCells: Int = 24, nProbe: Int = 4,
-                nAssign: Int = 3): DataFrame = {
+                nAssign: Int = 3, pqM: Int = 4,
+                pqK: Int = 16): DataFrame = {
     val corpus = Tables.load(spark, dir, "embeddings")
     val cents = trainedCentroidsCached(spark, corpus, dir, numCells)
-    val books = Quantize.trainedBooksCached(spark, corpus, dir)
+    val books = Quantize.trainedBooksCached(spark, corpus, dir, pqM, pqK)
     lastIvfPqKey = (spark, dir, numCells)
-    val (pqM, _) = Quantize.pqShape
     // index side: multi-assigned cell + the M code columns, one
     // projection (everything is a codegen'd expression over embedding),
     // memoized + persisted per corpus — q107/q108 (and any later query
@@ -653,10 +655,11 @@ object Similarity {
     * re-scores are fixed-order folds; ties break by nid. */
   def ivfPqRerankTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
                       k: Int = 10, rerank: Int = 50, numCells: Int = 24,
-                      nProbe: Int = 4, nAssign: Int = 3): DataFrame = {
+                      nProbe: Int = 4, nAssign: Int = 3,
+                      pqM: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val shortlist = ivfPqTopK(spark, dir, nQueries, rerank, numCells,
-                              nProbe, nAssign)
+                              nProbe, nAssign, pqM)
       .select(col("qid"), col("nid"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))

@@ -294,13 +294,15 @@ object ScaleSmoke {
     * for only nQ×depth rows. */
   private def rerankRecall(spark: SparkSession, dir: String, nQ: Int,
                            k: Int, cells: Int, nProbe: Int,
-                           depth: Int): Double = {
+                           depth: Int, pqM: Int = 4,
+                           pqK: Int = 16): Double = {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val brute = graft.ext.Similarity.bruteForceTopK(spark, dir, nQ, k)
       .select(col("qid"), col("nid"))
     val shortlist = graft.ext.Similarity
-      .ivfPqTopK(spark, dir, nQ, depth, cells, nProbe)
+      .ivfPqTopK(spark, dir, nQ, depth, cells, nProbe, pqM = pqM,
+                 pqK = pqK)
       .select(col("qid"), col("nid"))
     val queries = emb.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -635,6 +637,39 @@ object ScaleSmoke {
             val t = (System.nanoTime() - t0) / 1e9
             println(f"[scale] $tag%-12s $p%6s $f%9.4f $t%6.2fs")
           } finally if (p != "1.0") spark.conf.unset(key)
+        }
+      }
+      spark.stop()
+      return
+    }
+    // probecost mode: the dup-probe exact-fallback CROSSOVER (round-13
+    // verdict item 6) — wall-clock of the probe at four distinct-count
+    // decades (≈500 / 5k / 50k / 500k fingerprints) under three
+    // threshold settings: HLL-only (fallback disabled), the production
+    // default (exact below 100k), and exact-always. The 100k bound is
+    // justified (or moved) by where the exact column's added scan
+    // stops being noise. Test/runMain graft.tools.ScaleSmoke probecost
+    if (args.headOption.contains("probecost")) {
+      if (!new java.io.File(s"$Out/documents.parquet").isDirectory)
+        generate(spark)
+      if (!new java.io.File(s"$Out100/documents.parquet").isDirectory)
+        generate(spark, Out100, factor = 100, withEvents = false)
+      val key = graft.ext.Dedup.ExactProbeThresholdKey
+      println(f"[scale] ${"corpus"}%-12s ${"mode"}%-13s ${"fraction"}%9s ${"t"}%8s")
+      for ((tag, dir) <- Seq(("sf0.01_500", "/root/testdata/sf0.01"),
+                             ("sf0.1_5k", Base), ("10x_50k", Out),
+                             ("100x_500k", Out100))) {
+        for ((mode, thr) <- Seq(("hll_only", Some("0")),
+                                ("default_100k", None),
+                                ("exact_always", Some("1000000000000")))) {
+          coldStart()
+          thr.foreach(v => spark.conf.set(key, v))
+          try {
+            val t0 = System.nanoTime()
+            val f = graft.ext.Dedup.dupFractionDir(spark, dir, Nil)
+            val t = (System.nanoTime() - t0) / 1e9
+            println(f"[scale] $tag%-12s $mode%-13s $f%9.4f $t%7.2fs")
+          } finally thr.foreach(_ => spark.conf.unset(key))
         }
       }
       spark.stop()
@@ -975,20 +1010,59 @@ object ScaleSmoke {
       // the stated recovery lever, DEMONSTRATED (round-13 verdict
       // item 3): widened ADC probe + exact rerank of a bounded
       // shortlist on the 100× mixture. Widening nProbe is cheap in
-      // the code domain (2 B/vector vs 256 B raw ≈ 1/128 of the
-      // bytes), and the exact reads are nQ×depth rows — so ≥0.99
-      // recall costs a fraction of the pure-nProbe full-vector scan.
+      // the code domain (pqM bytes/vector vs 256 B raw), and the
+      // exact reads are nQ×depth rows — so high recall costs a
+      // fraction of the pure-nProbe full-vector scan. pqM=4 is the
+      // gate shape (2 B codes); pqM=16 is the production shape for
+      // 64-dim (16 B codes, still 16× under raw) — within-cluster ADC
+      // resolution is what separates them on an overlapping mixture.
       val (tag100, _, cells100) = decades.last
       val dir100 = s"target/annhard_${sigma}_$tag100"
-      println(f"[scale] ${"rerank"}%-6s ${"nProbe"}%6s ${"depth"}%6s ${"recall@10"}%9s ${"exact_reads/q"}%13s ${"cell_frac"}%9s ${"t"}%7s")
-      for ((nProbe, depth) <- Seq((16, 400), (32, 400), (32, 1000),
-                                  (48, 1000))) {
+      // pure-nProbe ladder extension: where exact in-cell scoring
+      // crosses 0.99 — the full-vector-scan alternative being priced
+      for (nProbe <- Seq(24, 32, 48)) {
         coldStart()
         val t0 = System.nanoTime()
-        val r = rerankRecall(spark, dir100, 20, 10, cells100, nProbe,
-                             depth)
+        val mean = graft.ext.Similarity
+          .ivfRecall(spark, dir100, nQueries = 20, k = 10,
+                     numCells = cells100, nProbe = nProbe, nAssign = 3)
+          .agg(avg(col("recall"))).head().getDouble(0)
         val t = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] 100x   $nProbe%6d $depth%6d $r%9.4f $depth%13d ${nProbe.toDouble / cells100}%9.3f $t%6.2fs")
+        println(f"[scale] 100x   ${200000}%7d $cells100%5d ${3}%4d $nProbe%6d $mean%9.4f $t%6.2fs")
+      }
+      // normalized twin of the 100× corpus: a cosine deployment stores
+      // L2-NORMALIZED vectors (FAISS inner-product layout), which makes
+      // ADC's L2 ordering equivalent to cosine; the cosine ground truth
+      // is scale-invariant, so recall stays comparable to the raw rows.
+      // On the RAW layout the ADC shortlist is metric-mismatched
+      // (L2 vs cosine under dominant-noise norms) — kept as the first
+      // row pair to show the failure the normalized layout removes.
+      val dir100n = s"target/annhardn_${sigma}_$tag100"
+      if (!new java.io.File(s"$dir100n/embeddings.parquet").isDirectory) {
+        spark.read.parquet(s"$dir100/embeddings.parquet")
+          .select(col("vec_id"),
+            transform(graft.ext.Similarity.l2normalize(col("embedding")),
+              x => x.cast("float")).as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir100n/embeddings.parquet")
+      }
+      println(f"[scale] ${"rerank"}%-6s ${"layout"}%-6s ${"pq"}%7s ${"nProbe"}%6s ${"depth"}%6s ${"recall@10"}%9s ${"exact_reads/q"}%13s ${"cell_frac"}%9s ${"t"}%7s")
+      // 16x256 books (16 B codes) exceed the local heap (4096
+      // distance expressions per row); 8x256 is the largest shape the
+      // single-JVM harness sustains — the recall ceiling is already
+      // visible there (distribution-bound, not budget-bound)
+      for ((layout, dir, pqM, pqK, nProbe, depth) <- Seq(
+             ("raw", dir100, 4, 16, 32, 1000),    // gate shape, 2 B
+             ("norm", dir100n, 4, 16, 32, 1000),
+             ("norm", dir100n, 16, 16, 32, 400),  // 8 B, 4-bit codes
+             ("norm", dir100n, 8, 256, 32, 200))) { // 8 B, 8-bit codes
+        coldStart()
+        val t0 = System.nanoTime()
+        val r = rerankRecall(spark, dir, 20, 10, cells100, nProbe,
+                             depth, pqM, pqK)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] 100x   $layout%-6s ${s"${pqM}x$pqK"}%7s $nProbe%6d $depth%6d $r%9.4f $depth%13d ${nProbe.toDouble / cells100}%9.3f $t%6.2fs")
       }
       spark.stop()
       return
