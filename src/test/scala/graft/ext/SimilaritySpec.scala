@@ -332,4 +332,28 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(c - cosR) < 5e-4, s"pair ($a,$b)")
     }
   }
+
+  test("crossModalAgree: text-derived embeddings make the audit PASS") {
+    // the agreeing direction q230 cannot show on this corpus: with
+    // embeddings DERIVED from the text (hashed bag-of-words), exact
+    // word-set dups get cosine EXACTLY 1 and near-dups cluster near 1
+    val out = Similarity.crossModalAgree(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                 if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(out.nonEmpty)
+    // same pair universe as the audit
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Similarity.crossModalAudit(spark, sfDir)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val exact = out.filter(_._3 == 1.0)
+    assert(exact.nonEmpty, "corpus carries exact word-set dups")
+    assert(exact.forall(_._4 == 1.0),
+      "identical word sets => identical vectors => cosine exactly 1")
+    assert(out.forall(t => t._4 >= 0.6),
+      "jaccard >= 0.8 pairs cluster high under text-derived vectors")
+    val mean = out.map(_._4).sum / out.length
+    assert(mean >= 0.85, s"mean cosine $mean — should cluster near 1" +
+      " (q230's label-clustered embeddings max out at 0.41)")
+  }
 }
