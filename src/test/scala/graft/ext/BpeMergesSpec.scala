@@ -109,6 +109,22 @@ class BpeMergesSpec extends SparkSpec {
       s"expected one round, got ${TextAnalysis.lastTrainRounds}")
   }
 
+  test("measured trigram floor extends a batch the free floor cuts") {
+    import spark.implicits._
+    // (a,b)=100 accepted; the free floor then reads 95 off the slice
+    // pair (x,a) and would stop before (a,c)=95 — but the word "xac"
+    // carries trigram (x,a,c), NOT (x,a,b), so the measured ceiling on
+    // pairs (a,b) can create is 0 and (a,c) joins the batch. Sequential
+    // equality must hold (merging (a,b) cannot touch (a,c)'s count),
+    // and k=4 trains in 2 rounds instead of 4.
+    val wc = Seq(("ab", 100L), ("xac", 95L), ("cd", 90L)).toDF("w", "n")
+    val seq1 = TextAnalysis.bpeTrainLoop(wc, 4, 4, 1)
+    val b64 = TextAnalysis.bpeTrainLoop(wc, 4, 4, 64)
+    assert(b64 == seq1)
+    assert(TextAnalysis.lastTrainRounds == 2,
+      s"expected 2 rounds, got ${TextAnalysis.lastTrainRounds}")
+  }
+
   test("batched selection degrades safely on adversarial interacting " +
        "pairs") {
     import spark.implicits._
