@@ -163,8 +163,11 @@ object Bench {
       "q79_dml_update", "q80_insert_select", "q83_winnowing",
       "q84_gram_novelty", "q85_pq_codes", "q86_winnow_matches",
       "q87_corpus_card", "q88_hourly_anomalies")
-    val sharedSub = results.collect {
-      case (n, v) if shared63(n) => v }.sum
+    // a crashed shared63 member would silently SHRINK the pinned
+    // cross-round subtotal and read as a speedup — null it instead
+    val sharedSub =
+      if (failedGates.exists(shared63)) "null"
+      else results.collect { case (n, v) if shared63(n) => v }.sum.toString
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
         failedGates.map(n => s"\"" + n + "\":-1"))
       .mkString("{", ",", "}")

@@ -1509,7 +1509,10 @@ object Dedup {
   def nearDupIndexTwoBatch(spark: SparkSession, dir: String,
                            threshold: Double = 0.5): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val srcNum = substring(col("source"), 4, 10).cast("int")
+    // try_cast, not cast: a non-numeric source tail must DROP the doc
+    // from every side (as the oracle's TRY_CAST does), not throw under
+    // ANSI mode; a NULL source falls out of the length predicates
+    val srcNum = expr("try_cast(substring(source, 4, 10) as int)")
     def side(f: Column) = docs.filter(f).select(col("doc_id"), col("text"))
     val corpus = side(length(col("source")) <= 4)
     val batch1 = side(length(col("source")) > 4 && srcNum <= 14)
@@ -1574,8 +1577,9 @@ object Dedup {
     s"""WITH $minhashCtes,
        |side AS (SELECT doc_id,
        |    CASE WHEN length(source) <= 4 THEN 0
-       |         WHEN CAST(substr(source, 4) AS INT) <= 14 THEN 1
-       |         ELSE 2 END AS grp
+       |         WHEN TRY_CAST(substr(source, 4) AS INT) <= 14 THEN 1
+       |         WHEN TRY_CAST(substr(source, 4) AS INT) >= 15 THEN 2
+       |         END AS grp
        |  FROM documents),
        |cand1 AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
        |  FROM bands b JOIN side sb ON sb.doc_id = b.doc_id AND sb.grp = 1

@@ -129,8 +129,13 @@ object Similarity {
                       jacThreshold: Double = 0.8): DataFrame = {
     val pairs = Dedup.jaccardPairsCached(spark, dir, jacThreshold)
       .select(col("a_id"), col("b_id"), col("jac"))
+    // two projections on purpose: the (bucket, sign) terms are hashed
+    // ONCE per word and then read by all 16 per-dimension aggregates —
+    // a single-projection form would inline the md5 tree into every
+    // dimension (16× the hashing on this gate's hot path)
     val emb = graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), bowEmbedding(col("text")).as("e"))
+      .select(col("doc_id"), bowTerms(col("text")).as("bs"))
+      .select(col("doc_id"), bowFromTerms(col("bs")).as("e"))
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
     pairs
@@ -146,23 +151,30 @@ object Similarity {
                   sqrt(col("nb").cast("double")), 4)).as("cos_r"))
   }
 
-  /** 16-dim signed hashed bag-of-words over a text column — the
-    * deterministic text-derived embedding [[crossModalAgree]] audits
-    * against. Exact long arithmetic end to end; every engine with md5
-    * reproduces it value-for-value. */
-  private[ext] def bowEmbedding(textCol: Column): Column = {
+  /** The (bucket, sign) term array of the 16-dim signed hashed
+    * bag-of-words — md5 evaluated ONCE per distinct word; the
+    * embedding [[bowFromTerms]] then reads these precomputed fields
+    * per dimension. Exact long arithmetic end to end; every engine
+    * with md5 reproduces it value-for-value. */
+  private[ext] def bowTerms(textCol: Column): Column = {
     val ws = array_distinct(filter(
       split(TextAnalysis.normalized(textCol), " "), w => w =!= lit("")))
-    transform(sequence(lit(0), lit(15)), d =>
-      aggregate(ws, lit(0L), (acc, w) => {
-        val h = md5(w)
-        val bucket = conv(substring(h, 1, 1), 16, 10).cast("long")
-        val sign = when(
-          conv(substring(h, 2, 1), 16, 10).cast("long") % 2 === 0,
-          lit(1L)).otherwise(lit(-1L))
-        acc + when(bucket === d.cast("long"), sign).otherwise(lit(0L))
-      }))
+    transform(ws, w => {
+      val h = md5(w)
+      struct(
+        conv(substring(h, 1, 1), 16, 10).cast("long").as("b"),
+        when(conv(substring(h, 2, 1), 16, 10).cast("long") % 2 === 0,
+             lit(1L)).otherwise(lit(-1L)).as("sg"))
+    })
   }
+
+  /** The 16-dim embedding from a [[bowTerms]] array (deterministic,
+    * order-independent integer sums). */
+  private[ext] def bowFromTerms(terms: Column): Column =
+    transform(sequence(lit(0), lit(15)), d =>
+      aggregate(terms, lit(0L), (acc, e) =>
+        acc + when(e.getField("b") === d.cast("long"), e.getField("sg"))
+          .otherwise(lit(0L))))
 
   /** DuckDB oracle for [[crossModalAgree]]: the exact-pair CTE joined
     * to a list-comprehension replay of the hashed bag-of-words (md5
@@ -587,8 +599,8 @@ object Similarity {
     * literal centroids + codebooks. */
   def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
                 k: Int = 10, numCells: Int = 24, nProbe: Int = 4,
-                nAssign: Int = 3, pqM: Int = 4,
-                pqK: Int = 16): DataFrame = {
+                nAssign: Int = 3, pqM: Int = Quantize.pqShape._1,
+                pqK: Int = Quantize.pqShape._2): DataFrame = {
     val corpus = Tables.load(spark, dir, "embeddings")
     val cents = trainedCentroidsCached(spark, corpus, dir, numCells)
     val books = Quantize.trainedBooksCached(spark, corpus, dir, pqM, pqK)
@@ -656,7 +668,7 @@ object Similarity {
   def ivfPqRerankTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
                       k: Int = 10, rerank: Int = 50, numCells: Int = 24,
                       nProbe: Int = 4, nAssign: Int = 3,
-                      pqM: Int = 4): DataFrame = {
+                      pqM: Int = Quantize.pqShape._1): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val shortlist = ivfPqTopK(spark, dir, nQueries, rerank, numCells,
                               nProbe, nAssign, pqM)
