@@ -101,6 +101,25 @@ class NearDupIndexSpec extends SparkSpec {
     assert(stale(20L) == 1L)
   }
 
+  test("the index survives a parquet round-trip (the standing-store " +
+       "contract)") {
+    // production keeps the index MATERIALIZED between batches — the
+    // probe must read an identical answer from the reloaded table
+    val corpus = docs((1L, baseA), (2L, baseA), (5L, baseB))
+    val batch = docs((10L, nearOf(baseA)), (11L, baseC))
+    val idx = Dedup.nearDupIndexOf(corpus)
+    val path = java.nio.file.Files
+      .createTempDirectory("neardup_idx").toString + "/index.parquet"
+    idx.write.mode("overwrite").parquet(path)
+    val live = Dedup.probeNearDupIndex(idx, batch, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val reloaded = Dedup.probeNearDupIndex(
+        spark.read.parquet(path), batch, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(reloaded == live)
+    assert(reloaded.nonEmpty)
+  }
+
   test("the composed two-batch gate output is internally consistent") {
     val out = Dedup.nearDupIndexTwoBatch(spark, sfDir)
       .collect()
