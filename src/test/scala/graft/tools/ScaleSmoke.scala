@@ -946,6 +946,84 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // annaniso mode: the ADC-shortlist architecture on an ANISOTROPIC
+    // mixture — the geometry real embeddings have (annhard's isotropic
+    // σ=2 noise is the worst case for PQ: within-cluster cosine gaps
+    // sit below quantization error at any code budget). Here
+    // within-cluster variance is LOW-RANK (r=4 latent dims through a
+    // fixed per-cluster basis), so candidate distances are a
+    // 4-dimensional signal that 16 correlated PQ blocks can rank —
+    // the regime where a code-domain scan + bounded exact rerank beats
+    // probing more cells with full vectors. Deterministic (seeded
+    // centers/bases, xxhash64 Box-Muller latents).
+    // Test/runMain graft.tools.ScaleSmoke annaniso [sigma]
+    if (args.headOption.contains("annaniso")) {
+      val dim = 64; val comps = 24; val rank = 4
+      val sigma = args.drop(1).headOption.flatMap(_.toDoubleOption)
+        .getOrElse(8.0)
+      val rnd = new scala.util.Random(29)
+      val centers = Array.fill(comps, dim)(rnd.nextGaussian())
+      val bases = Array.fill(comps, rank, dim)(rnd.nextGaussian() /
+        math.sqrt(dim.toDouble))
+      val centersCol = array(centers.map(c =>
+        array(c.map(v => lit(v)): _*)): _*)
+      val basesCol = array(bases.map(b => array(b.map(u =>
+        array(u.map(v => lit(v)): _*)): _*)): _*)
+      val n = 200000L; val cells = 240
+      val dir = s"target/annaniso_${sigma}_100x"
+      if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
+        val two40 = (1L << 40).toDouble
+        def unif(salt: Int) =
+          (pmod(xxhash64(col("vec_id"), lit(salt)), lit(1L << 40))
+            .cast("double") + lit(0.5)) / lit(two40)
+        val zs = (0 until rank).map(j =>
+          sqrt(lit(-2.0) * log(unif(2 * j + 1))) *
+            cos(lit(2.0 * math.Pi) * unif(2 * j + 2)))
+        spark.range(n).select(col("id").as("vec_id"))
+          .withColumn("comp",
+            pmod(xxhash64(col("vec_id"), lit(99)), lit(comps)).cast("int"))
+          .select(col("vec_id") +: (zs.zipWithIndex.map { case (z, j) =>
+            z.as(s"z$j") } :+ col("comp")): _*)
+          .select(col("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)), i => {
+              val cent = element_at(
+                element_at(centersCol, col("comp") + 1), i + 1)
+              val basis = element_at(basesCol, col("comp") + 1)
+              val drift = (0 until rank).map(j =>
+                element_at(element_at(basis, j + 1), i + 1) *
+                  col(s"z$j")).reduce(_ + _)
+              (cent + lit(sigma) * drift).cast("float")
+            }).as("embedding"),
+            col("comp").as("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      println(s"[scale] annaniso: $comps-component rank-$rank mixture, " +
+        s"dim=$dim, sigma=$sigma, n=$n, cells=$cells")
+      println(f"[scale] ${"mode"}%-18s ${"nProbe"}%6s ${"depth"}%6s ${"recall@10"}%9s ${"t"}%7s")
+      for (nProbe <- Seq(1, 4, 16, 24, 32)) {
+        coldStart()
+        val t0 = System.nanoTime()
+        val mean = graft.ext.Similarity
+          .ivfRecall(spark, dir, nQueries = 20, k = 10,
+                     numCells = cells, nProbe = nProbe, nAssign = 3)
+          .agg(avg(col("recall"))).head().getDouble(0)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] ${"pure_exact"}%-18s $nProbe%6d ${"-"}%6s $mean%9.4f $t%6.2fs")
+      }
+      for ((pqM, pqK, nProbe, depth) <- Seq((4, 16, 32, 200),
+                                            (16, 16, 32, 200),
+                                            (16, 16, 32, 400))) {
+        coldStart()
+        val t0 = System.nanoTime()
+        val r = rerankRecall(spark, dir, 20, 10, cells, nProbe, depth,
+                             pqM, pqK)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] ${s"adc_${pqM}x$pqK+rerank"}%-18s $nProbe%6d $depth%6d $r%9.4f $t%6.2fs")
+      }
+      spark.stop()
+      return
+    }
     // annhard mode: ANN recall on a HARD distribution. The standard
     // replica decorrelates by circular shift, which makes cells cleanly
     // separable — recall 1.0 at nAssign=3 says as much about the
