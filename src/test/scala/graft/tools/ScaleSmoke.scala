@@ -104,6 +104,10 @@ object ScaleSmoke {
     "q224_image_dhash", "q226_incr_near_dedup", "q227_epoch_order",
     "q228_stratified_split", "q229_stream_anomalies",
     "q230_crossmodal_audit",
+    // round-14: agreeing-direction audit, forced-collapse incremental
+    // probe, two-batch standing-index maintenance (documents-based)
+    "q231_crossmodal_agree", "q232_incr_near_dedup_collapsed",
+    "q233_neardup_index_2batch",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
