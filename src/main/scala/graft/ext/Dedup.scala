@@ -1341,10 +1341,17 @@ object Dedup {
   private[graft] def probeNearDupIndex(index: DataFrame, batch: DataFrame,
                                        threshold: Double): DataFrame = {
     val idx = index.transform(TrackedPersist.persistTracked)
-    val bKeyed = batch
-      .filter(col("text").isNotNull)
+    // ONE normalize+md5 pass over the batch, shared by the rep
+    // grouping and the final expansion join (it used to be recomputed
+    // in the tail projection — a second full scan of the delta per
+    // probe). Null text ⇒ null fingerprint, which falls out of the
+    // keyed grouping here and never matches in the left_outer below —
+    // exactly the old null-filter semantics.
+    val bAll = batch
       .select(col("doc_id"),
               md5(TextAnalysis.normalized(col("text"))).as("bfp"))
+      .transform(TrackedPersist.persistTracked)
+    val bKeyed = bAll.filter(col("bfp").isNotNull)
     val bReps = bKeyed.groupBy(col("bfp"))
       .agg(min(col("doc_id")).as("bmin"))
     val bRepSh = shingledOf(batch.join(
@@ -1375,9 +1382,7 @@ object Dedup {
       .groupBy(col("bfp"))
       .agg(sum(col("n_docs")).as("n_dups"),
            min(col("min_id")).as("match_id"))
-    batch
-      .select(col("doc_id"),
-              md5(TextAnalysis.normalized(col("text"))).as("bfp"))
+    bAll
       .join(matches, Seq("bfp"), "left_outer")
       .select(col("doc_id"),
               col("n_dups").isNull.cast("int").cast("long").as("novel"),

@@ -398,6 +398,12 @@ object TextAnalysis {
     *     the exact ceilings ([[trigramBounds]] — uniformly tighter) to
     *     extend the batch. Either way a freshly created symbol can
     *     never jump the queue.
+    *  3. output-alias stop — a candidate whose output string equals a
+    *     symbol a PREVIOUS round created via a different split is
+    *     accepted (sequential would pick it at this position too) but
+    *     CLOSES the batch: its created instances accrete onto existing
+    *     pairs of the aliased symbol, whose standing counts the
+    *     created-delta floor of guard 2 does not bound.
     *
     * The PREFIX rule (stop at the first rejected candidate, never
     * skip-and-continue) covers the remaining hazard: a skipped
@@ -426,6 +432,10 @@ object TextAnalysis {
         .as("s"))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
+    // output strings of every merge learned so far (across rounds) —
+    // the alias guard below consults it. Kept incrementally: phase A
+    // is O(1) per candidate either way.
+    val priorOuts = scala.collection.mutable.Set.empty[String]
     var chainDepth = 0
     var rounds = 0
     var owned: Option[org.apache.spark.rdd.RDD[Row]] = None
@@ -470,6 +480,20 @@ object TextAnalysis {
             if (compatible) {
               tentative += ((l, r, c))
               lhs += l; rhs += r; outs += out
+              // ALIAS guard: if this output string equals a symbol a
+              // PREVIOUS round's merge created (necessarily via a
+              // different split — a learned pair's own count is 0
+              // forever after its merge pass), the created instances
+              // accrete onto EXISTING pairs involving that symbol,
+              // whose standing counts phase B's created-delta floor
+              // does not bound — a later batch member could be
+              // overtaken out of order. Accepting the aliasing merge
+              // LAST (sequential would pick it here too; guards 1+2
+              // already hold for it) and closing the batch keeps the
+              // equivalence proof airtight. Unreachable on leftmost-
+              // greedy corpora we could construct, but the guard costs
+              // one set probe and removes the proof's only caveat.
+              if (priorOuts(out)) stopA = true
             } else stopA = true // prefix rule — never skip-and-continue
             i += 1
           }
@@ -509,8 +533,10 @@ object TextAnalysis {
                 tentative.map(a => (a._1, a._2)).toSeq)
               truncate((l, r, _) => tb.getOrElse((l, r), 0L))
             }
-          for (((l, r, c), j) <- accepted.zipWithIndex)
+          for (((l, r, c), j) <- accepted.zipWithIndex) {
             merges += (((t + j).toLong, l, r, c))
+            priorOuts += l + r
+          }
           syms = syms.withColumn("s",
             mergeBatchFoldExpr(accepted.toSeq.map(a => (a._1, a._2))))
           t += accepted.size
