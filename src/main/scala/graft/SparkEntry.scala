@@ -772,6 +772,14 @@ object SparkEntry {
     // docs ADMITTED, batch 2 probed against the UPDATED index
     "q233_neardup_index_2batch" -> ((s: SparkSession, d: String) =>
       ext.Dedup.nearDupIndexTwoBatch(s, d)),
+    // the same composition as a DURABLE on-disk table: index written to
+    // parquet, batch 1 admitted by appending to the table, table
+    // compacted, batch 2 probed against the compacted table — every
+    // step reads only state the previous step wrote to disk. Same
+    // oracle as q233: the durable lifecycle must replay the in-plan
+    // composition row for row.
+    "q234_neardup_index_durable" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.nearDupIndexDurableGate(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1507,6 +1515,8 @@ object SparkEntry {
     "q232_incr_near_dedup_collapsed" ->
       ext.Dedup.incrementalNearDedupOracleSql(),
     "q233_neardup_index_2batch" ->
+      ext.Dedup.nearDupIndexTwoBatchOracleSql(),
+    "q234_neardup_index_durable" ->
       ext.Dedup.nearDupIndexTwoBatchOracleSql(),
   )
 }

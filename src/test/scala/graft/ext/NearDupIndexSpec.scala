@@ -120,6 +120,59 @@ class NearDupIndexSpec extends SparkSpec {
     assert(reloaded.nonEmpty)
   }
 
+  test("durable lifecycle: admit appends state a LATER invocation's " +
+       "probe reads from disk; compaction bounds the file count") {
+    // the q233 composition run as a maintained on-disk table: every
+    // arrow crosses the filesystem, so invocation k+1 genuinely probes
+    // state invocation k wrote
+    val corpus = docs((1L, baseA))
+    val batch1 = docs((10L, baseB), (11L, nearOf(baseA)))
+    val batch2 = docs((20L, nearOf(baseB)), (21L, nearOf(baseA)),
+                      (22L, baseC))
+    val root = java.nio.file.Files
+      .createTempDirectory("neardup_durable").toString
+    val idxPath = s"$root/index"
+    def partFiles() = new java.io.File(idxPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // invocation 1: build + write the standing index
+    Dedup.nearDupIndexWrite(corpus, idxPath)
+    val files0 = partFiles()
+    // invocation 2: probe batch 1 against the TABLE, admit its novel
+    // docs (append)
+    val p1 = Dedup.nearDupIndexAdmit(spark, idxPath, batch1, 0.5,
+                                     s"$root/probe1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == Map(10L -> 1L, 11L -> 0L))
+    assert(partFiles() > files0, "the admission must append files")
+    // invocation 3: compact — row-identical table, fewer files
+    val before = spark.read.parquet(idxPath)
+      .collect().map(_.toString).sorted.toSeq
+    Dedup.nearDupIndexCompact(spark, idxPath)
+    assert(spark.read.parquet(idxPath)
+      .collect().map(_.toString).sorted.toSeq == before)
+    assert(partFiles() == 1, "compaction re-sizes the accreted files")
+    // invocation 4: probe batch 2 against the compacted on-disk table —
+    // the batch-1 admission (doc 10) must be findable
+    val p2 = Dedup.probeNearDupIndex(spark.read.parquet(idxPath),
+                                     batch2, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(p2(20L) == ((0L, 1L, Some(10L))),
+      "batch-2 near-dup of the batch-1 admission reads the appended row")
+    assert(p2(21L) == ((0L, 1L, Some(1L))))
+    assert(p2(22L) == ((1L, 0L, None)))
+  }
+
+  test("durable gate replays the in-plan two-batch composition " +
+       "row for row") {
+    val durable = Dedup.nearDupIndexDurableGate(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val inPlan = Dedup.nearDupIndexTwoBatch(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(durable == inPlan)
+    assert(durable.nonEmpty)
+  }
+
   test("the composed two-batch gate output is internally consistent") {
     val out = Dedup.nearDupIndexTwoBatch(spark, sfDir)
       .collect()
