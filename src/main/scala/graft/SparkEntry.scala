@@ -780,6 +780,12 @@ object SparkEntry {
     // composition row for row.
     "q234_neardup_index_durable" -> ((s: SparkSession, d: String) =>
       ext.Dedup.nearDupIndexDurableGate(s, d)),
+    // within-cluster spectrum probe (the ANN probes-vs-codes decision
+    // input): exact per-cell covariance numerators over quantized
+    // elements — every aggregate is an order-free integer-decimal sum,
+    // so the gate is hash-exact across engines
+    "q235_cluster_spectrum" -> ((s: SparkSession, d: String) =>
+      ext.Similarity.clusterSpectrumGate(s, d)),
   )
 
   /** Brute-force same-source jaccard oracle (shared by q28 and its
@@ -1518,5 +1524,7 @@ object SparkEntry {
       ext.Dedup.nearDupIndexTwoBatchOracleSql(),
     "q234_neardup_index_durable" ->
       ext.Dedup.nearDupIndexTwoBatchOracleSql(),
+    "q235_cluster_spectrum" ->
+      ext.Similarity.clusterSpectrumOracleSql(),
   )
 }

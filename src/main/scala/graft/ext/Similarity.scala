@@ -1228,4 +1228,213 @@ object Similarity {
          |FROM asg a LEFT JOIN s ON s.vec_id = a.vec_id""".stripMargin
     }
   }
+
+  // ---- within-cluster spectrum probe ---------------------------------
+  //
+  // The ANN decision rule (SCALE.md annhard/annaniso tables) ends with
+  // "measure your corpus's within-cluster spectrum": on isotropic
+  // within-cluster geometry, recall is bought with probes (ADC codes are
+  // distribution-bound); on anisotropic low-rank geometry, codes buy it
+  // outright. These operators ARE that measurement — per cell, the
+  // centered second-moment matrix reduced to participation ratio
+  // PR = (tr C)² / ‖C‖_F² = (Σλ)²/Σλ² (≈ the spread's effective
+  // dimensionality: dim when isotropic, r when rank-r) and the top
+  // eigenvalue's share of the variance.
+  //
+  // Determinism/exactness design (what makes q235 hash-gateable):
+  // elements are quantized ONCE to DECIMAL(7,3) — from then on every
+  // aggregate (first moments at scale 3, pairwise second moments at
+  // scale 6) is an exact integer-decimal sum, order-free across
+  // partitions and bit-identical in any engine; the covariance
+  // numerator n·M_ij − S_i·S_j stays exact at scale 6 and its one
+  // conversion to double is a correctly-rounded division (the scaled
+  // integer is far inside 2^53). Quantization noise (variance 1e-6/12
+  // per element) is ~6 orders below any real cluster variance — the
+  // statistic is unchanged, the nondeterminism is gone. Scale: one
+  // map-side explode of dim(dim+1)/2 skinny rows per (sampled) vector
+  // into a (cell, i, j) aggregation; only K×dim²/2 sums reach the
+  // driver (the trainCentroids bounded-collect shape). At very high
+  // dim, JL-project first (q115) and probe the projected spectrum —
+  // PR is what JL preserves.
+
+  /** The quantized per-cell moment frames: (counts(cell, n),
+    * m1(cell, i, s), m2(cell, i, j, m)) with i ≤ j, 1-based. */
+  private def spectrumMomentFrames(df: DataFrame, cellCol: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = df
+      .select(cellCol.cast("int").as("cell"),
+        expr(s"""transform(sequence(1, $Dim), i ->
+                 CAST(CAST(element_at(embedding, i) AS DOUBLE)
+                      AS DECIMAL(7,3)))""").as("q"))
+      .transform(graft.ext.TrackedPersist.persistTracked)
+    val counts = base.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+    val m1 = base
+      .select(col("cell"), posexplode(col("q")).as(Seq("p", "v")))
+      .groupBy(col("cell"), (col("p") + 1).as("i"))
+      .agg(sum(col("v")).as("s"))
+    val m2 = base
+      .select(col("cell"), explode(expr(
+        s"""flatten(transform(sequence(1, $Dim), i ->
+              transform(sequence(i, $Dim), j -> named_struct(
+                'i', i, 'j', j,
+                'p', element_at(q, i) * element_at(q, j)))))""")).as("t"))
+      .groupBy(col("cell"), col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("m"))
+    (counts, m1, m2)
+  }
+
+  /** Collected moments keyed for the driver-side math: exact
+    * BigDecimals, bounded at K×dim(dim+1)/2. */
+  private def collectedMoments(df: DataFrame, cellCol: Column)
+      : (Map[Int, Long], Map[(Int, Int), java.math.BigDecimal],
+         Map[(Int, Int, Int), java.math.BigDecimal]) = {
+    val (counts, m1, m2) = spectrumMomentFrames(df, cellCol)
+    (counts.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap,
+     m1.collect().map(r =>
+       (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap,
+     m2.collect().map(r =>
+       (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDecimal(3)).toMap)
+  }
+
+  /** Gate surface (q235): the EXACT covariance numerators — one row per
+    * (cell, i, j), i ≤ j, with c2 = n·M_ij − S_i·S_j = n²·Cov_ij over
+    * the quantized elements. This is the distributed part of the
+    * spectrum probe (the part that can be wrong at scale); the scalar
+    * reductions live in [[clusterSpectrum]] and are spec-certified
+    * against an independent in-memory eigensolve. */
+  def clusterSpectrumMoments(df: DataFrame, cellCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val (nBy, sBy, mBy) = collectedMoments(df, cellCol)
+    val rows = mBy.toSeq
+      .sortBy { case ((c, i, j), _) => (c, i, j) }
+      .map { case ((c, i, j), m) =>
+        val c2 = m.multiply(java.math.BigDecimal.valueOf(nBy(c)))
+          .subtract(sBy((c, i)).multiply(sBy((c, j))))
+        org.apache.spark.sql.Row(c, i, j, c2.doubleValue())
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c2",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** The spectrum probe itself: per cell, the effective dimensionality
+    * of the within-cell spread. Output: (cell, n, tr_cov, fro2, pr,
+    * top_share) where pr = (tr C)²/‖C‖²_F ∈ [1, dim] and top_share =
+    * λ₁/tr C (power iteration on the K collected dim×dim matrices —
+    * driver-side over bounded state, deterministic start and count).
+    * Decision rule: pr ≫ r_code (and top_share ≈ 1/pr) → isotropic
+    * spread, buy ANN recall with nProbe; pr small (top few eigenvalues
+    * carry the variance) → low-rank spread, PQ/ADC codes capture it —
+    * see the ScaleSmoke spectrum table. `sampleMod > 1` probes a
+    * deterministic vec_id hash-sample (the statistic is a mean shape,
+    * sampling-stable; the trainCentroids pattern). Cells with n ≤ 1
+    * report zeros. */
+  def clusterSpectrum(df: DataFrame, cellCol: Column,
+                      sampleMod: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    val src = if (sampleMod > 1)
+        df.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      else df
+    val (nBy, sBy, mBy) = collectedMoments(src, cellCol)
+    val out = nBy.toSeq.sortBy(_._1).map { case (cell, n) =>
+      val nn = n.toDouble * n.toDouble
+      val cov = Array.ofDim[Double](Dim, Dim)
+      for (i <- 1 to Dim; j <- i to Dim) {
+        val c2 = mBy((cell, i, j))
+          .multiply(java.math.BigDecimal.valueOf(n))
+          .subtract(sBy((cell, i)).multiply(sBy((cell, j))))
+        val c = if (n > 1) c2.doubleValue() / nn else 0.0
+        cov(i - 1)(j - 1) = c
+        cov(j - 1)(i - 1) = c
+      }
+      var tr = 0.0
+      for (i <- 0 until Dim) tr += cov(i)(i)
+      var fro2 = 0.0
+      for (i <- 0 until Dim; j <- i until Dim)
+        fro2 += (if (i == j) cov(i)(j) * cov(i)(j)
+                 else 2.0 * (cov(i)(j) * cov(i)(j)))
+      val pr = if (fro2 > 0) tr * tr / fro2 else 0.0
+      var v = Array.fill(Dim)(1.0 / math.sqrt(Dim.toDouble))
+      for (_ <- 1 to 200) {
+        val w = Array.tabulate(Dim)(i =>
+          (0 until Dim).foldLeft(0.0)((a, j) => a + cov(i)(j) * v(j)))
+        val nrm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+        if (nrm > 0) v = w.map(_ / nrm)
+      }
+      val lam = (0 until Dim).foldLeft(0.0)((a, i) => a + v(i) *
+        (0 until Dim).foldLeft(0.0)((b, j) => b + cov(i)(j) * v(j)))
+      val topShare = if (tr > 0) lam / tr else 0.0
+      (cell, n, tr, fro2, pr, topShare)
+    }
+    spark.createDataFrame(out)
+      .toDF("cell", "n", "tr_cov", "fro2", "pr", "top_share")
+  }
+
+  /** Gate entry: the exact spectrum moments of the embeddings table
+    * per LABEL (the corpus's true clusters — deterministic, so the
+    * oracle replays cell assignment trivially; the IVF-cell variant is
+    * the same operator with `withIvfCells`' column). */
+  def clusterSpectrumGate(spark: SparkSession, dir: String): DataFrame =
+    clusterSpectrumMoments(
+      Tables.load(spark, dir, "embeddings"), col("label"))
+
+  /** The probe over the INDEX'S OWN cells — what an operator actually
+    * runs before choosing an ANN architecture: assign each vector to
+    * its trained IVF cell (shared centroid memo with the q37/q107
+    * index builds) and read the within-CELL spectrum. The ScaleSmoke
+    * `spectrum` table runs this on the isotropic (annhard σ=2) and
+    * low-rank (annaniso) corpora and the pr column separates them. */
+  def clusterSpectrumIvf(spark: SparkSession, dir: String,
+                         numCells: Int = 24,
+                         sampleMod: Int = 1): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = trainedCentroidsCached(spark, emb, dir, numCells)
+    // probe the NORMALIZED vectors — the geometry the spherical index
+    // cells and the PQ codebooks actually see
+    clusterSpectrum(
+      withIvfCells(emb, col("embedding"), cents)
+        .withColumn("embedding", l2normalize(col("embedding"))),
+      col("cell"), sampleMod)
+  }
+
+  /** DuckDB oracle for [[clusterSpectrumGate]]: the identical
+    * quantize → exact decimal moments → n·M − S·S computation. The
+    * decimal widths are chosen so every DuckDB multiply runs exact
+    * (operand width ≥ 19 forces the int128 path where needed) and the
+    * final DECIMAL(20,6) → DOUBLE conversion is a single correctly-
+    * rounded division, matching BigDecimal.doubleValue bit for bit. */
+  def clusterSpectrumOracleSql(): String =
+    s"""WITH e AS (SELECT label AS cell, embedding AS emb
+       |           FROM embeddings),
+       |q AS (SELECT cell,
+       |        [CAST(CAST(x AS DOUBLE) AS DECIMAL(7,3))
+       |         for x in emb] AS qe
+       |      FROM e),
+       |n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+       |      FROM q GROUP BY cell),
+       |m1 AS (SELECT cell, t.i AS i, sum(qe[t.i]) AS s
+       |       FROM q, range(1, ${Dim + 1}) t(i) GROUP BY cell, t.i),
+       |m2 AS (SELECT cell, ti.i AS i, tj.j AS j,
+       |         sum(qe[ti.i] * qe[tj.j]) AS m
+       |       FROM q, range(1, ${Dim + 1}) ti(i),
+       |            range(1, ${Dim + 1}) tj(j)
+       |       WHERE tj.j >= ti.i GROUP BY cell, ti.i, tj.j)
+       |SELECT m2.cell, CAST(m2.i AS INT) AS i, CAST(m2.j AS INT) AS j,
+       |  CAST(CAST(CAST(n.n AS DECIMAL(19,0)) *
+       |              CAST(m2.m AS DECIMAL(19,6)) AS DECIMAL(19,6))
+       |     - CAST(CAST(m1a.s AS DECIMAL(19,3)) *
+       |              CAST(m1b.s AS DECIMAL(19,3)) AS DECIMAL(19,6))
+       |     AS DOUBLE) AS c2
+       |FROM m2 JOIN n USING (cell)
+       |  JOIN m1 m1a ON m1a.cell = m2.cell AND m1a.i = m2.i
+       |  JOIN m1 m1b ON m1b.cell = m2.cell AND m1b.i = m2.j""".stripMargin
 }

@@ -961,6 +961,117 @@ object ScaleSmoke {
     // 4-dimensional signal that 16 correlated PQ blocks can rank —
     // the regime where a code-domain scan + bounded exact rerank beats
     // probing more cells with full vectors. Deterministic (seeded
+    // spectrum mode: the within-cluster spectrum probe run the way an
+    // operator would run it BEFORE choosing an ANN architecture — on
+    // the index's own trained cells of the two certification corpora.
+    // The decision rule the annhard/annaniso tables ended with
+    // ("measure your corpus's within-cluster spectrum") becomes one
+    // measured scalar per corpus: participation ratio pr ≈ effective
+    // dimensionality of the within-cell spread. Isotropic mixture
+    // (annhard σ=2) must read pr near dim → buy recall with probes
+    // (ADC is distribution-bound there); rank-4 anisotropic (annaniso)
+    // must read pr near 4 with a dominant top eigenvalue → codes
+    // capture the spread (ADC read 1.0000 recall at 8 B).
+    // Test/runMain graft.tools.ScaleSmoke spectrum [sampleMod]
+    if (args.headOption.contains("spectrum")) {
+      val sampleMod = args.drop(1).headOption.flatMap(_.toIntOption)
+        .getOrElse(4)
+      val dim = 64; val comps = 24; val n = 200000L; val cells = 240
+      // isotropic corpus = the annhard generator at σ=2 (same seeds,
+      // same dir — reuses the table if the annhard mode built it)
+      locally {
+        val sigma = 2.0
+        val rnd = new scala.util.Random(13)
+        val centers = Array.fill(comps, dim)(rnd.nextGaussian())
+        val centersCol = array(centers.map(c =>
+          array(c.map(v => lit(v)): _*)): _*)
+        val out = s"target/annhard_${sigma}_100x"
+        if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
+          val two40 = (1L << 40).toDouble
+          def unif(salt: Int)(i: org.apache.spark.sql.Column) =
+            (pmod(xxhash64(col("vec_id"), lit(salt), i), lit(1L << 40))
+              .cast("double") + lit(0.5)) / lit(two40)
+          val noise = transform(sequence(lit(0), lit(dim - 1)), i =>
+            sqrt(lit(-2.0) * log(unif(1)(i))) *
+              cos(lit(2.0 * math.Pi) * unif(2)(i)))
+          spark.range(n).select(col("id").as("vec_id"))
+            .withColumn("comp",
+              pmod(xxhash64(col("vec_id"), lit(3)), lit(comps)).cast("int"))
+            .select(col("vec_id"),
+              zip_with(element_at(centersCol, col("comp") + 1), noise,
+                (c, z) => (c + lit(sigma) * z).cast("float"))
+                .as("embedding"),
+              col("comp").as("label"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        }
+      }
+      // anisotropic corpus = the annaniso generator (same seeds/dir)
+      locally {
+        val rank = 4; val sigma = 8.0
+        val rnd = new scala.util.Random(29)
+        val centers = Array.fill(comps, dim)(rnd.nextGaussian())
+        val bases = Array.fill(comps, rank, dim)(rnd.nextGaussian() /
+          math.sqrt(dim.toDouble))
+        val centersCol = array(centers.map(c =>
+          array(c.map(v => lit(v)): _*)): _*)
+        val basesCol = array(bases.map(b => array(b.map(u =>
+          array(u.map(v => lit(v)): _*)): _*)): _*)
+        val out = s"target/annaniso_${sigma}_100x"
+        if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
+          val two40 = (1L << 40).toDouble
+          def unif(salt: Int) =
+            (pmod(xxhash64(col("vec_id"), lit(salt)), lit(1L << 40))
+              .cast("double") + lit(0.5)) / lit(two40)
+          val zs = (0 until rank).map(j =>
+            sqrt(lit(-2.0) * log(unif(2 * j + 1))) *
+              cos(lit(2.0 * math.Pi) * unif(2 * j + 2)))
+          spark.range(n).select(col("id").as("vec_id"))
+            .withColumn("comp",
+              pmod(xxhash64(col("vec_id"), lit(99)), lit(comps)).cast("int"))
+            .select(col("vec_id") +: (zs.zipWithIndex.map { case (z, j) =>
+              z.as(s"z$j") } :+ col("comp")): _*)
+            .select(col("vec_id"),
+              transform(sequence(lit(0), lit(dim - 1)), i => {
+                val cent = element_at(
+                  element_at(centersCol, col("comp") + 1), i + 1)
+                val basis = element_at(basesCol, col("comp") + 1)
+                val drift = (0 until rank).map(j =>
+                  element_at(element_at(basis, j + 1), i + 1) *
+                    col(s"z$j")).reduce(_ + _)
+                (cent + lit(sigma) * drift).cast("float")
+              }).as("embedding"),
+              col("comp").as("label"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        }
+      }
+      println(s"[scale] spectrum: probe over trained IVF cells " +
+        s"(cells=$cells, sampleMod=$sampleMod, normalized layout)")
+      println(f"[scale] ${"corpus"}%-22s ${"cells"}%5s ${"n_spl"}%6s ${"pr_wmean"}%8s ${"top_share"}%9s ${"t"}%7s  measured-best (prior tables)")
+      for ((tag, dir, best) <- Seq(
+             ("isotropic_sigma2", s"target/annhard_2.0_100x",
+              "probes (nProbe=24 -> 0.99; ADC capped 0.69-0.82)"),
+             ("aniso_rank4", s"target/annaniso_8.0_100x",
+              "codes (ADC 8B depth200 -> 1.0000)"))) {
+        coldStart()
+        val t0 = System.nanoTime()
+        val rows = graft.ext.Similarity
+          .clusterSpectrumIvf(spark, dir, numCells = cells,
+                              sampleMod = sampleMod)
+          .collect()
+        val t = (System.nanoTime() - t0) / 1e9
+        val nTot = rows.map(_.getLong(1)).sum
+        def wmean(idx: Int) = rows.map(r =>
+          r.getDouble(idx) * r.getLong(1)).sum / nTot
+        println(f"[scale] $tag%-22s $cells%5d $nTot%6d ${wmean(4)}%8.2f ${wmean(5)}%9.3f $t%6.1fs  $best")
+      }
+      println("[scale] rule: pr >> code dims available (>=16) -> " +
+        "isotropic spread, buy recall with nProbe; pr ~ a few -> " +
+        "low-rank spread, PQ/ADC codes capture it")
+      spark.stop()
+      return
+    }
     // centers/bases, xxhash64 Box-Muller latents).
     // Test/runMain graft.tools.ScaleSmoke annaniso [sigma]
     if (args.headOption.contains("annaniso")) {
