@@ -1658,6 +1658,31 @@ object Dedup {
     n
   }
 
+  /** Diagnostic for the N-batch maintenance table (`ScaleSmoke
+    * indexmaint`): the band-join candidate count of probing `batch`
+    * against a standing index frame — the collapsed-side counter of
+    * [[incrCandidateCounts]], reusable against a LOADED index. The
+    * delta-scaling contract says this tracks the batch's distinct
+    * content, not the index's accumulated size. */
+  private[graft] def indexProbeCandidates(index: DataFrame,
+                                          batch: DataFrame): Long = {
+    val bk = batch.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              md5(TextAnalysis.normalized(col("text"))).as("bfp"))
+    val bReps = bk.groupBy(col("bfp")).agg(min(col("doc_id")).as("bmin"))
+    val bRepBands = shingledOf(batch.join(
+        bReps.select(col("bmin").as("doc_id")), Seq("doc_id"),
+        "left_semi"))
+      .join(bk, "doc_id")
+      .select(col("bfp"), explode(bandStructs(
+        graft.functions.MinHashSig.minhashSig(
+          col("shingles"), perms.map(_._1), perms.map(_._2)))).as("bk"))
+    bRepBands
+      .join(index.select(col("fp"),
+              explode(bandStructs(col("sig"))).as("bk")), "bk")
+      .select(col("bfp"), col("fp")).distinct().count()
+  }
+
   /** Gate q234: the durable lifecycle end to end, with every arrow
     * crossing the FILESYSTEM — write the standing index to parquet,
     * admit batch 1 against the on-disk table (probe verdicts also

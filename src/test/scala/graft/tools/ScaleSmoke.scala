@@ -961,6 +961,75 @@ object ScaleSmoke {
     // 4-dimensional signal that 16 correlated PQ blocks can rank —
     // the regime where a code-domain scan + bounded exact rerank beats
     // probing more cells with full vectors. Deterministic (seeded
+    // indexmaint mode: N-batch durable-index maintenance — the q234
+    // lifecycle folded over N daily batches against the sf0.1 corpus.
+    // Batch k carries (a) VERBATIM copies of the new-source documents
+    // (for k ≥ 2 these are exact dups of batch-1 ADMISSIONS — caught
+    // only if the admit append really wrote durable state) and (b) a
+    // fresh per-batch-suffixed variant (novel every batch, so the
+    // index KEEPS GROWING while per-batch cost must stay flat — the
+    // delta-scaling contract). Compaction runs every second batch and
+    // must keep the table's file count bounded while changing nothing.
+    // Test/runMain graft.tools.ScaleSmoke indexmaint [nBatches]
+    if (args.headOption.contains("indexmaint")) {
+      val nBatches = args.drop(1).headOption.flatMap(_.toIntOption)
+        .getOrElse(4)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+        f.delete(); ()
+      }
+      val root = "target/indexmaint"
+      rmrf(new java.io.File(root))
+      val idxPath = s"$root/index"
+      def files() = Option(new java.io.File(idxPath).listFiles)
+        .fold(0)(_.count(_.getName.endsWith(".parquet")))
+      def idxRows() = spark.read.parquet(idxPath).count()
+      val docs = spark.read.parquet(s"$Base/documents.parquet")
+      val corpus = docs.filter(length(col("source")) <= 4)
+        .select(col("doc_id"), col("text"))
+      val newDocs = docs.filter(length(col("source")) > 4)
+        .select(col("doc_id"), col("text")).persist()
+      val nNew = newDocs.count()
+      coldStart()
+      val t0 = System.nanoTime()
+      graft.ext.Dedup.nearDupIndexWrite(corpus, idxPath)
+      println(f"[scale] indexmaint: corpus indexed in ${(System.nanoTime() - t0) / 1e9}%.1f s (rows=${idxRows()}, files=${files()}); batch size=${2 * nNew} (copies+fresh)")
+      println(f"[scale] ${"batch"}%5s ${"cand"}%7s ${"novel"}%7s ${"matched"}%8s ${"via_admit"}%9s ${"t_admit"}%8s ${"idx_rows"}%9s ${"files"}%6s")
+      for (k <- 1 to nBatches) {
+        val off = k * 1000000000L
+        val copies = newDocs
+          .select((col("doc_id") + off).as("doc_id"), col("text"))
+        val fresh = newDocs
+          .select((col("doc_id") + off + 500000000L).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit("b"), lit(k))), " ").as("text"))
+        val batch = copies.unionByName(fresh)
+        coldStart()
+        val cand = graft.ext.Dedup
+          .indexProbeCandidates(spark.read.parquet(idxPath), batch)
+        coldStart()
+        val tb = System.nanoTime()
+        val probe = graft.ext.Dedup
+          .nearDupIndexAdmit(spark, idxPath, batch, 0.5, s"$root/probe$k")
+        val novel = probe.filter(col("novel") === 1L).count()
+        val t = (System.nanoTime() - tb) / 1e9
+        val matched = probe.filter(col("novel") === 0L).count()
+        // matched via a batch-1+ ADMISSION (witness id carries the
+        // batch offset) vs via the standing corpus
+        val viaAdmit = probe.filter(col("match_id") >= 1000000000L)
+          .count()
+        println(f"[scale] $k%5d $cand%7d $novel%7d $matched%8d $viaAdmit%9d $t%7.1fs ${idxRows()}%9d ${files()}%6d")
+        if (k % 2 == 0) {
+          val tc = System.nanoTime()
+          graft.ext.Dedup.nearDupIndexCompact(spark, idxPath,
+            targetFileBytes = 8L * 1024 * 1024)
+          println(f"[scale] $k%5d compact in ${(System.nanoTime() - tc) / 1e9}%5.1f s -> rows=${idxRows()} files=${files()}")
+        }
+      }
+      newDocs.unpersist()
+      spark.stop()
+      return
+    }
     // spectrum mode: the within-cluster spectrum probe run the way an
     // operator would run it BEFORE choosing an ANN architecture — on
     // the index's own trained cells of the two certification corpora.
