@@ -341,6 +341,23 @@ object TextAnalysis {
     })
   }
 
+  /** Train on an EXPLICIT (w, n) vocabulary frame — the measurement
+    * surface for production-budget merge counts (`ScaleSmoke bpekprod`,
+    * k ≥ 1024): the corpus-derived gate vocabulary is tail-bound by
+    * sequentially-dependent spelling chains, so the batched-selection
+    * throughput claim (rounds ≪ k) needs a wide-count-band vocabulary
+    * to be measurable at all. Same loop, same guards, no memo — the
+    * caller owns determinism of the input frame. */
+  private[graft] def bpeTrainOnWordCounts(wordCounts: DataFrame,
+                                          nMerges: Int,
+                                          foldChainCap: Int = 4,
+                                          batchSize: Int = 64)
+      : Seq[(Long, String, String, Long)] = {
+    val wc = wordCounts.persist()
+    try bpeTrainLoop(wc, nMerges, foldChainCap, batchSize)
+    finally { wc.unpersist(); () }
+  }
+
   /** The trainer loop behind [[learnedMerges]]: runs `nMerges`
     * iterations over a persisted `(w, n)` vocabulary frame, returning
     * the learned merge rows.
@@ -438,7 +455,25 @@ object TextAnalysis {
     val priorOuts = scala.collection.mutable.Set.empty[String]
     var chainDepth = 0
     var rounds = 0
+    var rebases = 0
     var owned: Option[org.apache.spark.rdd.RDD[Row]] = None
+    // Every RDD rebase truncates the LOGICAL plan but the RDD object
+    // graph still chains to its predecessor (persisted blocks don't
+    // sever dependencies), so a production merge budget (hundreds of
+    // rounds) accretes an ever-deeper task object graph until task
+    // (de)serialization overflows the stack — found at k=1024, where
+    // ~150 rebase generations crashed the executor-side reader. Every
+    // ParquetRebaseEvery-th rebase therefore round-trips the (small:
+    // one row per vocabulary word) symbol frame through parquet — a
+    // file scan has NO lineage, bounding the object-graph depth at
+    // ParquetRebaseEvery chains regardless of k. Spill files live
+    // under one run-private tmpdir, removed when training returns.
+    val ParquetRebaseEvery = 8
+    var spillRoot: Option[java.io.File] = None
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
     try {
       var done = false
       var t = 1
@@ -542,15 +577,30 @@ object TextAnalysis {
           t += accepted.size
           chainDepth += 1
           if (chainDepth >= foldChainCap && t <= nMerges) {
-            val (flat, rdd) = rebaseFlat(syms, owned)
-            syms = flat; owned = Some(rdd); chainDepth = 0
+            rebases += 1
+            if (rebases % ParquetRebaseEvery == 0) {
+              val root = spillRoot.getOrElse {
+                val d = java.nio.file.Files
+                  .createTempDirectory("graft_bpe_spill").toFile
+                spillRoot = Some(d); d
+              }
+              val dir = new java.io.File(root, s"spill_$rebases").getPath
+              syms.write.mode("overwrite").parquet(dir)
+              owned.foreach(_.unpersist(blocking = false)); owned = None
+              syms = wordCounts.sparkSession.read.parquet(dir)
+            } else {
+              val (flat, rdd) = rebaseFlat(syms, owned)
+              syms = flat; owned = Some(rdd)
+            }
+            chainDepth = 0
           }
         }
       }
       lastTrainRounds = rounds
       merges.toSeq
     } finally {
-      owned.foreach(_.unpersist(blocking = false)); ()
+      owned.foreach(_.unpersist(blocking = false))
+      spillRoot.foreach(rmrf)
     }
   }
 

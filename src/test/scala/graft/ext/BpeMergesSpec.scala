@@ -72,6 +72,27 @@ class BpeMergesSpec extends SparkSpec {
     TextAnalysis.bpeMergeCache.clear()
   }
 
+  test("parquet-spill rebase (the production-budget lineage cut) " +
+       "changes nothing") {
+    // cap=1 + batch=1 forces a rebase every round, so 20 merges cross
+    // the ParquetRebaseEvery=8 spill boundary twice — training must
+    // continue identically off the spilled frame (this is the path
+    // that bounds the RDD object-graph depth at k >= 1024, where the
+    // chained rebases used to overflow task deserialization)
+    val wc = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(TextAnalysis.normalized(col("text")), " "))
+        .as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val spilled = TextAnalysis.bpeTrainLoop(wc, 20, 1, 1)
+      val plain = TextAnalysis.bpeTrainLoop(wc, 20, 32, 1)
+      assert(spilled == plain)
+      assert(spilled.size == 20)
+    } finally { wc.unpersist(); () }
+  }
+
   test("batched default equals sequential at k=32 on the corpus") {
     val wc = Tables.load(spark, sfDir, "documents")
       .select(explode(split(TextAnalysis.normalized(col("text")), " "))

@@ -817,6 +817,144 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // bpekprod mode: the batched trainer at a PRODUCTION merge budget
+    // (k ≥ 1024). The sf0.1 corpus vocabulary is tail-bound by
+    // sequentially-dependent spelling chains (the bpek table), so the
+    // rounds ≪ k claim is measured on a wide-count-band synthetic
+    // vocabulary: 20k distinct words over a 288-syllable (consonant+
+    // vowel) inventory with Zipf counts — syllable-structured words
+    // give each round many instance-disjoint high-count candidates,
+    // the shape a real large corpus's vocabulary has and the gate
+    // corpus lacks. Equality is asserted step-for-step against an
+    // independent in-memory sequential trainer (the BpeMergesSpec
+    // model generalized), so the batch guards are re-certified AT the
+    // measured budget, not assumed from small k.
+    // Test/runMain graft.tools.ScaleSmoke bpekprod [k]
+    if (args.headOption.contains("bpekprod")) {
+      val k = args.drop(1).headOption.flatMap(_.toIntOption)
+        .getOrElse(1024)
+      // corpus 1 — zipf_syllable: 20k distinct words over a
+      // 288-syllable (consonant+vowel) inventory with Zipf counts, the
+      // "natural-ish" wide-band shape. Its batch width is bound by the
+      // created-pair floor: merging a high-count boundary pair creates
+      // pairs whose measured trigram ceilings sit only a small factor
+      // below the next candidates, so sequential order genuinely
+      // constrains batching — the honest corpus-bound row.
+      val zipfSyllable: Seq[(String, Long)] = {
+        val rnd = new scala.util.Random(17)
+        val cons = "bcdfghjklmnpqrstvwxz0123"
+        val vows = "aeiouy456789"
+        val sylls = for (c <- cons; v <- vows) yield s"$c$v"
+        def word(): String = {
+          val n = 4 + rnd.nextInt(5)
+          (0 until n).map { _ =>
+            val u = rnd.nextDouble()
+            sylls(math.min(((u * u) * sylls.length).toInt,
+                           sylls.length - 1))
+          }.mkString
+        }
+        val vocab =
+          scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        var rank = 1
+        while (vocab.size < 20000) {
+          val w = word()
+          if (!vocab.contains(w)) {
+            vocab(w) = math.max(1L, 400000L / rank)
+            rank += 1
+          }
+        }
+        vocab.toSeq
+      }
+      // corpus 2 — blocked_band: the mechanism's CAPABILITY ceiling. A
+      // vocabulary whose merge queue consists of class-disjoint blocks
+      // (lhs and rhs drawn from disjoint symbol classes → every pair in
+      // a block is instance-disjoint from every other) with distinct,
+      // well-separated count bands: 972 two-char words over six
+      // (L,R)/(R,L)/(L1,L2)/… blocks plus 64 four-char words whose
+      // level-2 created-symbol pairs surface once their halves merge.
+      // Two-char words create NO pairs after merging (and have no
+      // trigrams), so the count-gap floor reads the measured ceilings
+      // at ~the four-char word counts, far below every block band —
+      // each round accepts a full batch.
+      val blockedBand: Seq[(String, Long)] = {
+        val all = "abcdefghijklmnopqrstuvwxyz0123456789"
+        val L = all.substring(0, 18); val R = all.substring(18)
+        val words =
+          scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        def block(ls: String, rs: String, base: Long): Unit = {
+          var idx = 0
+          for (l <- ls; r <- rs) {
+            words(s"$l$r") = base - idx * 37L
+            idx += 1
+          }
+        }
+        block(L, R, 90000L)                              // 324
+        block(R, L, 70000L)                              // 324
+        block(L.substring(0, 9), L.substring(9), 50000L) // 81
+        block(L.substring(9), L.substring(0, 9), 45000L) // 81
+        block(R.substring(0, 9), R.substring(9), 40000L) // 81
+        block(R.substring(9), R.substring(0, 9), 35000L) // 81
+        for (i <- 0 until 64) {                          // level-2: 64
+          val w = "" + L(i % 9) + R(i % 18) +
+            L(9 + i % 9) + R((i / 9 + 7) % 18)
+          words(w) = words.getOrElse(w, 0L) + 1000L + i
+        }
+        words.toSeq
+      }
+      // independent in-memory sequential trainer (same tokenization,
+      // same greedy leftmost fold, same (count desc, pair asc)
+      // tie-break) — the equality reference; full sequential Spark at
+      // k=1024 would measure ~15 min of pure round latency instead
+      def modelTrain(vocab: Seq[(String, Long)], nMerges: Int)
+          : Seq[(Long, String, String, Long)] = {
+        var syms: Map[Vector[String], Long] =
+          vocab.groupBy(_._1.split("").toVector)
+            .map { case (s, ws) => s -> ws.map(_._2).sum }
+        (1 to nMerges).iterator.map { t =>
+          val counts =
+            scala.collection.mutable.Map.empty[(String, String), Long]
+          syms.foreach { case (s, n) =>
+            s.sliding(2).filter(_.size == 2).foreach { p =>
+              counts((p(0), p(1))) =
+                counts.getOrElse((p(0), p(1)), 0L) + n
+            }
+          }
+          if (counts.isEmpty) None
+          else {
+            val ((l, r), c) = counts.toSeq
+              .minBy { case ((a, b), n) => (-n, a, b) }
+            syms = syms.groupBy { case (s, _) =>
+              s.foldLeft(Vector.empty[String]) { (acc, x) =>
+                if (acc.nonEmpty && acc.last == l && x == r)
+                  acc.init :+ (l + r)
+                else acc :+ x
+              }
+            }.map { case (s, ws) => s -> ws.values.sum }
+            Some((t.toLong, l, r, c))
+          }
+        }.takeWhile(_.isDefined).flatten.toSeq
+      }
+      println(f"[scale] ${"corpus"}%-14s ${"k"}%5s ${"vocab"}%6s ${"rounds"}%6s ${"rounds/k"}%8s ${"t_spark_b64"}%11s ${"t_model_seq"}%11s eq")
+      for ((tag, vocab) <- Seq(("zipf_syllable", zipfSyllable),
+                               ("blocked_band", blockedBand))) {
+        val wcDf = spark.createDataFrame(vocab).toDF("w", "n")
+          .repartition(8)
+        coldStart()
+        val t0 = System.nanoTime()
+        val got = graft.ext.TextAnalysis.bpeTrainOnWordCounts(wcDf, k)
+        val tB = (System.nanoTime() - t0) / 1e9
+        val rounds = graft.ext.TextAnalysis.lastTrainRounds
+        val t1 = System.nanoTime()
+        val want = modelTrain(vocab, k)
+        val tM = (System.nanoTime() - t1) / 1e9
+        assert(got == want,
+          s"$tag k=$k: batched table diverged from the sequential " +
+          s"model (got ${got.size} merges, want ${want.size})")
+        println(f"[scale] $tag%-14s $k%5d ${vocab.size}%6d $rounds%6d ${rounds.toDouble / k}%8.3f $tB%10.1fs $tM%10.1fs OK")
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("pipeline")) {
       if (!new java.io.File(s"$Out100/documents.parquet").isDirectory)
         generate(spark, Out100, factor = 100, withEvents = false)
