@@ -19,7 +19,10 @@ object TextAnalysis {
     * group index; group(1) == DuckDB's whole-match default. */
   private val tokenExpr = "regexp_extract_all(text, '([A-Za-z0-9]+)', 1)"
 
-  private val stopwords =
+  // private[graft]: the 10× replica generator (ScaleSmoke) must keep
+  // exactly these words un-suffixed so the stop-word quality rules see
+  // replicated documents the way they see real ones
+  private[graft] val stopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 
   private def stopCount(c: String = "text") =
