@@ -108,8 +108,9 @@ object ScaleSmoke {
     // probe, two-batch standing-index maintenance (documents-based)
     "q231_crossmodal_agree", "q232_incr_near_dedup_collapsed",
     "q233_neardup_index_2batch",
-    // round-15: durable on-disk index lifecycle (documents-based)
-    "q234_neardup_index_durable",
+    // round-15: durable on-disk index lifecycle (documents-based),
+    // within-cluster spectrum probe (embeddings-based)
+    "q234_neardup_index_durable", "q235_cluster_spectrum",
     // round-9: the relational/TPC-H family over the FK-consistent
     // replica (generateTpch). Excluded on purpose:
     //   q02 (dims-only cross join — constant at any factor),
