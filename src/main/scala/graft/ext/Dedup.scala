@@ -922,7 +922,18 @@ object Dedup {
     val prefixes = prefixes0.transform(TrackedPersist.persistTracked)
     val budget = docs0.sparkSession.conf.getOption(PairBudgetKey)
       .map(_.trim.toLong).getOrElse(DefaultPairBudget)
-    if (budget >= 0) {
+    // Free exact pre-check before paying for the sketch: candidates
+    // cannot exceed nDocs·(nDocs−1)/2 (the all-same-source, all-shared-
+    // prefix worst case), so when that bound is within budget the
+    // sketch CANNOT trip and is skipped — gate-scale corpora pay one
+    // count of the (persisted, needed-anyway) docs frame instead of an
+    // extra tokenize+window materialization (+1.38 s on q28 at sf0.1,
+    // measured by `ScaleSmoke pairbudget` before this check existed).
+    // At corpus sizes where the bound exceeds the budget the sketch's
+    // cost is noise against the join it prices.
+    val nDocs = if (budget >= 0) docs.count() else 0L
+    if (budget >= 0 &&
+        nDocs.toDouble * (nDocs - 1).toDouble / 2.0 > budget.toDouble) {
       // ordered same-key pairs = (F₂ − N)/2 over the (source, token)
       // prefix keys — an upper-bound-flavored estimate of the
       // candidate join's pre-distinct output (the sketch prices the

@@ -1117,6 +1117,28 @@ object ScaleSmoke {
     // 4-dimensional signal that 16 correlated PQ blocks can rank —
     // the regime where a code-domain scan + bounded exact rerank beats
     // probing more cells with full vectors. Deterministic (seeded
+    // pairbudget mode: the candidate-budget guard's measured price on
+    // the exact-pair gate — same JVM, alternating guard-off (-1
+    // disables) and guard-on (default budget) cold runs of q28. The
+    // guard's cost is one scan+agg of the persisted prefix table (AMS
+    // F₂) plus its count; this mode keeps that price pinned.
+    // Test/runMain graft.tools.ScaleSmoke pairbudget
+    if (args.headOption.contains("pairbudget")) {
+      def run(budget: String): Double = {
+        spark.conf.set(graft.ext.Dedup.PairBudgetKey, budget)
+        coldStart()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries("q28_jaccard_pairs")(spark, Base).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run("-1"); run("2000000000") // warm JIT on both plan shapes
+      val offs = (1 to 3).map(_ => run("-1"))
+      val ons = (1 to 3).map(_ => run("2000000000"))
+      spark.conf.unset(graft.ext.Dedup.PairBudgetKey)
+      println(f"[scale] pairbudget q28(sf0.1): guard_off min ${offs.min}%.2f s (all ${offs.map(t => f"$t%.2f").mkString("/")}) guard_on min ${ons.min}%.2f s (all ${ons.map(t => f"$t%.2f").mkString("/")}) delta ${ons.min - offs.min}%+.2f s")
+      spark.stop()
+      return
+    }
     // indexmaint mode: N-batch durable-index maintenance — the q234
     // lifecycle folded over N daily batches against the sf0.1 corpus.
     // Batch k carries (a) VERBATIM copies of the new-source documents
