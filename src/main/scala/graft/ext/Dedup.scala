@@ -922,18 +922,31 @@ object Dedup {
     val prefixes = prefixes0.transform(TrackedPersist.persistTracked)
     val budget = docs0.sparkSession.conf.getOption(PairBudgetKey)
       .map(_.trim.toLong).getOrElse(DefaultPairBudget)
-    // Free exact pre-check before paying for the sketch: candidates
-    // cannot exceed nDocs·(nDocs−1)/2 (the all-same-source, all-shared-
-    // prefix worst case), so when that bound is within budget the
-    // sketch CANNOT trip and is skipped — gate-scale corpora pay one
-    // count of the (persisted, needed-anyway) docs frame instead of an
-    // extra tokenize+window materialization (+1.38 s on q28 at sf0.1,
-    // measured by `ScaleSmoke pairbudget` before this check existed).
-    // At corpus sizes where the bound exceeds the budget the sketch's
-    // cost is noise against the join it prices.
-    val nDocs = if (budget >= 0) docs.count() else 0L
-    if (budget >= 0 &&
-        nDocs.toDouble * (nDocs - 1).toDouble / 2.0 > budget.toDouble) {
+    // Cheap SOUND pre-check before paying for the sketch. The sketch
+    // estimate (and the join's real input) is PRE-distinct same-key
+    // pairs; an unordered doc pair can collide under at most
+    // min(|prefix_a|, |prefix_b|) ≤ L_max keys, so pre-distinct pairs
+    // ≤ nDocs·(nDocs−1)/2 · L_max with L_max = max prefix length —
+    // one count+max aggregate over the (persisted, needed-anyway) docs
+    // frame. When that bound is within budget the sketch CANNOT trip
+    // and is skipped: gate-scale corpora stop paying the sketch's
+    // extra jobs (+1.38 s on q28 at sf0.1, measured by `ScaleSmoke
+    // pairbudget` before this check existed), while any corpus big or
+    // prefix-heavy enough that the bound exceeds the budget — the
+    // shapes the guard exists for — still gets the precise estimate,
+    // whose cost is noise against the join it prices. (A distinct-pair
+    // bound alone would be UNSOUND here: shared-prefix multiplicity
+    // can inflate the join input past the budget while distinct pairs
+    // stay under it.)
+    val preBound = if (budget < 0) 0.0 else {
+      val r = docs.agg(count(lit(1)),
+        max(col("n") - ceil(col("n") * threshold) + 1)).head()
+      val nDocs = r.getLong(0)
+      val lMax = if (r.isNullAt(1)) 0.0
+                 else r.getAs[Number](1).doubleValue()
+      nDocs.toDouble * (nDocs - 1).toDouble / 2.0 * math.max(lMax, 0.0)
+    }
+    if (budget >= 0 && preBound > budget.toDouble) {
       // ordered same-key pairs = (F₂ − N)/2 over the (source, token)
       // prefix keys — an upper-bound-flavored estimate of the
       // candidate join's pre-distinct output (the sketch prices the
@@ -1662,10 +1675,30 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    // crash recovery BEFORE cleanup: a previous run hard-killed inside
+    // the swap window leaves the only live copy at __precompact (and a
+    // possibly-complete compacted copy at __compacting) — restore the
+    // original rather than deleting the survivors; only then is it
+    // safe to clear leftovers
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p),
+        s"compact recovery: could not restore $old to $path")
+    fs.delete(tmp, true); fs.delete(old, true)
     val n = graft.sources.Sources.compactParquet(spark, path,
       tmp.toString, targetFileBytes)
-    require(fs.delete(p, true), s"compact swap: could not remove $path")
-    require(fs.rename(tmp, p), s"compact swap: could not rename $tmp")
+    // swap order keeps a complete table on disk at every step: the
+    // live table moves ASIDE first, so a failure between the renames
+    // leaves the data recoverable at __precompact instead of deleted
+    require(fs.rename(p, old), s"compact swap: could not set aside $path")
+    if (!fs.rename(tmp, p)) {
+      val restored = fs.rename(old, p) // the compacted copy stays at tmp
+      throw new IllegalStateException(
+        s"compact swap: could not move $tmp into place; original " +
+        (if (restored) s"restored at $path"
+         else s"NOT restored — recover it from $old"))
+    }
+    fs.delete(old, true)
     n
   }
 
@@ -1709,8 +1742,12 @@ object Dedup {
   def nearDupIndexDurableGate(spark: SparkSession, dir: String,
                               threshold: Double = 0.5): DataFrame = {
     val (corpus, batch1, batch2) = corpusTwoBatches(spark, dir)
+    // per-(process, dir) scratch: the entry wipe must never race a
+    // CONCURRENT JVM running the gate against the same corpus (e.g. a
+    // verify cycle beside a bench window)
     val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_neardup_index_" + Integer.toHexString(dir.hashCode)).getPath
+      "graft_neardup_index_" + java.lang.ProcessHandle.current.pid +
+      "_" + Integer.toHexString(dir.hashCode)).getPath
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rootPath)) fs.delete(rootPath, true)

@@ -1261,7 +1261,13 @@ object Similarity {
     * m1(cell, i, s), m2(cell, i, j, m)) with i ≤ j, 1-based. */
   private def spectrumMomentFrames(df: DataFrame, cellCol: Column)
       : (DataFrame, DataFrame, DataFrame) = {
+    // a null embedding must fall out of n AND the moments together —
+    // counting it while its (absent) products skip m1/m2 would bias
+    // every covariance numerator of its cell (and leave (cell, i, j)
+    // holes the driver lookups would trip on). Vectors are Dim-wide by
+    // the table contract, as everywhere in this file.
     val base = df
+      .filter(col("embedding").isNotNull)
       .select(cellCol.cast("int").as("cell"),
         expr(s"""transform(sequence(1, $Dim), i ->
                  CAST(CAST(element_at(embedding, i) AS DOUBLE)

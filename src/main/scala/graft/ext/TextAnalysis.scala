@@ -470,13 +470,17 @@ object TextAnalysis {
     // one row per vocabulary word) symbol frame through parquet — a
     // file scan has NO lineage, bounding the object-graph depth at
     // ParquetRebaseEvery chains regardless of k. Spill files live
-    // under one run-private tmpdir, removed when training returns.
+    // under one run-private directory, removed when training returns:
+    // the session's checkpoint dir when configured (a SHARED
+    // filesystem on a real cluster — executors commit the task files
+    // there and the driver re-reads them), java.io.tmpdir otherwise,
+    // which is correct exactly where driver and executors share a
+    // filesystem (local mode — the gate/bench harness).
     val ParquetRebaseEvery = 8
-    var spillRoot: Option[java.io.File] = None
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
-      f.delete(); ()
-    }
+    var spillRoot: Option[String] = None
+    def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
+    def spillFs(s: String) = hpath(s).getFileSystem(
+      wordCounts.sparkSession.sparkContext.hadoopConfiguration)
     try {
       var done = false
       var t = 1
@@ -583,11 +587,14 @@ object TextAnalysis {
             rebases += 1
             if (rebases % ParquetRebaseEvery == 0) {
               val root = spillRoot.getOrElse {
-                val d = java.nio.file.Files
-                  .createTempDirectory("graft_bpe_spill").toFile
+                val base = wordCounts.sparkSession.sparkContext
+                  .getCheckpointDir
+                  .getOrElse(sys.props("java.io.tmpdir"))
+                val d =
+                  s"$base/graft_bpe_spill_${java.util.UUID.randomUUID}"
                 spillRoot = Some(d); d
               }
-              val dir = new java.io.File(root, s"spill_$rebases").getPath
+              val dir = s"$root/spill_$rebases"
               syms.write.mode("overwrite").parquet(dir)
               owned.foreach(_.unpersist(blocking = false)); owned = None
               syms = wordCounts.sparkSession.read.parquet(dir)
@@ -603,7 +610,7 @@ object TextAnalysis {
       merges.toSeq
     } finally {
       owned.foreach(_.unpersist(blocking = false))
-      spillRoot.foreach(rmrf)
+      spillRoot.foreach(r => spillFs(r).delete(hpath(r), true))
     }
   }
 

@@ -346,6 +346,80 @@ object ScaleSmoke {
       .agg(avg(col("recall"))).head().getDouble(0)
   }
 
+  /** The annhard corpus generator — 24-component ISOTROPIC Gaussian
+    * mixture (seed-13 centers, xxhash64 Box-Muller noise), shared by
+    * the annhard and spectrum modes so the two can never silently
+    * measure different geometries. No-op if `out` already exists. */
+  private def genAnnhard(spark: SparkSession, sigma: Double,
+                         out: String, n: Long): Unit =
+    if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
+      val dim = 64; val comps = 24
+      val rnd = new scala.util.Random(13)
+      val centers = Array.fill(comps, dim)(rnd.nextGaussian())
+      val centersCol = array(centers.map(c =>
+        array(c.map(v => lit(v)): _*)): _*)
+      val two40 = (1L << 40).toDouble
+      def unif(salt: Int)(i: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(col("vec_id"), lit(salt), i), lit(1L << 40))
+          .cast("double") + lit(0.5)) / lit(two40)
+      val noise = transform(sequence(lit(0), lit(dim - 1)), i =>
+        sqrt(lit(-2.0) * log(unif(1)(i))) *
+          cos(lit(2.0 * math.Pi) * unif(2)(i)))
+      spark.range(n).select(col("id").as("vec_id"))
+        .withColumn("comp",
+          pmod(xxhash64(col("vec_id"), lit(3)), lit(comps)).cast("int"))
+        .select(col("vec_id"),
+          zip_with(element_at(centersCol, col("comp") + 1), noise,
+            (c, z) => (c + lit(sigma) * z).cast("float"))
+            .as("embedding"),
+          col("comp").as("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+
+  /** The annaniso corpus generator — 24-component rank-4 ANISOTROPIC
+    * mixture (seed-29 centers/bases, xxhash64 Box-Muller latents),
+    * shared by the annaniso and spectrum modes. No-op if `out`
+    * exists. */
+  private def genAnnaniso(spark: SparkSession, sigma: Double,
+                          out: String, n: Long): Unit =
+    if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
+      val dim = 64; val comps = 24; val rank = 4
+      val rnd = new scala.util.Random(29)
+      val centers = Array.fill(comps, dim)(rnd.nextGaussian())
+      val bases = Array.fill(comps, rank, dim)(rnd.nextGaussian() /
+        math.sqrt(dim.toDouble))
+      val centersCol = array(centers.map(c =>
+        array(c.map(v => lit(v)): _*)): _*)
+      val basesCol = array(bases.map(b => array(b.map(u =>
+        array(u.map(v => lit(v)): _*)): _*)): _*)
+      val two40 = (1L << 40).toDouble
+      def unif(salt: Int) =
+        (pmod(xxhash64(col("vec_id"), lit(salt)), lit(1L << 40))
+          .cast("double") + lit(0.5)) / lit(two40)
+      val zs = (0 until rank).map(j =>
+        sqrt(lit(-2.0) * log(unif(2 * j + 1))) *
+          cos(lit(2.0 * math.Pi) * unif(2 * j + 2)))
+      spark.range(n).select(col("id").as("vec_id"))
+        .withColumn("comp",
+          pmod(xxhash64(col("vec_id"), lit(99)), lit(comps)).cast("int"))
+        .select(col("vec_id") +: (zs.zipWithIndex.map { case (z, j) =>
+          z.as(s"z$j") } :+ col("comp")): _*)
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), i => {
+            val cent = element_at(
+              element_at(centersCol, col("comp") + 1), i + 1)
+            val basis = element_at(basesCol, col("comp") + 1)
+            val drift = (0 until rank).map(j =>
+              element_at(element_at(basis, j + 1), i + 1) *
+                col(s"z$j")).reduce(_ + _)
+            (cent + lit(sigma) * drift).cast("float")
+          }).as("embedding"),
+          col("comp").as("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -1108,15 +1182,6 @@ object ScaleSmoke {
       spark.stop()
       return
     }
-    // annaniso mode: the ADC-shortlist architecture on an ANISOTROPIC
-    // mixture — the geometry real embeddings have (annhard's isotropic
-    // σ=2 noise is the worst case for PQ: within-cluster cosine gaps
-    // sit below quantization error at any code budget). Here
-    // within-cluster variance is LOW-RANK (r=4 latent dims through a
-    // fixed per-cluster basis), so candidate distances are a
-    // 4-dimensional signal that 16 correlated PQ blocks can rank —
-    // the regime where a code-domain scan + bounded exact rerank beats
-    // probing more cells with full vectors. Deterministic (seeded
     // pairbudget mode: the candidate-budget guard's measured price on
     // the exact-pair gate — same JVM, alternating guard-off (-1
     // disables) and guard-on (default budget) cold runs of q28. The
@@ -1223,76 +1288,11 @@ object ScaleSmoke {
     if (args.headOption.contains("spectrum")) {
       val sampleMod = args.drop(1).headOption.flatMap(_.toIntOption)
         .getOrElse(4)
-      val dim = 64; val comps = 24; val n = 200000L; val cells = 240
-      // isotropic corpus = the annhard generator at σ=2 (same seeds,
-      // same dir — reuses the table if the annhard mode built it)
-      locally {
-        val sigma = 2.0
-        val rnd = new scala.util.Random(13)
-        val centers = Array.fill(comps, dim)(rnd.nextGaussian())
-        val centersCol = array(centers.map(c =>
-          array(c.map(v => lit(v)): _*)): _*)
-        val out = s"target/annhard_${sigma}_100x"
-        if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
-          val two40 = (1L << 40).toDouble
-          def unif(salt: Int)(i: org.apache.spark.sql.Column) =
-            (pmod(xxhash64(col("vec_id"), lit(salt), i), lit(1L << 40))
-              .cast("double") + lit(0.5)) / lit(two40)
-          val noise = transform(sequence(lit(0), lit(dim - 1)), i =>
-            sqrt(lit(-2.0) * log(unif(1)(i))) *
-              cos(lit(2.0 * math.Pi) * unif(2)(i)))
-          spark.range(n).select(col("id").as("vec_id"))
-            .withColumn("comp",
-              pmod(xxhash64(col("vec_id"), lit(3)), lit(comps)).cast("int"))
-            .select(col("vec_id"),
-              zip_with(element_at(centersCol, col("comp") + 1), noise,
-                (c, z) => (c + lit(sigma) * z).cast("float"))
-                .as("embedding"),
-              col("comp").as("label"))
-            .repartition(32)
-            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-        }
-      }
-      // anisotropic corpus = the annaniso generator (same seeds/dir)
-      locally {
-        val rank = 4; val sigma = 8.0
-        val rnd = new scala.util.Random(29)
-        val centers = Array.fill(comps, dim)(rnd.nextGaussian())
-        val bases = Array.fill(comps, rank, dim)(rnd.nextGaussian() /
-          math.sqrt(dim.toDouble))
-        val centersCol = array(centers.map(c =>
-          array(c.map(v => lit(v)): _*)): _*)
-        val basesCol = array(bases.map(b => array(b.map(u =>
-          array(u.map(v => lit(v)): _*)): _*)): _*)
-        val out = s"target/annaniso_${sigma}_100x"
-        if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
-          val two40 = (1L << 40).toDouble
-          def unif(salt: Int) =
-            (pmod(xxhash64(col("vec_id"), lit(salt)), lit(1L << 40))
-              .cast("double") + lit(0.5)) / lit(two40)
-          val zs = (0 until rank).map(j =>
-            sqrt(lit(-2.0) * log(unif(2 * j + 1))) *
-              cos(lit(2.0 * math.Pi) * unif(2 * j + 2)))
-          spark.range(n).select(col("id").as("vec_id"))
-            .withColumn("comp",
-              pmod(xxhash64(col("vec_id"), lit(99)), lit(comps)).cast("int"))
-            .select(col("vec_id") +: (zs.zipWithIndex.map { case (z, j) =>
-              z.as(s"z$j") } :+ col("comp")): _*)
-            .select(col("vec_id"),
-              transform(sequence(lit(0), lit(dim - 1)), i => {
-                val cent = element_at(
-                  element_at(centersCol, col("comp") + 1), i + 1)
-                val basis = element_at(basesCol, col("comp") + 1)
-                val drift = (0 until rank).map(j =>
-                  element_at(element_at(basis, j + 1), i + 1) *
-                    col(s"z$j")).reduce(_ + _)
-                (cent + lit(sigma) * drift).cast("float")
-              }).as("embedding"),
-              col("comp").as("label"))
-            .repartition(32)
-            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-        }
-      }
+      val cells = 240
+      // corpora = the SHARED annhard/annaniso generators (same seeds,
+      // same dirs — reuses the tables if those modes built them)
+      genAnnhard(spark, 2.0, "target/annhard_2.0_100x", 200000L)
+      genAnnaniso(spark, 8.0, "target/annaniso_8.0_100x", 200000L)
       println(s"[scale] spectrum: probe over trained IVF cells " +
         s"(cells=$cells, sampleMod=$sampleMod, normalized layout)")
       println(f"[scale] ${"corpus"}%-22s ${"cells"}%5s ${"n_spl"}%6s ${"pr_wmean"}%8s ${"top_share"}%9s ${"t"}%7s  measured-best (prior tables)")
@@ -1319,49 +1319,24 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // annaniso mode: the ADC-shortlist architecture on an ANISOTROPIC
+    // mixture — the geometry real embeddings have (annhard's isotropic
+    // σ=2 noise is the worst case for PQ: within-cluster cosine gaps
+    // sit below quantization error at any code budget). Here
+    // within-cluster variance is LOW-RANK (r=4 latent dims through a
+    // fixed per-cluster basis), so candidate distances are a
+    // 4-dimensional signal that 16 correlated PQ blocks can rank —
+    // the regime where a code-domain scan + bounded exact rerank beats
+    // probing more cells with full vectors. Deterministic (seeded
     // centers/bases, xxhash64 Box-Muller latents).
     // Test/runMain graft.tools.ScaleSmoke annaniso [sigma]
     if (args.headOption.contains("annaniso")) {
       val dim = 64; val comps = 24; val rank = 4
       val sigma = args.drop(1).headOption.flatMap(_.toDoubleOption)
         .getOrElse(8.0)
-      val rnd = new scala.util.Random(29)
-      val centers = Array.fill(comps, dim)(rnd.nextGaussian())
-      val bases = Array.fill(comps, rank, dim)(rnd.nextGaussian() /
-        math.sqrt(dim.toDouble))
-      val centersCol = array(centers.map(c =>
-        array(c.map(v => lit(v)): _*)): _*)
-      val basesCol = array(bases.map(b => array(b.map(u =>
-        array(u.map(v => lit(v)): _*)): _*)): _*)
       val n = 200000L; val cells = 240
       val dir = s"target/annaniso_${sigma}_100x"
-      if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
-        val two40 = (1L << 40).toDouble
-        def unif(salt: Int) =
-          (pmod(xxhash64(col("vec_id"), lit(salt)), lit(1L << 40))
-            .cast("double") + lit(0.5)) / lit(two40)
-        val zs = (0 until rank).map(j =>
-          sqrt(lit(-2.0) * log(unif(2 * j + 1))) *
-            cos(lit(2.0 * math.Pi) * unif(2 * j + 2)))
-        spark.range(n).select(col("id").as("vec_id"))
-          .withColumn("comp",
-            pmod(xxhash64(col("vec_id"), lit(99)), lit(comps)).cast("int"))
-          .select(col("vec_id") +: (zs.zipWithIndex.map { case (z, j) =>
-            z.as(s"z$j") } :+ col("comp")): _*)
-          .select(col("vec_id"),
-            transform(sequence(lit(0), lit(dim - 1)), i => {
-              val cent = element_at(
-                element_at(centersCol, col("comp") + 1), i + 1)
-              val basis = element_at(basesCol, col("comp") + 1)
-              val drift = (0 until rank).map(j =>
-                element_at(element_at(basis, j + 1), i + 1) *
-                  col(s"z$j")).reduce(_ + _)
-              (cent + lit(sigma) * drift).cast("float")
-            }).as("embedding"),
-            col("comp").as("label"))
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      }
+      genAnnaniso(spark, sigma, dir, n)
       println(s"[scale] annaniso: $comps-component rank-$rank mixture, " +
         s"dim=$dim, sigma=$sigma, n=$n, cells=$cells")
       println(f"[scale] ${"mode"}%-18s ${"nProbe"}%6s ${"depth"}%6s ${"recall@10"}%9s ${"t"}%7s")
@@ -1406,30 +1381,8 @@ object ScaleSmoke {
       val dim = 64; val comps = 24
       val sigma = args.drop(1).headOption.flatMap(_.toDoubleOption)
         .getOrElse(1.0)
-      val rnd = new scala.util.Random(13)
-      val centers = Array.fill(comps, dim)(rnd.nextGaussian())
-      val centersCol = array(centers.map(c =>
-        array(c.map(v => lit(v)): _*)): _*)
       def gen(out: String, n: Long): Unit =
-        if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
-          val two40 = (1L << 40).toDouble
-          def unif(salt: Int)(i: org.apache.spark.sql.Column) =
-            (pmod(xxhash64(col("vec_id"), lit(salt), i), lit(1L << 40))
-              .cast("double") + lit(0.5)) / lit(two40)
-          val noise = transform(sequence(lit(0), lit(dim - 1)), i =>
-            sqrt(lit(-2.0) * log(unif(1)(i))) *
-              cos(lit(2.0 * math.Pi) * unif(2)(i)))
-          spark.range(n).select(col("id").as("vec_id"))
-            .withColumn("comp",
-              pmod(xxhash64(col("vec_id"), lit(3)), lit(comps)).cast("int"))
-            .select(col("vec_id"),
-              zip_with(element_at(centersCol, col("comp") + 1), noise,
-                (c, z) => (c + lit(sigma) * z).cast("float"))
-                .as("embedding"),
-              col("comp").as("label"))
-            .repartition(32)
-            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-        }
+        genAnnhard(spark, sigma, out, n)
       println(s"[scale] annhard: $comps-component mixture, dim=$dim, " +
         s"sigma=$sigma, cells scale with decade")
       println(f"[scale] ${"corpus"}%-6s ${"n"}%7s ${"cells"}%5s ${"nAsg"}%4s ${"nProbe"}%6s ${"recall@10"}%9s ${"t"}%7s")
