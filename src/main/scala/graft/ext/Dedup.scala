@@ -907,6 +907,21 @@ object Dedup {
   private[graft] val PairBudgetKey = "spark.graft.dedup.pairBudget"
   private[ext] val DefaultPairBudget = 2L * 1000 * 1000 * 1000
 
+  /** The configured pair budget, with a malformed value rethrown
+    * NAMING the conf key and the offending text — a bare
+    * NumberFormatException from deep inside a dedup plan tells the
+    * operator nothing about which knob to fix. */
+  private[ext] def configuredPairBudget(spark: SparkSession): Long =
+    spark.conf.getOption(PairBudgetKey).map { raw =>
+      try raw.trim.toLong
+      catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"malformed $PairBudgetKey value '$raw' — expected a long " +
+            "(negative disables the guard)", e)
+      }
+    }.getOrElse(DefaultPairBudget)
+
   private[ext] def jaccardPairsOf(docs0: DataFrame,
                                   threshold: Double): DataFrame = {
     // prefix length p = n − ⌈t·n⌉ + 1 over the global (df, token) order;
@@ -920,8 +935,7 @@ object Dedup {
     // candidate self-join read it — three consumers of one
     // tokenize+window pass
     val prefixes = prefixes0.transform(TrackedPersist.persistTracked)
-    val budget = docs0.sparkSession.conf.getOption(PairBudgetKey)
-      .map(_.trim.toLong).getOrElse(DefaultPairBudget)
+    val budget = configuredPairBudget(docs0.sparkSession)
     // Cheap SOUND pre-check before paying for the sketch. The sketch
     // estimate (and the join's real input) is PRE-distinct same-key
     // pairs; an unordered doc pair can collide under at most

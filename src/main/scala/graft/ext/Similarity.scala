@@ -1264,10 +1264,13 @@ object Similarity {
     // a null embedding must fall out of n AND the moments together —
     // counting it while its (absent) products skip m1/m2 would bias
     // every covariance numerator of its cell (and leave (cell, i, j)
-    // holes the driver lookups would trip on). Vectors are Dim-wide by
+    // holes the driver lookups would trip on). A null CELL falls out
+    // the same way: there is no cluster to attribute its moments to,
+    // and the driver's Row.getInt would throw on it. The oracle's e
+    // CTE carries the identical two filters. Vectors are Dim-wide by
     // the table contract, as everywhere in this file.
     val base = df
-      .filter(col("embedding").isNotNull)
+      .filter(col("embedding").isNotNull && cellCol.isNotNull)
       .select(cellCol.cast("int").as("cell"),
         expr(s"""transform(sequence(1, $Dim), i ->
                  CAST(CAST(element_at(embedding, i) AS DOUBLE)
@@ -1413,14 +1416,32 @@ object Similarity {
   }
 
   /** DuckDB oracle for [[clusterSpectrumGate]]: the identical
-    * quantize → exact decimal moments → n·M − S·S computation. The
-    * decimal widths are chosen so every DuckDB multiply runs exact
-    * (operand width ≥ 19 forces the int128 path where needed) and the
-    * final DECIMAL(20,6) → DOUBLE conversion is a single correctly-
-    * rounded division, matching BigDecimal.doubleValue bit for bit. */
+    * quantize → exact decimal moments → n·M − S·S computation. The e
+    * CTE filters NULL embeddings and NULL labels exactly as the engine
+    * side does (see [[spectrumMomentFrames]] — a counted-but-
+    * productless row would bias every covariance numerator).
+    *
+    * Decimal-width envelope: operand casts n→DECIMAL(9,0) (exact for
+    * n < 10⁹ rows per cell), m→DECIMAL(28,6) (|ΣM| < 10²² — elements
+    * are DECIMAL(7,3) so each product ≤ 10⁸, safe past 10¹³ rows),
+    * s→DECIMAL(18,3) (|ΣS| < 10¹⁵). The products land at
+    * DECIMAL(37,6)/DECIMAL(36,6) — deliberately one short of 38,
+    * because DuckDB's add-width rule (max(w−s)+s+1) would push a
+    * 38−38 subtraction past width 38 and silently fall back to
+    * DOUBLE arithmetic; at 37/36 the subtraction is exact
+    * DECIMAL(38,6) with no narrowing cast to throw mid-pipeline. The
+    * final
+    * DECIMAL(38,6) → DOUBLE conversion matches BigDecimal.doubleValue
+    * bit for bit while the scaled integer |c2·10⁶| < 2⁵³ (i.e.
+    * |c2| ≲ 9·10⁹ — comfortably above any unit-norm-embedding corpus;
+    * beyond that the statistic is still exact in decimal but the
+    * double rounding is no longer guaranteed identical across
+    * engines). */
   def clusterSpectrumOracleSql(): String =
     s"""WITH e AS (SELECT label AS cell, embedding AS emb
-       |           FROM embeddings),
+       |           FROM embeddings
+       |           WHERE embedding IS NOT NULL
+       |             AND label IS NOT NULL),
        |q AS (SELECT cell,
        |        [CAST(CAST(x AS DOUBLE) AS DECIMAL(7,3))
        |         for x in emb] AS qe
@@ -1435,10 +1456,9 @@ object Similarity {
        |            range(1, ${Dim + 1}) tj(j)
        |       WHERE tj.j >= ti.i GROUP BY cell, ti.i, tj.j)
        |SELECT m2.cell, CAST(m2.i AS INT) AS i, CAST(m2.j AS INT) AS j,
-       |  CAST(CAST(CAST(n.n AS DECIMAL(19,0)) *
-       |              CAST(m2.m AS DECIMAL(19,6)) AS DECIMAL(19,6))
-       |     - CAST(CAST(m1a.s AS DECIMAL(19,3)) *
-       |              CAST(m1b.s AS DECIMAL(19,3)) AS DECIMAL(19,6))
+       |  CAST(CAST(n.n AS DECIMAL(9,0)) * CAST(m2.m AS DECIMAL(28,6))
+       |     - CAST(m1a.s AS DECIMAL(18,3)) *
+       |         CAST(m1b.s AS DECIMAL(18,3))
        |     AS DOUBLE) AS c2
        |FROM m2 JOIN n USING (cell)
        |  JOIN m1 m1a ON m1a.cell = m2.cell AND m1a.i = m2.i

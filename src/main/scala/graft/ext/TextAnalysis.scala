@@ -587,9 +587,21 @@ object TextAnalysis {
             rebases += 1
             if (rebases % ParquetRebaseEvery == 0) {
               val root = spillRoot.getOrElse {
-                val base = wordCounts.sparkSession.sparkContext
-                  .getCheckpointDir
-                  .getOrElse(sys.props("java.io.tmpdir"))
+                val sc = wordCounts.sparkSession.sparkContext
+                // java.io.tmpdir is only a shared filesystem in local
+                // mode; on a cluster, executors would write part files
+                // to their own disks and the driver's re-read would
+                // fail LATE (or read partial state). Fail fast here
+                // with the knob to set, rather than deferring a
+                // confusing mid-train read error.
+                val base = sc.getCheckpointDir.getOrElse {
+                  require(sc.isLocal,
+                    "BPE training's lineage-cut parquet spill needs a " +
+                    "cluster-visible directory on a non-local master: " +
+                    "set spark.sparkContext.setCheckpointDir to a " +
+                    "shared path (HDFS/object store) before training")
+                  sys.props("java.io.tmpdir")
+                }
                 val d =
                   s"$base/graft_bpe_spill_${java.util.UUID.randomUUID}"
                 spillRoot = Some(d); d
