@@ -1646,6 +1646,115 @@ object Dedup {
   def nearDupIndexWrite(corpus: DataFrame, path: String): Unit =
     nearDupIndexOf(corpus).write.mode("overwrite").parquet(path)
 
+  // ---- concurrency contract -------------------------------------------
+  //
+  // The lifecycle's mutators are READ-THEN-MUTATE: admit probes the
+  // standing table and appends what it judged novel; compact moves the
+  // whole table through a rename swap. Two overlapping admit jobs would
+  // BOTH probe the same standing state and both admit copies of the same
+  // novel document — duplicate fp rows that break the "equal fp ⇒
+  // matched, not novel" invariant the no-regroup append relies on. An
+  // admit overlapping a compact can append into the set-aside copy the
+  // swap is about to discard. The contract: MUTATORS are single-writer
+  // under a filesystem lease (atomic create-if-absent of
+  // `<path>__lease`), and contention is an ACTIONABLE ERROR, not a
+  // queue — a daily pipeline whose jobs overlapped wants to know, and
+  // the right fix (fix the schedule, or wait) lives outside the engine.
+  // READ-ONLY probes never take the lease: they tolerate the compact
+  // swap window instead ([[probeNearDupIndexDurable]] retries through
+  // `__precompact`, where the swap parks the live copy). HDFS
+  // `create(overwrite = false)` is atomic; the local-fs check-then-
+  // create TOCTOU is a dev-environment artifact (and both "winners" of
+  // that race would collide on the later renames rather than corrupt
+  // silently). An orphaned lease (holder died) is broken by deleting
+  // the lease file — the error message carries the holder's identity
+  // and the path so the operator can make that call.
+
+  private[graft] def indexLeasePath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath + "__lease")
+
+  private def withIndexLease[T](spark: SparkSession, indexPath: String,
+                                op: String)(body: => T): T = {
+    val lease = indexLeasePath(indexPath)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val out = fs.create(lease, false) // atomic create-if-absent
+      out.write((s"op=$op pid=${java.lang.ProcessHandle.current.pid} " +
+        s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+        s"acquired=${java.time.Instant.now}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } catch {
+      case e: java.io.IOException =>
+        val holder =
+          try {
+            val in = fs.open(lease)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: Throwable => "<holder info unreadable>" }
+        throw new IllegalStateException(
+          s"near-dup index maintenance contention: '$op' on $indexPath " +
+          s"needs the single-writer lease at $lease, held by [$holder]. " +
+          "Admit and compact are read-then-mutate — overlapping " +
+          "writers would admit duplicate fingerprint rows or swap the " +
+          "table out from under each other. Wait for the holder to " +
+          "finish (fix the schedule if jobs overlap routinely); if the " +
+          "holder is known dead, delete the lease file and re-run.", e)
+    }
+    try body finally fs.delete(lease, false)
+  }
+
+  /** Probe `batch` against the standing index at `indexPath`,
+    * TOLERATING an in-flight [[nearDupIndexCompact]]: during the swap
+    * window the live copy is parked at `__precompact`, so resolution
+    * retries there, and a scan that loses files mid-read (the table
+    * moved after planning) is retried whole. The result is eagerly
+    * materialized with its lineage cut (`localCheckpoint`) so the
+    * returned frame can never lazily re-read paths a completed compact
+    * has since removed. Read-only — takes no lease. */
+  def probeNearDupIndexDurable(spark: SparkSession, indexPath: String,
+                               batch: DataFrame, threshold: Double,
+                               retries: Int = 30,
+                               backoffMs: Long = 100): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val parked = new org.apache.hadoop.fs.Path(indexPath + "__precompact")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def isTransientPathError(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+        .exists { c =>
+          c.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(c.getMessage).exists(m =>
+            m.contains("PATH_NOT_FOUND") || m.contains("FileNotFound"))
+        }
+    var last: Throwable = null
+    var result: DataFrame = null
+    var attempt = 0
+    while (result == null && attempt < retries) {
+      val target = if (fs.exists(p)) Some(p)
+                   else if (fs.exists(parked)) Some(parked)
+                   else None
+      target match {
+        case Some(t) =>
+          try result = probeNearDupIndex(
+              spark.read.parquet(t.toString), batch, threshold)
+              .localCheckpoint(true)
+          catch {
+            case e: Throwable if isTransientPathError(e) =>
+              last = e; Thread.sleep(backoffMs)
+          }
+        case None => Thread.sleep(backoffMs)
+      }
+      attempt += 1
+    }
+    if (result == null)
+      throw new IllegalStateException(
+        s"could not read the near-dup index at $indexPath after " +
+        s"$retries attempts — an in-flight compact holds the swap " +
+        "window for milliseconds, so a persistent absence means the " +
+        "table is gone or was never written", last)
+    result
+  }
+
   /** Probe `batch` against the standing index AT `indexPath`, persist
     * the per-document probe verdicts to `probeOutPath` (the audit
     * artifact a daily job keeps anyway), ADMIT the batch's novel
@@ -1659,19 +1768,22 @@ object Dedup {
     * with standing ones — equal fp ⇒ jaccard 1 ⇒ matched, not novel —
     * so the append needs no re-grouping (the q233 argument), and
     * append-mode parquet makes the admission an O(delta) write that
-    * never rewrites the standing table. */
+    * never rewrites the standing table. Single-writer: runs under the
+    * index lease (see the concurrency contract above) so a concurrent
+    * admit or compact fails fast instead of corrupting the invariant. */
   def nearDupIndexAdmit(spark: SparkSession, indexPath: String,
                         batch: DataFrame, threshold: Double,
-                        probeOutPath: String): DataFrame = {
-    probeNearDupIndex(spark.read.parquet(indexPath), batch, threshold)
-      .write.mode("overwrite").parquet(probeOutPath)
-    val probed = spark.read.parquet(probeOutPath)
-    val admitted = batch.join(
-      probed.filter(col("novel") === 1L).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    nearDupIndexOf(admitted).write.mode("append").parquet(indexPath)
-    probed
-  }
+                        probeOutPath: String): DataFrame =
+    withIndexLease(spark, indexPath, "admit") {
+      probeNearDupIndex(spark.read.parquet(indexPath), batch, threshold)
+        .write.mode("overwrite").parquet(probeOutPath)
+      val probed = spark.read.parquet(probeOutPath)
+      val admitted = batch.join(
+        probed.filter(col("novel") === 1L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      nearDupIndexOf(admitted).write.mode("append").parquet(indexPath)
+      probed
+    }
 
   /** Compact the standing index table in place: rewrite to sized files
     * ([[graft.sources.Sources.compactParquet]]) and swap. N nightly
@@ -1682,10 +1794,12 @@ object Dedup {
     * table-format pointer instead — the rewrite half is the part that
     * costs anything and it is one round-robin shuffle of the (small,
     * collapsed) index, never of the corpus. Returns the output file
-    * count. */
+    * count. Single-writer: runs under the index lease (concurrency
+    * contract above); crash recovery runs INSIDE the lease so a
+    * recovering run cannot race a healthy one. */
   def nearDupIndexCompact(spark: SparkSession, path: String,
                           targetFileBytes: Long = 128L * 1024 * 1024)
-      : Int = {
+      : Int = withIndexLease(spark, path, "compact") {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
@@ -1770,8 +1884,10 @@ object Dedup {
     val probe1 = nearDupIndexAdmit(spark, idxPath, batch1, threshold,
                                    s"$root/probe1")
     nearDupIndexCompact(spark, idxPath, targetFileBytes = 4L * 1024 * 1024)
-    val probe2 = probeNearDupIndex(spark.read.parquet(idxPath), batch2,
-                                   threshold)
+    // batch 2 reads through the TOLERANT path — the read a production
+    // probe job uses, so the gate certifies it against the oracle too
+    val probe2 = probeNearDupIndexDurable(spark, idxPath, batch2,
+                                          threshold)
     probe1.withColumn("batch", lit(1L))
       .unionByName(probe2.withColumn("batch", lit(2L)))
       .select(col("doc_id"), col("batch"), col("novel"), col("n_dups"),

@@ -163,6 +163,118 @@ class NearDupIndexSpec extends SparkSpec {
     assert(p2(22L) == ((1L, 0L, None)))
   }
 
+  test("concurrency contract: a held lease fails admit AND compact " +
+       "fast with the actionable error; release restores service") {
+    val corpus = docs((1L, baseA), (5L, baseB))
+    val batch = docs((10L, baseC))
+    val root = java.nio.file.Files
+      .createTempDirectory("neardup_lease").toString
+    val idxPath = s"$root/index"
+    Dedup.nearDupIndexWrite(corpus, idxPath)
+    // simulate a concurrent maintenance job holding the lease
+    val lease = Dedup.indexLeasePath(idxPath)
+    val fs = lease.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lease, false)
+    out.write("op=admit pid=99999 host=other-job".getBytes("UTF-8"))
+    out.close()
+    val eAdmit = intercept[IllegalStateException] {
+      Dedup.nearDupIndexAdmit(spark, idxPath, batch, 0.5,
+                              s"$root/probe")
+    }
+    assert(eAdmit.getMessage.contains("contention"))
+    assert(eAdmit.getMessage.contains(lease.toString),
+      "the error must name the lease file the operator would inspect")
+    assert(eAdmit.getMessage.contains("other-job"),
+      "the error must carry the holder's identity")
+    assert(eAdmit.getMessage.contains("delete the lease"),
+      "the error must say how to break an orphaned lease")
+    val eCompact = intercept[IllegalStateException] {
+      Dedup.nearDupIndexCompact(spark, idxPath)
+    }
+    assert(eCompact.getMessage.contains("contention"))
+    // a blocked admit must not have mutated the table
+    assert(spark.read.parquet(idxPath).count() == 2L)
+    // read-only probes take no lease — they keep working under it
+    val probed = Dedup.probeNearDupIndexDurable(spark, idxPath,
+                                                batch, 0.5)
+    assert(probed.count() == 1L)
+    // holder finishes (lease released) -> maintenance resumes
+    fs.delete(lease, false)
+    val p = Dedup.nearDupIndexAdmit(spark, idxPath, batch, 0.5,
+                                    s"$root/probe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == Map(10L -> 1L))
+    // and the lease is released afterwards: the next writer proceeds
+    assert(!fs.exists(lease))
+    assert(Dedup.nearDupIndexCompact(spark, idxPath) >= 1)
+    assert(!fs.exists(lease))
+  }
+
+  test("a probe DURING the compact swap window succeeds by reading " +
+       "the parked copy") {
+    val corpus = docs((1L, baseA), (5L, baseB))
+    val batch = docs((10L, nearOf(baseA)), (11L, baseC))
+    val root = java.nio.file.Files
+      .createTempDirectory("neardup_swapwin").toString
+    val idxPath = s"$root/index"
+    Dedup.nearDupIndexWrite(corpus, idxPath)
+    val expected = Dedup.probeNearDupIndexDurable(spark, idxPath,
+        batch, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    // freeze the swap window's intermediate state: live copy parked at
+    // __precompact, the table path momentarily absent
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idxPath),
+                     new org.apache.hadoop.fs.Path(
+                       idxPath + "__precompact")))
+    val duringSwap = Dedup.probeNearDupIndexDurable(spark, idxPath,
+        batch, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(duringSwap == expected,
+      "the swap-window probe must read the parked live copy")
+    // the naive read (what probes did before the contract) fails here —
+    // the window is real, not hypothetical
+    intercept[Throwable] {
+      spark.read.parquet(idxPath).count()
+    }
+    assert(fs.rename(new org.apache.hadoop.fs.Path(
+                       idxPath + "__precompact"),
+                     new org.apache.hadoop.fs.Path(idxPath)))
+    // next compact's recovery path is undisturbed by the probe
+    assert(Dedup.nearDupIndexCompact(spark, idxPath) >= 1)
+  }
+
+  test("probes race LIVE repeated compactions without a spurious " +
+       "failure") {
+    val corpus = docs((1L, baseA), (2L, baseA), (5L, baseB))
+    val batch = docs((10L, nearOf(baseA)), (11L, baseC))
+    val root = java.nio.file.Files
+      .createTempDirectory("neardup_race").toString
+    val idxPath = s"$root/index"
+    Dedup.nearDupIndexWrite(corpus, idxPath)
+    val expected = Dedup.probeNearDupIndexDurable(spark, idxPath,
+        batch, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    @volatile var compactError: Option[Throwable] = None
+    val compactor = new Thread(() => {
+      try (1 to 4).foreach { _ =>
+        Dedup.nearDupIndexCompact(spark, idxPath)
+      } catch { case t: Throwable => compactError = Some(t) }
+    })
+    compactor.start()
+    val probeResults =
+      try (1 to 6).map { _ =>
+        Dedup.probeNearDupIndexDurable(spark, idxPath, batch, 0.5)
+          .collect().map(_.toString).sorted.toSeq
+      } finally compactor.join()
+    assert(compactError.isEmpty,
+      s"compactor must not fail: $compactError")
+    probeResults.foreach(r => assert(r == expected,
+      "every racing probe reads the full, consistent table"))
+  }
+
   test("durable gate replays the in-plan two-batch composition " +
        "row for row") {
     val durable = Dedup.nearDupIndexDurableGate(spark, sfDir)
