@@ -1035,9 +1035,58 @@ object Dedup {
          repDocs.filter(col("text").isNotNull).select(col("doc_id"))))
   }
 
-  private def containmentPairsOf(docs0: DataFrame,
-                                 threshold: Double): DataFrame = {
+  private[ext] def containmentPairsOf(docs0: DataFrame,
+                                      threshold: Double): DataFrame = {
     val (docs, toks, prefixes) = prefixedTokens(docs0, threshold)
+    // The candidate budget, containment edition. This join is MORE
+    // explosion-prone than jaccard's prefix self-join: the containing
+    // side is every token of every same-source doc BY DESIGN (no
+    // size-ratio prefilter — a tiny doc inside a huge one is exactly
+    // the signal), so one boilerplate quote shared across m docs whose
+    // prefixes carry a common token runs it m²-shaped. Same knob, same
+    // two-tier pricing as [[jaccardPairsOf]]: a free SOUND pre-check
+    // first — every prefix row joins only same-source (doc, token)
+    // rows, at most one per partner doc, so pre-distinct candidates
+    // ≤ Σ_source prefixRows(source)·nDocs(source), one groupBy(source)
+    // aggregate over the persisted docs frame — and only when that
+    // bound exceeds the budget, the precise AMS inner-product sketch
+    // of the ACTUAL asymmetric join (prefix keys × all-token keys,
+    // the all-tokens side semi-join-restricted to keys some prefix
+    // carries, which is exactly the join's participating input).
+    val budget = configuredPairBudget(docs0.sparkSession)
+    val preBound = if (budget < 0) 0.0 else {
+      val prefLen = when(col("n") >= 1,
+        col("n") - ceil(col("n") * threshold) + 1).otherwise(lit(0))
+      val r = docs.groupBy(col("source"))
+        .agg(sum(prefLen).as("p"), count(lit(1)).as("m"))
+        .agg(sum(col("p") * col("m"))).head()
+      if (r.isNullAt(0)) 0.0 else r.getAs[Number](0).doubleValue()
+    }
+    if (budget >= 0 && preBound > budget.toDouble) {
+      val key = concat_ws(":", col("source"), col("token"))
+      val prefKeys = prefixes.select(key.as("key"))
+      val tokKeys = toks
+        .join(prefixes.select(col("source"), col("token")).distinct(),
+              Seq("source", "token"), "left_semi")
+        .select(key.as("key"))
+      // self-matches (each prefix row hits its own doc's token row
+      // exactly once) are excluded by the join's doc_id inequality:
+      // subtract the prefix row count from the inner product
+      val est = math.max(0L,
+        Sketches.amsInnerProduct(prefKeys, tokKeys) - prefixes.count())
+      if (est > budget)
+        throw new IllegalStateException(
+          s"containmentPairs candidate budget exceeded: ~$est " +
+          s"estimated candidate pairs > budget $budget (conf " +
+          s"$PairBudgetKey). The containment join's containing side " +
+          "is unbounded by design and its cost is output-bound. " +
+          s"Either raise the threshold (currently $threshold — " +
+          "shorter rarity prefixes, fewer candidates), route through " +
+          "the sketch-based containmentEstimate (q104's sub-output-" +
+          "cost path) to find the explosive sources first, or raise " +
+          s"$PairBudgetKey deliberately if an m²-sized build is " +
+          "intended.")
+    }
     val cand = prefixes.as("l").join(
         toks.select(col("doc_id"), col("source"), col("token")).as("r"),
         col("l.source") === col("r.source") &&

@@ -25,10 +25,19 @@ object Projection {
   private val Dim = 64
   private val OutDim = 16
 
-  private[ext] val jlMatrix: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(13)
-    Array.fill(OutDim, Dim)(rnd.nextGaussian())
+  /** Fixed-seed Gaussian JL matrix for arbitrary shapes — the q115
+    * matrix generalized so other operators (the high-dim spectrum
+    * probe, [[Similarity.clusterSpectrumProjected]]) can compose the
+    * same projection at their own dimensions. Deterministic per
+    * (inDim, outDim, seed). */
+  private[ext] def jlMatrixFor(inDim: Int, outDim: Int,
+                               seed: Long = 13): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(outDim, inDim)(rnd.nextGaussian())
   }
+
+  private[ext] val jlMatrix: Array[Array[Double]] =
+    jlMatrixFor(Dim, OutDim)
 
   private def dot(a: Column, lits: Array[Double]): Column =
     graft.functions.VectorOps.dot(a, typedlit(lits))

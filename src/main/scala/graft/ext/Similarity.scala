@@ -1258,8 +1258,12 @@ object Similarity {
   // PR is what JL preserves.
 
   /** The quantized per-cell moment frames: (counts(cell, n),
-    * m1(cell, i, s), m2(cell, i, j, m)) with i ≤ j, 1-based. */
-  private def spectrumMomentFrames(df: DataFrame, cellCol: Column)
+    * m1(cell, i, s), m2(cell, i, j, m)) with i ≤ j, 1-based. `dim`
+    * parameterizes the vector width so the projected probe
+    * ([[clusterSpectrumProjected]]) can run the identical machinery
+    * on its reduced vectors. */
+  private def spectrumMomentFrames(df: DataFrame, cellCol: Column,
+                                   dim: Int = Dim)
       : (DataFrame, DataFrame, DataFrame) = {
     // a null embedding must fall out of n AND the moments together —
     // counting it while its (absent) products skip m1/m2 would bias
@@ -1272,7 +1276,7 @@ object Similarity {
     val base = df
       .filter(col("embedding").isNotNull && cellCol.isNotNull)
       .select(cellCol.cast("int").as("cell"),
-        expr(s"""transform(sequence(1, $Dim), i ->
+        expr(s"""transform(sequence(1, $dim), i ->
                  CAST(CAST(element_at(embedding, i) AS DOUBLE)
                       AS DECIMAL(7,3)))""").as("q"))
       .transform(graft.ext.TrackedPersist.persistTracked)
@@ -1284,8 +1288,8 @@ object Similarity {
       .agg(sum(col("v")).as("s"))
     val m2 = base
       .select(col("cell"), explode(expr(
-        s"""flatten(transform(sequence(1, $Dim), i ->
-              transform(sequence(i, $Dim), j -> named_struct(
+        s"""flatten(transform(sequence(1, $dim), i ->
+              transform(sequence(i, $dim), j -> named_struct(
                 'i', i, 'j', j,
                 'p', element_at(q, i) * element_at(q, j)))))""")).as("t"))
       .groupBy(col("cell"), col("t.i").as("i"), col("t.j").as("j"))
@@ -1295,10 +1299,11 @@ object Similarity {
 
   /** Collected moments keyed for the driver-side math: exact
     * BigDecimals, bounded at K×dim(dim+1)/2. */
-  private def collectedMoments(df: DataFrame, cellCol: Column)
+  private def collectedMoments(df: DataFrame, cellCol: Column,
+                               dim: Int = Dim)
       : (Map[Int, Long], Map[(Int, Int), java.math.BigDecimal],
          Map[(Int, Int, Int), java.math.BigDecimal]) = {
-    val (counts, m1, m2) = spectrumMomentFrames(df, cellCol)
+    val (counts, m1, m2) = spectrumMomentFrames(df, cellCol, dim)
     (counts.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap,
      m1.collect().map(r =>
        (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap,
@@ -1348,16 +1353,16 @@ object Similarity {
     * sampling-stable; the trainCentroids pattern). Cells with n ≤ 1
     * report zeros. */
   def clusterSpectrum(df: DataFrame, cellCol: Column,
-                      sampleMod: Int = 1): DataFrame = {
+                      sampleMod: Int = 1, dim: Int = Dim): DataFrame = {
     val spark = df.sparkSession
     val src = if (sampleMod > 1)
         df.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
       else df
-    val (nBy, sBy, mBy) = collectedMoments(src, cellCol)
+    val (nBy, sBy, mBy) = collectedMoments(src, cellCol, dim)
     val out = nBy.toSeq.sortBy(_._1).map { case (cell, n) =>
       val nn = n.toDouble * n.toDouble
-      val cov = Array.ofDim[Double](Dim, Dim)
-      for (i <- 1 to Dim; j <- i to Dim) {
+      val cov = Array.ofDim[Double](dim, dim)
+      for (i <- 1 to dim; j <- i to dim) {
         val c2 = mBy((cell, i, j))
           .multiply(java.math.BigDecimal.valueOf(n))
           .subtract(sBy((cell, i)).multiply(sBy((cell, j))))
@@ -1366,26 +1371,64 @@ object Similarity {
         cov(j - 1)(i - 1) = c
       }
       var tr = 0.0
-      for (i <- 0 until Dim) tr += cov(i)(i)
+      for (i <- 0 until dim) tr += cov(i)(i)
       var fro2 = 0.0
-      for (i <- 0 until Dim; j <- i until Dim)
+      for (i <- 0 until dim; j <- i until dim)
         fro2 += (if (i == j) cov(i)(j) * cov(i)(j)
                  else 2.0 * (cov(i)(j) * cov(i)(j)))
       val pr = if (fro2 > 0) tr * tr / fro2 else 0.0
-      var v = Array.fill(Dim)(1.0 / math.sqrt(Dim.toDouble))
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
       for (_ <- 1 to 200) {
-        val w = Array.tabulate(Dim)(i =>
-          (0 until Dim).foldLeft(0.0)((a, j) => a + cov(i)(j) * v(j)))
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).foldLeft(0.0)((a, j) => a + cov(i)(j) * v(j)))
         val nrm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
         if (nrm > 0) v = w.map(_ / nrm)
       }
-      val lam = (0 until Dim).foldLeft(0.0)((a, i) => a + v(i) *
-        (0 until Dim).foldLeft(0.0)((b, j) => b + cov(i)(j) * v(j)))
+      val lam = (0 until dim).foldLeft(0.0)((a, i) => a + v(i) *
+        (0 until dim).foldLeft(0.0)((b, j) => b + cov(i)(j) * v(j)))
       val topShare = if (tr > 0) lam / tr else 0.0
       (cell, n, tr, fro2, pr, topShare)
     }
     spark.createDataFrame(out)
       .toDF("cell", "n", "tr_cov", "fro2", "pr", "top_share")
+  }
+
+  /** The high-dim escape hatch the probe doc prescribes, as an
+    * OPERATOR: JL-project the embeddings to `outDim` first (fixed-seed
+    * Gaussian directions — [[Projection.jlMatrixFor]], the q115
+    * machinery — scaled 1/√outDim so squared norms are preserved in
+    * expectation), then run the IDENTICAL spectrum probe on the
+    * projected vectors. At dim ≥ 512 the direct probe's
+    * dim(dim+1)/2-term explode (131k terms/vector at 512) is the cost
+    * being avoided; the projected probe pays outDim map-side dots plus
+    * an outDim(outDim+1)/2 explode (528 at outDim=32 — a 249× term
+    * cut) and K×outDim²/2 driver state instead of K×dim²/2.
+    *
+    * Why PR survives projection: for Gaussian R/√k, E[R C Rᵀ/k] has
+    * the same trace as C and its spectrum concentrates on C's top
+    * eigenvalues — a rank-r spread stays ~r-dimensional after
+    * projection, while an isotropic spread fills all outDim projected
+    * directions. The projected PR is therefore CAPPED at outDim
+    * (Wishart spread puts the isotropic reading at ≈ outDim/(1 +
+    * outDim/dim), e.g. ≈ 57 for 512 → 64): choose outDim a FEW × the
+    * candidate code rank — the default 64 is 4 × r_code = 16 — so the
+    * cap keeps clear headroom above the `pr ≥ 2·r_code` isotropy
+    * threshold; at outDim = 2·r_code the cap EQUALS the threshold and
+    * an isotropic corpus can read as low-rank. Certified
+    * direct-vs-projected at dim 512 on both regimes with the decision
+    * unchanged and the probe ≥20× cheaper: `ScaleSmoke spectrumhd`. */
+  def clusterSpectrumProjected(df: DataFrame, cellCol: Column,
+                               inDim: Int, outDim: Int = 64,
+                               seed: Long = 13,
+                               sampleMod: Int = 1): DataFrame = {
+    val mat = Projection.jlMatrixFor(inDim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val projected = array(mat.map { row =>
+      graft.functions.VectorOps.dot(col("embedding"), typedlit(row)) *
+        lit(scale)
+    }: _*)
+    clusterSpectrum(df.withColumn("embedding", projected), cellCol,
+                    sampleMod, dim = outDim)
   }
 
   /** Gate entry: the exact spectrum moments of the embeddings table

@@ -397,6 +397,30 @@ object Sketches {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
+  /** Median-of-d AMS estimate of the INNER PRODUCT Σ_k a_k·b_k between
+    * two key multisets — the size of their equi-join, estimated from
+    * two map-side sketch passes without running it (the
+    * [[amsJoinSizeEstimate]] estimator as a reusable scalar; [[amsF2]]
+    * is the a = b special case). Buckets absent from either sketch
+    * contribute an exact 0, so the inner join over (j, bucket) is the
+    * full ⟨c_a[j], c_b[j]⟩. The dedup planner uses this to price
+    * ASYMMETRIC candidate joins (a small prefix side against an
+    * unbounded all-tokens side) up front. */
+  private[graft] def amsInnerProduct(aKeys: DataFrame,
+                                     bKeys: DataFrame): Long = {
+    val row = amsSketch(aKeys)
+      .select(col("j"), col("bucket"), col("cell").as("ca"))
+      .join(amsSketch(bKeys)
+        .select(col("j"), col("bucket"), col("cell").as("cb")),
+        Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("ca") * col("cb")).as("ipj"))
+      .agg(coalesce(try_element_at(sort_array(collect_list(col("ipj"))),
+                                   lit(AmsD / 2 + 1)), lit(0L)).as("ip"))
+      .head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
   def amsJoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
     def sketch(keys: DataFrame): DataFrame = amsSketch(keys)
     val lk = Tables.load(spark, dir, "lineitem")

@@ -115,4 +115,39 @@ class ClusterSpectrumSpec extends SparkSpec {
     assert(topIso < 0.1, s"isotropic top share $topIso")
     assert(topLow > 0.15, s"rank-4 top share $topLow")
   }
+
+  test("the JL-projected probe makes the same architecture call on " +
+       "both regimes") {
+    // the high-dim escape hatch's decision-preservation property,
+    // pinned on the same constructed geometries: after projecting
+    // 64 -> 16, isotropic spread fills the projected space
+    // (pr ≈ outDim, the cap) while rank-4 spread stays ~4-dimensional —
+    // the pr-vs-r_code comparison is unchanged. ScaleSmoke spectrumhd
+    // measures the same property (and the >=5x cost cut) at dim=512.
+    val outDim = 16
+    val rnd = new scala.util.Random(7)
+    val iso = (0 until 400).map(k => (k.toLong,
+      Array.fill(Dim)(rnd.nextGaussian().toFloat).toSeq, 0))
+    val basis = Array.fill(4, Dim)(rnd.nextGaussian() / 8.0)
+    val low = (0 until 400).map { k =>
+      val z = Array.fill(4)(rnd.nextGaussian())
+      val v = Array.tabulate(Dim)(i =>
+        (0 until 4).map(j => basis(j)(i) * z(j) * 8.0).sum.toFloat)
+      (k.toLong + 1000L, v.toSeq, 1)
+    }
+    val df = (iso ++ low).toDF("vec_id", "embedding", "label")
+    val out = Similarity
+      .clusterSpectrumProjected(df, col("label"), Dim, outDim)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    val prIso = out(0); val prLow = out(1)
+    assert(prIso > 0.6 * outDim,
+      s"projected isotropic pr $prIso should approach the outDim cap")
+    assert(prLow < 8.0,
+      s"projected rank-4 pr $prLow should stay ~4")
+    // determinism: the fixed-seed projection reads identically twice
+    val again = Similarity
+      .clusterSpectrumProjected(df, col("label"), Dim, outDim)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(again == out)
+  }
 }

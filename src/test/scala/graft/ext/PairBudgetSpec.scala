@@ -50,6 +50,62 @@ class PairBudgetSpec extends SparkSpec {
     finally spark.conf.unset(Dedup.PairBudgetKey)
   }
 
+  // m same-source docs sharing a 9-token boilerplate quote plus one
+  // unique filler: at t=0.9 each 10-token doc's 2-token rarity prefix
+  // is its unique filler PLUS one shared quote token, and the
+  // containment join's r side is ALL tokens of ALL same-source docs —
+  // so the shared prefix token alone drives an m²-shaped candidate
+  // join (the boilerplate-quote-explosive shape the guard exists for).
+  private def explosiveContainment(m: Int) = {
+    import spark.implicits._
+    val quote = "zqa zqb zqc zqd zqe zqf zqg zqh zqi"
+    (0 until m).map(i => (i.toLong, "src0", s"$quote u$i"))
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("containment guard trips pre-join on a boilerplate-quote " +
+       "corpus, actionably") {
+    spark.conf.set(Dedup.PairBudgetKey, "1000")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Dedup.containmentPairsOf(explosiveContainment(2000), 0.9)
+      }
+      // actionable: the knob, the threshold lever, and the sketch
+      // route must all be in the message
+      assert(ex.getMessage.contains(Dedup.PairBudgetKey))
+      assert(ex.getMessage.contains("threshold"))
+      assert(ex.getMessage.contains("containmentEstimate"))
+      assert(ex.getMessage.contains("estimated candidate pairs"))
+    } finally spark.conf.unset(Dedup.PairBudgetKey)
+  }
+
+  test("containment default budget admits the quote cluster; the " +
+       "verified output is complete") {
+    // every pair shares 9 of min(10, 10) tokens -> cont = 0.9 >= t:
+    // the full m-choose-2 cluster must come back
+    assert(Dedup.containmentPairsOf(explosiveContainment(60), 0.9)
+      .count() == 60L * 59 / 2)
+  }
+
+  test("negative budget disables the containment guard") {
+    spark.conf.set(Dedup.PairBudgetKey, "-1")
+    try assert(
+      Dedup.containmentPairsOf(explosiveContainment(300), 0.9)
+        .count() == 300L * 299 / 2)
+    finally spark.conf.unset(Dedup.PairBudgetKey)
+  }
+
+  test("malformed budget value fails naming the conf key and the text") {
+    spark.conf.set(Dedup.PairBudgetKey, "not-a-number")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.jaccardPairsOf(explosive(10), 0.5)
+      }
+      assert(ex.getMessage.contains(Dedup.PairBudgetKey))
+      assert(ex.getMessage.contains("not-a-number"))
+    } finally spark.conf.unset(Dedup.PairBudgetKey)
+  }
+
   test("gate corpus stays far below the default budget") {
     // the production default must never trip on a legitimate corpus:
     // the sf0.001 documents table builds and verifies under it

@@ -351,9 +351,9 @@ object ScaleSmoke {
     * the annhard and spectrum modes so the two can never silently
     * measure different geometries. No-op if `out` already exists. */
   private def genAnnhard(spark: SparkSession, sigma: Double,
-                         out: String, n: Long): Unit =
+                         out: String, n: Long,
+                         dim: Int = 64, comps: Int = 24): Unit =
     if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
-      val dim = 64; val comps = 24
       val rnd = new scala.util.Random(13)
       val centers = Array.fill(comps, dim)(rnd.nextGaussian())
       val centersCol = array(centers.map(c =>
@@ -382,9 +382,10 @@ object ScaleSmoke {
     * shared by the annaniso and spectrum modes. No-op if `out`
     * exists. */
   private def genAnnaniso(spark: SparkSession, sigma: Double,
-                          out: String, n: Long): Unit =
+                          out: String, n: Long,
+                          dim: Int = 64, comps: Int = 24): Unit =
     if (!new java.io.File(s"$out/embeddings.parquet").isDirectory) {
-      val dim = 64; val comps = 24; val rank = 4
+      val rank = 4
       val rnd = new scala.util.Random(29)
       val centers = Array.fill(comps, dim)(rnd.nextGaussian())
       val bases = Array.fill(comps, rank, dim)(rnd.nextGaussian() /
@@ -1183,24 +1184,28 @@ object ScaleSmoke {
       return
     }
     // pairbudget mode: the candidate-budget guard's measured price on
-    // the exact-pair gate — same JVM, alternating guard-off (-1
-    // disables) and guard-on (default budget) cold runs of q28. The
-    // guard's cost is one scan+agg of the persisted prefix table (AMS
-    // F₂) plus its count; this mode keeps that price pinned.
+    // the exact-pair gates — same JVM, alternating guard-off (-1
+    // disables) and guard-on (default budget) cold runs of q28
+    // (jaccard self-join pricing) and q103 (containment asymmetric-
+    // join pricing). Both guards share the free sound pre-check, so
+    // at gate scale the sketch never runs and the deltas must be
+    // noise; this mode keeps that price pinned.
     // Test/runMain graft.tools.ScaleSmoke pairbudget
     if (args.headOption.contains("pairbudget")) {
-      def run(budget: String): Double = {
-        spark.conf.set(graft.ext.Dedup.PairBudgetKey, budget)
-        coldStart()
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries("q28_jaccard_pairs")(spark, Base).count()
-        (System.nanoTime() - t0) / 1e9
+      for (gate <- Seq("q28_jaccard_pairs", "q103_containment")) {
+        def run(budget: String): Double = {
+          spark.conf.set(graft.ext.Dedup.PairBudgetKey, budget)
+          coldStart()
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(gate)(spark, Base).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run("-1"); run("2000000000") // warm JIT on both plan shapes
+        val offs = (1 to 3).map(_ => run("-1"))
+        val ons = (1 to 3).map(_ => run("2000000000"))
+        spark.conf.unset(graft.ext.Dedup.PairBudgetKey)
+        println(f"[scale] pairbudget $gate(sf0.1): guard_off min ${offs.min}%.2f s (all ${offs.map(t => f"$t%.2f").mkString("/")}) guard_on min ${ons.min}%.2f s (all ${ons.map(t => f"$t%.2f").mkString("/")}) delta ${ons.min - offs.min}%+.2f s")
       }
-      run("-1"); run("2000000000") // warm JIT on both plan shapes
-      val offs = (1 to 3).map(_ => run("-1"))
-      val ons = (1 to 3).map(_ => run("2000000000"))
-      spark.conf.unset(graft.ext.Dedup.PairBudgetKey)
-      println(f"[scale] pairbudget q28(sf0.1): guard_off min ${offs.min}%.2f s (all ${offs.map(t => f"$t%.2f").mkString("/")}) guard_on min ${ons.min}%.2f s (all ${ons.map(t => f"$t%.2f").mkString("/")}) delta ${ons.min - offs.min}%+.2f s")
       spark.stop()
       return
     }
@@ -1316,6 +1321,61 @@ object ScaleSmoke {
       println("[scale] rule: pr >> code dims available (>=16) -> " +
         "isotropic spread, buy recall with nProbe; pr ~ a few -> " +
         "low-rank spread, PQ/ADC codes capture it")
+      spark.stop()
+      return
+    }
+    // spectrumhd mode: the projected probe's HIGH-DIM certification —
+    // the regime the escape hatch exists for. dim=512 versions of both
+    // regime corpora (isotropic sigma=2 / rank-4 aniso, same seeded
+    // generators, 8 components so the direct probe's K×dim²/2 driver
+    // state stays inside the 8g heap), probed per LABEL cell two ways:
+    // direct at dim 512 (the 131,328-term explode being avoided) and
+    // JL-projected 512 → 64 (64 map-side dots + a 2,080-term explode;
+    // outDim = 4×r_code so the PR cap keeps headroom over the
+    // isotropy threshold — at outDim=32 the cap EQUALS 2·r_code and
+    // the isotropic call flips, measured 28.49 < 32 in the first
+    // window). Certifies the decision is UNCHANGED (iso pr ≈ cap ≫
+    // r_code; aniso pr ≈ 4 ≪ cap) and the projected probe ≥5× cheaper.
+    // Test/runMain graft.tools.ScaleSmoke spectrumhd [dim] [outDim]
+    if (args.headOption.contains("spectrumhd")) {
+      val dim = args.drop(1).headOption.flatMap(_.toIntOption)
+        .getOrElse(512)
+      val outDim = args.drop(2).headOption.flatMap(_.toIntOption)
+        .getOrElse(64)
+      val comps = 8; val n = 20000L; val sampleMod = 4; val rCode = 16
+      val isoDir = s"target/spectrumhd_iso_$dim"
+      val anisoDir = s"target/spectrumhd_aniso_$dim"
+      genAnnhard(spark, 2.0, isoDir, n, dim, comps)
+      genAnnaniso(spark, 8.0, anisoDir, n, dim, comps)
+      println(s"[scale] spectrumhd: dim=$dim outDim=$outDim " +
+        s"comps=$comps n=$n sampleMod=$sampleMod (label cells)")
+      println(f"[scale] ${"corpus"}%-12s ${"probe"}%-10s ${"pr_wmean"}%8s ${"top_share"}%9s ${"t"}%8s  decision (pr vs r_code=$rCode)")
+      for ((tag, dir) <- Seq(("isotropic", isoDir),
+                             ("aniso_r4", anisoDir))) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val times = scala.collection.mutable.Map.empty[String, Double]
+        for (probe <- Seq("direct", "projected")) {
+          coldStart()
+          val t0 = System.nanoTime()
+          val rows = (if (probe == "direct")
+              graft.ext.Similarity.clusterSpectrum(
+                emb, col("label"), sampleMod, dim)
+            else
+              graft.ext.Similarity.clusterSpectrumProjected(
+                emb, col("label"), dim, outDim,
+                sampleMod = sampleMod)).collect()
+          val t = (System.nanoTime() - t0) / 1e9
+          times(probe) = t
+          val nTot = rows.map(_.getLong(1)).sum
+          def wmean(idx: Int) = rows.map(r =>
+            r.getDouble(idx) * r.getLong(1)).sum / nTot
+          val pr = wmean(4)
+          val call = if (pr >= 2.0 * rCode) "probes (isotropic)"
+                     else "codes (low-rank)"
+          println(f"[scale] $tag%-12s $probe%-10s $pr%8.2f ${wmean(5)}%9.3f ${t}%7.1fs  $call")
+        }
+        println(f"[scale] $tag%-12s speedup direct/projected = ${times("direct") / times("projected")}%.1fx")
+      }
       spark.stop()
       return
     }
