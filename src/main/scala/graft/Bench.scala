@@ -174,36 +174,56 @@ object Bench {
     val failedJson =
       failedGates.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Contention self-report (r11 protocol): q01/q05 are the pure-CPU
-    // contention canaries with pinned quiet-window floors (0.14/0.34 s).
-    // Their measured-over-floor ratio estimates THIS window's host
-    // contention factor, and total/factor is the canary-normalized
+    // Contention self-report (r11 protocol, members extended r16):
+    // canary gates with pinned quiet-window floors, whose
+    // measured-over-floor ratios estimate THIS window's host
+    // contention factor; total/factor is the canary-normalized
     // total — the artifact self-reports how much of its total is
     // weather, so cross-window comparisons stop inviting misreads
     // (the r10 "regression" and the r11 driver/builder 204.5-vs-170.2
     // gap were both pure window drift).
+    // r15 found the blind spot: identical-code windows spread
+    // 1.01–1.14 canary-normalized with NO correlation to a
+    // q01/q05-only canary — tonight's host weather moves the HEAVY
+    // (shuffle/streaming) gates without moving two sub-second CPU
+    // gates. The canary now spans the cost families: q01/q05
+    // (pure-CPU scan/agg), q63 (the shuffle-heavy clean-corpus
+    // pipeline), q218 (a trigger-cadence streaming gate). Floors are
+    // the MINIMA across the r13–r15 archived windows (code for these
+    // four gates unchanged across those rounds) — the r11-era q05
+    // floor of 0.34 had gone stale (archive min 0.268), silently
+    // dragging quiet-window factors below 1 into the clamp.
     // The floors are quiet-window constants measured at sf0.1 on this
     // host; against any other scale they would compute a confidently
     // wrong factor, so the fields are emitted as JSON null unless the
     // bench ran at sf0.1.
     val canaryFloors = Seq("q01_filter_project" -> 0.14,
-                           "q05_groupby_agg" -> 0.34)
+                           "q05_groupby_agg" -> 0.27,
+                           "q63_clean_corpus" -> 1.98,
+                           "q218_stream_cms" -> 1.95)
     val canaryRatios =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Nil
       else canaryFloors.flatMap { case (n, floor) =>
-        results.get(n).filter(_ > 0.0).map(_ / floor)
+        results.get(n).filter(_ > 0.0).map(v => n -> (v / floor))
       }
     val canaryFactorOpt =
       if (canaryRatios.isEmpty) None
-      else Some(math.max(1.0, canaryRatios.sum / canaryRatios.size))
+      else Some(math.max(1.0, canaryRatios.map(_._2).sum /
+                              canaryRatios.size))
     val canaryFactor = canaryFactorOpt.fold("null")(_.toString)
     val canaryNormTotal =
       canaryFactorOpt.fold("null")(f => (total / f).toString)
+    // per-member ratios, so a consumer can recompute the old two-member
+    // factor (cross-round reads against r15-and-earlier artifacts) or
+    // diagnose WHICH family a contended window hit
+    val canaryMembersJson = canaryRatios
+      .map { case (n, r) => s"\"" + n + "\":" + r }
+      .mkString("{", ",", "}")
     val peaks = storagePeaks.mkString("[", ",", "]")
     val canaryJson = canaryDiff.fold("\"ok\"")(d =>
       "\"DRIFT: " + d.replaceAll("[\"\\\\\\n]", " ").take(400) + "\"")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63_subtotal":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"storage_peak_bytes":$peaks,"schema_canary":$canaryJson,"failed_gates":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63_subtotal":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"canary_members":$canaryMembersJson,"storage_peak_bytes":$peaks,"schema_canary":$canaryJson,"failed_gates":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt log prefixes — also write the JSON to a
     // file so machine consumers don't have to scrape the build log
     println(json)
@@ -220,7 +240,7 @@ object Bench {
     // stderr AND into a stable BENCH_SUMMARY.json file, so a machine
     // consumer has three independent capture paths.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"n_queries":${results.size},"failed_gates":$failedJson,"schema_canary":${if (canaryDiff.isEmpty) "\"ok\"" else "\"DRIFT\""},"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","shared63":$sharedSub,"bucket_write_sec":$bucketWriteSec,"canary_factor":$canaryFactor,"canary_normalized_total":$canaryNormTotal,"canary_members":$canaryMembersJson,"n_queries":${results.size},"failed_gates":$failedJson,"schema_canary":${if (canaryDiff.isEmpty) "\"ok\"" else "\"DRIFT\""},"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       (compact + "\n").getBytes("UTF-8"))

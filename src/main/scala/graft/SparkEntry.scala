@@ -282,7 +282,7 @@ object SparkEntry {
     // CHAINED stateful streaming: dedup -> windowed agg in one query
     // (append mode; windows emit exactly once at the watermark)
     "q96_stream_dedup_hourly" -> ((s: SparkSession, d: String) =>
-      streaming.Streams.dedupHourlyAvailableNow(s, d)),
+      streaming.Streams.dedupHourlySharedGate(s, d)),
     // CDC MERGE: whole-row upsert/delete changeset applied to a snapshot
     "q97_cdc_merge" -> ops.Cdc.customerMerge _,
     // parquet compaction certified lossless: rewrite orders through the
@@ -322,7 +322,7 @@ object SparkEntry {
     // merge in the state store across micro-batches; append emits each
     // session once, when the watermark closes it
     "q106_stream_session_window" -> ((s: SparkSession, d: String) =>
-      streaming.Streams.sessionWindowAvailableNow(s, d)),
+      streaming.Streams.sessionWindowSharedGate(s, d)),
     // IVF-PQ with asymmetric distance computation: coarse-quantizer
     // candidate pruning + code-table scoring — candidates' raw vectors
     // never touched at query time (the FAISS IVFx,PQy layout)
@@ -365,7 +365,7 @@ object SparkEntry {
     // stream-stream LEFT OUTER funnel: matched pairs + null-padded
     // clicks decided by the watermark (drop-off analysis)
     "q116_stream_funnel_outer" -> ((s: SparkSession, d: String) =>
-      streaming.Streams.funnelLeftOuterAvailableNow(s, d)),
+      streaming.Streams.funnelLeftOuterSharedGate(s, d)),
     // ANN quality audit: per-query recall@k of the IVF index vs the
     // exact brute-force top-k (the gate before an approximate index
     // takes traffic)
@@ -1314,7 +1314,8 @@ object SparkEntry {
     "q93_cluster_sizes" -> ext.Dedup.clusterSizeHistogramOracleSql(),
     "q94_profile" -> ops.Profile.lineitemProfileOracleSql,
     "q95_image_resize" -> ext.Multimodal.resizeSummaryOracleSql(),
-    "q96_stream_dedup_hourly" -> streaming.Streams.dedupHourlyOracleSql(),
+    "q96_stream_dedup_hourly" ->
+      streaming.Streams.dedupHourlySharedOracleSql(),
     "q97_cdc_merge" -> ops.Cdc.customerMergeOracleSql,
     "q98_compaction" -> sources.Sources.compactionGateOracleSql,
     "q99_zorder" -> sources.ZOrder.zorderGateOracleSql,
@@ -1325,7 +1326,7 @@ object SparkEntry {
     "q104_containment_est" -> ext.Dedup.containmentEstimateOracleSql(),
     "q105_session_window" -> ext.Events.sessionWindowOracleSql,
     "q106_stream_session_window" ->
-      streaming.Streams.sessionWindowOracleSql(),
+      streaming.Streams.sessionWindowSharedOracleSql(),
     "q107_ivfpq_adc" -> ext.Similarity.ivfPqOracleSql(),
     "q108_ivfpq_rerank" -> ext.Similarity.ivfPqRerankOracleSql(),
     "q109_hll_distinct" -> ext.Sketches.hllOracleSql,

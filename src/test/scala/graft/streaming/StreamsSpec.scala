@@ -202,15 +202,20 @@ class StreamsSpec extends SparkSpec {
     assert(exact.count() == n, "default sizing must be exact here")
   }
 
-  test("RocksDB default and HDFSBacked state stores produce identical results") {
-    // The bounded runs default to the RocksDBStateStoreProvider (the
-    // production backend for 100 TB keyed state); the -Dgraft.stream.
-    // stateStore=hdfs knob restores the in-heap provider. A stateful
+  test("RocksDB and HDFSBacked state stores produce identical results") {
+    // Bounded certification runs default to the in-heap provider (the
+    // r16 streamcost A/B: per-(batch × partition) RocksDB lifecycle is
+    // pure fixed cost against kilobyte state), with RocksDB — the
+    // production backend for 100 TB keyed state — pinned on q208 and
+    // available everywhere via -Dgraft.stream.stateStore. A stateful
     // gate (keyed dedup state feeding windowed agg state) must be
     // backend-invariant, and the session conf must be restored after.
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(confKey)
-    val viaRocks = Streams.dedupHourlyAvailableNow(spark, sfDir).collect()
+    sys.props("graft.stream.stateStore") = "rocksdb"
+    val viaRocks =
+      try Streams.dedupHourlyAvailableNow(spark, sfDir).collect()
+      finally sys.props.remove("graft.stream.stateStore")
     sys.props("graft.stream.stateStore") = "hdfs"
     try {
       val viaHdfs = Streams.dedupHourlyAvailableNow(spark, sfDir).collect()
@@ -220,6 +225,41 @@ class StreamsSpec extends SparkSpec {
     } finally sys.props.remove("graft.stream.stateStore")
     assert(spark.conf.getOption(confKey) == before,
       "provider conf must be restored after the bounded run")
+  }
+
+  test("shared events-family run: funnel branch identical to the solo " +
+       "query; aggregation branches follow the pooled watermark") {
+    import org.apache.spark.sql.functions._
+    // the sharing contract: the pooled global watermark IS the
+    // funnel's min(max click, max purchase) − 2h, so q116's emitted
+    // set is unchanged, and q96/q106 equal their solo runs restricted
+    // to the pooled cutoff (same comparators as their oracles)
+    val soloF = Streams.funnelLeftOuterAvailableNow(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val sharedF = Streams.funnelLeftOuterSharedGate(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sharedF == soloF,
+      "pooling must not move the funnel's watermark")
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val pooledWm = ev
+      .agg(least(
+        max(when(col("event_type") === "click", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts")))))
+      .head.getAs[java.time.LocalDateTime](0).minusHours(2)
+    val soloH = Streams.dedupHourlyAvailableNow(spark, sfDir)
+      .filter(col("h") + expr("INTERVAL 1 HOUR") <= lit(pooledWm))
+      .collect().map(_.toString).sorted.toSeq
+    val sharedH = Streams.dedupHourlySharedGate(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sharedH == soloH)
+    assert(sharedH.nonEmpty)
+    val soloS = Streams.sessionWindowAvailableNow(spark, sfDir)
+      .filter(col("s_end") < lit(pooledWm))
+      .collect().map(_.toString).sorted.toSeq
+    val sharedS = Streams.sessionWindowSharedGate(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sharedS == soloS)
+    assert(sharedS.nonEmpty)
   }
 
   test("chained dedup→hourly agg equals the batch rollup up to the watermark") {

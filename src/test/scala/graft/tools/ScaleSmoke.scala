@@ -350,6 +350,48 @@ object ScaleSmoke {
     * mixture (seed-13 centers, xxhash64 Box-Muller noise), shared by
     * the annhard and spectrum modes so the two can never silently
     * measure different geometries. No-op if `out` already exists. */
+  /** Independent in-memory sequential BPE trainer (same tokenization,
+    * same greedy leftmost fold, same (count desc, pair asc) tie-break
+    * as the distributed trainer) — the equality reference for
+    * `bpekprod` and the single-machine contender in the `bpecross`
+    * crossover ladder. `deadlineNanos` time-boxes the ladder's big
+    * decades: a round that STARTS past the deadline stops the run
+    * (the returned table is truncated — callers distinguish DNF from
+    * natural exhaustion by the elapsed clock). */
+  private def bpeModelTrain(vocab: Seq[(String, Long)], nMerges: Int,
+                            deadlineNanos: Long = Long.MaxValue)
+      : Seq[(Long, String, String, Long)] = {
+    var syms: Map[Vector[String], Long] =
+      vocab.groupBy(_._1.split("").toVector)
+        .map { case (s, ws) => s -> ws.map(_._2).sum }
+    (1 to nMerges).iterator.map { t =>
+      if (System.nanoTime() > deadlineNanos) None
+      else {
+        val counts =
+          scala.collection.mutable.Map.empty[(String, String), Long]
+        syms.foreach { case (s, n) =>
+          s.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) =
+              counts.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), c) = counts.toSeq
+            .minBy { case ((a, b), n) => (-n, a, b) }
+          syms = syms.groupBy { case (s, _) =>
+            s.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc.init :+ (l + r)
+              else acc :+ x
+            }
+          }.map { case (s, ws) => s -> ws.values.sum }
+          Some((t.toLong, l, r, c))
+        }
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
+  }
+
   private def genAnnhard(spark: SparkSession, sigma: Double,
                          out: String, n: Long,
                          dim: Int = 64, comps: Int = 24): Unit =
@@ -482,6 +524,50 @@ object ScaleSmoke {
       // graft_stream_* temp views — additive across a sweep (the 100×
       // leg OOMed the driver before this drop existed)
       graft.streaming.Streams.dropBoundedSinks(spark)
+    }
+    // streamcost mode: cold A/B of the six fixed-cost streaming gates
+    // (the ~15 s/window family the round-15 verdict flagged as
+    // harness-not-plans) across the bounded-run machinery variants
+    // runBounded exposes as system properties — state partition count
+    // and state-store backend. min-of-2 cold runs per cell, same JVM,
+    // so the deltas are machinery, not weather.
+    // Test/runMain graft.tools.ScaleSmoke streamcost
+    if (args.headOption.contains("streamcost")) {
+      val gates = Seq("q96_stream_dedup_hourly",
+        "q106_stream_session_window", "q116_stream_funnel_outer",
+        "q208_stream_dedup_multibatch",
+        "q215_stream_para_dedup_multibatch",
+        "q225_stream_ingest_multibatch")
+      val variants = Seq(
+        ("base", Map.empty[String, String]),
+        ("sp1", Map("graft.stream.statePartitions" -> "1")),
+        ("hdfs", Map("graft.stream.stateStore" -> "hdfs")),
+        ("sp1+hdfs", Map("graft.stream.statePartitions" -> "1",
+                         "graft.stream.stateStore" -> "hdfs")))
+      println(f"[scale] streamcost (sf0.1, min of 2 cold runs)")
+      println(f"[scale] ${"gate"}%-36s" +
+        variants.map(v => f"${v._1}%10s").mkString)
+      val totals = Array.fill(variants.size)(0.0)
+      for (g <- gates) {
+        val times = variants.map { case (_, props) =>
+          try {
+            props.foreach { case (k, v) => sys.props(k) = v }
+            (1 to 2).map { _ =>
+              coldStart()
+              val t0 = System.nanoTime()
+              graft.SparkEntry.queries(g)(spark, Base).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+          } finally props.keys.foreach(sys.props.remove)
+        }
+        times.zipWithIndex.foreach { case (t, i) => totals(i) += t }
+        println(f"[scale] $g%-36s" +
+          times.map(t => f"$t%10.2f").mkString)
+      }
+      println(f"[scale] ${"TOTAL"}%-36s" +
+        totals.map(t => f"$t%10.2f").mkString)
+      spark.stop()
+      return
     }
     // rewrite mode: FULL-materialization timing for the rewrite gates
     // (one output row per input row). The default count() action lets
@@ -994,39 +1080,6 @@ object ScaleSmoke {
         }
         words.toSeq
       }
-      // independent in-memory sequential trainer (same tokenization,
-      // same greedy leftmost fold, same (count desc, pair asc)
-      // tie-break) — the equality reference; full sequential Spark at
-      // k=1024 would measure ~15 min of pure round latency instead
-      def modelTrain(vocab: Seq[(String, Long)], nMerges: Int)
-          : Seq[(Long, String, String, Long)] = {
-        var syms: Map[Vector[String], Long] =
-          vocab.groupBy(_._1.split("").toVector)
-            .map { case (s, ws) => s -> ws.map(_._2).sum }
-        (1 to nMerges).iterator.map { t =>
-          val counts =
-            scala.collection.mutable.Map.empty[(String, String), Long]
-          syms.foreach { case (s, n) =>
-            s.sliding(2).filter(_.size == 2).foreach { p =>
-              counts((p(0), p(1))) =
-                counts.getOrElse((p(0), p(1)), 0L) + n
-            }
-          }
-          if (counts.isEmpty) None
-          else {
-            val ((l, r), c) = counts.toSeq
-              .minBy { case ((a, b), n) => (-n, a, b) }
-            syms = syms.groupBy { case (s, _) =>
-              s.foldLeft(Vector.empty[String]) { (acc, x) =>
-                if (acc.nonEmpty && acc.last == l && x == r)
-                  acc.init :+ (l + r)
-                else acc :+ x
-              }
-            }.map { case (s, ws) => s -> ws.values.sum }
-            Some((t.toLong, l, r, c))
-          }
-        }.takeWhile(_.isDefined).flatten.toSeq
-      }
       println(f"[scale] ${"corpus"}%-14s ${"k"}%5s ${"vocab"}%6s ${"rounds"}%6s ${"rounds/k"}%8s ${"t_spark_b64"}%11s ${"t_model_seq"}%11s eq")
       for ((tag, vocab) <- Seq(("zipf_syllable", zipfSyllable),
                                ("blocked_band", blockedBand))) {
@@ -1038,12 +1091,85 @@ object ScaleSmoke {
         val tB = (System.nanoTime() - t0) / 1e9
         val rounds = graft.ext.TextAnalysis.lastTrainRounds
         val t1 = System.nanoTime()
-        val want = modelTrain(vocab, k)
+        val want = bpeModelTrain(vocab, k)
         val tM = (System.nanoTime() - t1) / 1e9
         assert(got == want,
           s"$tag k=$k: batched table diverged from the sequential " +
           s"model (got ${got.size} merges, want ${want.size})")
         println(f"[scale] $tag%-14s $k%5d ${vocab.size}%6d $rounds%6d ${rounds.toDouble / k}%8.3f $tB%10.1fs $tM%10.1fs OK")
+      }
+      spark.stop()
+      return
+    }
+    // bpecross mode: the distributed-vs-in-memory crossover bpekprod's
+    // honest table implied but did not price (Spark 178.9 s vs 71.4 s
+    // in-memory on a 20k vocabulary — at gate scale the cluster
+    // trainer loses; this mode finds where that flips). Vocabulary
+    // decade ladder of DISTINCT words (deterministic base-288
+    // syllable encoding of the word index, so the driver and cluster
+    // generators agree word for word; Zipf counts 10V/rank), k merges
+    // each decade:
+    //   - Spark `bpeTrainOnWordCounts` wall + batched round count
+    //   - the in-memory sequential model's wall, TIME-BOXED (300 s) —
+    //     past the box it reports DNF with the measured rounds;
+    //     equality vs the Spark merge table is asserted whenever the
+    //     model finishes. OOM on the big decade is caught and
+    //     reported as the row (that wall is the measurement: ~10M
+    //     char-vector map entries ≈ 4+ GB driver state on an 8g heap,
+    //     rescanned and rebuilt once per merge).
+    // Test/runMain graft.tools.ScaleSmoke bpecross [k]
+    if (args.headOption.contains("bpecross")) {
+      val k = args.drop(1).headOption.flatMap(_.toIntOption)
+        .getOrElse(64)
+      val sylls: IndexedSeq[String] = {
+        val cons = "bcdfghjklmnpqrstvwxz0123"
+        val vows = "aeiouy456789"
+        for (c <- cons; v <- vows) yield s"$c$v"
+      }
+      def wordOf(id: Long): String =
+        (3 to 0 by -1).map(j =>
+          sylls(((id / math.pow(288, j).toLong) % 288).toInt)).mkString
+      val modelBudgetSec = 300
+      println(s"[scale] bpecross: k=$k, Zipf 10V/rank, 8-char words, " +
+        s"model time-box ${modelBudgetSec}s")
+      println(f"[scale] ${"vocab"}%9s ${"t_spark"}%8s ${"rounds"}%6s ${"t_model"}%8s  eq / model outcome")
+      for (v <- Seq(100000L, 1000000L, 10000000L)) {
+        val syllArr = array(sylls.map(lit): _*)
+        val wcDf = spark.range(v)
+          .withColumn("sy", syllArr)
+          .select(
+            concat_ws("", (3 to 0 by -1).map(j =>
+              expr(s"element_at(sy, cast((id div " +
+                s"${math.pow(288, j).toLong}L) % 288 as int) + 1)"))
+              : _*).as("w"),
+            expr(s"greatest(cast(1 as bigint), ${10L * v}L div (id + 1))")
+              .as("n"))
+          .repartition(32)
+        coldStart()
+        val t0 = System.nanoTime()
+        val got = graft.ext.TextAnalysis.bpeTrainOnWordCounts(wcDf, k)
+        val tSpark = (System.nanoTime() - t0) / 1e9
+        val rounds = graft.ext.TextAnalysis.lastTrainRounds
+        val (tModel, outcome) =
+          try {
+            val t1 = System.nanoTime()
+            val vocab = (0L until v).map(id =>
+              (wordOf(id), math.max(1L, (10L * v) / (id + 1))))
+            val deadline = System.nanoTime() + modelBudgetSec * 1000000000L
+            val want = bpeModelTrain(vocab, k, deadline)
+            val tM = (System.nanoTime() - t1) / 1e9
+            if (want.size == got.size) {
+              assert(got == want,
+                s"V=$v k=$k: batched table diverged from the model")
+              (tM, "OK (equal merge tables)")
+            } else
+              (tM, s"DNF: time-box hit after ${want.size}/$k merges")
+          } catch {
+            case e: OutOfMemoryError =>
+              (Double.NaN, s"OOM building/rescanning the driver map " +
+                s"(${e.getMessage})")
+          }
+        println(f"[scale] $v%9d $tSpark%7.1fs $rounds%6d ${if (tModel.isNaN) "  OOM" else f"$tModel%7.1fs"}%8s  $outcome")
       }
       spark.stop()
       return
