@@ -350,7 +350,19 @@ object TextAnalysis {
     * sequentially-dependent spelling chains, so the batched-selection
     * throughput claim (rounds ≪ k) needs a wide-count-band vocabulary
     * to be measurable at all. Same loop, same guards, no memo — the
-    * caller owns determinism of the input frame. */
+    * caller owns determinism of the input frame.
+    *
+    * INTENDED REGIME (measured, `ScaleSmoke bpecross` k=64 Zipf
+    * ladder): the distributed trainer wins from ~10⁵ distinct words
+    * up — 5.3 s vs the in-memory sequential model's 24.0 s at 10⁵,
+    * 25.9 s vs a 300 s-time-box DNF at 10⁶, and at 10⁷ it finishes in
+    * 334 s (8 batched rounds) where the model's per-merge full-vocab
+    * rescan OOMs an 8 GB driver outright. Below ~10⁴ distinct words a
+    * single-machine trainer is the right tool (1.4 s vs 8.0 s — the
+    * per-round fixed cost of distributed selection dominates); the
+    * crossover sits between 10⁴ and 10⁵, pulled downward as the merge
+    * budget k grows because batched selection amortizes rounds
+    * (rounds ≪ k) while the sequential model always pays k rescans. */
   private[graft] def bpeTrainOnWordCounts(wordCounts: DataFrame,
                                           nMerges: Int,
                                           foldChainCap: Int = 4,

@@ -1133,7 +1133,7 @@ object ScaleSmoke {
       println(s"[scale] bpecross: k=$k, Zipf 10V/rank, 8-char words, " +
         s"model time-box ${modelBudgetSec}s")
       println(f"[scale] ${"vocab"}%9s ${"t_spark"}%8s ${"rounds"}%6s ${"t_model"}%8s  eq / model outcome")
-      for (v <- Seq(100000L, 1000000L, 10000000L)) {
+      for (v <- Seq(10000L, 100000L, 1000000L, 10000000L)) {
         val syllArr = array(sylls.map(lit): _*)
         val wcDf = spark.range(v)
           .withColumn("sy", syllArr)
@@ -1345,9 +1345,15 @@ object ScaleSmoke {
     // delta-scaling contract). Compaction runs every second batch and
     // must keep the table's file count bounded while changing nothing.
     // Test/runMain graft.tools.ScaleSmoke indexmaint [nBatches]
+    // r16: `indexmaint [nBatches] [10x]` — the second arg folds the
+    // maintenance over the 10× replica corpus instead of sf0.1; at
+    // N=16 the index ends ≥10× its starting rows (each batch admits a
+    // fresh per-batch-suffixed variant of every new-source doc), the
+    // decade the delta-scaling contract must hold across.
     if (args.headOption.contains("indexmaint")) {
       val nBatches = args.drop(1).headOption.flatMap(_.toIntOption)
         .getOrElse(4)
+      val srcDir = if (args.contains("10x")) Out else Base
       def rmrf(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
         f.delete(); ()
@@ -1358,7 +1364,7 @@ object ScaleSmoke {
       def files() = Option(new java.io.File(idxPath).listFiles)
         .fold(0)(_.count(_.getName.endsWith(".parquet")))
       def idxRows() = spark.read.parquet(idxPath).count()
-      val docs = spark.read.parquet(s"$Base/documents.parquet")
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       val corpus = docs.filter(length(col("source")) <= 4)
         .select(col("doc_id"), col("text"))
       val newDocs = docs.filter(length(col("source")) > 4)
@@ -1367,7 +1373,7 @@ object ScaleSmoke {
       coldStart()
       val t0 = System.nanoTime()
       graft.ext.Dedup.nearDupIndexWrite(corpus, idxPath)
-      println(f"[scale] indexmaint: corpus indexed in ${(System.nanoTime() - t0) / 1e9}%.1f s (rows=${idxRows()}, files=${files()}); batch size=${2 * nNew} (copies+fresh)")
+      println(f"[scale] indexmaint($srcDir): corpus indexed in ${(System.nanoTime() - t0) / 1e9}%.1f s (rows=${idxRows()}, files=${files()}); batch size=${2 * nNew} (copies+fresh)")
       println(f"[scale] ${"batch"}%5s ${"cand"}%7s ${"novel"}%7s ${"matched"}%8s ${"via_admit"}%9s ${"t_admit"}%8s ${"idx_rows"}%9s ${"files"}%6s")
       for (k <- 1 to nBatches) {
         val off = k * 1000000000L
