@@ -1726,31 +1726,38 @@ object Dedup {
                                 op: String)(body: => T): T = {
     val lease = indexLeasePath(indexPath)
     val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Only the CREATE is the contention signal — a failure writing the
+    // holder info into our own freshly-created lease (disk full, fs
+    // hiccup) must surface as what it is, with the lease released, not
+    // masquerade as another job holding it.
+    val out =
+      try fs.create(lease, false) // atomic create-if-absent
+      catch {
+        case e: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lease)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            } catch { case _: Throwable => "<holder info unreadable>" }
+          throw new IllegalStateException(
+            s"near-dup index maintenance contention: '$op' on " +
+            s"$indexPath needs the single-writer lease at $lease, " +
+            s"held by [$holder]. Admit and compact are " +
+            "read-then-mutate — overlapping writers would admit " +
+            "duplicate fingerprint rows or swap the table out from " +
+            "under each other. Wait for the holder to finish (fix " +
+            "the schedule if jobs overlap routinely); if the holder " +
+            "is known dead, delete the lease file and re-run.", e)
+      }
     try {
-      val out = fs.create(lease, false) // atomic create-if-absent
       out.write((s"op=$op pid=${java.lang.ProcessHandle.current.pid} " +
         s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
         s"acquired=${java.time.Instant.now}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
-    } catch {
-      case e: java.io.IOException =>
-        val holder =
-          try {
-            val in = fs.open(lease)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          } catch { case _: Throwable => "<holder info unreadable>" }
-        throw new IllegalStateException(
-          s"near-dup index maintenance contention: '$op' on $indexPath " +
-          s"needs the single-writer lease at $lease, held by [$holder]. " +
-          "Admit and compact are read-then-mutate — overlapping " +
-          "writers would admit duplicate fingerprint rows or swap the " +
-          "table out from under each other. Wait for the holder to " +
-          "finish (fix the schedule if jobs overlap routinely); if the " +
-          "holder is known dead, delete the lease file and re-run.", e)
-    }
-    try body finally fs.delete(lease, false)
+      body
+    } finally fs.delete(lease, false)
   }
 
   /** Probe `batch` against the standing index at `indexPath`,
