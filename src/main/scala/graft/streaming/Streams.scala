@@ -1049,13 +1049,20 @@ object Streams {
     * stream over the staging dir runs 2×nFiles micro-batches in which
     * every row is redelivered in a DIFFERENT batch than its first
     * arrival — the at-least-once delivery shape a single AvailableNow
-    * batch cannot exercise. Staged once per (dir, table, nFiles);
-    * the marker file keys idempotence. */
+    * batch cannot exercise. Staged once per (dir, table, COLUMN SET,
+    * nFiles); the marker file keys idempotence. The column set MUST be
+    * part of the key: gates staging the same table select different
+    * columns (q209/q215 take (doc_id, text); q225 also needs source),
+    * and an under-keyed dir is first-stager-wins — a later gate then
+    * reads its declared-but-absent columns as NULL and silently loses
+    * rows (caught as a 616-of-1210 q225 row loss at sf0.1 when a
+    * (doc_id, text) stager happened to run first). */
   private def stageRedelivered(spark: SparkSession, dir: String,
                                table: String, cols: Seq[String],
                                nFiles: Int): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir/$table/$nFiles".getBytes("UTF-8"))
+      .digest(s"$dir/$table/${cols.mkString(",")}/$nFiles"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val shm = new java.io.File("/dev/shm")
     val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
