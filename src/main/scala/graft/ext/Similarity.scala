@@ -1251,20 +1251,86 @@ object Similarity {
   // integer is far inside 2^53). Quantization noise (variance 1e-6/12
   // per element) is ~6 orders below any real cluster variance — the
   // statistic is unchanged, the nondeterminism is gone. Scale: one
-  // map-side explode of dim(dim+1)/2 skinny rows per (sampled) vector
-  // into a (cell, i, j) aggregation; only K×dim²/2 sums reach the
+  // partition-local pass accumulating each cell's dim(dim+1)/2 product
+  // sums as integers; only K×dim²/2 sums per partition reach the
   // driver (the trainCentroids bounded-collect shape). At very high
   // dim, JL-project first (q115) and probe the projected spectrum —
   // PR is what JL preserves.
 
-  /** The quantized per-cell moment frames: (counts(cell, n),
-    * m1(cell, i, s), m2(cell, i, j, m)) with i ≤ j, 1-based. `dim`
-    * parameterizes the vector width so the projected probe
-    * ([[clusterSpectrumProjected]]) can run the identical machinery
-    * on its reduced vectors. */
-  private def spectrumMomentFrames(df: DataFrame, cellCol: Column,
-                                   dim: Int = Dim)
-      : (DataFrame, DataFrame, DataFrame) = {
+  // r16 optimization (guide §2.3 "aggregate before you shuffle" / §1.2
+  // "per-task work"): the moments were a map-side explode of
+  // dim(dim+1)/2 named_struct rows per vector (2,080/vector at dim 64 —
+  // 4.16M rows at the 2,000-vector gate) into a (cell, i, j) decimal
+  // hash aggregation. The accumulator below does the identical integer
+  // arithmetic partition-locally on the quantized elements' unscaled
+  // longs (DECIMAL(7,3) → scale-3 integers; each pairwise product is a
+  // scale-6 long ≤ 1e14), so no per-product row ever exists. Integer
+  // addition is exact and order-free, hence the collected moments are
+  // bit-identical to the decimal aggregation they replaced (oracle and
+  // ClusterSpectrumSpec unchanged). Long accumulators escape to
+  // BigInteger on overflow (Math.addExact), so exactness survives any
+  // per-partition row count, not just the gate's.
+  private final class SpectrumAcc(dim: Int) extends Serializable {
+    val nPairs = dim * (dim + 1) / 2
+    var n = 0L
+    val s = new Array[Long](dim)
+    val m = new Array[Long](nPairs)
+    var sBig: Array[java.math.BigInteger] = null
+    var mBig: Array[java.math.BigInteger] = null
+    private def spillS(i: Int, v: Long): Unit = {
+      if (sBig == null) sBig = Array.fill(dim)(java.math.BigInteger.ZERO)
+      sBig(i) = sBig(i).add(java.math.BigInteger.valueOf(s(i)))
+      s(i) = v
+    }
+    private def spillM(i: Int, v: Long): Unit = {
+      if (mBig == null) mBig = Array.fill(nPairs)(java.math.BigInteger.ZERO)
+      mBig(i) = mBig(i).add(java.math.BigInteger.valueOf(m(i)))
+      m(i) = v
+    }
+    def addS(i: Int, v: Long): Unit =
+      try s(i) = Math.addExact(s(i), v)
+      catch { case _: ArithmeticException => spillS(i, v) }
+    def addM(i: Int, v: Long): Unit =
+      try m(i) = Math.addExact(m(i), v)
+      catch { case _: ArithmeticException => spillM(i, v) }
+    def totalS(i: Int): java.math.BigInteger = {
+      val base = java.math.BigInteger.valueOf(s(i))
+      if (sBig == null) base else sBig(i).add(base)
+    }
+    def totalM(i: Int): java.math.BigInteger = {
+      val base = java.math.BigInteger.valueOf(m(i))
+      if (mBig == null) base else mBig(i).add(base)
+    }
+    def merge(o: SpectrumAcc): SpectrumAcc = {
+      n += o.n
+      var i = 0
+      while (i < s.length) { addS(i, o.s(i)); i += 1 }
+      if (o.sBig != null) {
+        if (sBig == null)
+          sBig = Array.fill(s.length)(java.math.BigInteger.ZERO)
+        i = 0
+        while (i < s.length) { sBig(i) = sBig(i).add(o.sBig(i)); i += 1 }
+      }
+      i = 0
+      while (i < m.length) { addM(i, o.m(i)); i += 1 }
+      if (o.mBig != null) {
+        if (mBig == null) mBig = Array.fill(nPairs)(java.math.BigInteger.ZERO)
+        i = 0
+        while (i < m.length) { mBig(i) = mBig(i).add(o.mBig(i)); i += 1 }
+      }
+      this
+    }
+  }
+
+  /** Collected moments keyed for the driver-side math: exact
+    * BigDecimals, bounded at K×dim(dim+1)/2. One partition-local pass
+    * over the quantized vectors (see [[SpectrumAcc]]); quantization
+    * itself stays a Catalyst CAST so the decimal rounding is the
+    * engine's own, identical to the oracle's. */
+  private def collectedMoments(df: DataFrame, cellCol: Column,
+                               dim: Int = Dim)
+      : (Map[Int, Long], Map[(Int, Int), java.math.BigDecimal],
+         Map[(Int, Int, Int), java.math.BigDecimal]) = {
     // a null embedding must fall out of n AND the moments together —
     // counting it while its (absent) products skip m1/m2 would bias
     // every covariance numerator of its cell (and leave (cell, i, j)
@@ -1279,36 +1345,61 @@ object Similarity {
         expr(s"""transform(sequence(1, $dim), i ->
                  CAST(CAST(element_at(embedding, i) AS DOUBLE)
                       AS DECIMAL(7,3)))""").as("q"))
-      .transform(graft.ext.TrackedPersist.persistTracked)
-    val counts = base.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"))
-    val m1 = base
-      .select(col("cell"), posexplode(col("q")).as(Seq("p", "v")))
-      .groupBy(col("cell"), (col("p") + 1).as("i"))
-      .agg(sum(col("v")).as("s"))
-    val m2 = base
-      .select(col("cell"), explode(expr(
-        s"""flatten(transform(sequence(1, $dim), i ->
-              transform(sequence(i, $dim), j -> named_struct(
-                'i', i, 'j', j,
-                'p', element_at(q, i) * element_at(q, j)))))""")).as("t"))
-      .groupBy(col("cell"), col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("m"))
+    val d = dim
+    val partials = base.rdd.mapPartitions { rows =>
+      val accs = new java.util.HashMap[Int, SpectrumAcc]()
+      val u = new Array[Long](d)
+      val nul = new Array[Boolean](d)
+      rows.foreach { row =>
+        val cell = row.getInt(0)
+        var acc = accs.get(cell)
+        if (acc == null) { acc = new SpectrumAcc(d); accs.put(cell, acc) }
+        acc.n += 1
+        val q = row.getSeq[java.math.BigDecimal](1)
+        var i = 0
+        while (i < d) {
+          val x = q(i)
+          if (x == null) nul(i) = true
+          else { nul(i) = false; u(i) = x.unscaledValue().longValueExact() }
+          i += 1
+        }
+        i = 0
+        var idx = 0
+        while (i < d) {
+          if (!nul(i)) {
+            acc.addS(i, u(i))
+            var j = i
+            while (j < d) {
+              if (!nul(j)) acc.addM(idx + (j - i), u(i) * u(j))
+              j += 1
+            }
+          }
+          idx += d - i
+          i += 1
+        }
+      }
+      scala.jdk.CollectionConverters.MapHasAsScala(accs).asScala.iterator
+        .map { case (c, a) => (c.intValue, a) }
+    }.collect()
+    val merged = new java.util.HashMap[Int, SpectrumAcc]()
+    partials.foreach { case (c, a) =>
+      val prev = merged.get(c)
+      if (prev == null) merged.put(c, a) else prev.merge(a)
+    }
+    val cells = scala.jdk.CollectionConverters.MapHasAsScala(merged).asScala
+    val counts = cells.map { case (c, a) => c.intValue -> a.n }.toMap
+    val m1 = cells.flatMap { case (c, a) =>
+      (1 to d).map(i =>
+        (c.intValue, i) -> new java.math.BigDecimal(a.totalS(i - 1), 3))
+    }.toMap
+    val m2 = cells.flatMap { case (c, a) =>
+      var idx = -1
+      for (i <- 1 to d; j <- i to d) yield {
+        idx += 1
+        (c.intValue, i, j) -> new java.math.BigDecimal(a.totalM(idx), 6)
+      }
+    }.toMap
     (counts, m1, m2)
-  }
-
-  /** Collected moments keyed for the driver-side math: exact
-    * BigDecimals, bounded at K×dim(dim+1)/2. */
-  private def collectedMoments(df: DataFrame, cellCol: Column,
-                               dim: Int = Dim)
-      : (Map[Int, Long], Map[(Int, Int), java.math.BigDecimal],
-         Map[(Int, Int, Int), java.math.BigDecimal]) = {
-    val (counts, m1, m2) = spectrumMomentFrames(df, cellCol, dim)
-    (counts.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap,
-     m1.collect().map(r =>
-       (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap,
-     m2.collect().map(r =>
-       (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDecimal(3)).toMap)
   }
 
   /** Gate surface (q235): the EXACT covariance numerators — one row per
@@ -1461,7 +1552,7 @@ object Similarity {
   /** DuckDB oracle for [[clusterSpectrumGate]]: the identical
     * quantize → exact decimal moments → n·M − S·S computation. The e
     * CTE filters NULL embeddings and NULL labels exactly as the engine
-    * side does (see [[spectrumMomentFrames]] — a counted-but-
+    * side does (see [[collectedMoments]] — a counted-but-
     * productless row would bias every covariance numerator).
     *
     * Decimal-width envelope: operand casts n→DECIMAL(9,0) (exact for
