@@ -84,6 +84,7 @@ object Bench {
         ext.Winnow.clearMemos()
         ext.PageRank.clearMemos()
         ext.Selection.clearMemos()
+        ext.Pipeline.clearMemos()
         // NOT Bucketing.clearWriteMemo(): the bucket layout's cost model
         // is write-once-amortize-forever, and the write is timed as its
         // own bucket_write_sec line item below — clearing it per pass

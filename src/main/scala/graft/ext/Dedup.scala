@@ -697,6 +697,10 @@ object Dedup {
     exactPairsCache.clear()
     containCache.clear()
     containEstCache.clear()
+    // label-prop results ride RDD persists the harness sweeps
+    // separately; the memo map itself must still drop so a cold pass
+    // re-runs the propagation loop
+    labelsCache.clear()
     // dup-probe memo too: cold-run timings must include the probe
     dupFracCache.clear()
     // inner persists (shingle/signature/feature frames) — unpersisting
@@ -1244,6 +1248,23 @@ object Dedup {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Per-(session, dir, threshold) memo of the label-propagation result
+    * over the exact pair set (r16, guide §2.4 "remove shuffles
+    * outright": q93/q101/q221 each re-ran the SAME iterative
+    * propagation over the same cached pair set — three copies of the
+    * one loop in every bench pass; now the first consumer runs it and
+    * the rest read the persisted labels). Cleared with the other
+    * family memos so cold runs still pay the loop exactly once. */
+  private val labelsCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Double), DataFrame]()
+  def clusterLabelsCached(spark: SparkSession, dir: String,
+                          threshold: Double = 0.8): DataFrame = {
+    sweepStopped(labelsCache)(_._1)
+    labelsCache.getOrElseUpdate((spark, dir, threshold),
+      clusterLabels(jaccardPairsCached(spark, dir, threshold)
+        .select(col("a_id"), col("b_id"))))
+  }
+
   /** Cluster a pair set and keep the smallest doc_id of each cluster
     * plus every unpaired doc: the surviving doc_ids with their cluster
     * label (shared tail of both deduped-corpus variants). */
@@ -1312,8 +1333,7 @@ object Dedup {
     * (cluster-sized, then size-sized — both ≪ corpus). */
   def clusterSizeHistogram(spark: SparkSession, dir: String,
                            threshold: Double = 0.8): DataFrame =
-    clusterLabels(jaccardPairsCached(spark, dir, threshold)
-        .select(col("a_id"), col("b_id")))
+    clusterLabelsCached(spark, dir, threshold)
       .groupBy(col("label")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
@@ -1363,8 +1383,7 @@ object Dedup {
     * then map-side hashing. */
   def diversitySample(spark: SparkSession, dir: String,
                       threshold: Double = 0.8): DataFrame = {
-    val labels = clusterLabels(jaccardPairsCached(spark, dir, threshold)
-      .select(col("a_id"), col("b_id")))
+    val labels = clusterLabelsCached(spark, dir, threshold)
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
     val withLab = docs
       .join(labels, docs("doc_id") === labels("id"), "left_outer")
@@ -2054,8 +2073,7 @@ object Dedup {
     * keyed by cluster label — cluster count ≪ corpus). */
   def bestOfClusters(spark: SparkSession, dir: String,
                      threshold: Double = 0.8): DataFrame = {
-    val labels = clusterLabels(jaccardPairsCached(spark, dir, threshold)
-      .select(col("a_id"), col("b_id")))
+    val labels = clusterLabelsCached(spark, dir, threshold)
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         expr("size(regexp_extract_all(text, '([A-Za-z0-9]+)', 1))")

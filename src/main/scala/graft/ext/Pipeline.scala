@@ -74,11 +74,32 @@ object Pipeline {
       | FROM documents) t
       |GROUP BY source""".stripMargin
 
-  /** Surviving doc_ids after the quality filter + exact-jaccard dedup
-    * (cluster minimum kept) — the shared front of [[cleanCorpus]] and
-    * [[exportManifest]]. */
+  /** Per-(session, dir, threshold) memo of [[survivingDocs]] (r16,
+    * guide §2.4): q63 and q125 share the whole quality→pairs→label-prop
+    * front, but each gate re-ran the iterative propagation loop over
+    * the kept-restricted pair set. The first consumer now persists the
+    * (tiny — ≤ |docs| ids) survivor frame and the second reads it.
+    * Cleared by [[clearMemos]], which the bench/probe harnesses drain
+    * between passes alongside the other family memos. */
+  private val survivorsCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Double), DataFrame]()
+
+  def clearMemos(): Unit = survivorsCache.clear()
+
   private[ext] def survivingDocs(spark: SparkSession, dir: String,
                                  threshold: Double = 0.8): DataFrame = {
+    survivorsCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(survivorsCache.remove)
+    survivorsCache.getOrElseUpdate((spark, dir, threshold), {
+      val df = survivingDocsUncached(spark, dir, threshold)
+        .transform(TrackedPersist.persistTracked)
+      df.count() // materialize: the second consumer reuses, never re-props
+      df
+    })
+  }
+
+  private def survivingDocsUncached(spark: SparkSession, dir: String,
+                                    threshold: Double): DataFrame = {
     val kept = TextAnalysis.qualityFilter(spark, dir).select("doc_id")
     val pairs = Dedup.jaccardPairsCached(spark, dir, threshold)
       .join(kept.withColumnRenamed("doc_id", "a_id"), Seq("a_id"),

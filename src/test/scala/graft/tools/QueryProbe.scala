@@ -38,6 +38,7 @@ object QueryProbe {
         graft.ext.Winnow.clearMemos()
         graft.ext.PageRank.clearMemos()
         graft.ext.Selection.clearMemos()
+        graft.ext.Pipeline.clearMemos()
         spark.sharedState.cacheManager.clearCache()
         graft.streaming.Streams.dropBoundedSinks(spark)
         val t0 = System.nanoTime()

@@ -517,6 +517,7 @@ object ScaleSmoke {
       graft.ext.Winnow.clearMemos()
       graft.ext.PageRank.clearMemos()
       graft.ext.Selection.clearMemos()
+      graft.ext.Pipeline.clearMemos()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
