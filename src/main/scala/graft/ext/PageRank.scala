@@ -33,46 +33,76 @@ object PageRank {
   private val Scale = 1000000000L           // 1e9: rank fixed-point scale
   private val Base = 150000000L             // 0.15 · Scale
 
-  /** Every persisted edge table handed to an iteration loop, so repeated
-    * calls in one JVM (bench passes, correctness run) can't accumulate
-    * dead cached blocks: the harness drains this between passes, same
-    * contract as Dedup.clearMemos. */
-  private val persistedEdges =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  /** Every RDD persisted by an iteration loop (edges + the final rank
+    * table), so repeated calls in one JVM (bench passes, correctness
+    * run) can't accumulate dead cached blocks: the harness drains this
+    * between passes, same contract as Dedup.clearMemos. */
+  private val persistedEdgeRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]()
 
-  /** Unpersist every edge table persisted by prior dupPagerank calls. */
+  /** Unpersist every RDD persisted by prior dupPagerank calls. */
   def clearMemos(): Unit = {
-    var df = persistedEdges.poll()
-    while (df != null) {
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
-      df = persistedEdges.poll()
+    var rdd = persistedEdgeRdds.poll()
+    while (rdd != null) {
+      try rdd.unpersist(blocking = false) catch { case _: Throwable => () }
+      rdd = persistedEdgeRdds.poll()
     }
   }
 
   /** Integer PageRank over an undirected (a_id, b_id) pair set. Output:
-    * (doc_id, rank) for every doc appearing in a pair. */
+    * (doc_id, rank) for every doc appearing in a pair.
+    *
+    * r16: the loop moved from DataFrame joins to the co-partitioned RDD
+    * formulation [[Dedup.clusterLabels]] documents — an iterative
+    * fixpoint is the one shape the DataFrame API has no operator for,
+    * and each DataFrame round paid a full Catalyst analyze + optimize +
+    * shuffle-planning pass plus a sort-merge join. Here edges are keyed
+    * by src and hash-partitioned ONCE (cached); ranks live on the SAME
+    * partitioner, so the per-iteration join is narrow and the only
+    * shuffle is the map-side-combined contribution sum — |nodes| rows.
+    * The arithmetic is unchanged (integer floor divisions in the same
+    * order: floor(rank/deg) per edge, then Base + 85·Σ div 100), so the
+    * output is bit-identical — long addition is order-free, and the
+    * oracle replays the identical iterations. */
   def dupPagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // every iteration's plan reads the degree-annotated edge table —
-    // persist it once instead of re-deriving union+aggregate+join per
-    // iteration (the materialize-the-shared-stage pattern; |edges| =
-    // 2·|pairs|, far below corpus size)
-    val edges = e.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedEdges.add(edges)
-    var ranks = deg.select(col("src").as("id"), lit(Scale).as("rank"))
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(4, sc.defaultParallelism / 4))
+    // (src → dst), both directions, with deg(src) attached once: the
+    // degree is a property of the src key, so it rides the edge
+    // partitioning instead of re-joining per iteration
+    val bothDirs = p.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    val deg = bothDirs.mapValues(_ => 1L)
+      .reduceByKey(part, _ + _)
+    val edges = bothDirs.partitionBy(part).join(deg)
+      .mapValues { case (dst, d) => (dst, d) }.persist(mem)
+    persistedEdgeRdds.add(edges)
+    edges.count() // materialize once; the pair plan compiles here only
+    var ranks = deg // rank₀ = Scale for every node (nodes = edge srcs)
+      .mapValues(_ => Scale).persist(mem)
     for (_ <- 1 to iters) {
-      ranks = edges.join(ranks, edges("src") === ranks("id"))
-        .select(col("dst"), expr("rank div deg").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("dst").as("id"),
-                (lit(Base) + expr("85 * s div 100")).as("rank"))
+      val next = edges.join(ranks)
+        .map { case (_, ((dst, d), rank)) => (dst, rank / d) }
+        .reduceByKey(part, _ + _)
+        .mapValues(s => Base + 85 * s / 100)
+        .persist(mem)
+      ranks.unpersist(blocking = false)
+      ranks = next
     }
-    ranks.select(col("id").as("doc_id"), col("rank"))
+    persistedEdgeRdds.add(ranks)
+    spark.createDataFrame(ranks.map { case (idNode, rank) =>
+      org.apache.spark.sql.Row(idNode, rank) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Gate entry: PageRank over the exact jaccard pair set (shared,
