@@ -374,15 +374,57 @@ object Similarity {
       .cache()
     var cents = centroids(corpus, k)
     for (_ <- 1 to iters) {
-      val stats = withIvfCells(train, col("ne"), cents)
-        .select(col("cell"), posexplode(col("ne")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v").cast("decimal(30,18)")).as("s"))
-        .collect()
+      // r16 (guide §2.3): the per-cell element sums were a
+      // posexplode of dim rows per vector into a (cell, pos) decimal
+      // hash aggregation — one corpus-wide explode + exchange per
+      // Lloyd iteration. The same sums now accumulate partition-
+      // locally: each element is quantized with the engine Cast's
+      // exact semantics (shortest-repr BigDecimal of the double,
+      // HALF_UP to scale 18 — value-identical to
+      // CAST(v AS DECIMAL(30,18)) for |v| ≤ 1 normalized elements),
+      // then summed as scale-18 BigIntegers —
+      // order-free integer addition, so the trained centroids are
+      // bit-identical to the aggregation this replaces. Cell
+      // assignment stays the Catalyst argmax ([[withIvfCells]]), THE
+      // home of the tie-break contract.
+      val assigned = withIvfCells(train, col("ne"), cents)
+        .select(col("cell"), col("ne"))
+      val dim = cents.head.length
+      val partials = assigned.rdd.mapPartitions { rows =>
+        val sums = new java.util.HashMap[Int, Array[java.math.BigInteger]]()
+        rows.foreach { row =>
+          val cell = row.getInt(0)
+          var acc = sums.get(cell)
+          if (acc == null) {
+            acc = Array.fill(dim)(java.math.BigInteger.ZERO)
+            sums.put(cell, acc)
+          }
+          val ne = row.getSeq[Any](1)
+          var i = 0
+          while (i < dim) {
+            ne(i) match {
+              case null => ()
+              case v: Double =>
+                acc(i) = acc(i).add(
+                  java.math.BigDecimal.valueOf(v)
+                    .setScale(18, java.math.RoundingMode.HALF_UP)
+                    .unscaledValue())
+            }
+            i += 1
+          }
+        }
+        scala.jdk.CollectionConverters.MapHasAsScala(sums).asScala
+          .iterator.map { case (c, a) => (c.intValue, a) }
+      }.collect()
       val next = cents.map(_.clone())
-      stats.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
-        val vec = new Array[Double](cents(cell).length)
-        rows.foreach(r => vec(r.getInt(1)) = r.getDecimal(2).doubleValue())
+      partials.groupBy(_._1).foreach { case (cell, parts) =>
+        val tot = Array.fill(dim)(java.math.BigInteger.ZERO)
+        parts.foreach { case (_, a) =>
+          var i = 0
+          while (i < dim) { tot(i) = tot(i).add(a(i)); i += 1 }
+        }
+        val vec = Array.tabulate(dim)(i =>
+          new java.math.BigDecimal(tot(i), 18).doubleValue())
         val norm = math.sqrt(vec.map(x => x * x).sum)
         if (norm > 0) next(cell) = vec.map(_ / norm)
       }
