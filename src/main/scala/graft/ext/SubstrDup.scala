@@ -65,20 +65,27 @@ object SubstrDup {
       // positions at-or-before pos is constant exactly across a dup run
       .withColumn("run_id",
         sum(when(col("dup"), 0L).otherwise(1L)).over(byPos))
-    val runs = marked.filter(col("dup"))
+    // r16 (guide §2.4): the stats and the longest-run reduction both
+    // consumed `marked`, so the gram join + positional window ran
+    // TWICE and a doc-keyed join glued the halves. One (doc, run_id)
+    // aggregate now carries both: a run group holds its dup rows plus
+    // at most the one non-dup row that opened it, so sum(dup) is the
+    // run length and the per-doc rollup folds totals and max together.
+    // Both aggregates ride the window's doc_id partitioning — no new
+    // exchange.
+    marked
       .groupBy(col("doc_id"), col("run_id"))
-      .agg(count(lit(1)).as("run_len"))
+      .agg(count(lit(1)).as("nw"),
+           sum(when(col("dup"), 1L).otherwise(0L)).as("nd"))
       .groupBy(col("doc_id"))
-      .agg(max(col("run_len")).as("max_run"))
-    marked.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-           sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
-      .join(runs, Seq("doc_id"), "left")
+      .agg(sum(col("nw")).as("n_windows"),
+           sum(col("nd")).as("n_dup_windows"),
+           max(col("nd")).as("max_run"))
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         (col("n_dup_windows").cast("double") /
           col("n_windows").cast("double")).as("dup_fraction"),
-        coalesce(col("max_run") + lit(k - 1), lit(0L))
-          .as("max_dup_run_tokens"))
+        when(col("max_run") > 0, col("max_run") + lit(k - 1))
+          .otherwise(lit(0L)).as("max_dup_run_tokens"))
   }
 
   /** Shared oracle detection CTEs (ws → gh0 → gh → gdf) — the SQL twin
@@ -174,17 +181,23 @@ object SubstrDup {
       .withColumn("covered",
         max(when(coalesce(col("win_dup"), lit(false)), 1).otherwise(0))
           .over(covFrame) === 1)
+    // r16 (guide §2.4): the stats and the rebuild were two separate
+    // aggregations over `covered`, so the token join + coverage window
+    // ran TWICE and two doc-keyed joins reassembled the output. One
+    // aggregate now carries all three columns — collect_list skips the
+    // NULLs the `when` leaves on covered tokens, which is exactly the
+    // old `filter(!covered)`; a fully-covered doc yields an empty list
+    // and joins '' like before. The aggregate rides the window's
+    // doc_id partitioning — no new exchange.
     val stats = covered.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-           sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"))
-    val clean = covered.filter(!col("covered"))
-      .groupBy(col("doc_id"))
-      .agg(array_join(expr("transform(array_sort(" +
-        "collect_list(struct(pos, tok))), x -> x.tok)"), " ")
-        .as("ct"))
+           sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+           array_join(expr("transform(array_sort(" +
+             "collect_list(CASE WHEN NOT covered " +
+             "THEN struct(pos, tok) END)), x -> x.tok)"), " ")
+             .as("ct"))
     base.select(col("doc_id"))
       .join(stats, Seq("doc_id"), "left")
-      .join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"),
               coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
               coalesce(col("n_removed"), lit(0L)).as("n_removed"),
