@@ -70,14 +70,21 @@ object Profile {
              broadcastParent: Boolean): DataFrame = {
       val keys0 = parent.select(col(parentKey).as("pk")).distinct()
       val keys = if (broadcastParent) broadcast(keys0) else keys0
-      val orphans = child.join(keys, child(childKey) === col("pk"),
-                               "left_anti")
-      val totals = child.agg(count(lit(1)).as("n_child"))
-      orphans.agg(count(lit(1)).as("n_orphans"),
-                  countDistinct(col(childKey)).as("n_orphan_keys"),
-                  coalesce(sum(col(childKey) % 9973), lit(0L))
-                    .as("orphan_checksum"))
-        .crossJoin(totals)
+      // r16 (guide §2.4): one child scan, not two — the orphan stats
+      // and the child total used to be separate aggregates (anti join
+      // + a second bare scan) glued by a cross join. A left join
+      // against the DISTINCT key set preserves child cardinality, so
+      // pk IS NULL marks exactly the anti join's rows (a null child
+      // key never matches and is an orphan either way) and one
+      // aggregate carries all four columns.
+      val orphan = col("pk").isNull
+      child.join(keys, child(childKey) === col("pk"), "left_outer")
+        .agg(count(lit(1)).as("n_child"),
+             sum(when(orphan, 1L).otherwise(0L)).as("n_orphans"),
+             countDistinct(when(orphan, col(childKey)))
+               .as("n_orphan_keys"),
+             coalesce(sum(when(orphan, col(childKey) % 9973)), lit(0L))
+               .as("orphan_checksum"))
         .select(lit(name).as("fk_edge"), col("n_child"),
                 col("n_orphans"), col("n_orphan_keys"),
                 col("orphan_checksum"))
