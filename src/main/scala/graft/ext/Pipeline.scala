@@ -90,12 +90,13 @@ object Pipeline {
                                  threshold: Double = 0.8): DataFrame = {
     survivorsCache.keys.filter(_._1.sparkContext.isStopped)
       .foreach(survivorsCache.remove)
-    survivorsCache.getOrElseUpdate((spark, dir, threshold), {
-      val df = survivingDocsUncached(spark, dir, threshold)
-        .transform(TrackedPersist.persistTracked)
-      df.count() // materialize: the second consumer reuses, never re-props
-      df
-    })
+    // lazy persist, no eager count: the first consumer's own action
+    // fills the cache as a side effect (an eager count here charged
+    // q63 one extra job — +0.3 s on a canary-member gate), and the
+    // second consumer reads the cached frame either way
+    survivorsCache.getOrElseUpdate((spark, dir, threshold),
+      survivingDocsUncached(spark, dir, threshold)
+        .transform(TrackedPersist.persistTracked))
   }
 
   private def survivingDocsUncached(spark: SparkSession, dir: String,
