@@ -697,9 +697,14 @@ object Dedup {
     exactPairsCache.clear()
     containCache.clear()
     containEstCache.clear()
-    // label-prop results ride RDD persists the harness sweeps
-    // separately; the memo map itself must still drop so a cold pass
-    // re-runs the propagation loop
+    // label-prop result RDDs are registered in persistedLabelRdds by
+    // clusterLabels — drain them here so a cold pass drops the blocks
+    // even when the caller does not sweep getPersistentRDDs
+    var rdd = persistedLabelRdds.poll()
+    while (rdd != null) {
+      try rdd.unpersist(blocking = false) catch { case _: Throwable => () }
+      rdd = persistedLabelRdds.poll()
+    }
     labelsCache.clear()
     // dup-probe memo too: cold-run timings must include the probe
     dupFracCache.clear()
@@ -1239,6 +1244,13 @@ object Dedup {
       throw new IllegalStateException(
         s"clusterLabels did not converge within $maxIter iterations — " +
         "a duplicate chain longer than maxIter exists; raise maxIter")
+    // the FINAL labels RDD backs the returned frame and stays persisted
+    // for its consumers (labelsCache) — register it for the clearMemos
+    // drain (the PageRank.persistedEdgeRdds pattern) instead of relying
+    // on callers sweeping getPersistentRDDs: probes/specs that clear
+    // Dedup without that sweep would otherwise leak one persisted
+    // labels RDD per cold pass
+    persistedLabelRdds.add(labels)
     spark.createDataFrame(labels.map { case (idNode, label) =>
       org.apache.spark.sql.Row(idNode, label) },
       org.apache.spark.sql.types.StructType(Seq(
@@ -1255,6 +1267,12 @@ object Dedup {
     * one loop in every bench pass; now the first consumer runs it and
     * the rest read the persisted labels). Cleared with the other
     * family memos so cold runs still pay the loop exactly once. */
+  /** Label-prop result RDDs persisted by [[clusterLabels]], drained by
+    * [[clearMemos]] (the PageRank.persistedEdgeRdds pattern). */
+  private val persistedLabelRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]()
+
   private val labelsCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Double), DataFrame]()
   def clusterLabelsCached(spark: SparkSession, dir: String,

@@ -86,16 +86,21 @@ object PageRank {
     edges.count() // materialize once; the pair plan compiles here only
     var ranks = deg // rank₀ = Scale for every node (nodes = edge srcs)
       .mapValues(_ => Scale).persist(mem)
+    // every ranks generation registers BEFORE the loop body runs, so an
+    // exception mid-iteration can never strand a persisted-but-
+    // unregistered RDD (the in-loop unpersist of the predecessor still
+    // runs; a second unpersist from the drain is a no-op)
+    persistedEdgeRdds.add(ranks)
     for (_ <- 1 to iters) {
       val next = edges.join(ranks)
         .map { case (_, ((dst, d), rank)) => (dst, rank / d) }
         .reduceByKey(part, _ + _)
         .mapValues(s => Base + 85 * s / 100)
         .persist(mem)
+      persistedEdgeRdds.add(next)
       ranks.unpersist(blocking = false)
       ranks = next
     }
-    persistedEdgeRdds.add(ranks)
     spark.createDataFrame(ranks.map { case (idNode, rank) =>
       org.apache.spark.sql.Row(idNode, rank) },
       org.apache.spark.sql.types.StructType(Seq(

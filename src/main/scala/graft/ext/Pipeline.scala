@@ -84,7 +84,19 @@ object Pipeline {
   private val survivorsCache = scala.collection.concurrent
     .TrieMap[(SparkSession, String, Double), DataFrame]()
 
-  def clearMemos(): Unit = survivorsCache.clear()
+  // The memoized survivor frame goes through persistTracked, so ANY
+  // family's cold sweep (Dedup/Similarity/Selection clearMemos →
+  // TrackedPersist.clear) drops its blocks — register the map clear
+  // there too (the Selection.docwCache invariant, TrackedPersist.scala),
+  // or the memo would keep serving an unpersisted frame that silently
+  // recomputes the corpus-sized quality→pairs→label-prop build on
+  // every later action.
+  TrackedPersist.onClear(() => survivorsCache.clear())
+
+  def clearMemos(): Unit = {
+    survivorsCache.clear()
+    TrackedPersist.clear()
+  }
 
   private[ext] def survivingDocs(spark: SparkSession, dir: String,
                                  threshold: Double = 0.8): DataFrame = {

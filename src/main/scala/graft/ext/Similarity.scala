@@ -393,36 +393,53 @@ object Similarity {
       val partials = assigned.rdd.mapPartitions { rows =>
         val sums = new java.util.HashMap[Int, Array[java.math.BigInteger]]()
         rows.foreach { row =>
-          val cell = row.getInt(0)
-          var acc = sums.get(cell)
-          if (acc == null) {
-            acc = Array.fill(dim)(java.math.BigInteger.ZERO)
-            sums.put(cell, acc)
-          }
-          val ne = row.getSeq[Any](1)
-          var i = 0
-          while (i < dim) {
-            ne(i) match {
-              case null => ()
-              case v: Double =>
-                acc(i) = acc(i).add(
-                  java.math.BigDecimal.valueOf(v)
-                    .setScale(18, java.math.RoundingMode.HALF_UP)
-                    .unscaledValue())
+          // degenerate embeddings keep the OLD explode path's drop
+          // semantics: a null embedding (null ne) or null cell produced
+          // no posexplode rows, and a non-finite element (NaN from a
+          // zero-norm vector) cast to DECIMAL(30,18) as null and was
+          // skipped by the sum — getInt/ne(i)/BigDecimal.valueOf would
+          // instead throw on them here
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val cell = row.getInt(0)
+            var acc = sums.get(cell)
+            if (acc == null) {
+              acc = Array.fill(dim)(java.math.BigInteger.ZERO)
+              sums.put(cell, acc)
             }
-            i += 1
+            val ne = row.getSeq[Any](1)
+            var i = 0
+            while (i < dim) {
+              ne(i) match {
+                case v: Double if !java.lang.Double.isNaN(v) &&
+                                  !java.lang.Double.isInfinite(v) =>
+                  acc(i) = acc(i).add(
+                    java.math.BigDecimal.valueOf(v)
+                      .setScale(18, java.math.RoundingMode.HALF_UP)
+                      .unscaledValue())
+                case _ => ()
+              }
+              i += 1
+            }
           }
         }
         scala.jdk.CollectionConverters.MapHasAsScala(sums).asScala
           .iterator.map { case (c, a) => (c.intValue, a) }
+      }
+      // merge the per-partition partials EXECUTOR-side (guide §5: the
+      // driver should do almost no data work — collecting one K×dim
+      // BigInteger map per partition scales with the task count at
+      // 100 TB). reduceByKey ships K skinny rows per partition and
+      // merges with order-free integer addition, so the totals are
+      // bit-identical to the driver-side merge this replaces; only the
+      // K merged rows reach the driver.
+      val totals = partials.reduceByKey { (a, b) =>
+        val out = new Array[java.math.BigInteger](a.length)
+        var i = 0
+        while (i < a.length) { out(i) = a(i).add(b(i)); i += 1 }
+        out
       }.collect()
       val next = cents.map(_.clone())
-      partials.groupBy(_._1).foreach { case (cell, parts) =>
-        val tot = Array.fill(dim)(java.math.BigInteger.ZERO)
-        parts.foreach { case (_, a) =>
-          var i = 0
-          while (i < dim) { tot(i) = tot(i).add(a(i)); i += 1 }
-        }
+      totals.foreach { case (cell, tot) =>
         val vec = Array.tabulate(dim)(i =>
           new java.math.BigDecimal(tot(i), 18).doubleValue())
         val norm = math.sqrt(vec.map(x => x * x).sum)
@@ -1422,13 +1439,14 @@ object Similarity {
       }
       scala.jdk.CollectionConverters.MapHasAsScala(accs).asScala.iterator
         .map { case (c, a) => (c.intValue, a) }
-    }.collect()
-    val merged = new java.util.HashMap[Int, SpectrumAcc]()
-    partials.foreach { case (c, a) =>
-      val prev = merged.get(c)
-      if (prev == null) merged.put(c, a) else prev.merge(a)
     }
-    val cells = scala.jdk.CollectionConverters.MapHasAsScala(merged).asScala
+    // executor-side merge (guide §5, same shape as trainCentroids): the
+    // driver previously collected one K×dim(dim+1)/2 accumulator map
+    // PER PARTITION — at 100 TB task counts that is the one driver-
+    // memory hazard this operator had. SpectrumAcc.merge is order-free
+    // integer addition, so reduceByKey yields bit-identical totals and
+    // the driver receives exactly K merged accumulators.
+    val cells = partials.reduceByKey(_ merge _).collect().toMap
     val counts = cells.map { case (c, a) => c.intValue -> a.n }.toMap
     val m1 = cells.flatMap { case (c, a) =>
       (1 to d).map(i =>
