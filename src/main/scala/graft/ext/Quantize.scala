@@ -69,13 +69,15 @@ object Quantize {
   private val PqM = 4
   private val PqK = 16
 
-  /** Sum of squared differences between a subvector and a codebook
-    * entry, as one codegen'd expression tree. */
-  private def sqDist(sub: Column, cent: Array[Double]): Column =
-    aggregate(
-      zip_with(sub, typedlit(cent),
-               (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, d) => acc + d)
+  // r17 (guide §4): the per-(subspace, code) squared distance was an
+  // aggregate(zip_with(slice(...), lit(cent), ...)) HOF tree — 64 such
+  // trees per row at (M=4, K=16), each CodegenFallback (interpreted per
+  // element, allocating a zipped array per code) — and ProbePq measured
+  // the corpus encode at ~1.9 s of q107's ~3.1 s cold gate. The whole
+  // M×K table is now ONE compiled kernel per subspace
+  // (VectorOps.PqSubspaceDists), value-identical by construction (same
+  // casts, same left-to-right fold order, same null-padding semantics —
+  // pinned by PqDistKernelSpec against the old tree).
 
   /** Train per-subspace Lloyd k-means codebooks on a BOUNDED sample,
     * driver-side — the standard PQ practice (FAISS trains on a sample
@@ -264,8 +266,8 @@ object Quantize {
                                   dim: Int): Seq[Column] = {
     val sub = dim / books.length
     books.indices.map { m =>
-      val subCol = slice(col("embedding"), m * sub + 1, sub)
-      array(books(m).indices.map(k => sqDist(subCol, books(m)(k))): _*)
+      graft.functions.VectorOps.pqSubspaceDists(
+        col("embedding"), books(m), m * sub)
     }
   }
 

@@ -74,6 +74,92 @@ object VectorOps {
       copy(child = newChild)
   }
 
+  /** PQ distance table for ONE subspace: the K squared distances from
+    * `child`'s elements [start, start+sub) to a literal K×sub codebook,
+    * as one compiled loop. Value-identical to the
+    * `array(aggregate(zip_with(slice(emb, start+1, sub), lit(c_k),
+    * (x,c) -> (x-c)*(x-c)), 0.0, (acc,d) -> acc+d) for k)` tree it
+    * replaces — same element casts, same left-to-right accumulation
+    * order, same null semantics (a null or absent element inside the
+    * subspace range nulls every entry, exactly as zip_with's null
+    * padding poisons the fold; a null vector yields the same K-null
+    * array the old CreateArray of null folds produced). The HOF tree
+    * is CodegenFallback — interpreted per (row × k × element) — and
+    * was the dominant cost of the corpus-sized PQ encode. */
+  case class PqSubspaceDists(child: Expression, cents: Array[Array[Double]],
+                             start: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def nullable: Boolean = false
+    override def prettyName: String = "pq_subspace_dists"
+
+    private lazy val cf = isFloatArray(child)
+
+    override def eval(
+        input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      VectorOps.pqDistsOrNulls(
+        if (v == null) null else v.asInstanceOf[ArrayData], cents, start, cf)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val centsRef = ctx.addReferenceObj("pqCents", cents, "double[][]")
+      val childGen = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.VectorOps.pqDistsOrNulls(
+            ${childGen.isNull} ? null : ${childGen.value},
+            $centsRef, $start, $cf);
+      """, isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): PqSubspaceDists = copy(child = newChild)
+  }
+
+  /** Shared by interpreted eval and generated code: K squared distances
+    * or K nulls (null/short/null-element input — the zip_with-padding
+    * semantics, see [[PqSubspaceDists]]). */
+  def pqDistsOrNulls(a: ArrayData, cents: Array[Array[Double]],
+                     start: Int, aFloat: Boolean): ArrayData = {
+    val k = cents.length
+    val sub = cents(0).length
+    var ok = a != null && a.numElements() >= start + sub
+    if (ok) {
+      var j = 0
+      while (j < sub) {
+        if (a.isNullAt(start + j)) { ok = false; j = sub } else j += 1
+      }
+    }
+    if (!ok) return new GenericArrayData(new Array[Any](k))
+    val x = new Array[Double](sub)
+    var j = 0
+    while (j < sub) {
+      x(j) = if (aFloat) a.getFloat(start + j).toDouble
+             else a.getDouble(start + j)
+      j += 1
+    }
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cc = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < sub) { val t = x(i) - cc(i); acc += t * t; i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqSubspaceDists(emb: Column, cents: Array[Array[Double]],
+                      start: Int): Column =
+    GraftSqlBridge.column(PqSubspaceDists(
+      GraftSqlBridge.expression(emb), cents, start))
+
   /** Shared by interpreted eval and generated code. */
   def dotOrNull(a: ArrayData, b: ArrayData,
                 aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
