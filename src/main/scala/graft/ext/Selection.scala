@@ -121,15 +121,55 @@ object Selection {
     docwCache.keys.foreach { key =>
       if (key._1.sparkContext.isStopped) docwCache.remove(key)
     }
-    docwCache.getOrElseUpdate((spark, dir, dim, modelId), {
-      val (docw, feats) = docWeights(spark, dir, dim, isTarget, heldOut)
-      val p = docw.transform(TrackedPersist.persistTracked)
-      // materialize EAGERLY so the corpus-sized exploded feature table
-      // can be released right away — only the skinny per-doc weight
-      // table stays cached for the memo's lifetime
-      p.count()
-      feats.unpersist(blocking = false)
-      p
+    docwCache.getOrElseUpdate((spark, dir, dim, modelId),
+      // lazy persist (the r16 q63 lesson: an eager count charges the
+      // first consumer an extra job); the first gate's own action fills
+      // the cache, and the shared featCounts memo below — not a
+      // transient exploded frame — is what the scoring reads, so there
+      // is nothing to release eagerly any more
+      docWeights(spark, dir, dim, isTarget, heldOut)
+        .transform(TrackedPersist.persistTracked))
+  }
+
+  /** Per-(session, dir, dim) memo of the MODEL-INDEPENDENT feature-count
+    * table (doc_id, lang, source, b, c) — r17, guide §2.4 "remove
+    * shuffles outright": every DSIR model (q197/q199's in-pool lang
+    * model, q200's held-out source model) re-ran the identical
+    * corpus-sized tokenize+bigram+hash scan and (doc, bucket) shuffle,
+    * differing only in which rows count as target. The target predicate
+    * is a pure function of per-doc attributes (lang, source), so those
+    * ride the groupBy keys (functionally dependent on doc_id) and each
+    * model evaluates its own `tgt` over this one persisted table —
+    * per-model work drops from corpus-scale to featCounts-scale.
+    * Cleared with the family memos via the TrackedPersist hook. */
+  private val featCountsCache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Int), DataFrame]()
+  TrackedPersist.onClear(() => featCountsCache.clear())
+
+  private def featCountsCached(spark: SparkSession, dir: String,
+                               dim: Int): DataFrame = {
+    featCountsCache.keys.foreach { key =>
+      if (key._1.sparkContext.isStopped) featCountsCache.remove(key)
+    }
+    featCountsCache.getOrElseUpdate((spark, dir, dim), {
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+                filter(split(TextAnalysis.normalized(col("text")), " "),
+                       t => t =!= "").as("ts"))
+      // map-side bigram list (q118's guard: sequence(0,-1) counts DOWN)
+      val bigrams = expr(
+        """CASE WHEN size(ts) >= 2 THEN
+          |  transform(sequence(0, size(ts) - 2),
+          |    i -> concat(ts[i], ' ', ts[i + 1]))
+          |ELSE array() END""".stripMargin)
+      toks
+        .select(col("doc_id"), col("lang"), col("source"),
+                explode(bigrams).as("bg"))
+        .withColumn("b",
+          pmod(Sketches.hHex(col("bg"), 15), lit(dim.toLong)))
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .transform(TrackedPersist.persistTracked)
     })
   }
 
@@ -144,40 +184,24 @@ object Selection {
     * model but never competes for selection). */
   private def docWeights(spark: SparkSession, dir: String, dim: Int,
                          isTarget: Column,
-                         heldOut: Boolean): (DataFrame, DataFrame) = {
+                         heldOut: Boolean): DataFrame = {
     // NULL target predicates (e.g. a NULL `source`) mean "not in the
     // target corpus": coalesce to false so such docs are pool members
     // in BOTH the raw model and the scoring filter — 3VL would silently
     // drop them from scoring while still counting them in the model
-    val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-              coalesce(isTarget.cast("boolean"), lit(false)).as("tgt"),
-              filter(split(TextAnalysis.normalized(col("text")), " "),
-                     t => t =!= "").as("ts"))
-    // map-side bigram list (q118's guard: sequence(0,-1) counts DOWN)
-    val bigrams = expr(
-      """CASE WHEN size(ts) >= 2 THEN
-        |  transform(sequence(0, size(ts) - 2),
-        |    i -> concat(ts[i], ' ', ts[i + 1]))
-        |ELSE array() END""".stripMargin)
-    // persisted: feats feeds the bucket-model aggregation AND the
-    // per-doc feature aggregation (different shuffle keys, so exchange
-    // reuse can't dedupe them) — without it the corpus-sized
-    // tokenize+bigram+md5 map would run twice, contradicting the
-    // one-map-side-pass scale contract
-    val feats = toks
-      .select(col("doc_id"), col("tgt"), explode(bigrams).as("bg"))
-      .withColumn("b", pmod(Sketches.hHex(col("bg"), 15), lit(dim.toLong)))
-      .transform(TrackedPersist.persistTracked)
-    // bucket model: one corpus-sized shuffle, dim-bounded result. The
-    // raw model counts the whole corpus (pool-as-proposal) or the
-    // non-target pool only (held-out target corpus).
+    val fc = featCountsCached(spark, dir, dim)
+      .withColumn("tgt", coalesce(isTarget.cast("boolean"), lit(false)))
+    // bucket model over the shared per-(doc, bucket) counts: cr/ct are
+    // the same exact integers the exploded-row aggregation produced
+    // (Σ c over the group = the row count). The raw model counts the
+    // whole corpus (pool-as-proposal) or the non-target pool only
+    // (held-out target corpus).
     val rawCount =
-      if (heldOut) sum(when(col("tgt"), 0L).otherwise(1L))
-      else count(lit(1))
-    val buckets = feats.groupBy(col("b"))
+      if (heldOut) sum(when(col("tgt"), 0L).otherwise(col("c")))
+      else sum(col("c"))
+    val buckets = fc.groupBy(col("b"))
       .agg(rawCount.as("cr"),
-           sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+           sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"))
     val totals = buckets.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     // each factor is an exact integer in double (< 2^53 even at 100 TB:
     // bucket counts and corpus totals are ~1e13 at most); the products
@@ -191,14 +215,12 @@ object Selection {
             ((col("cr") + lit(1L)).cast("double") *
              (col("nt") + lit(dim.toLong)).cast("double")))
           .as("delta"))
-    val scored = if (heldOut) feats.filter(!col("tgt")) else feats
-    val docw = scored.groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("c"))
+    val scored = if (heldOut) fc.filter(!col("tgt")) else fc
+    scored
       .join(broadcast(delta), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
            round(sum(col("c") * col("delta")), 4).as("logw"))
-    (docw, feats)
   }
 
   /** DSIR's actual selection step — Gumbel-top-k importance RESAMPLING
